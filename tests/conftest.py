@@ -1,0 +1,15 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real-TPU benchmarking happens in bench.py; unit tests must be deterministic
+and runnable without TPU hardware, so we force the host platform with 8
+virtual devices (enough to exercise the multi-chip sharding paths).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
