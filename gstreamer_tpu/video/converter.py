@@ -1,0 +1,211 @@
+"""VideoConverter — any-to-any video format/size/colorimetry conversion.
+
+TPU-native re-design of GstVideoConverter
+(subprojects/gst-plugins-base/gst-libs/gst/video/video-converter.c — the
+11-stage line-cache pipeline documented at video-converter.c:56-96).
+
+Instead of a pull-based per-line cache chain executed by threads, the
+negotiated configuration compiles to ONE pure function over whole batched
+frames: unpack → chroma-upsample → h/v-scale → color-matrix →
+chroma-downsample → pack — which XLA fuses into a single program.  Stage
+order and every integer rounding matches the reference generic path:
+
+* stage order: chain_unpack_line :851 → chain_upsample :880 →
+  chain_hscale/vscale/scale :1610-1717 (pixel-count rule) →
+  chain_convert :1719 (matrix) → chain_downsample :2017 → chain_pack :2098
+* chroma resample condition: video_converter_compute_resample :2849
+* matrix path selection: prepare_matrix :1323
+* scaling: SCALE_U8=12 fixed-point taps (video-scaler.c)
+
+The same pipeline runs under numpy (`convert_ref`, the gold used in parity
+tests) and under jax.numpy inside jit (`convert`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from . import chroma as chroma_mod
+from . import color as color_mod
+from . import scaler as scaler_mod
+from .format import format_info, pack, unpack
+from .info import (VideoInfo, chroma_site_h_cosited, chroma_site_v_cosited)
+
+
+DEFAULTS = {
+    "resampler-method": scaler_mod.METHOD_CUBIC,   # video-converter.c:790
+    "resampler-taps": 0,
+    "chroma-resampler-method": scaler_mod.METHOD_LINEAR,
+    "chroma-mode": "full",      # full | upsample-only | downsample-only | none
+    "matrix-mode": "full",      # full | input-only | output-only | none
+    "dither-method": "none",
+    "alpha-mode": "copy",
+    "alpha-value": 1.0,
+    "fill-border": True,
+}
+
+
+class VideoConverter:
+    def __init__(self, in_info: VideoInfo, out_info: VideoInfo,
+                 config: Optional[Dict[str, Any]] = None):
+        self.in_info = in_info
+        self.out_info = out_info
+        self.config = dict(DEFAULTS)
+        if config:
+            self.config.update(config)
+        self._plan = self._make_plan()
+        self._jit_fn = None
+
+    # -- planning (trace time) -------------------------------------------
+    def _make_plan(self):
+        ii, oi = self.in_info, self.out_info
+        ifmt, ofmt = ii.finfo, oi.finfo
+        cfg = self.config
+        plan: Dict[str, Any] = {}
+
+        chroma_mode = cfg["chroma-mode"]
+        # video_converter_compute_resample condition (:2866)
+        need_resample = (
+            chroma_mode != "none"
+            and (ifmt.w_sub[1] != ofmt.w_sub[1]
+                 or ifmt.h_sub[1] != ofmt.h_sub[1]
+                 or ii.chroma_site != oi.chroma_site
+                 or ii.width != oi.width
+                 or ii.height != oi.height)
+        )
+        plan["upsample"] = (
+            need_resample and chroma_mode != "downsample-only"
+            and (ifmt.w_sub[1] or ifmt.h_sub[1]))
+        plan["downsample"] = (
+            need_resample and chroma_mode != "upsample-only"
+            and (ofmt.w_sub[1] or ofmt.h_sub[1]))
+        plan["up_h_cosited"] = chroma_site_h_cosited(ii.chroma_site)
+        plan["up_v_cosited"] = chroma_site_v_cosited(ii.chroma_site)
+        plan["down_h_cosited"] = chroma_site_h_cosited(oi.chroma_site)
+        plan["down_v_cosited"] = chroma_site_v_cosited(oi.chroma_site)
+
+        # scaling plan (chain_scale :1684 — fewer intermediate pixels first)
+        method = cfg["resampler-method"]
+        taps = cfg["resampler-taps"]
+        h_res = v_res = None
+        if ii.width != oi.width:
+            h_res = scaler_mod.make_resampler(method, ii.width, oi.width, taps)
+        if ii.height != oi.height:
+            v_res = scaler_mod.make_resampler(method, ii.height, oi.height, taps)
+        s1 = oi.width * ii.height
+        s2 = ii.width * oi.height
+        plan["scale_order"] = "hv" if s1 <= s2 else "vh"
+        # chain_scale is invoked twice (video-converter.c:2522,2528): all
+        # scaling happens BEFORE the color matrix when the total pixel count
+        # shrinks, AFTER it otherwise.
+        plan["scale_before_matrix"] = (
+            oi.width * oi.height <= ii.width * ii.height)
+        plan["h_res"], plan["v_res"] = h_res, v_res
+
+        # matrix plan (chain_convert :1719)
+        matrix_mode = cfg["matrix-mode"]
+        m = color_mod.identity()
+        m = color_mod.compute_matrix_to_rgb(
+            m, ii.colorimetry, ifmt, matrix_mode_none=(matrix_mode == "none"))
+        m = color_mod.compute_matrix_to_yuv(
+            m, oi.colorimetry, ofmt, matrix_mode_none=(matrix_mode == "none"))
+        plan["matrix"] = color_mod.prepare_matrix(
+            m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb)
+        return plan
+
+    # -- execution ---------------------------------------------------------
+    def _pipeline(self, xp, planes):
+        """planes (component arrays of in_info) -> planes of out_info."""
+        ii, oi = self.in_info, self.out_info
+        ifmt, ofmt = ii.finfo, oi.finfo
+        plan = self._plan
+
+        canon = unpack(xp, ifmt, planes, ii.width, ii.height)
+
+        if plan["upsample"]:
+            # h first, then v (MAKE_UPSAMPLE_V2 calls h_resample first)
+            u = canon[..., 2]
+            v = canon[..., 3]
+            if ifmt.w_sub[1] == 1:
+                u = chroma_mod.up2(xp, u, -1, plan["up_h_cosited"])
+                v = chroma_mod.up2(xp, v, -1, plan["up_h_cosited"])
+            elif ifmt.w_sub[1] == 2:
+                u = chroma_mod.up4(xp, u, -1, plan["up_h_cosited"])
+                v = chroma_mod.up4(xp, v, -1, plan["up_h_cosited"])
+            if ifmt.h_sub[1] == 1:
+                u = chroma_mod.up2(xp, u, -2, plan["up_v_cosited"])
+                v = chroma_mod.up2(xp, v, -2, plan["up_v_cosited"])
+            elif ifmt.h_sub[1] == 2:
+                u = chroma_mod.up4(xp, u, -2, plan["up_v_cosited"])
+                v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
+            canon = xp.stack([canon[..., 0], canon[..., 1], u, v], axis=-1)
+
+        def do_scale(c):
+            def hscale(c):
+                return scaler_mod.scale_axis_exact(xp, c, -2, plan["h_res"])
+
+            def vscale(c):
+                return scaler_mod.scale_axis_exact(xp, c, -3, plan["v_res"])
+
+            if plan["scale_order"] == "hv":
+                if plan["h_res"] is not None:
+                    c = hscale(c)
+                if plan["v_res"] is not None:
+                    c = vscale(c)
+            else:
+                if plan["v_res"] is not None:
+                    c = vscale(c)
+                if plan["h_res"] is not None:
+                    c = hscale(c)
+            return c
+
+        if plan["scale_before_matrix"]:
+            canon = do_scale(canon)
+
+        pm = plan["matrix"]
+        canon = color_mod.apply_prepared(xp, canon, pm)
+
+        if not plan["scale_before_matrix"]:
+            canon = do_scale(canon)
+
+        if plan["downsample"]:
+            # v first, then h (MAKE_DOWNSAMPLE_V2 filters lines then h)
+            u = canon[..., 2]
+            v = canon[..., 3]
+            if ofmt.h_sub[1] == 1:
+                u = chroma_mod.down2(xp, u, -2, plan["down_v_cosited"])
+                v = chroma_mod.down2(xp, v, -2, plan["down_v_cosited"])
+            elif ofmt.h_sub[1] == 2:
+                u = chroma_mod.down4(xp, u, -2, plan["down_v_cosited"])
+                v = chroma_mod.down4(xp, v, -2, plan["down_v_cosited"])
+            if ofmt.w_sub[1] == 1:
+                u = chroma_mod.down2(xp, u, -1, plan["down_h_cosited"])
+                v = chroma_mod.down2(xp, v, -1, plan["down_h_cosited"])
+            elif ofmt.w_sub[1] == 2:
+                u = chroma_mod.down4(xp, u, -1, plan["down_h_cosited"])
+                v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
+            canon = xp.stack([canon[..., 0], canon[..., 1], u, v], axis=-1)
+
+        return pack(xp, ofmt, canon, oi.width, oi.height)
+
+    # numpy gold path
+    def convert_ref(self, planes):
+        return self._pipeline(np, tuple(np.asarray(p) for p in planes))
+
+    # device path
+    def convert(self, planes):
+        import jax
+        import jax.numpy as jnp
+
+        if self._jit_fn is None:
+            self._jit_fn = jax.jit(lambda ps: self._pipeline(jnp, ps))
+        return self._jit_fn(tuple(planes))
+
+    def trace_fn(self):
+        """The pure function (for composition into a pipeline program)."""
+        import jax.numpy as jnp
+        return lambda ps: self._pipeline(jnp, ps)

@@ -1,0 +1,338 @@
+"""Video pixel-format registry and canonical pack/unpack.
+
+TPU-native re-design of the reference format table
+(subprojects/gst-plugins-base/gst-libs/gst/video/video-format.c — ~165
+formats, each with per-format unpack/pack to canonical AYUV/ARGB lines,
+GstVideoFormatInfo video-format.h:933, unpack signature :847).
+
+Design: on device, a frame is a tuple of *component* planes (one 2-D array
+per color component, in component order comp0..compN = Y/R, U/G, V/B, A).
+Byte-level memory layouts (plane order of YV12 vs I420, interleaving of
+YUY2/NV12, channel order of BGRx, …) are a host/boundary concern handled by
+:func:`from_bytes` / :func:`to_bytes`; the XLA data path only ever sees
+component planes.  This is the TPU-first replacement for GStreamer's
+per-line unpack_func/pack_func machinery.
+
+Canonical unpack semantics follow the reference ORC kernels exactly
+(video-orc.orc: video_orc_unpack_I420 :63 — chroma duplicated h+v nearest,
+A=255; video_orc_pack_I420 :81 — chroma from even rows/cols), so integer
+results are bit-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# Component indices follow the reference convention
+# (GST_VIDEO_COMP_Y/R = 0, U/G = 1, V/B = 2, A = 3).
+
+
+@dataclass(frozen=True)
+class VideoFormatInfo:
+    name: str
+    flavor: str                      # "yuv" | "rgb" | "gray"
+    bits: int = 8                    # bits per component of the unpacked data
+    n_components: int = 3
+    # log2 subsampling per component (w_sub/h_sub, video-format.h)
+    w_sub: Tuple[int, ...] = (0, 0, 0, 0)
+    h_sub: Tuple[int, ...] = (0, 0, 0, 0)
+    has_alpha: bool = False
+    # byte-layout description used by from_bytes/to_bytes:
+    #   "planar": one plane per component, plane_order gives storage order
+    #   "semi":   Y plane + interleaved UV plane, uv_order gives order
+    #   "packed": single plane, packed_order gives per-pixel byte order
+    #             (for 4:2:2 packed: per-macropixel order of [Y0 U Y1 V])
+    layout: str = "planar"
+    plane_order: Tuple[int, ...] = (0, 1, 2)     # component idx per stored plane
+    packed_order: Tuple[int, ...] = ()           # see above
+    depth: Tuple[int, ...] = (8, 8, 8, 8)
+
+    @property
+    def is_yuv(self) -> bool:
+        return self.flavor == "yuv"
+
+    @property
+    def is_rgb(self) -> bool:
+        return self.flavor == "rgb"
+
+    @property
+    def is_gray(self) -> bool:
+        return self.flavor == "gray"
+
+    @property
+    def unpack_format(self) -> str:
+        return "AYUV" if (self.is_yuv or self.is_gray) else "ARGB"
+
+    def comp_width(self, comp: int, width: int) -> int:
+        return -(-width >> self.w_sub[comp]) if self.w_sub[comp] else width
+
+    def comp_height(self, comp: int, height: int) -> int:
+        return -(-height >> self.h_sub[comp]) if self.h_sub[comp] else height
+
+
+def _yuv(name, w_sub, h_sub, layout, plane_order=(0, 1, 2), packed_order=(),
+         n_components=3, has_alpha=False, bits=8):
+    return VideoFormatInfo(
+        name, "yuv", bits=bits, n_components=n_components, w_sub=w_sub,
+        h_sub=h_sub, has_alpha=has_alpha, layout=layout,
+        plane_order=plane_order, packed_order=packed_order)
+
+
+def _rgb(name, packed_order, has_alpha=False):
+    n = 4 if has_alpha else 3
+    return VideoFormatInfo(
+        name, "rgb", n_components=n, has_alpha=has_alpha, layout="packed",
+        packed_order=packed_order)
+
+
+# packed_order for RGB family: for each stored byte position, which canonical
+# channel it holds; canonical channels: 0=R 1=G 2=B 3=A, -1=padding(X).
+FORMATS: Dict[str, VideoFormatInfo] = {
+    # planar YUV (reference video-format.c PACK_420 etc.)
+    "I420": _yuv("I420", (0, 1, 1), (0, 1, 1), "planar", (0, 1, 2)),
+    "YV12": _yuv("YV12", (0, 1, 1), (0, 1, 1), "planar", (0, 2, 1)),
+    "Y444": _yuv("Y444", (0, 0, 0), (0, 0, 0), "planar", (0, 1, 2)),
+    "Y42B": _yuv("Y42B", (0, 1, 1), (0, 0, 0), "planar", (0, 1, 2)),
+    "Y41B": _yuv("Y41B", (0, 2, 2), (0, 0, 0), "planar", (0, 1, 2)),
+    "A420": _yuv("A420", (0, 1, 1, 0), (0, 1, 1, 0), "planar", (0, 1, 2, 3),
+                 n_components=4, has_alpha=True),
+    # semi-planar
+    "NV12": _yuv("NV12", (0, 1, 1), (0, 1, 1), "semi", (0, 1, 2)),
+    "NV21": _yuv("NV21", (0, 1, 1), (0, 1, 1), "semi", (0, 2, 1)),
+    "NV16": _yuv("NV16", (0, 1, 1), (0, 0, 0), "semi", (0, 1, 2)),
+    "NV24": _yuv("NV24", (0, 0, 0), (0, 0, 0), "semi", (0, 1, 2)),
+    # packed 4:2:2 — packed_order = byte order of the [Y0, U, Y1, V] macropixel
+    "YUY2": _yuv("YUY2", (0, 1, 1), (0, 0, 0), "packed",
+                 packed_order=("Y0", "U", "Y1", "V")),
+    "UYVY": _yuv("UYVY", (0, 1, 1), (0, 0, 0), "packed",
+                 packed_order=("U", "Y0", "V", "Y1")),
+    "YVYU": _yuv("YVYU", (0, 1, 1), (0, 0, 0), "packed",
+                 packed_order=("Y0", "V", "Y1", "U")),
+    "VYUY": _yuv("VYUY", (0, 1, 1), (0, 0, 0), "packed",
+                 packed_order=("V", "Y0", "U", "Y1")),
+    # packed 4:4:4
+    "AYUV": _yuv("AYUV", (0, 0, 0, 0), (0, 0, 0, 0), "packed",
+                 packed_order=("A", "Y", "U", "V"), n_components=4,
+                 has_alpha=True),
+    "VUYA": _yuv("VUYA", (0, 0, 0, 0), (0, 0, 0, 0), "packed",
+                 packed_order=("V", "U", "Y", "A"), n_components=4,
+                 has_alpha=True),
+    # gray
+    "GRAY8": VideoFormatInfo("GRAY8", "gray", n_components=1,
+                             layout="planar", plane_order=(0,)),
+    # packed RGB
+    "RGB": _rgb("RGB", (0, 1, 2)),
+    "BGR": _rgb("BGR", (2, 1, 0)),
+    "RGBx": _rgb("RGBx", (0, 1, 2, -1)),
+    "BGRx": _rgb("BGRx", (2, 1, 0, -1)),
+    "xRGB": _rgb("xRGB", (-1, 0, 1, 2)),
+    "xBGR": _rgb("xBGR", (-1, 2, 1, 0)),
+    "RGBA": _rgb("RGBA", (0, 1, 2, 3), has_alpha=True),
+    "BGRA": _rgb("BGRA", (2, 1, 0, 3), has_alpha=True),
+    "ARGB": _rgb("ARGB", (3, 0, 1, 2), has_alpha=True),
+    "ABGR": _rgb("ABGR", (3, 2, 1, 0), has_alpha=True),
+    # planar RGB
+    "GBR": VideoFormatInfo("GBR", "rgb", layout="planar", plane_order=(1, 2, 0)),
+    "GBRA": VideoFormatInfo("GBRA", "rgb", n_components=4, has_alpha=True,
+                            layout="planar", plane_order=(1, 2, 0, 3)),
+}
+
+
+def format_info(name: str) -> VideoFormatInfo:
+    try:
+        return FORMATS[name]
+    except KeyError:
+        raise ValueError(f"unknown video format {name!r}") from None
+
+
+def all_formats():
+    return list(FORMATS)
+
+
+# ---------------------------------------------------------------------------
+# Canonical unpack/pack.
+#
+# planes: tuple of component arrays, each (..., comp_h, comp_w) — batch dims
+# allowed in front.  Canonical image: (..., H, W, 4) int32 in channel order
+# (A, c0, c1, c2) = AYUV or ARGB, matching the reference canonical byte
+# order.  Chroma fill on unpack is nearest duplication (ORC loadupdb /
+# GET_UV_420 y>>1 — video-format.c:91); pack selects the top-left sample of
+# each chroma block (ORC select0wb / IS_CHROMA_LINE_420 — video-format.c:117).
+# ---------------------------------------------------------------------------
+
+def _dup(xp, a, factor_log2: int, axis: int, size: int):
+    """Nearest-duplicate along axis to reach `size` samples."""
+    if factor_log2 == 0:
+        return a
+    a = xp.repeat(a, 1 << factor_log2, axis=axis)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, size)
+    return a[tuple(sl)]
+
+
+def unpack(xp, fmt: VideoFormatInfo, planes, width: int, height: int):
+    """planes -> canonical (..., H, W, 4) int32 (A,c0,c1,c2)."""
+    comps = []
+    n = fmt.n_components
+    for c in range(min(n, 3)):
+        p = planes[c].astype(xp.int32)
+        p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
+        p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
+        comps.append(p)
+    if fmt.is_gray:
+        # GRAY unpacks with neutral chroma (video-format.c unpack_GRAY8)
+        half = xp.full_like(comps[0], 0x80)
+        comps = [comps[0], half, half]
+    if fmt.has_alpha:
+        a = planes[n - 1] if fmt.layout != "packed" else planes[3]
+        alpha = a.astype(xp.int32)
+    else:
+        alpha = xp.full_like(comps[0], 255)
+    return xp.stack([alpha, comps[0], comps[1], comps[2]], axis=-1)
+
+
+def pack(xp, fmt: VideoFormatInfo, canon, width: int, height: int):
+    """canonical (..., H, W, 4) int -> tuple of component planes (uint8).
+
+    Values must already be in range (the converter clamps before pack)."""
+    canon = canon.astype(xp.uint8)
+    out = []
+    n = fmt.n_components
+    for c in range(min(n, 3)):
+        hs, ws = fmt.h_sub[c], fmt.w_sub[c]
+        p = canon[..., ::(1 << hs), ::(1 << ws), 1 + c]
+        out.append(p)
+    if fmt.is_gray:
+        out = out[:1]
+    if fmt.has_alpha:
+        out.append(canon[..., 0])
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Host-side byte-layout import/export (numpy only; the appsrc/filesrc
+# boundary).  `data` is a flat uint8 numpy array of the frame (optionally
+# batched: (B, frame_size)).
+# ---------------------------------------------------------------------------
+
+def plane_shapes(fmt: VideoFormatInfo, width: int, height: int):
+    """Shapes of the component planes (component order)."""
+    shapes = []
+    for c in range(min(fmt.n_components, 3)):
+        shapes.append((fmt.comp_height(c, height), fmt.comp_width(c, width)))
+    if fmt.is_gray:
+        shapes = shapes[:1]
+    if fmt.has_alpha:
+        shapes.append((height, width))
+    return shapes
+
+
+def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
+    if fmt.layout == "packed":
+        if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
+            return height * width * len(fmt.packed_order)
+        # 4:2:2 packed: 4 bytes / 2 pixels
+        return height * (-(-width // 2)) * 4
+    return sum(h * w for (h, w) in plane_shapes(fmt, width, height))
+
+
+def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
+               height: int):
+    """Decode the format's memory layout into component planes (numpy)."""
+    data = np.asarray(data, dtype=np.uint8)
+    batch = data.shape[:-1]
+    shapes = plane_shapes(fmt, width, height)
+
+    if fmt.layout == "planar":
+        sizes = [h * w for (h, w) in shapes]
+        comp_of_store = fmt.plane_order
+        planes = [None] * len(shapes)
+        off = 0
+        for store_idx, comp in enumerate(comp_of_store):
+            h, w = shapes[comp]
+            sz = h * w
+            planes[comp] = data[..., off:off + sz].reshape(batch + (h, w))
+            off += sz
+        return tuple(planes)
+
+    if fmt.layout == "semi":
+        h0, w0 = shapes[0]
+        hc, wc = shapes[1]
+        y = data[..., : h0 * w0].reshape(batch + (h0, w0))
+        uv = data[..., h0 * w0:].reshape(batch + (hc, wc, 2))
+        first, second = fmt.plane_order[1], fmt.plane_order[2]
+        planes = [y, None, None]
+        planes[first] = uv[..., 0]
+        planes[second] = uv[..., 1]
+        return tuple(planes)
+
+    # packed
+    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
+        nb = len(fmt.packed_order)
+        img = data.reshape(batch + (height, width, nb))
+        if fmt.is_rgb:
+            chans = {}
+            for pos, ch in enumerate(fmt.packed_order):
+                if ch >= 0:
+                    chans[ch] = img[..., pos]
+            planes = [chans[0], chans[1], chans[2]]
+            if fmt.has_alpha:
+                planes.append(chans[3])
+            return tuple(planes)
+        # AYUV/VUYA
+        pos = {ch: i for i, ch in enumerate(fmt.packed_order)}
+        return (img[..., pos["Y"]], img[..., pos["U"]], img[..., pos["V"]],
+                img[..., pos["A"]])
+
+    # packed 4:2:2 ([Y0 U Y1 V] orderings)
+    wmac = -(-width // 2)
+    img = data.reshape(batch + (height, wmac, 4))
+    pos = {ch: i for i, ch in enumerate(fmt.packed_order)}
+    y = np.stack([img[..., pos["Y0"]], img[..., pos["Y1"]]], axis=-1)
+    y = y.reshape(batch + (height, wmac * 2))[..., :width]
+    return (y, img[..., pos["U"]], img[..., pos["V"]])
+
+
+def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarray:
+    """Encode component planes into the format's memory layout (numpy)."""
+    planes = [np.asarray(p, dtype=np.uint8) for p in planes]
+    batch = planes[0].shape[:-2]
+
+    if fmt.layout == "planar":
+        chunks = [planes[comp].reshape(batch + (-1,))
+                  for comp in fmt.plane_order]
+        return np.concatenate(chunks, axis=-1)
+
+    if fmt.layout == "semi":
+        first, second = fmt.plane_order[1], fmt.plane_order[2]
+        uv = np.stack([planes[first], planes[second]], axis=-1)
+        return np.concatenate(
+            [planes[0].reshape(batch + (-1,)), uv.reshape(batch + (-1,))],
+            axis=-1)
+
+    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
+        nb = len(fmt.packed_order)
+        out = np.empty(batch + (height, width, nb), np.uint8)
+        if fmt.is_rgb:
+            for posi, ch in enumerate(fmt.packed_order):
+                out[..., posi] = planes[ch] if ch >= 0 else 255
+        else:
+            named = {"Y": planes[0], "U": planes[1], "V": planes[2],
+                     "A": planes[3]}
+            for posi, ch in enumerate(fmt.packed_order):
+                out[..., posi] = named[ch]
+        return out.reshape(batch + (-1,))
+
+    # packed 4:2:2
+    wmac = -(-width // 2)
+    ypad = planes[0]
+    if width & 1:
+        ypad = np.concatenate([ypad, ypad[..., -1:]], axis=-1)
+    y2 = ypad.reshape(batch + (height, wmac, 2))
+    named = {"Y0": y2[..., 0], "Y1": y2[..., 1], "U": planes[1],
+             "V": planes[2]}
+    out = np.stack([named[ch] for ch in fmt.packed_order], axis=-1)
+    return out.reshape(batch + (-1,))

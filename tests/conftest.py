@@ -2,12 +2,14 @@
 
 Real-TPU benchmarking happens in bench.py; unit tests must be deterministic
 and runnable without TPU hardware, so we force the host platform with 8
-virtual devices (enough to exercise the multi-chip sharding paths).
+virtual devices (enough to exercise the multi-chip sharding paths).  The
+driver environment exports JAX_PLATFORMS=axon (the tunneled TPU), so this
+must override, not setdefault.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
