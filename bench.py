@@ -1,0 +1,61 @@
+"""Headline benchmark: 1080p I420 -> RGB 224x224 convert+scale, frames/s/chip.
+
+Reference pipeline (BASELINE.json configs[0]):
+  gst-launch-1.0 videotestsrc ! videoconvert ! videoscale !
+      video/x-raw,format=RGB,width=224,height=224 ! fakesink
+
+Here the negotiated chain compiles to ONE fused XLA program (unpack ->
+chroma up -> h/v scale -> bt709 matrix -> pack) over batched frames in HBM.
+Target (BASELINE.md): >= 10 000 frames/s/chip.  Prints one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gstreamer_tpu.video.converter import VideoConverter
+    from gstreamer_tpu.video.info import VideoInfo
+
+    batch = 64
+    ii = VideoInfo(format="I420", width=1920, height=1080)
+    oi = VideoInfo(format="RGB", width=224, height=224)
+    # videoscale's default method is bilinear/2-tap
+    # (gstvideoconvertscale.c:1000-1005)
+    conv = VideoConverter(ii, oi, {"resampler-method": "linear",
+                                   "resampler-taps": 2})
+    fn = jax.jit(conv.trace_fn())
+
+    rng = np.random.default_rng(0)
+    planes = tuple(
+        jnp.asarray(rng.integers(0, 256, (batch,) + s, dtype=np.uint8))
+        for s in ii.plane_shapes())
+
+    # warmup / compile
+    out = fn(planes)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(planes)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    target = 10000.0
+    print(json.dumps({
+        "metric": "1080p_i420_to_rgb224_convert_scale",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""Elements, pads, and the factory registry.
+
+TPU-native re-design of GstElement/GstPad/GstElementFactory (reference:
+subprojects/gstreamer/gst/gstelement.c, gstpad.c, gstelementfactory.c).
+
+Key departures from the reference, by design:
+
+* No streaming threads or per-pad tasks (gsttask.c:348): dataflow is a
+  host-side batch loop; the per-element compute is a pure jax function,
+  and the pipeline fuses consecutive pure functions into single XLA
+  programs (SURVEY §2.8 mapping).
+* Caps negotiation is a trace-time pass (the reference's CAPS query /
+  CAPS event machinery, gstpad.c:65,201 and gstbasetransform.c:1341)
+  driven by the Pipeline, using the same transform/intersect/fixate
+  hooks as GstBaseTransform (transform_caps/fixate_caps/set_caps).
+* State machine is reduced to NULL<->READY<->PLAYING; PAUSED/preroll has
+  no meaning without real-time sinks (buffers are pulled in batches).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .buffer import Buffer, FlowReturn
+from .caps import Caps
+
+
+class PadDirection:
+    SRC = "src"
+    SINK = "sink"
+
+
+class PadPresence:
+    ALWAYS = "always"
+    REQUEST = "request"
+    SOMETIMES = "sometimes"
+
+
+class PadTemplate:
+    def __init__(self, name: str, direction: str, caps: "Caps | str",
+                 presence: str = PadPresence.ALWAYS):
+        self.name = name
+        self.direction = direction
+        self.caps = Caps.from_string(caps) if isinstance(caps, str) else caps
+        self.presence = presence
+
+    def instantiate(self, element: "Element", name: Optional[str] = None) -> "Pad":
+        return Pad(name or self.name, self.direction, element, self)
+
+
+class Pad:
+    def __init__(self, name: str, direction: str, element: "Element",
+                 template: Optional[PadTemplate] = None):
+        self.name = name
+        self.direction = direction
+        self.element = element
+        self.template = template
+        self.peer: Optional["Pad"] = None
+        self.caps: Optional[Caps] = None     # fixed caps after negotiation
+        # probes: callables(pad, buffer) -> buffer|None (tracing hook point;
+        # mirrors gstpad.c do_probe_callbacks :3870)
+        self.probes: List[Callable] = []
+
+    @property
+    def template_caps(self) -> Caps:
+        return self.template.caps if self.template else Caps.any()
+
+    def link(self, sinkpad: "Pad") -> None:
+        if self.direction != PadDirection.SRC or sinkpad.direction != PadDirection.SINK:
+            raise ValueError("link must go src -> sink")
+        if self.peer is not None or sinkpad.peer is not None:
+            raise ValueError(f"pad already linked: {self} / {sinkpad}")
+        if not self.template_caps.can_intersect(sinkpad.template_caps):
+            raise ValueError(
+                f"cannot link {self.element.name}.{self.name} ! "
+                f"{sinkpad.element.name}.{sinkpad.name}: caps do not intersect")
+        self.peer = sinkpad
+        sinkpad.peer = self
+
+    def __repr__(self):
+        return f"<Pad {self.element.name}.{self.name}>"
+
+
+class Element:
+    """Base element.  Subclasses define FACTORY (registry name),
+    PAD_TEMPLATES, PROPERTIES, and override the negotiation/compute
+    hooks."""
+
+    FACTORY: str = ""
+    KLASS: str = "Generic"
+    DESCRIPTION: str = ""
+    PAD_TEMPLATES: List[PadTemplate] = []
+    # name -> (python type, default, doc)
+    PROPERTIES: Dict[str, Tuple[type, Any, str]] = {}
+
+    def __init__(self, name: Optional[str] = None, **props):
+        self.name = name or f"{self.FACTORY}{id(self) % 10000}"
+        self.pads: List[Pad] = []
+        self.props: Dict[str, Any] = {
+            k: v[1] for k, v in self.PROPERTIES.items()}
+        for k, v in props.items():
+            self.set_property(k, v)
+        for t in self.PAD_TEMPLATES:
+            if t.presence == PadPresence.ALWAYS:
+                self.pads.append(t.instantiate(self))
+        self.parent = None
+
+    # -- properties (mirrors GObject properties used in launch lines) ----
+    def set_property(self, key: str, value: Any) -> None:
+        key = key.replace("_", "-")
+        if key not in self.PROPERTIES:
+            raise ValueError(f"{self.FACTORY}: no property {key!r}")
+        typ = self.PROPERTIES[key][0]
+        if isinstance(value, str) and typ is not str:
+            if typ is bool:
+                value = value.lower() in ("1", "true", "yes")
+            elif typ is int:
+                value = int(value)
+            elif typ is float:
+                value = float(value)
+        self.props[key] = value
+
+    def get_property(self, key: str) -> Any:
+        return self.props[key.replace("_", "-")]
+
+    # -- pads -------------------------------------------------------------
+    def get_pad(self, name: str) -> Pad:
+        for p in self.pads:
+            if p.name == name:
+                return p
+        # request pads ("sink_%u")
+        for t in self.PAD_TEMPLATES:
+            if t.presence == PadPresence.REQUEST and _template_match(t.name, name):
+                pad = t.instantiate(self, name)
+                self.pads.append(pad)
+                return pad
+        raise ValueError(f"{self.name}: no pad {name!r}")
+
+    def request_pad(self, template_name: str) -> Pad:
+        for t in self.PAD_TEMPLATES:
+            if t.presence == PadPresence.REQUEST and t.name == template_name:
+                idx = sum(1 for p in self.pads
+                          if p.template and p.template.name == template_name)
+                pad = t.instantiate(self, template_name.replace("%u", str(idx)))
+                self.pads.append(pad)
+                return pad
+        raise ValueError(f"{self.name}: no request template {template_name!r}")
+
+    def sink_pads(self) -> List[Pad]:
+        return [p for p in self.pads if p.direction == PadDirection.SINK]
+
+    def src_pads(self) -> List[Pad]:
+        return [p for p in self.pads if p.direction == PadDirection.SRC]
+
+    # -- negotiation hooks (GstBaseTransform vfunc equivalents) -----------
+    def transform_caps(self, direction: str, caps: Caps,
+                       filter: Optional[Caps] = None) -> Caps:
+        """Caps acceptable on the opposite pad given `caps` on the
+        `direction` pad.  Default: identity (passthrough elements)."""
+        res = caps
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def fixate_caps(self, direction: str, caps: Caps, othercaps: Caps) -> Caps:
+        """Pick concrete caps on the opposite pad; default gst_caps_fixate."""
+        return othercaps.fixate()
+
+    def set_info(self, incaps: Optional[Caps], outcaps: Optional[Caps]) -> None:
+        """Called once negotiation fixed the caps; build compute state."""
+
+    # -- compute hooks -----------------------------------------------------
+    def make_fn(self) -> Optional[Callable]:
+        """Pure device function arrays->arrays, or None for passthrough.
+
+        Fused by the pipeline into one XLA program with its neighbors."""
+        return None
+
+    def process_meta(self, buf: Buffer) -> Buffer:
+        """Host-side metadata transform applied per buffer (timestamps)."""
+        return buf
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+    def __repr__(self):
+        return f"<{type(self).__name__} {self.name!r}>"
+
+
+def _template_match(tmpl: str, name: str) -> bool:
+    if "%u" in tmpl:
+        prefix = tmpl.split("%u")[0]
+        return name.startswith(prefix) and name[len(prefix):].isdigit()
+    return tmpl == name
+
+
+class SourceElement(Element):
+    """GstBaseSrc equivalent (gstbasesrc.c): produces buffers.
+
+    `create(n_frames)` returns Buffer or None (EOS).  Negotiation:
+    `get_caps` constrains, `fixate` picks defaults."""
+
+    def get_caps(self, filter: Optional[Caps] = None) -> Caps:
+        caps = self.src_pads()[0].template_caps
+        if filter is not None:
+            caps = caps.intersect(filter)
+        return caps
+
+    def fixate(self, caps: Caps) -> Caps:
+        return caps.fixate()
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        raise NotImplementedError
+
+    def generator_fn(self) -> Optional[Callable]:
+        """Optional pure device generator (frame_indices)->arrays, fused
+        into the pipeline program (videotestsrc patterns etc.)."""
+        return None
+
+
+class TransformElement(Element):
+    """GstBaseTransform equivalent (gstbasetransform.c:2351 chain)."""
+
+    PASSTHROUGH_ON_SAME_CAPS = False
+
+    def accept_caps(self, direction: str, caps: Caps) -> bool:
+        pads = self.sink_pads() if direction == PadDirection.SINK else self.src_pads()
+        return caps.can_intersect(pads[0].template_caps)
+
+
+class SinkElement(Element):
+    """GstBaseSink equivalent: consumes buffers."""
+
+    def render(self, buf: Buffer) -> str:
+        return FlowReturn.OK
+
+
+class AggregatorElement(Element):
+    """GstAggregator equivalent (gstaggregator.c): N sink pads -> 1 src.
+
+    The pipeline calls `aggregate_fn()` once all sink pads have data for
+    a tick; inputs arrive as a dict keyed by sink pad name."""
+
+    def aggregate_fn(self) -> Optional[Callable]:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Registry (GstElementFactory / GstRegistry equivalent)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: Dict[str, Tuple[type, int]] = {}
+
+
+def register_element(cls=None, *, rank: int = 0):
+    def do(cls):
+        if not cls.FACTORY:
+            raise ValueError("element class needs FACTORY name")
+        _REGISTRY[cls.FACTORY] = (cls, rank)
+        return cls
+    return do(cls) if cls is not None else do
+
+
+def element_factory_make(factory: str, name: Optional[str] = None,
+                         **props) -> Element:
+    _ensure_elements_loaded()
+    if factory not in _REGISTRY:
+        raise ValueError(f"no element factory {factory!r}")
+    cls, _rank = _REGISTRY[factory]
+    return cls(name=name, **props)
+
+
+def factory_exists(factory: str) -> bool:
+    _ensure_elements_loaded()
+    return factory in _REGISTRY
+
+
+def list_factories() -> List[str]:
+    _ensure_elements_loaded()
+    return sorted(_REGISTRY)
+
+
+def get_factory_class(factory: str) -> type:
+    _ensure_elements_loaded()
+    return _REGISTRY[factory][0]
+
+
+_loaded = False
+
+
+def _ensure_elements_loaded():
+    """Lazy plugin load (the registry-scan equivalent, gstregistry.c)."""
+    global _loaded
+    if not _loaded:
+        _loaded = True
+        from .. import elements  # noqa: F401  (registers on import)

@@ -1,0 +1,439 @@
+"""Bin/Pipeline: graph container, trace-time negotiation, fused execution.
+
+TPU-native re-design of GstBin/GstPipeline (reference:
+subprojects/gstreamer/gst/gstbin.c — sorted state changes :2317;
+gstpipeline.c — clock/base-time :377-433) and of the negotiation flow
+(gst-docs design/negotiation.md, gstbasetransform.c find_transform :1093).
+
+Execution model (replaces streaming threads + per-element chain calls):
+
+* negotiation runs once, host-side, producing fixed caps per pad — the
+  "shape/dtype/format inference" pass;
+* every element contributes a pure device function; consecutive device
+  elements are fused into ONE jitted XLA program per graph segment
+  (queues and tees are structural; host-side elements like videorate
+  split segments);
+* the tick loop pulls a BATCH of frames from each source, runs the
+  fused program(s), and hands results to sinks.  Batching is the
+  replacement for the reference's pipeline-parallel threads
+  (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from .buffer import Buffer, FlowReturn
+from .caps import Caps
+from .element import (AggregatorElement, Element, Pad, PadDirection,
+                      SinkElement, SourceElement, element_factory_make)
+from ..utils.log import get_logger
+
+log = get_logger("pipeline")
+
+
+# ---------------------------------------------------------------------------
+# Bus (gstbus.c equivalent — async element->app messages)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Message:
+    type: str                    # "eos" | "error" | "warning" | "state-changed" | ...
+    src: Optional[str] = None
+    data: Dict[str, Any] = field(default_factory=dict)
+
+    def __repr__(self):
+        return f"<Message {self.type} from {self.src}: {self.data}>"
+
+
+class Bus:
+    def __init__(self):
+        self._queue: List[Message] = []
+        self._watchers: List[Callable[[Message], None]] = []
+
+    def post(self, msg: Message) -> None:
+        log.debug("bus message: %s", msg)
+        self._queue.append(msg)
+        for w in self._watchers:
+            w(msg)
+
+    def pop(self) -> Optional[Message]:
+        return self._queue.pop(0) if self._queue else None
+
+    def pop_filtered(self, *types: str) -> Optional[Message]:
+        for i, m in enumerate(self._queue):
+            if m.type in types:
+                return self._queue.pop(i)
+        return None
+
+    def add_watch(self, cb: Callable[[Message], None]) -> None:
+        self._watchers.append(cb)
+
+    def messages(self) -> List[Message]:
+        return list(self._queue)
+
+
+class State:
+    NULL = "null"
+    READY = "ready"
+    PAUSED = "paused"
+    PLAYING = "playing"
+
+
+# ---------------------------------------------------------------------------
+# Bin / Pipeline
+# ---------------------------------------------------------------------------
+
+class Bin(Element):
+    FACTORY = "bin"
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name=name)
+        self.elements: List[Element] = []
+
+    def add(self, *elements: Element) -> None:
+        for e in elements:
+            if e.parent is not None:
+                raise ValueError(f"{e.name} already in a bin")
+            e.parent = self
+            self.elements.append(e)
+
+    def get_by_name(self, name: str) -> Optional[Element]:
+        for e in self.elements:
+            if e.name == name:
+                return e
+            if isinstance(e, Bin):
+                r = e.get_by_name(name)
+                if r is not None:
+                    return r
+        return None
+
+    def iterate_elements(self) -> List[Element]:
+        out = []
+        for e in self.elements:
+            if isinstance(e, Bin):
+                out.extend(e.iterate_elements())
+            else:
+                out.append(e)
+        return out
+
+
+def link(src: Element, sink: Element,
+         srcpad: Optional[str] = None, sinkpad: Optional[str] = None) -> None:
+    """gst_element_link_pads equivalent: first compatible pads."""
+    spads = [src.get_pad(srcpad)] if srcpad else [
+        p for p in src.src_pads() if p.peer is None]
+    if not spads:
+        # try request pads
+        for t in src.PAD_TEMPLATES:
+            if t.direction == PadDirection.SRC and t.presence == "request":
+                spads = [src.request_pad(t.name)]
+                break
+    kpads = [sink.get_pad(sinkpad)] if sinkpad else [
+        p for p in sink.sink_pads() if p.peer is None]
+    if not kpads:
+        for t in sink.PAD_TEMPLATES:
+            if t.direction == PadDirection.SINK and t.presence == "request":
+                kpads = [sink.request_pad(t.name)]
+                break
+    if not spads or not kpads:
+        raise ValueError(f"cannot link {src.name} ! {sink.name}: no free pads")
+    spads[0].link(kpads[0])
+
+
+class Pipeline(Bin):
+    FACTORY = "pipeline"
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name=name)
+        self.bus = Bus()
+        self.state = State.NULL
+        self._plan = None
+        self.default_batch = 1
+
+    # -- graph helpers -----------------------------------------------------
+    def _nodes(self) -> List[Element]:
+        return self.iterate_elements()
+
+    def _topo_order(self) -> List[Element]:
+        nodes = self._nodes()
+        indeg = {e: 0 for e in nodes}
+        for e in nodes:
+            for p in e.sink_pads():
+                if p.peer is not None:
+                    indeg[e] += 1
+        order, ready = [], [e for e in nodes if indeg[e] == 0]
+        while ready:
+            e = ready.pop(0)
+            order.append(e)
+            for p in e.src_pads():
+                if p.peer is not None:
+                    d = p.peer.element
+                    indeg[d] -= 1
+                    if indeg[d] == 0:
+                        ready.append(d)
+        if len(order) != len(nodes):
+            raise ValueError("pipeline graph has a cycle")
+        return order
+
+    # -- negotiation (trace-time caps resolution) --------------------------
+    def _downstream_allowed(self, pad: Pad, _memo=None) -> Caps:
+        """Allowed caps on a SRC pad considering everything downstream
+        (the recursive CAPS query, gstbasetransform query_caps :632)."""
+        if _memo is None:
+            _memo = {}
+        if pad in _memo:
+            return _memo[pad]
+        peer = pad.peer
+        if peer is None:
+            res = pad.template_caps
+        else:
+            elem = peer.element
+            sink_tmpl = peer.template_caps
+            if isinstance(elem, SinkElement) or not elem.src_pads():
+                res = sink_tmpl
+            elif isinstance(elem, AggregatorElement):
+                res = sink_tmpl
+            else:
+                down = Caps.any()
+                for sp in elem.src_pads():
+                    if sp.peer is not None:
+                        down = down.intersect(self._downstream_allowed(sp, _memo))
+                    else:
+                        down = down.intersect(sp.template_caps)
+                res = elem.transform_caps(PadDirection.SRC, down,
+                                          filter=sink_tmpl)
+        res = res.intersect(pad.template_caps)
+        _memo[pad] = res
+        return res
+
+    def negotiate(self) -> None:
+        order = self._topo_order()
+        for elem in order:
+            if isinstance(elem, SourceElement):
+                srcpad = elem.src_pads()[0]
+                allowed = self._downstream_allowed(srcpad)
+                caps_space = elem.get_caps(filter=allowed)
+                if caps_space.is_empty:
+                    raise NegotiationError(
+                        f"{elem.name}: no common caps with downstream")
+                fixed = elem.fixate(caps_space)
+                if not fixed.is_fixed():
+                    raise NegotiationError(
+                        f"{elem.name}: could not fixate {fixed!r}")
+                srcpad.caps = fixed
+                elem.set_info(None, fixed)
+                log.info("%s: negotiated %s", elem.name, fixed)
+            elif isinstance(elem, AggregatorElement):
+                in_caps = {p.name: p.peer.caps for p in elem.sink_pads()
+                           if p.peer is not None}
+                if any(c is None for c in in_caps.values()):
+                    raise NegotiationError(
+                        f"{elem.name}: sink pad not negotiated")
+                for p in elem.sink_pads():
+                    if p.peer is not None:
+                        p.caps = p.peer.caps
+                srcpad = elem.src_pads()[0]
+                allowed = self._downstream_allowed(srcpad)
+                out = elem.negotiate_output(in_caps, allowed)
+                srcpad.caps = out
+                log.info("%s: negotiated out %s", elem.name, out)
+            elif isinstance(elem, SinkElement):
+                for p in elem.sink_pads():
+                    if p.peer is not None:
+                        p.caps = p.peer.caps
+                elem.set_info(elem.sink_pads()[0].caps, None)
+            else:
+                # transform: find_transform (gstbasetransform.c:1093)
+                sinkpad = elem.sink_pads()[0]
+                if sinkpad.peer is None:
+                    raise NegotiationError(f"{elem.name}: sink pad not linked")
+                incaps = sinkpad.peer.caps
+                if incaps is None:
+                    raise NegotiationError(
+                        f"{elem.name}: upstream not negotiated")
+                sinkpad.caps = incaps
+                srcpads = [p for p in elem.src_pads() if p.peer is not None]
+                if not srcpads:
+                    elem.set_info(incaps, None)
+                    continue
+                srcpad = srcpads[0]
+                # multi-src transforms (tee): every branch must accept the
+                # same caps — intersect all downstream constraints
+                allowed = Caps.any()
+                for sp in srcpads:
+                    allowed = allowed.intersect(self._downstream_allowed(sp))
+                othercaps = elem.transform_caps(PadDirection.SINK, incaps,
+                                                filter=allowed)
+                if othercaps.is_empty:
+                    raise NegotiationError(
+                        f"{elem.name}: cannot transform {incaps!r} to anything "
+                        f"downstream accepts")
+                if not othercaps.is_fixed():
+                    othercaps = elem.fixate_caps(PadDirection.SINK, incaps,
+                                                 othercaps)
+                if not othercaps.is_fixed():
+                    raise NegotiationError(
+                        f"{elem.name}: fixation failed: {othercaps!r}")
+                for sp in srcpads:
+                    sp.caps = othercaps
+                elem.set_info(incaps, othercaps)
+                log.info("%s: negotiated %s -> %s", elem.name, incaps, othercaps)
+
+    # -- compile (build fused device programs) -----------------------------
+    def compile(self, batch: Optional[int] = None) -> None:
+        import jax
+
+        self.negotiate()
+        order = self._topo_order()
+        batch = batch or self.default_batch
+
+        # per-element pure fns
+        fns: Dict[Element, Optional[Callable]] = {}
+        for e in order:
+            if isinstance(e, SourceElement):
+                fns[e] = e.generator_fn()
+            elif isinstance(e, AggregatorElement):
+                fns[e] = e.aggregate_fn()
+            elif isinstance(e, SinkElement):
+                fns[e] = None
+            else:
+                fns[e] = e.make_fn()
+
+        host_elems = {e for e in order if getattr(e, "HOST_ELEMENT", False)}
+
+        def device_step(inputs: Dict[str, Any]) -> Dict[str, Any]:
+            """One fused program: all pure element fns in topo order.
+
+            inputs: value per source element name (or per host-boundary
+            injection point).  Returns value per sink element name."""
+            values: Dict[Pad, Any] = {}
+            outputs: Dict[str, Any] = {}
+            for e in order:
+                if isinstance(e, SourceElement):
+                    v = inputs[e.name]
+                    if fns[e] is not None:
+                        v = fns[e](v)
+                    for sp in e.src_pads():
+                        values[sp] = v
+                elif isinstance(e, SinkElement):
+                    pad = e.sink_pads()[0]
+                    if pad.peer is not None:
+                        outputs[e.name] = values[pad.peer]
+                elif isinstance(e, AggregatorElement):
+                    ins = {p.name: values[p.peer] for p in e.sink_pads()
+                           if p.peer is not None}
+                    v = fns[e](ins) if fns[e] is not None else ins
+                    for sp in e.src_pads():
+                        values[sp] = v
+                else:
+                    if e in host_elems:
+                        # host elements are applied outside jit; inside the
+                        # device program they are identity on data
+                        pad = e.sink_pads()[0]
+                        v = values[pad.peer]
+                    else:
+                        pad = e.sink_pads()[0]
+                        v = values[pad.peer]
+                        if fns[e] is not None:
+                            v = fns[e](v)
+                    for sp in e.src_pads():
+                        values[sp] = v
+            return outputs
+
+        self._device_step = jax.jit(device_step)
+        self._order = order
+        self._batch = batch
+        self._plan = True
+
+    # -- run loop ----------------------------------------------------------
+    def set_state(self, state: str) -> None:
+        if state == State.PLAYING and self.state != State.PLAYING:
+            if self._plan is None:
+                self.compile()
+            for e in self._order:
+                e.start()
+            self.state = State.PLAYING
+            self.bus.post(Message("state-changed", self.name,
+                                  {"new": State.PLAYING}))
+        elif state in (State.NULL, State.READY):
+            if self.state == State.PLAYING:
+                for e in self._order:
+                    e.stop()
+            self.state = state
+
+    def tick(self) -> bool:
+        """Run one batch through the graph.  False on EOS."""
+        if self.state != State.PLAYING:
+            self.set_state(State.PLAYING)
+        inputs: Dict[str, Any] = {}
+        metas: Dict[str, Buffer] = {}
+        eos = False
+        sources = [e for e in self._order if isinstance(e, SourceElement)]
+        if not sources:
+            raise RuntimeError("pipeline has no sources")
+        for s in sources:
+            buf = s.create(self._batch)
+            if buf is None:
+                eos = True
+                break
+            inputs[s.name] = buf.data
+            metas[s.name] = buf
+        if eos:
+            self.bus.post(Message("eos", self.name))
+            return False
+        try:
+            outputs = self._device_step(inputs)
+        except Exception as e:  # surface as ERROR message (bus semantics)
+            self.bus.post(Message("error", self.name, {"error": str(e)}))
+            raise
+        # host-side metadata propagation, in topo order
+        meta_by_pad: Dict[Pad, Buffer] = {}
+        for e in self._order:
+            if isinstance(e, SourceElement):
+                for sp in e.src_pads():
+                    meta_by_pad[sp] = metas[e.name]
+            elif isinstance(e, SinkElement):
+                pad = e.sink_pads()[0]
+                if pad.peer is not None:
+                    buf = meta_by_pad[pad.peer].with_(data=outputs[e.name])
+                    buf = e.process_meta(buf)
+                    ret = e.render(buf)
+                    if ret == FlowReturn.ERROR:
+                        self.bus.post(Message("error", e.name, {}))
+                        return False
+            else:
+                pads = [p for p in e.sink_pads() if p.peer is not None]
+                if not pads:
+                    continue
+                buf = meta_by_pad[pads[0].peer]
+                buf = e.process_meta(buf)
+                for sp in e.src_pads():
+                    meta_by_pad[sp] = buf
+        return True
+
+    def run(self, max_ticks: Optional[int] = None) -> None:
+        """Run until EOS (gst-launch main loop equivalent)."""
+        n = 0
+        while max_ticks is None or n < max_ticks:
+            if not self.tick():
+                break
+            n += 1
+        self.set_state(State.NULL)
+
+
+class NegotiationError(Exception):
+    pass
+
+
+def make_pipeline(*factories: str) -> Pipeline:
+    """Convenience: build a linear pipeline from factory names."""
+    p = Pipeline()
+    elems = [element_factory_make(f) for f in factories]
+    p.add(*elems)
+    for a, b in zip(elems, elems[1:]):
+        link(a, b)
+    return p

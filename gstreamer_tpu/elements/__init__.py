@@ -1,0 +1,6 @@
+"""Element plugins — importing this package registers all factories
+(the registry-scan equivalent of gstregistry.c)."""
+
+from . import util_elements      # noqa: F401
+from . import videotestsrc       # noqa: F401
+from . import videoconvertscale  # noqa: F401

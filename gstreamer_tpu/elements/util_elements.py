@@ -1,0 +1,252 @@
+"""Core utility elements (reference: subprojects/gstreamer/plugins/elements/
+— capsfilter, identity, fakesrc/fakesink, queue, tee, valve, appsrc/appsink
+from gst-libs/gst/app).
+
+In the TPU runtime most of these are structural: `queue` has no thread to
+decouple (batching replaces pipeline threads) and `tee` is value fan-out
+inside the fused program.  They exist so launch lines and graph topology
+match the reference surface.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer, FlowReturn, Sample
+from ..core.caps import Caps
+from ..core.element import (Element, PadDirection, PadPresence, PadTemplate,
+                            SinkElement, SourceElement, TransformElement,
+                            register_element)
+
+
+@register_element
+class CapsFilter(TransformElement):
+    """capsfilter (gstcapsfilter.c): constrains negotiation, passthrough."""
+    FACTORY = "capsfilter"
+    KLASS = "Generic"
+    DESCRIPTION = "Pass data without modification, limiting formats"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {"caps": (object, None, "restricting caps")}
+
+    def __init__(self, name=None, **props):
+        if "caps" in props and isinstance(props["caps"], str):
+            props["caps"] = Caps.from_string(props["caps"])
+        super().__init__(name=name, **props)
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = caps
+        if self.props["caps"] is not None:
+            res = res.intersect(self.props["caps"])
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+
+@register_element
+class Identity(TransformElement):
+    """identity (gstidentity.c): passthrough, optional callbacks."""
+    FACTORY = "identity"
+    DESCRIPTION = "Pass data without modification"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {
+        "silent": (bool, True, "suppress notifications"),
+        "dump": (bool, False, "dump buffer contents"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.handoffs: List[Callable[[Buffer], None]] = []
+
+    def process_meta(self, buf: Buffer) -> Buffer:
+        for cb in self.handoffs:
+            cb(buf)
+        return buf
+
+
+@register_element
+class Queue(TransformElement):
+    """queue (gstqueue.c:211-216): in the reference this decouples
+    streaming threads; here dataflow is batched so it is structural
+    passthrough (kept for launch-line compatibility)."""
+    FACTORY = "queue"
+    DESCRIPTION = "Simple data queue (structural in the TPU runtime)"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {
+        "max-size-buffers": (int, 200, "max buffers"),
+        "max-size-bytes": (int, 10485760, "max bytes"),
+        "max-size-time": (int, 1000000000, "max time (ns)"),
+        "leaky": (str, "no", "leak mode"),
+    }
+
+
+@register_element
+class Queue2(Queue):
+    FACTORY = "queue2"
+    DESCRIPTION = "Data queue with optional file buffering (structural)"
+
+
+@register_element
+class Tee(TransformElement):
+    """tee (gsttee.c): 1:N fan-out — value reuse inside the fused program."""
+    FACTORY = "tee"
+    DESCRIPTION = "1-to-N pipe fitting"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.REQUEST),
+    ]
+    PROPERTIES = {"allow-not-linked": (bool, False, "")}
+
+
+@register_element
+class Valve(TransformElement):
+    FACTORY = "valve"
+    DESCRIPTION = "Drops buffers when drop=true"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {"drop": (bool, False, "drop buffers")}
+
+
+@register_element
+class FakeSink(SinkElement):
+    """fakesink (gstfakesink.c): swallow buffers, count them."""
+    FACTORY = "fakesink"
+    DESCRIPTION = "Black hole for data"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {
+        "silent": (bool, True, ""),
+        "sync": (bool, False, "sync on clock (no real-time clock here)"),
+        "num-buffers": (int, -1, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.n_rendered = 0
+        self.last_buffer: Optional[Buffer] = None
+
+    def render(self, buf: Buffer) -> str:
+        self.n_rendered += buf.batch
+        self.last_buffer = buf
+        return FlowReturn.OK
+
+
+@register_element
+class AppSink(SinkElement):
+    """appsink (gst-libs/gst/app/gstappsink.c): the app boundary —
+    buffers land in a host-side queue; `pull_sample()` returns them as
+    numpy-backed Samples."""
+    FACTORY = "appsink"
+    DESCRIPTION = "Allow the application to get access to raw buffer"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {
+        "max-buffers": (int, 0, "max queued samples (0 = unlimited)"),
+        "drop": (bool, False, "drop old buffers when full"),
+        "emit-signals": (bool, False, ""),
+        "sync": (bool, False, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._queue: deque = deque()
+        self.new_sample_cb: Optional[Callable[["AppSink"], None]] = None
+
+    def render(self, buf: Buffer) -> str:
+        maxb = self.props["max-buffers"]
+        if maxb and len(self._queue) >= maxb:
+            if self.props["drop"]:
+                self._queue.popleft()
+            # without drop the reference would block; batched model just grows
+        self._queue.append(Sample(buf, self.sink_pads()[0].caps))
+        if self.new_sample_cb:
+            self.new_sample_cb(self)
+        return FlowReturn.OK
+
+    def pull_sample(self) -> Optional[Sample]:
+        return self._queue.popleft() if self._queue else None
+
+    def try_pull_sample(self, timeout=None) -> Optional[Sample]:
+        return self.pull_sample()
+
+    def __len__(self):
+        return len(self._queue)
+
+
+@register_element
+class AppSrc(SourceElement):
+    """appsrc (gstappsrc.c:2800 push_buffer): the app feeds arrays in."""
+    FACTORY = "appsrc"
+    DESCRIPTION = "Allow the application to feed buffers"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "caps": (object, None, "caps of the pushed data"),
+        "format": (str, "time", ""),
+        "is-live": (bool, False, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        if "caps" in props and isinstance(props["caps"], str):
+            props["caps"] = Caps.from_string(props["caps"])
+        super().__init__(name=name, **props)
+        self._queue: deque = deque()
+        self._eos = False
+
+    def push_buffer(self, buf: Buffer) -> str:
+        if self._eos:
+            return FlowReturn.EOS
+        self._queue.append(buf)
+        return FlowReturn.OK
+
+    def end_of_stream(self) -> None:
+        self._eos = True
+
+    def get_caps(self, filter=None):
+        caps = self.props["caps"] or Caps.any()
+        if filter is not None:
+            caps = caps.intersect(filter) if not caps.is_any else filter
+        return caps
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._queue:
+            return self._queue.popleft()
+        return None  # EOS when drained
+
+
+@register_element
+class FakeSrc(SourceElement):
+    """fakesrc (gstfakesrc.c): produce empty/random buffers."""
+    FACTORY = "fakesrc"
+    DESCRIPTION = "Push empty (random) buffers around"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "num-buffers": (int, -1, "number of buffers then EOS"),
+        "sizemax": (int, 4096, "buffer size"),
+        "silent": (bool, True, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._count = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        num = self.props["num-buffers"]
+        if num >= 0 and self._count >= num:
+            return None
+        n = n_frames if num < 0 else min(n_frames, num - self._count)
+        data = np.zeros((n, self.props["sizemax"]), np.uint8)
+        buf = Buffer(data=data, pts=self._count, batch=n)
+        self._count += n
+        return buf

@@ -91,11 +91,22 @@ class VideoConverter:
         # scaling plan (chain_scale :1684 — fewer intermediate pixels first)
         method = cfg["resampler-method"]
         taps = cfg["resampler-taps"]
+        rkw = {}
+        if "cubic-b" in cfg:
+            rkw["cubic_b"] = cfg["cubic-b"]
+        if "cubic-c" in cfg:
+            rkw["cubic_c"] = cfg["cubic-c"]
+        if taps:
+            # GST_VIDEO_RESAMPLER_OPT_MAX_TAPS semantics: a tap budget
+            rkw["max_taps_opt"] = taps
+            taps = 0
         h_res = v_res = None
         if ii.width != oi.width:
-            h_res = scaler_mod.make_resampler(method, ii.width, oi.width, taps)
+            h_res = scaler_mod.make_resampler(method, ii.width, oi.width, taps,
+                                              **rkw)
         if ii.height != oi.height:
-            v_res = scaler_mod.make_resampler(method, ii.height, oi.height, taps)
+            v_res = scaler_mod.make_resampler(method, ii.height, oi.height,
+                                              taps, **rkw)
         s1 = oi.width * ii.height
         s2 = ii.width * oi.height
         plan["scale_order"] = "hv" if s1 <= s2 else "vh"

@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's axon plugin rewrites jax_platforms to "axon,cpu" at
+# import time, overriding the env var — force CPU via the config API
+# (must happen before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
