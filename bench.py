@@ -22,7 +22,10 @@ def main():
     from gstreamer_tpu.video.converter import VideoConverter
     from gstreamer_tpu.video.info import VideoInfo
 
-    batch = 64
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+
+    batch = 16
     ii = VideoInfo(format="I420", width=1920, height=1080)
     oi = VideoInfo(format="RGB", width=224, height=224)
     # videoscale's default method is bilinear/2-tap
@@ -36,15 +39,18 @@ def main():
         jnp.asarray(rng.integers(0, 256, (batch,) + s, dtype=np.uint8))
         for s in ii.plane_shapes())
 
-    # warmup / compile
+    # warmup / compile; fetch to host — on the tunneled backend
+    # block_until_ready can return before async completion
     out = fn(planes)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0])
 
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(planes)
-    jax.block_until_ready(out)
+    # device executes in stream order: fetching the last output element
+    # forces completion of every queued step
+    _ = np.asarray(out[0])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -304,47 +304,54 @@ class Pipeline(Bin):
                 fns[e] = e.make_fn()
 
         host_elems = {e for e in order if getattr(e, "HOST_ELEMENT", False)}
+        self._fns = fns
+        self._host_elems = host_elems
+        self._fused = not host_elems
 
-        def device_step(inputs: Dict[str, Any]) -> Dict[str, Any]:
-            """One fused program: all pure element fns in topo order.
-
-            inputs: value per source element name (or per host-boundary
-            injection point).  Returns value per sink element name."""
-            values: Dict[Pad, Any] = {}
-            outputs: Dict[str, Any] = {}
-            for e in order:
-                if isinstance(e, SourceElement):
-                    v = inputs[e.name]
-                    if fns[e] is not None:
-                        v = fns[e](v)
-                    for sp in e.src_pads():
-                        values[sp] = v
-                elif isinstance(e, SinkElement):
-                    pad = e.sink_pads()[0]
-                    if pad.peer is not None:
-                        outputs[e.name] = values[pad.peer]
-                elif isinstance(e, AggregatorElement):
-                    ins = {p.name: values[p.peer] for p in e.sink_pads()
-                           if p.peer is not None}
-                    v = fns[e](ins) if fns[e] is not None else ins
-                    for sp in e.src_pads():
-                        values[sp] = v
-                else:
-                    if e in host_elems:
-                        # host elements are applied outside jit; inside the
-                        # device program they are identity on data
-                        pad = e.sink_pads()[0]
-                        v = values[pad.peer]
-                    else:
-                        pad = e.sink_pads()[0]
-                        v = values[pad.peer]
+        if self._fused:
+            def device_step(inputs: Dict[str, Any]) -> Dict[str, Any]:
+                """ONE fused XLA program: all pure element fns in topo
+                order; tee fan-out is value reuse inside the trace."""
+                values: Dict[Pad, Any] = {}
+                outputs: Dict[str, Any] = {}
+                for e in order:
+                    if isinstance(e, SourceElement):
+                        v = inputs[e.name]
                         if fns[e] is not None:
                             v = fns[e](v)
-                    for sp in e.src_pads():
-                        values[sp] = v
-            return outputs
+                        for sp in e.src_pads():
+                            values[sp] = v
+                    elif isinstance(e, SinkElement):
+                        pad = e.sink_pads()[0]
+                        if pad.peer is not None:
+                            outputs[e.name] = values[pad.peer]
+                    elif isinstance(e, AggregatorElement):
+                        ins = {p.name: values[p.peer] for p in e.sink_pads()
+                               if p.peer is not None}
+                        v = fns[e](ins) if fns[e] is not None else ins
+                        for sp in e.src_pads():
+                            values[sp] = v
+                    else:
+                        pads = [p for p in e.sink_pads() if p.peer is not None]
+                        if not pads:
+                            continue
+                        v = values[pads[0].peer]
+                        if fns[e] is not None:
+                            v = fns[e](v)
+                        for sp in e.src_pads():
+                            values[sp] = v
+                return outputs
 
-        self._device_step = jax.jit(device_step)
+            self._device_step = jax.jit(device_step)
+        else:
+            # host elements present: per-element execution — each pure
+            # element's fn is jitted on its own (still device compute,
+            # less cross-element fusion)
+            self._device_step = None
+            self._elem_jit = {
+                e: jax.jit(f) for e, f in fns.items() if f is not None
+                and e not in host_elems}
+
         self._order = order
         self._batch = batch
         self._plan = True
@@ -385,34 +392,64 @@ class Pipeline(Bin):
         if eos:
             self.bus.post(Message("eos", self.name))
             return False
-        try:
-            outputs = self._device_step(inputs)
-        except Exception as e:  # surface as ERROR message (bus semantics)
-            self.bus.post(Message("error", self.name, {"error": str(e)}))
-            raise
-        # host-side metadata propagation, in topo order
-        meta_by_pad: Dict[Pad, Buffer] = {}
+
+        outputs: Dict[str, Any] = {}
+        if self._fused:
+            try:
+                outputs = self._device_step(inputs)
+            except Exception as e:
+                self.bus.post(Message("error", self.name, {"error": str(e)}))
+                raise
+
+        # buffer propagation (metadata always host-side; data host-side
+        # only in the non-fused per-element path)
+        buf_by_pad: Dict[Pad, Buffer] = {}
         for e in self._order:
             if isinstance(e, SourceElement):
+                buf = metas[e.name]
+                if not self._fused and self._fns.get(e) is not None:
+                    buf = buf.with_(data=self._elem_jit[e](buf.data))
                 for sp in e.src_pads():
-                    meta_by_pad[sp] = metas[e.name]
+                    buf_by_pad[sp] = buf
             elif isinstance(e, SinkElement):
                 pad = e.sink_pads()[0]
-                if pad.peer is not None:
-                    buf = meta_by_pad[pad.peer].with_(data=outputs[e.name])
-                    buf = e.process_meta(buf)
-                    ret = e.render(buf)
-                    if ret == FlowReturn.ERROR:
-                        self.bus.post(Message("error", e.name, {}))
-                        return False
-            else:
+                if pad.peer is None or pad.peer not in buf_by_pad:
+                    continue
+                buf = buf_by_pad[pad.peer]
+                if self._fused:
+                    buf = buf.with_(data=outputs[e.name])
+                buf = e.process_meta(buf)
+                ret = e.render(buf)
+                if ret == FlowReturn.ERROR:
+                    self.bus.post(Message("error", e.name, {}))
+                    return False
+            elif isinstance(e, AggregatorElement):
                 pads = [p for p in e.sink_pads() if p.peer is not None]
                 if not pads:
                     continue
-                buf = meta_by_pad[pads[0].peer]
+                buf = buf_by_pad[pads[0].peer]
+                if not self._fused and self._fns.get(e) is not None:
+                    ins = {p.name: buf_by_pad[p.peer].data for p in pads}
+                    buf = buf.with_(data=self._elem_jit[e](ins))
                 buf = e.process_meta(buf)
                 for sp in e.src_pads():
-                    meta_by_pad[sp] = buf
+                    buf_by_pad[sp] = buf
+            else:
+                pads = [p for p in e.sink_pads()
+                        if p.peer is not None and p.peer in buf_by_pad]
+                if not pads:
+                    continue
+                buf = buf_by_pad[pads[0].peer]
+                if not self._fused:
+                    if e in self._host_elems:
+                        buf = e.host_process(buf)
+                    elif self._fns.get(e) is not None:
+                        buf = buf.with_(data=self._elem_jit[e](buf.data))
+                if buf is None:   # host element swallowed the buffer
+                    continue
+                buf = e.process_meta(buf)
+                for sp in e.src_pads():
+                    buf_by_pad[sp] = buf
         return True
 
     def run(self, max_ticks: Optional[int] = None) -> None:

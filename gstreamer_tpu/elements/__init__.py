@@ -4,3 +4,4 @@
 from . import util_elements      # noqa: F401
 from . import videotestsrc       # noqa: F401
 from . import videoconvertscale  # noqa: F401
+from . import audio_elements    # noqa: F401

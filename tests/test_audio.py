@@ -1,0 +1,207 @@
+"""Audio chain tests (modeled on tests/check/elements/audioconvert.c,
+audioresample.c — incl. the FFT signal-quality pattern :1214 and the
+perfect-stream pattern :220)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.audio import channel_mixer as chmix
+from gstreamer_tpu.audio import format as afmt
+from gstreamer_tpu.audio.info import AudioInfo
+from gstreamer_tpu.audio.resampler import METHOD_KAISER, AudioResampler
+from gstreamer_tpu.core.parse import parse_launch
+
+RNG = np.random.default_rng(11)
+
+
+class TestFormat:
+    @pytest.mark.parametrize("name", ["S8", "U8", "S16LE", "U16LE",
+                                      "S24_32LE", "S32LE", "S24LE",
+                                      "F32LE", "F64LE"])
+    def test_unpack_pack_roundtrip(self, name):
+        f = afmt.format_info(name)
+        if f.is_float:
+            x = (RNG.random((64, 2)) * 2 - 1).astype(
+                np.float32 if f.width == 32 else np.float64)
+        else:
+            lo = -(1 << (f.depth - 1)) if f.is_signed else 0
+            hi = (1 << (f.depth - 1)) if f.is_signed else (1 << f.depth)
+            x = RNG.integers(lo, hi, (64, 2)).astype(np.int64)
+            if f.width <= 16:
+                x = x.astype(np.int16 if f.is_signed else np.uint16)
+            if f.width == 8:
+                x = x.astype(np.int8 if f.is_signed else np.uint8)
+        canon = afmt.unpack(np, f, x)
+        back = afmt.pack(np, f, canon)
+        np.testing.assert_array_equal(np.asarray(back, np.float64),
+                                      np.asarray(x, np.float64))
+
+    def test_s16_replication_exact(self):
+        # audio_orc_unpack_s16: (w<<16)|(w^0x8000)
+        f = afmt.format_info("S16LE")
+        x = np.array([[32767], [-32768], [0], [1], [-1]], np.int16)
+        v = afmt.unpack(np, f, x)
+        assert v[0, 0] == 0x7FFFFFFF
+        assert v[1, 0] == -0x80000000
+        assert v[2, 0] == 0x00008000  # 0 -> low copy sign-flipped
+
+    def test_double_to_s32_clamp(self):
+        v = afmt.double_to_s32(np, np.array([1.0, -1.0, 0.5, 2.0]))
+        assert v[0] == 2147483647      # positive overflow clamped
+        assert v[1] == -2147483648
+        assert v[2] == 1073741824
+
+    def test_bytes_roundtrip_s24(self):
+        f = afmt.format_info("S24LE")
+        x = RNG.integers(-(1 << 23), 1 << 23, (32, 2)).astype(np.int32)
+        b = afmt.to_bytes(f, x)
+        back = afmt.from_bytes(f, b, 2)
+        np.testing.assert_array_equal(x, back)
+
+
+class TestChannelMixer:
+    def test_stereo_to_mono(self):
+        m = chmix.build_matrix(("front-left", "front-right"), ("mono",))
+        np.testing.assert_allclose(m[:, 0], [0.5, 0.5])
+
+    def test_mono_to_stereo(self):
+        m = chmix.build_matrix(("mono",), ("front-left", "front-right"))
+        np.testing.assert_allclose(m[0], [1.0, 1.0])
+
+    def test_identity(self):
+        pos = ("front-left", "front-right")
+        m = chmix.build_matrix(pos, pos)
+        assert chmix.is_passthrough(m)
+
+    def test_5_1_to_stereo_normalized(self):
+        from gstreamer_tpu.audio.info import DEFAULT_POSITIONS
+        m = chmix.build_matrix(DEFAULT_POSITIONS[6], DEFAULT_POSITIONS[2])
+        # every output column sums to <= 1 after normalization
+        assert np.abs(m).sum(axis=0).max() <= 1.0 + 1e-6
+        assert (m > 0).any()
+
+    def test_int_mix_rounding(self):
+        m = np.array([[0.5], [0.5]], np.float32)
+        mi = chmix.matrix_int(m)
+        x = np.array([[100, 101]], np.int64)
+        out = chmix.mix_int(np, x, mi)
+        # (100*512 + 101*512 + 512) >> 10 = 100 (with round)
+        assert out[0, 0] == ((100 * 512 + 101 * 512 + 512) >> 10)
+
+
+class TestResampler:
+    def test_kaiser_taps_48_to_16(self):
+        r = AudioResampler(METHOD_KAISER, 48000, 16000)
+        assert r.in_red == 3 and r.out_red == 1
+        assert r.n_taps % 8 == 0
+        t = r.taps_for("s16")
+        assert t.shape[0] == 1
+        assert t.sum() == (1 << 15) - 1   # DC-exact
+
+    def test_dc_preservation_s16(self):
+        r = AudioResampler(METHOD_KAISER, 48000, 16000)
+        x = np.full((48000 // 10, 2), 1000, np.int16)
+        out = r.resample_ref(x.astype(np.int64), "s16")
+        mid = out[len(out) // 4: -len(out) // 4]
+        assert np.abs(mid.astype(int) - 1000).max() <= 1
+
+    def test_sine_frequency_preserved(self):
+        # the reference's FFT quality test pattern (audioresample.c:1214)
+        in_rate, out_rate, freq = 48000, 16000, 440.0
+        r = AudioResampler(METHOD_KAISER, in_rate, out_rate)
+        n = 4800
+        t = np.arange(n) / in_rate
+        x = (np.sin(2 * np.pi * freq * t) * 16000).astype(np.int64)[:, None]
+        out = r.resample_ref(x, "s16").astype(np.float64)[:, 0]
+        out = out[100:-100]
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak_bin = spec.argmax()
+        peak_freq = peak_bin * out_rate / len(out)
+        assert abs(peak_freq - freq) < 12
+        # energy concentrated around the peak (±2 bins for leakage)
+        rest = spec.copy()
+        rest[max(0, peak_bin - 2):peak_bin + 3] = 0
+        assert spec[peak_bin] > 50 * rest.max()
+
+    def test_device_matches_gold(self):
+        import jax
+        import jax.numpy as jnp
+        r = AudioResampler(METHOD_KAISER, 44100, 48000)
+        n = 44100 // 10  # multiple of in_red (147): 4410 = 147*30
+        x = RNG.integers(-30000, 30000, (n, 2)).astype(np.int64)
+        gold = r.resample_ref(x, "s16")
+        fn = jax.jit(r.resample_fn("s16", n, 2))
+        got = np.asarray(fn(jnp.asarray(x.astype(np.int16))))
+        np.testing.assert_array_equal(gold, got)
+
+    def test_out_frames_exact_ratio(self):
+        # perfect-stream pattern: 48k->24k and 48k->12k sample counts
+        for out_rate in (24000, 12000):
+            r = AudioResampler(METHOD_KAISER, 48000, out_rate)
+            n_in = 4800
+            n_out = r.out_frames_for(n_in)
+            expect = (n_in - r.n_taps) * out_rate // 48000 + 1
+            assert n_out == expect
+
+
+class TestAudioPipeline:
+    def test_audiotestsrc_to_appsink(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=4 samplesperbuffer=512 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        s = sink.pull_sample()
+        arr = np.asarray(s.buffer.data)
+        assert arr.shape == (512, 1)
+        assert arr.dtype == np.int16
+        assert np.abs(arr.astype(int)).max() > 20000   # 0.8 * 32767 sine
+
+    def test_audioconvert_s16_to_f32(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=2 ! audioconvert ! "
+            "audio/x-raw,format=F32LE ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        assert arr.dtype == np.float32
+        assert np.abs(arr).max() <= 1.0
+
+    def test_audioconvert_channels(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 ! audio/x-raw,channels=2 ! "
+            "audioconvert ! audio/x-raw,channels=1 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        assert arr.shape[1] == 1
+
+    def test_full_asr_frontend_chain(self):
+        # BASELINE configs[1]: 48k stereo S16 -> 16k mono F32
+        p = parse_launch(
+            "audiotestsrc num-buffers=4 samplesperbuffer=4800 ! "
+            "audio/x-raw,format=S16LE,rate=48000,channels=2 ! "
+            "audioconvert ! audio/x-raw,channels=1 ! audioresample ! "
+            "audio/x-raw,rate=16000 ! audioconvert ! "
+            "audio/x-raw,format=F32LE ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            arr = np.asarray(s.buffer.data)
+            assert arr.dtype == np.float32
+            assert arr.shape[1] == 1
+            total += arr.shape[0]
+        # 4*4800 input samples @48k -> ~6400 @16k (minus filter history)
+        assert 6000 <= total <= 6400
+
+    def test_volume(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 wave=square ! volume volume=0.5 ! "
+            "appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        peak = np.abs(arr.astype(int)).max()
+        assert abs(peak - 0.4 * 32767) < 200   # 0.8 default amp * 0.5
