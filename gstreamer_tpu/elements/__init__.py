@@ -5,3 +5,7 @@ from . import util_elements      # noqa: F401
 from . import videotestsrc       # noqa: F401
 from . import videoconvertscale  # noqa: F401
 from . import audio_elements    # noqa: F401
+from . import compositor        # noqa: F401
+from . import videofilter       # noqa: F401
+from . import videorate         # noqa: F401
+from . import deinterlace      # noqa: F401

@@ -1,0 +1,227 @@
+"""compositor — N:1 video mixing.
+
+TPU-native re-design of the reference compositor
+(subprojects/gst-plugins-base/gst/compositor/compositor.c — per-pad
+xpos/ypos/width/height/alpha/zorder/operator :128-136, background
+_draw_background :1619, aggregate_frames :1739; blend math blend.c:247
+PLANAR_YUV_BLEND + compositororc.orc:20,295; base class
+gstvideoaggregator.c — per-pad convert :436,479, best-format selection
+:590-638) on the GstVideoAggregator/GstAggregator pattern
+(gstaggregator.c:1626 aggregate).
+
+All pads' frames are converted (each with its own fused VideoConverter
+plan) and blended in ONE XLA program per tick; zorder and geometry are
+trace-time constants.  The reference's per-pad parallel prepare threads
+and row-chunked blend tasks (compositor.c:1853) are subsumed by XLA data
+parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core.caps import Caps
+from ..core.element import (AggregatorElement, PadDirection, PadPresence,
+                            PadTemplate, register_element)
+from ..core.value import Fraction, fixate_nearest_int
+from ..ops import blend as blend_ops
+from ..video.converter import VideoConverter
+from ..video.format import pack, unpack
+from ..video.info import VideoInfo
+from .videotestsrc import FORMAT_LIST
+
+VIDEO_CAPS = (f"video/x-raw, format={FORMAT_LIST}, width=[1,32767], "
+              f"height=[1,32767], framerate=[0/1,2147483647/1]")
+
+PAD_PROP_DEFAULTS = {
+    "xpos": 0, "ypos": 0, "width": 0, "height": 0,
+    "alpha": 1.0, "zorder": 0, "operator": "over",
+    "sizing-policy": "none",
+}
+
+
+@register_element
+class Compositor(AggregatorElement):
+    FACTORY = "compositor"
+    KLASS = "Filter/Editor/Video/Compositor"
+    DESCRIPTION = "Composite multiple video streams"
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, VIDEO_CAPS),
+        PadTemplate("sink_%u", PadDirection.SINK, VIDEO_CAPS,
+                    PadPresence.REQUEST),
+    ]
+    PROPERTIES = {
+        "background": (str, "checker", "checker|black|white|transparent"),
+        "zero-size-is-unscaled": (bool, True, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        pad_props = {}
+        for k in list(props):
+            if "::" in k:
+                padname, prop = k.split("::", 1)
+                pad_props.setdefault(padname, {})[prop] = props.pop(k)
+        super().__init__(name=name, **props)
+        self.pad_props: Dict[str, Dict] = {}
+        for padname, d in pad_props.items():
+            for prop, val in d.items():
+                self.set_pad_property(padname, prop, val)
+
+    def set_pad_property(self, padname: str, prop: str, value):
+        d = self.pad_props.setdefault(padname, dict(PAD_PROP_DEFAULTS))
+        if prop not in PAD_PROP_DEFAULTS:
+            raise ValueError(f"compositor pad: no property {prop!r}")
+        typ = type(PAD_PROP_DEFAULTS[prop])
+        if isinstance(value, str) and typ is not str:
+            value = typ(float(value)) if typ is not bool else value == "true"
+        d[prop] = value
+
+    def get_pad_props(self, padname: str) -> Dict:
+        return self.pad_props.get(padname, dict(PAD_PROP_DEFAULTS))
+
+    # -- negotiation -------------------------------------------------------
+    def negotiate_output(self, in_caps: Dict[str, Caps], allowed: Caps) -> Caps:
+        infos = {name: VideoInfo.from_caps_structure(c[0])
+                 for name, c in in_caps.items()}
+        # output geometry: bounding box of all pads (compositor
+        # _fixate_caps: max(xpos + width), max(ypos + height))
+        out_w = out_h = 0
+        best_fps = None
+        for name, info in infos.items():
+            pp = self.get_pad_props(name)
+            w = pp["width"] or info.width
+            h = pp["height"] or info.height
+            out_w = max(out_w, pp["xpos"] + w)
+            out_h = max(out_h, pp["ypos"] + h)
+            if best_fps is None:
+                best_fps = info.fps
+        first = next(iter(infos.values()))
+        s = allowed.truncate()[0].copy() if not allowed.is_any else \
+            Caps.from_string(VIDEO_CAPS)[0].copy()
+        from ..core.value import intersect as _int
+        if "format" in s.fields:
+            r = _int(s["format"], first.format)
+            s["format"] = r if r is not None else s["format"]
+        if "width" in s.fields:
+            s["width"] = fixate_nearest_int(s["width"], out_w)
+        if "height" in s.fields:
+            s["height"] = fixate_nearest_int(s["height"], out_h)
+        s["framerate"] = best_fps or Fraction(30)
+        out = Caps([s]).fixate()
+
+        self._out_info = VideoInfo.from_caps_structure(out[0])
+        self._in_infos = infos
+        self._build_plan()
+        return out
+
+    def _build_plan(self):
+        oi = self._out_info
+        self._converters = {}
+        self._geometry = {}
+        for name, info in self._in_infos.items():
+            pp = self.get_pad_props(name)
+            w = pp["width"] or info.width
+            h = pp["height"] or info.height
+            # clip to output frame
+            x0, y0 = pp["xpos"], pp["ypos"]
+            x1, y1 = min(x0 + w, oi.width), min(y0 + h, oi.height)
+            if x0 >= x1 or y0 >= y1:
+                self._geometry[name] = None
+                continue
+            pad_oi = VideoInfo(format=oi.format, width=w, height=h,
+                               fps=info.fps, colorimetry=oi.colorimetry,
+                               chroma_site=oi.chroma_site)
+            conv = None
+            if (info.format != oi.format or info.width != w
+                    or info.height != h
+                    or info.colorimetry != oi.colorimetry):
+                conv = VideoConverter(info, pad_oi)
+            self._converters[name] = conv
+            self._geometry[name] = (x0, y0, x1, y1)
+
+    # -- compute -----------------------------------------------------------
+    def aggregate_fn(self):
+        import jax.numpy as jnp
+
+        oi = self._out_info
+        ofmt = oi.finfo
+        background = self.props["background"]
+        order = sorted(self._in_infos,
+                       key=lambda n: self.get_pad_props(n)["zorder"])
+
+        def bg_canon(batch_shape):
+            h, w = oi.height, oi.width
+            yy, xx = np.mgrid[0:h, 0:w]
+            if background == "checker":
+                tab = np.array([80, 160, 80, 160])
+                val = tab[((yy & 8) >> 3) + ((xx & 8) >> 3)]
+                if ofmt.is_rgb:
+                    canon = np.stack([np.full_like(val, 255), val, val, val], -1)
+                else:
+                    canon = np.stack([np.full_like(val, 255), val,
+                                      np.full_like(val, 128),
+                                      np.full_like(val, 128)], -1)
+            else:
+                if background == "white":
+                    c0 = (255, 255, 255, 255) if ofmt.is_rgb else (255, 255, 128, 128)
+                elif background == "transparent":
+                    c0 = (0, 0, 0, 0) if ofmt.is_rgb else (0, 16, 128, 128)
+                else:  # black
+                    c0 = (255, 0, 0, 0) if ofmt.is_rgb else (255, 16, 128, 128)
+                canon = np.broadcast_to(np.array(c0), (h, w, 4)).copy()
+            return canon.astype(np.int32)
+
+        conv_fns = {n: (c.trace_fn() if c is not None else None)
+                    for n, c in self._converters.items()}
+        use_alpha_blend = ofmt.has_alpha
+
+        def fn(inputs):
+            # inputs: dict padname -> planes of that pad's caps
+            some = next(iter(inputs.values()))
+            batch = some[0].shape[:-2]
+            bg = jnp.asarray(bg_canon(batch))
+            out_canon = jnp.broadcast_to(bg, batch + bg.shape).astype(jnp.int32)
+            for name in order:
+                if self._geometry.get(name) is None or name not in inputs:
+                    continue
+                planes = inputs[name]
+                if conv_fns[name] is not None:
+                    planes = conv_fns[name](planes)
+                pp = self.get_pad_props(name)
+                x0, y0, x1, y1 = self._geometry[name]
+                w, h = x1 - x0, y1 - y0
+                # source frame in canonical 4:4:4 (per-pixel ops; the
+                # final pack re-subsamples chroma like the reference's
+                # per-plane blends at plane resolution)
+                pi = VideoInfo(format=oi.format, width=(pp["width"] or
+                               self._in_infos[name].width),
+                               height=(pp["height"] or
+                               self._in_infos[name].height))
+                src_canon = unpack(jnp, ofmt, planes, pi.width, pi.height)
+                src_canon = src_canon[..., :h, :w, :].astype(jnp.int32)
+                dst_region = out_canon[..., y0:y1, x0:x1, :]
+                b_alpha = max(0, min(255, int(pp["alpha"] * 255)))
+                op = pp["operator"]
+                if pp["alpha"] == 0.0 and not use_alpha_blend:
+                    continue   # fully transparent: reference returns early
+                if op == "source" or (pp["alpha"] == 1.0
+                                      and not use_alpha_blend):
+                    # opaque planar blend is a fast copy in the reference
+                    # (blend.c PLANAR_YUV_BLEND alpha==1.0 memcpy)
+                    blended = src_canon
+                elif use_alpha_blend:
+                    if op == "add":
+                        blended = blend_ops.overlay_argb_addition(
+                            jnp, dst_region, src_canon, b_alpha)
+                    else:
+                        blended = blend_ops.overlay_argb(
+                            jnp, dst_region, src_canon, b_alpha)
+                else:
+                    blended = blend_ops.blend_plane(
+                        jnp, dst_region, src_canon, b_alpha)
+                out_canon = out_canon.at[..., y0:y1, x0:x1, :].set(blended)
+            return pack(jnp, ofmt, out_canon, oi.width, oi.height)
+
+        return fn

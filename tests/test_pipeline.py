@@ -142,3 +142,146 @@ class TestParse:
     def test_named_ref_requires_existing(self):
         with pytest.raises(Exception):
             parse_launch("foo. ! fakesink")
+
+
+class TestCompositor:
+    def test_blend_math_exact(self):
+        import numpy as np
+        from gstreamer_tpu.ops import blend as b
+        # compositor_orc_blend_u8: d = clamp_u8((d<<8 + (s-d)*a)>>8)
+        d = np.array([100], np.int32)
+        s = np.array([200], np.int32)
+        assert b.blend_plane(np, d, s, 255)[0] == ((100 << 8) + 100 * 255) >> 8
+        assert b.blend_plane(np, d, s, 0)[0] == 100
+        # div255w emulation
+        assert b.div255w(np, np.array([255 * 255]))[0] == 255
+        assert b.div255w(np, np.array([0]))[0] == 0
+
+    def test_mosaic_2x2(self):
+        import numpy as np
+        p = parse_launch(
+            "compositor name=c background=black "
+            "sink_0::xpos=0 sink_0::ypos=0 sink_1::xpos=64 sink_1::ypos=0 "
+            "sink_2::xpos=0 sink_2::ypos=48 sink_3::xpos=64 sink_3::ypos=48 "
+            "! video/x-raw,format=I420,width=128,height=96 ! appsink name=o "
+            "videotestsrc num-buffers=1 pattern=white ! "
+            "video/x-raw,format=I420,width=64,height=48 ! c.sink_0 "
+            "videotestsrc num-buffers=1 pattern=red ! "
+            "video/x-raw,format=I420,width=64,height=48 ! c.sink_1 "
+            "videotestsrc num-buffers=1 pattern=blue ! "
+            "video/x-raw,format=I420,width=64,height=48 ! c.sink_2 "
+            "videotestsrc num-buffers=1 pattern=green ! "
+            "video/x-raw,format=I420,width=64,height=48 ! c.sink_3 ")
+        sink = p.get_by_name("o")
+        p.run()
+        s = sink.pull_sample()
+        y = np.asarray(s.buffer.data[0])[0]   # batch of 1
+        assert y.shape == (96, 128)
+        # white quadrant luma 235; red quadrant bt601 red Y=81
+        assert y[10, 10] == 235
+        assert y[10, 100] == 81
+        assert y[80, 10] == 41     # blue
+        assert y[80, 100] == 145   # green
+
+    def test_alpha_blend(self):
+        import numpy as np
+        p = parse_launch(
+            "compositor name=c background=black sink_0::alpha=0.5 "
+            "! video/x-raw,format=I420,width=32,height=32 ! appsink name=o "
+            "videotestsrc num-buffers=1 pattern=white ! "
+            "video/x-raw,format=I420,width=32,height=32 ! c.sink_0")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])[0]
+        # blend_u8 with alpha=127: (16<<8 + (235-16)*127)>>8 = 124
+        assert y[5, 5] == ((16 << 8) + (235 - 16) * 127) >> 8
+
+
+class TestVideoFilters:
+    def test_videobalance_identity_passthrough(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 ! videobalance ! fakesink name=s")
+        p.run()
+        assert p.get_by_name("s").n_rendered == 1
+
+    def test_videobalance_brightness(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 pattern=black ! "
+            "video/x-raw,format=I420,width=16,height=16 ! "
+            "videobalance brightness=0.5 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])[0]
+        # y' = rint(16 + (16-16)*1 + 0.5*255) = 144 (reference LUT math)
+        assert y[0, 0] == 144
+
+    def test_videoflip_rotate(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 ! video/x-raw,format=I420,"
+            "width=32,height=16 ! videoflip method=clockwise ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])
+        assert y.shape[-2:] == (32, 16)
+
+    def test_videocrop(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 ! video/x-raw,format=I420,"
+            "width=64,height=48 ! videocrop top=8 bottom=8 left=16 right=16 "
+            "! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])
+        assert y.shape[-2:] == (32, 32)
+
+    def test_gamma(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 pattern=white ! video/x-raw,"
+            "format=I420,width=8,height=8 ! gamma gamma=2.0 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])[0]
+        import numpy as _np
+        expect = int(_np.clip(_np.rint((235 / 255.0) ** 0.5 * 255), 0, 255))
+        assert y[0, 0] == expect
+
+    def test_videorate_upsample(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=4 ! video/x-raw,format=I420,"
+            "width=16,height=16,framerate=15/1 ! videorate ! "
+            "video/x-raw,framerate=30/1 ! fakesink name=s", batch=4)
+        p.run()
+        vr = [e for e in p.iterate_elements() if e.FACTORY == "videorate"][0]
+        assert p.get_by_name("s").n_rendered >= 7
+        assert vr.dup_count >= 3
+
+    def test_videorate_downsample(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=8 ! video/x-raw,format=I420,"
+            "width=16,height=16,framerate=30/1 ! videorate ! "
+            "video/x-raw,framerate=15/1 ! fakesink name=s", batch=8)
+        p.run()
+        assert p.get_by_name("s").n_rendered == 4
+
+    def test_deinterlace_chain(self):
+        # BASELINE configs[3] shape: deinterlace ! videorate ! videobalance
+        p = parse_launch(
+            "videotestsrc num-buffers=4 ! video/x-raw,format=I420,"
+            "width=64,height=48,framerate=30/1 ! deinterlace method=yadif ! "
+            "videorate ! videobalance saturation=1.2 ! fakesink name=s",
+            batch=4)
+        p.run()
+        # fields=all doubles the frame count; videorate halves it back to
+        # the negotiated rate? (60fps after deinterlace stays 60) — just
+        # check frames flowed
+        assert p.get_by_name("s").n_rendered >= 4
+
+    def test_deinterlace_linear_flat(self):
+        p = parse_launch(
+            "videotestsrc num-buffers=1 pattern=white ! video/x-raw,"
+            "format=I420,width=16,height=16 ! deinterlace method=linear "
+            "fields=top ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        y = np.asarray(sink.pull_sample().buffer.data[0])[0]
+        assert (y == 235).all()   # flat field stays flat
