@@ -30,6 +30,7 @@ from .buffer import Buffer, FlowReturn
 from .caps import Caps
 from .element import (AggregatorElement, Element, Pad, PadDirection,
                       SinkElement, SourceElement, element_factory_make)
+from .tracer import hooks
 from ..utils.log import get_logger
 
 log = get_logger("pipeline")
@@ -287,7 +288,11 @@ class Pipeline(Bin):
     def compile(self, batch: Optional[int] = None) -> None:
         import jax
 
+        hooks.load_env()
         self.negotiate()
+        hooks.fire("pipeline-negotiated", self)
+        from ..utils.dot import maybe_dump
+        maybe_dump(self)
         order = self._topo_order()
         batch = batch or self.default_batch
 
@@ -391,7 +396,9 @@ class Pipeline(Bin):
             metas[s.name] = buf
         if eos:
             self.bus.post(Message("eos", self.name))
+            hooks.fire("eos", self)
             return False
+        hooks.fire("tick-pre", self)
 
         outputs: Dict[str, Any] = {}
         if self._fused:
@@ -419,7 +426,11 @@ class Pipeline(Bin):
                 if self._fused:
                     buf = buf.with_(data=outputs[e.name])
                 buf = e.process_meta(buf)
+                if hooks.active:
+                    hooks.fire("buffer-pre", e, buf)
                 ret = e.render(buf)
+                if hooks.active:
+                    hooks.fire("buffer-post", e, buf)
                 if ret == FlowReturn.ERROR:
                     self.bus.post(Message("error", e.name, {}))
                     return False
@@ -448,8 +459,11 @@ class Pipeline(Bin):
                 if buf is None:   # host element swallowed the buffer
                     continue
                 buf = e.process_meta(buf)
+                if hooks.active:
+                    hooks.fire("buffer-post", e, buf)
                 for sp in e.src_pads():
                     buf_by_pad[sp] = buf
+        hooks.fire("tick-post", self)
         return True
 
     def run(self, max_ticks: Optional[int] = None) -> None:

@@ -1,0 +1,155 @@
+"""Tracing hooks — structured observability for pipelines.
+
+TPU-native re-design of the reference tracing subsystem
+(subprojects/gstreamer/gst/gsttracerutils.h:48-86 — static hook points
+dispatched by quark to registered tracers; shipped tracers in
+plugins/tracers/: latency, stats, log, leaks, rusage, dots).
+
+Hooks fire on the host control plane (negotiation, tick boundaries,
+buffer hand-offs); device-side timing comes from the jit dispatch
+wrappers.  Enable with GTPU_TRACERS=latency;stats like the reference's
+GST_TRACERS env.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List
+
+HOOKS = (
+    "pipeline-negotiated",
+    "element-negotiated",
+    "tick-pre",
+    "tick-post",
+    "buffer-pre",       # (element, buffer) before an element processes
+    "buffer-post",
+    "eos",
+    "error",
+)
+
+
+class Tracer:
+    """Base tracer: subscribe() returns {hook: callable}."""
+
+    name = "tracer"
+
+    def subscribe(self) -> Dict[str, Callable]:
+        return {}
+
+    def report(self) -> Dict[str, Any]:
+        return {}
+
+
+class _Hooks:
+    def __init__(self):
+        self.handlers: Dict[str, List[Callable]] = defaultdict(list)
+        self.tracers: List[Tracer] = []
+        self._env_loaded = False
+
+    def load_env(self):
+        if self._env_loaded:
+            return
+        self._env_loaded = True
+        spec = os.environ.get("GTPU_TRACERS", "")
+        for name in spec.split(";"):
+            name = name.strip()
+            if not name:
+                continue
+            cls = TRACERS.get(name)
+            if cls is not None:
+                self.install(cls())
+
+    def install(self, tracer: Tracer):
+        self.tracers.append(tracer)
+        for hook, cb in tracer.subscribe().items():
+            self.handlers[hook].append(cb)
+
+    def fire(self, hook: str, *args):
+        for cb in self.handlers.get(hook, ()):
+            cb(*args)
+
+    @property
+    def active(self) -> bool:
+        return bool(self.handlers)
+
+    def reports(self) -> Dict[str, Any]:
+        return {t.name: t.report() for t in self.tracers}
+
+
+hooks = _Hooks()
+
+
+class LatencyTracer(Tracer):
+    """Mirrors plugins/tracers/gstlatency.c: per-element processing time
+    (here: host wall time around each element's dispatch per tick)."""
+
+    name = "latency"
+
+    def __init__(self):
+        self._start: Dict[str, float] = {}
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def subscribe(self):
+        return {"buffer-pre": self._pre, "buffer-post": self._post}
+
+    def _pre(self, element, buf):
+        self._start[element.name] = time.perf_counter()
+
+    def _post(self, element, buf):
+        t0 = self._start.pop(element.name, None)
+        if t0 is not None:
+            self.totals[element.name] += time.perf_counter() - t0
+            self.counts[element.name] += 1
+
+    def report(self):
+        return {
+            name: {"total_s": round(self.totals[name], 6),
+                   "mean_us": round(1e6 * self.totals[name]
+                                    / max(1, self.counts[name]), 1),
+                   "n": self.counts[name]}
+            for name in self.totals}
+
+
+class StatsTracer(Tracer):
+    """Mirrors plugins/tracers/gststats.c: buffer/byte counts per pad."""
+
+    name = "stats"
+
+    def __init__(self):
+        self.frames: Dict[str, int] = defaultdict(int)
+        self.ticks = 0
+
+    def subscribe(self):
+        return {"buffer-post": self._buf, "tick-post": self._tick}
+
+    def _buf(self, element, buf):
+        self.frames[element.name] += getattr(buf, "batch", 1)
+
+    def _tick(self, pipeline):
+        self.ticks += 1
+
+    def report(self):
+        return {"ticks": self.ticks, "frames": dict(self.frames)}
+
+
+class LogTracer(Tracer):
+    """Mirrors plugins/tracers/gstlog.c: every hook to stderr."""
+
+    name = "log"
+
+    def subscribe(self):
+        return {h: (lambda *a, _h=h: print(f"TRACE {_h}: {a}",
+                                           file=sys.stderr))
+                for h in HOOKS}
+
+
+TRACERS = {
+    "latency": LatencyTracer,
+    "stats": StatsTracer,
+    "log": LogTracer,
+}

@@ -9,3 +9,4 @@ from . import compositor        # noqa: F401
 from . import videofilter       # noqa: F401
 from . import videorate         # noqa: F401
 from . import deinterlace      # noqa: F401
+from . import file_elements     # noqa: F401

@@ -1,0 +1,296 @@
+"""File I/O elements: filesrc/filesink (raw + y4m), multifilesrc/sink,
+videoparse/audioparse (rawparse equivalents).
+
+References: subprojects/gstreamer/plugins/elements/gstfilesrc.c,
+gstfilesink.c; gst-plugins-base/gst/rawparse/ (raw video/audio from byte
+streams); y4m handling mirrors gst-plugins-good's y4mdec/y4menc
+(YUV4MPEG2 headers).
+
+The host side reads/writes bytes and converts to component planes at the
+boundary (gstreamer_tpu.video.format.from_bytes/to_bytes); device code
+never sees file layouts.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer, FlowReturn
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, SinkElement,
+                            SourceElement, register_element)
+from ..core.value import Fraction
+from ..video.format import format_info, frame_size, from_bytes, to_bytes
+from ..video.info import VideoInfo
+from ..audio import format as afmt
+from ..audio.info import AudioInfo
+
+
+@register_element
+class FileSrc(SourceElement):
+    """filesrc: typefinds y4m; raw video/audio needs caps= or a parser."""
+    FACTORY = "filesrc"
+    DESCRIPTION = "Read stream from a file"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "file path"),
+        "caps": (object, None, "caps of raw data (videoparse shortcut)"),
+        "blocksize": (int, 4096, "bytes per buffer for unknown data"),
+    }
+
+    def __init__(self, name=None, **props):
+        if "caps" in props and isinstance(props["caps"], str):
+            props["caps"] = Caps.from_string(props["caps"])
+        super().__init__(name=name, **props)
+        self._file = None
+        self._video_info: Optional[VideoInfo] = None
+        self._audio_info: Optional[AudioInfo] = None
+        self._frame_idx = 0
+        self._y4m_frame_prefix = False
+
+    # -- typefind / negotiation -------------------------------------------
+    def _sniff(self):
+        loc = self.props["location"]
+        if not loc or not os.path.exists(loc):
+            raise FileNotFoundError(f"filesrc: no such file {loc!r}")
+        with open(loc, "rb") as f:
+            head = f.read(256)
+        if head.startswith(b"YUV4MPEG2 "):
+            hdr = head.split(b"\n", 1)[0].decode()
+            params = dict()
+            for tok in hdr.split()[1:]:
+                params[tok[0]] = tok[1:]
+            w = int(params["W"])
+            h = int(params["H"])
+            fps = params.get("F", "30:1").split(":")
+            fmt = {"420": "I420", "420jpeg": "I420", "420mpeg2": "I420",
+                   "422": "Y42B", "444": "Y444", "mono": "GRAY8",
+                   }.get(params.get("C", "420jpeg"), "I420")
+            self._video_info = VideoInfo(
+                format=fmt, width=w, height=h,
+                fps=Fraction(int(fps[0]), int(fps[1])))
+            self._y4m_header_len = len(hdr) + 1
+            self._y4m_frame_prefix = True
+            return
+        caps = self.props["caps"]
+        if caps is not None:
+            s = caps[0]
+            if s.name == "video/x-raw":
+                self._video_info = VideoInfo.from_caps_structure(s)
+            elif s.name == "audio/x-raw":
+                self._audio_info = AudioInfo.from_caps_structure(s)
+
+    def get_caps(self, filter=None):
+        if self._video_info is None and self._audio_info is None:
+            try:
+                self._sniff()
+            except FileNotFoundError:
+                pass
+        if self._video_info is not None:
+            caps = Caps([self._video_info.to_caps_structure()])
+        elif self._audio_info is not None:
+            caps = Caps([self._audio_info.to_caps_structure()])
+        else:
+            caps = Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._sniff()
+        self._file = open(self.props["location"], "rb")
+        if self._y4m_frame_prefix:
+            self._file.seek(self._y4m_header_len)
+        self._frame_idx = 0
+
+    def stop(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._video_info is not None:
+            return self._create_video(n_frames)
+        if self._audio_info is not None:
+            return self._create_audio(n_frames)
+        data = self._file.read(self.props["blocksize"] * n_frames)
+        if not data:
+            return None
+        return Buffer(data=np.frombuffer(data, np.uint8), batch=1)
+
+    def _create_video(self, n_frames):
+        info = self._video_info
+        fsz = frame_size(info.finfo, info.width, info.height)
+        frames = []
+        for _ in range(n_frames):
+            if self._y4m_frame_prefix:
+                line = self._file.readline()
+                if not line.startswith(b"FRAME"):
+                    break
+            raw = self._file.read(fsz)
+            if len(raw) < fsz:
+                break
+            frames.append(np.frombuffer(raw, np.uint8))
+        if not frames:
+            return None
+        data_flat = np.stack(frames)
+        planes = from_bytes(info.finfo, data_flat, info.width, info.height)
+        fps = info.fps
+        pts = (self._frame_idx * 1_000_000_000 * fps.denom // fps.num
+               if fps.num else 0)
+        dur = 1_000_000_000 * fps.denom // fps.num if fps.num else None
+        buf = Buffer(data=tuple(planes), pts=pts, duration=dur,
+                     batch=len(frames), offset=self._frame_idx)
+        self._frame_idx += len(frames)
+        return buf
+
+    def _create_audio(self, n_frames):
+        info = self._audio_info
+        chunk = 4096 * max(1, n_frames) * info.bpf
+        raw = self._file.read(chunk)
+        if not raw:
+            return None
+        n = len(raw) // info.bpf
+        samples = afmt.from_bytes(info.finfo,
+                                  np.frombuffer(raw[:n * info.bpf], np.uint8),
+                                  info.channels)
+        pts = self._frame_idx * 1_000_000_000 // info.rate
+        self._frame_idx += n
+        return Buffer(data=samples, pts=pts,
+                      duration=n * 1_000_000_000 // info.rate, batch=1)
+
+
+@register_element
+class FileSink(SinkElement):
+    FACTORY = "filesink"
+    DESCRIPTION = "Write stream to a file"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "file path"),
+        "append": (bool, False, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self._info = None
+
+    def set_info(self, incaps, outcaps):
+        if incaps is not None and len(incaps):
+            s = incaps[0]
+            if s.name == "video/x-raw":
+                self._info = VideoInfo.from_caps_structure(s)
+            elif s.name == "audio/x-raw":
+                self._info = AudioInfo.from_caps_structure(s)
+
+    def start(self):
+        mode = "ab" if self.props["append"] else "wb"
+        self._file = open(self.props["location"], mode)
+
+    def stop(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def render(self, buf: Buffer) -> str:
+        if isinstance(self._info, VideoInfo):
+            planes = tuple(np.asarray(p) for p in buf.data)
+            raw = to_bytes(self._info.finfo, planes, self._info.width,
+                           self._info.height)
+            self._file.write(np.ascontiguousarray(raw).tobytes())
+        elif isinstance(self._info, AudioInfo):
+            raw = afmt.to_bytes(self._info.finfo, np.asarray(buf.data))
+            self._file.write(raw.tobytes())
+        else:
+            self._file.write(np.asarray(buf.data).tobytes())
+        return FlowReturn.OK
+
+
+@register_element
+class MultiFileSrc(FileSrc):
+    """multifilesrc: location with %d index pattern, one frame per file."""
+    FACTORY = "multifilesrc"
+    DESCRIPTION = "Read a sequentially named set of files"
+    PROPERTIES = dict(FileSrc.PROPERTIES, **{
+        "index": (int, 0, "start index"),
+        "stop-index": (int, -1, "stop index (-1 = until missing)"),
+    })
+
+    def start(self):
+        self._frame_idx = 0
+        self._index = self.props["index"]
+        caps = self.props["caps"]
+        if caps is not None:
+            s = caps[0]
+            if s.name == "video/x-raw":
+                self._video_info = VideoInfo.from_caps_structure(s)
+
+    def stop(self):
+        pass
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        info = self._video_info
+        frames = []
+        for _ in range(n_frames):
+            stop = self.props["stop-index"]
+            if stop >= 0 and self._index > stop:
+                break
+            path = self.props["location"] % self._index
+            if not os.path.exists(path):
+                break
+            with open(path, "rb") as f:
+                frames.append(np.frombuffer(f.read(), np.uint8))
+            self._index += 1
+        if not frames:
+            return None
+        if info is not None:
+            data = from_bytes(info.finfo, np.stack(frames), info.width,
+                              info.height)
+            fps = info.fps
+            pts = (self._frame_idx * 1_000_000_000 * fps.denom // fps.num
+                   if fps.num else 0)
+            buf = Buffer(data=tuple(data), pts=pts, batch=len(frames))
+        else:
+            buf = Buffer(data=frames[0], batch=1)
+        self._frame_idx += len(frames)
+        return buf
+
+
+@register_element
+class MultiFileSink(SinkElement):
+    FACTORY = "multifilesink"
+    DESCRIPTION = "Write buffers to sequentially named files"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {"location": (str, "frame%05d.raw", "")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._index = 0
+        self._info = None
+
+    def set_info(self, incaps, outcaps):
+        if incaps is not None and len(incaps) and incaps[0].name == "video/x-raw":
+            self._info = VideoInfo.from_caps_structure(incaps[0])
+
+    def render(self, buf: Buffer) -> str:
+        if self._info is not None:
+            planes = tuple(np.asarray(p) for p in buf.data)
+            raw = to_bytes(self._info.finfo, planes, self._info.width,
+                           self._info.height)
+            raw = raw.reshape(buf.batch, -1)
+            for i in range(buf.batch):
+                with open(self.props["location"] % self._index, "wb") as f:
+                    f.write(raw[i].tobytes())
+                self._index += 1
+        else:
+            with open(self.props["location"] % self._index, "wb") as f:
+                f.write(np.asarray(buf.data).tobytes())
+            self._index += 1
+        return FlowReturn.OK

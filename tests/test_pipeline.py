@@ -285,3 +285,56 @@ class TestVideoFilters:
         p.run()
         y = np.asarray(sink.pull_sample().buffer.data[0])[0]
         assert (y == 235).all()   # flat field stays flat
+
+
+class TestFileIO:
+    def test_y4m_roundtrip(self, tmp_path):
+        import numpy as np
+        # write a small y4m by hand, read it through the pipeline
+        w, h = 32, 16
+        path = tmp_path / "test.y4m"
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, w * h * 3 // 2, dtype=np.uint8)
+                  for _ in range(3)]
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W32 H16 F30:1 Ip A1:1 C420jpeg\n")
+            for fr in frames:
+                f.write(b"FRAME\n")
+                f.write(fr.tobytes())
+        p = parse_launch(f"filesrc location={path} ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            total += s.buffer.batch
+            y = np.asarray(s.buffer.data[0])
+        assert total == 3
+        assert y.shape[-2:] == (16, 32)
+        np.testing.assert_array_equal(
+            y[-1].reshape(-1), frames[-1][:w * h])
+
+    def test_raw_video_file(self, tmp_path):
+        import numpy as np
+        w, h = 16, 8
+        path = tmp_path / "raw.rgb"
+        data = np.arange(w * h * 3 * 2, dtype=np.uint64) % 256
+        with open(path, "wb") as f:
+            f.write(data.astype(np.uint8).tobytes())
+        p = parse_launch(
+            f"filesrc location={path} "
+            f"caps=video/x-raw,format=RGB,width=16,height=8,framerate=30/1 "
+            f"! appsink name=o", batch=2)
+        sink = p.get_by_name("o")
+        p.run()
+        s = sink.pull_sample()
+        assert s.buffer.batch == 2
+
+    def test_filesink_roundtrip(self, tmp_path):
+        import numpy as np
+        out = tmp_path / "out.i420"
+        p = parse_launch(
+            f"videotestsrc num-buffers=2 ! video/x-raw,format=I420,"
+            f"width=32,height=16 ! filesink location={out}")
+        p.run()
+        sz = out.stat().st_size
+        assert sz == 2 * (32 * 16 * 3 // 2)
