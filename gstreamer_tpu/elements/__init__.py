@@ -10,3 +10,5 @@ from . import videofilter       # noqa: F401
 from . import videorate         # noqa: F401
 from . import deinterlace      # noqa: F401
 from . import file_elements     # noqa: F401
+from . import audio_mix         # noqa: F401
+from . import flow_elements     # noqa: F401

@@ -305,3 +305,76 @@ def apply_prepared(xp, canon, pm: PreparedMatrix):
     if pm.mode == "table":
         return apply_matrix8_table(xp, canon, pm)
     return apply_matrix8(xp, canon, pm)
+
+
+# ---------------------------------------------------------------------------
+# Channel-plane variants (TPU-native layout: tuple of (..., H, W) planes).
+# Same arithmetic as the channel-last versions above.
+# ---------------------------------------------------------------------------
+
+def _splat_signed(xp, chan):
+    """Byte-replicated signed word as int32 (ready for the mulhsw)."""
+    chan = chan.astype(xp.int32)
+    b = (chan - 128) & 0xFF
+    signed = xp.where(b >= 128, b - 256, b)
+    return _splat_word(xp, signed)
+
+
+def _alpha_through(xp, a):
+    """The ORC A-channel term (255 stays 255); None passes through."""
+    if a is None:
+        return None
+    a_term = ((a.astype(xp.int32) - 128) & 0xFF) * 257
+    return xp.clip(a_term, -128, 127) + 128
+
+
+def apply_matrix8_planes(xp, chans, pm: PreparedMatrix):
+    im = pm.im
+    w = [_splat_signed(xp, chans[c]) for c in (1, 2, 3)]
+    outs = []
+    for row in range(3):
+        acc = 0
+        for col in range(3):
+            coeff = int(np.int16(np.uint16(im[row][col] & 0xFFFF)))
+            acc = acc + ((w[col] * coeff) >> 16)
+        outs.append(xp.clip(acc, -128, 127) + 128)
+    return (_alpha_through(xp, chans[0]), outs[0], outs[1], outs[2])
+
+
+def apply_matrix8_table_planes(xp, chans, pm: PreparedMatrix):
+    im = pm.im
+    cs = [c.astype(xp.int32) for c in chans[1:]]
+    outs = []
+    for row in range(3):
+        acc = (int(im[row][0]) * cs[0] + int(im[row][1]) * cs[1]
+               + int(im[row][2]) * cs[2] + int(im[row][3]))
+        outs.append(acc >> SCALE)
+    return (chans[0], outs[0], outs[1], outs[2])
+
+
+def apply_matrix8_ayuv_argb_planes(xp, chans, pm: PreparedMatrix):
+    im = pm.im
+    p1, p2, p3 = int(im[0][0]), int(im[0][2]), int(im[2][1])
+    p4, p5 = int(im[1][1]), int(im[1][2])
+
+    def mulhsw(w, p):
+        return (w * int(np.int16(np.uint16(p & 0xFFFF)))) >> 16
+
+    wy = _splat_signed(xp, chans[1])
+    wu = _splat_signed(xp, chans[2])
+    wv = _splat_signed(xp, chans[3])
+    ty = mulhsw(wy, p1)
+    r = xp.clip(ty + mulhsw(wv, p2), -128, 127) + 128
+    b = xp.clip(ty + mulhsw(wu, p3), -128, 127) + 128
+    g = xp.clip(ty + mulhsw(wu, p4) + mulhsw(wv, p5), -128, 127) + 128
+    return (chans[0], r, g, b)
+
+
+def apply_prepared_planes(xp, chans, pm: PreparedMatrix):
+    if pm.mode == "identity":
+        return chans
+    if pm.mode == "ayuv_argb":
+        return apply_matrix8_ayuv_argb_planes(xp, chans, pm)
+    if pm.mode == "table":
+        return apply_matrix8_table_planes(xp, chans, pm)
+    return apply_matrix8_planes(xp, chans, pm)

@@ -130,17 +130,29 @@ class VideoConverter:
 
     # -- execution ---------------------------------------------------------
     def _pipeline(self, xp, planes):
-        """planes (component arrays of in_info) -> planes of out_info."""
+        """planes (component arrays of in_info) -> planes of out_info.
+
+        Internal representation is a tuple of per-channel planes
+        (A, c0, c1, c2), each (..., H, W) — the TPU-native layout (full
+        lane utilization; channel-last (...,4) arrays tile poorly)."""
         ii, oi = self.in_info, self.out_info
         ifmt, ofmt = ii.finfo, oi.finfo
         plan = self._plan
 
-        canon = unpack(xp, ifmt, planes, ii.width, ii.height)
+        from .format import pack_planes, unpack_planes
+        # int16 is wide enough for every stage up to the matrix (values
+        # <=255, chroma filter sums <=1277) and halves HBM traffic; the
+        # alpha plane is skipped entirely when neither side carries alpha
+        # (it would be a constant 255 all the way through).
+        chans = unpack_planes(xp, ifmt, planes, ii.width, ii.height,
+                              dtype=xp.int16)
+        skip_alpha = not ifmt.has_alpha and not ofmt.has_alpha
+        if skip_alpha:
+            chans = (None,) + chans[1:]
 
         if plan["upsample"]:
             # h first, then v (MAKE_UPSAMPLE_V2 calls h_resample first)
-            u = canon[..., 2]
-            v = canon[..., 3]
+            a, y, u, v = chans
             if ifmt.w_sub[1] == 1:
                 u = chroma_mod.up2(xp, u, -1, plan["up_h_cosited"])
                 v = chroma_mod.up2(xp, v, -1, plan["up_h_cosited"])
@@ -153,40 +165,38 @@ class VideoConverter:
             elif ifmt.h_sub[1] == 2:
                 u = chroma_mod.up4(xp, u, -2, plan["up_v_cosited"])
                 v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
-            canon = xp.stack([canon[..., 0], canon[..., 1], u, v], axis=-1)
+            chans = (a, y, u, v)
 
-        def do_scale(c):
-            def hscale(c):
-                return scaler_mod.scale_axis_exact(xp, c, -2, plan["h_res"])
-
-            def vscale(c):
-                return scaler_mod.scale_axis_exact(xp, c, -3, plan["v_res"])
+        def do_scale(chans):
+            def sc(c, axis, res):
+                if c is None:
+                    return None
+                return scaler_mod.scale_axis_exact(xp, c, axis, res)
 
             if plan["scale_order"] == "hv":
                 if plan["h_res"] is not None:
-                    c = hscale(c)
+                    chans = tuple(sc(c, -1, plan["h_res"]) for c in chans)
                 if plan["v_res"] is not None:
-                    c = vscale(c)
+                    chans = tuple(sc(c, -2, plan["v_res"]) for c in chans)
             else:
                 if plan["v_res"] is not None:
-                    c = vscale(c)
+                    chans = tuple(sc(c, -2, plan["v_res"]) for c in chans)
                 if plan["h_res"] is not None:
-                    c = hscale(c)
-            return c
+                    chans = tuple(sc(c, -1, plan["h_res"]) for c in chans)
+            return chans
 
         if plan["scale_before_matrix"]:
-            canon = do_scale(canon)
+            chans = do_scale(chans)
 
         pm = plan["matrix"]
-        canon = color_mod.apply_prepared(xp, canon, pm)
+        chans = color_mod.apply_prepared_planes(xp, chans, pm)
 
         if not plan["scale_before_matrix"]:
-            canon = do_scale(canon)
+            chans = do_scale(chans)
 
         if plan["downsample"]:
             # v first, then h (MAKE_DOWNSAMPLE_V2 filters lines then h)
-            u = canon[..., 2]
-            v = canon[..., 3]
+            a, y, u, v = chans
             if ofmt.h_sub[1] == 1:
                 u = chroma_mod.down2(xp, u, -2, plan["down_v_cosited"])
                 v = chroma_mod.down2(xp, v, -2, plan["down_v_cosited"])
@@ -199,9 +209,9 @@ class VideoConverter:
             elif ofmt.w_sub[1] == 2:
                 u = chroma_mod.down4(xp, u, -1, plan["down_h_cosited"])
                 v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
-            canon = xp.stack([canon[..., 0], canon[..., 1], u, v], axis=-1)
+            chans = (a, y, u, v)
 
-        return pack(xp, ofmt, canon, oi.width, oi.height)
+        return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     # numpy gold path
     def convert_ref(self, planes):

@@ -173,12 +173,18 @@ def _dup(xp, a, factor_log2: int, axis: int, size: int):
     return a[tuple(sl)]
 
 
-def unpack(xp, fmt: VideoFormatInfo, planes, width: int, height: int):
-    """planes -> canonical (..., H, W, 4) int32 (A,c0,c1,c2)."""
+def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
+                  dtype=None):
+    """planes -> canonical channel tuple (A, c0, c1, c2), each (..., H, W).
+
+    This is the TPU-native canonical form: per-channel planes keep the
+    lane dimension at full width (the (...,4) channel-last layout tiles
+    terribly on the VPU).  dtype defaults to int32."""
+    dt = dtype or xp.int32
     comps = []
     n = fmt.n_components
     for c in range(min(n, 3)):
-        p = planes[c].astype(xp.int32)
+        p = planes[c].astype(dt)
         p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
         p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
         comps.append(p)
@@ -188,28 +194,46 @@ def unpack(xp, fmt: VideoFormatInfo, planes, width: int, height: int):
         comps = [comps[0], half, half]
     if fmt.has_alpha:
         a = planes[n - 1] if fmt.layout != "packed" else planes[3]
-        alpha = a.astype(xp.int32)
+        alpha = a.astype(dt)
     else:
         alpha = xp.full_like(comps[0], 255)
-    return xp.stack([alpha, comps[0], comps[1], comps[2]], axis=-1)
+    return (alpha, comps[0], comps[1], comps[2])
 
 
-def pack(xp, fmt: VideoFormatInfo, canon, width: int, height: int):
-    """canonical (..., H, W, 4) int -> tuple of component planes (uint8).
+def pack_planes(xp, fmt: VideoFormatInfo, chans, width: int, height: int):
+    """channel tuple (A, c0, c1, c2) -> component planes (uint8).
 
-    Values must already be in range (the converter clamps before pack)."""
-    canon = canon.astype(xp.uint8)
+    Values must already be in range (the converter clamps before pack).
+    A None alpha channel means "opaque" (materialized only if the output
+    format stores alpha)."""
     out = []
     n = fmt.n_components
     for c in range(min(n, 3)):
         hs, ws = fmt.h_sub[c], fmt.w_sub[c]
-        p = canon[..., ::(1 << hs), ::(1 << ws), 1 + c]
+        p = chans[1 + c][..., ::(1 << hs), ::(1 << ws)].astype(xp.uint8)
         out.append(p)
     if fmt.is_gray:
         out = out[:1]
     if fmt.has_alpha:
-        out.append(canon[..., 0])
+        a = chans[0]
+        if a is None:
+            a = xp.full(out[0].shape, 255, xp.uint8)
+        out.append(a.astype(xp.uint8))
     return tuple(out)
+
+
+def unpack(xp, fmt: VideoFormatInfo, planes, width: int, height: int):
+    """planes -> canonical (..., H, W, 4) int32 (A,c0,c1,c2).
+
+    Channel-last view kept for host-side/gold code; the device converter
+    uses unpack_planes."""
+    return xp.stack(unpack_planes(xp, fmt, planes, width, height), axis=-1)
+
+
+def pack(xp, fmt: VideoFormatInfo, canon, width: int, height: int):
+    """canonical (..., H, W, 4) int -> tuple of component planes (uint8)."""
+    chans = tuple(canon[..., i] for i in range(4))
+    return pack_planes(xp, fmt, chans, width, height)
 
 
 # ---------------------------------------------------------------------------

@@ -205,3 +205,65 @@ class TestAudioPipeline:
         arr = np.asarray(sink.pull_sample().buffer.data)
         peak = np.abs(arr.astype(int)).max()
         assert abs(peak - 0.4 * 32767) < 200   # 0.8 default amp * 0.5
+
+
+class TestAudioMix:
+    def test_audiomixer_two_sines(self):
+        p = parse_launch(
+            "audiomixer name=m ! appsink name=o "
+            "audiotestsrc num-buffers=1 freq=440 volume=0.3 ! m.sink_0 "
+            "audiotestsrc num-buffers=1 freq=440 volume=0.3 ! m.sink_1")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        # two identical sines sum: peak ~ 2*0.3*32767
+        assert abs(np.abs(arr.astype(int)).max() - 2 * 0.3 * 32767) < 800
+
+    def test_audiomixer_saturates(self):
+        p = parse_launch(
+            "audiomixer name=m ! appsink name=o "
+            "audiotestsrc num-buffers=1 wave=square volume=1.0 ! m.sink_0 "
+            "audiotestsrc num-buffers=1 wave=square volume=1.0 ! m.sink_1")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        assert arr.max() == 32766 or arr.max() == 32767   # clipped
+        assert arr.min() == -32768
+
+    def test_audiointerleave(self):
+        p = parse_launch(
+            "audiointerleave name=i ! appsink name=o "
+            "audiotestsrc num-buffers=1 volume=0.5 ! audio/x-raw,channels=1 ! i.sink_0 "
+            "audiotestsrc num-buffers=1 wave=silence ! audio/x-raw,channels=1 ! i.sink_1")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        assert arr.shape[1] == 2
+        assert np.abs(arr[:, 1]).max() == 0
+        assert np.abs(arr[:, 0].astype(int)).max() > 10000
+
+    def test_harness_volume(self):
+        from gstreamer_tpu.check import Harness
+        h = Harness("volume", volume=0.5)
+        h.set_caps("audio/x-raw,format=S16LE,rate=48000,channels=1")
+        x = (np.ones((100, 1)) * 10000).astype(np.int16)
+        out = h.push(x)
+        v = np.asarray(out)
+        assert abs(int(v[0, 0]) - 5000) <= 1
+
+    def test_audiorate_gap_fill(self):
+        from gstreamer_tpu.core.element import element_factory_make
+        from gstreamer_tpu.core.buffer import Buffer
+        ar = element_factory_make("audiorate", tolerance=0)
+        from gstreamer_tpu.core.caps import Caps
+        ar.set_info(Caps.from_string("audio/x-raw,format=S16LE,rate=1000,channels=1"),
+                    Caps.from_string("audio/x-raw,format=S16LE,rate=1000,channels=1"))
+        ar.start()
+        b1 = Buffer(data=np.ones((100, 1), np.int16), pts=0)
+        out1 = ar.host_process(b1)
+        assert out1.data.shape[0] == 100
+        # 50ms gap at rate 1000 = 50 missing samples
+        b2 = Buffer(data=np.ones((100, 1), np.int16), pts=150_000_000)
+        out2 = ar.host_process(b2)
+        assert out2.data.shape[0] == 150
+        assert ar.add_samples == 50
