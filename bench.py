@@ -25,7 +25,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
 
-    batch = 8
+    batch = 32
     ii = VideoInfo(format="I420", width=1920, height=1080)
     oi = VideoInfo(format="RGB", width=224, height=224)
     # videoscale's default method is bilinear/2-tap

@@ -105,10 +105,27 @@ class FileSrc(SourceElement):
 
     def start(self):
         self._sniff()
+        self._native = None
+        self._native_pending = self._y4m_frame_prefix
         self._file = open(self.props["location"], "rb")
         if self._y4m_frame_prefix:
             self._file.seek(self._y4m_header_len)
         self._frame_idx = 0
+
+    def _maybe_native(self, batch: int):
+        """Lazily start the native mmap+prefetch reader
+        (native/gtpu_io.cpp) once the tick batch size is known."""
+        if not self._native_pending:
+            return
+        self._native_pending = False
+        try:
+            from ..native.io import NativeY4MReader, available
+            if available():
+                self._native = NativeY4MReader(self.props["location"],
+                                               batch=batch)
+                self._native.start()
+        except Exception:
+            self._native = None
 
     def stop(self):
         if self._file:
@@ -128,27 +145,35 @@ class FileSrc(SourceElement):
     def _create_video(self, n_frames):
         info = self._video_info
         fsz = frame_size(info.finfo, info.width, info.height)
-        frames = []
-        for _ in range(n_frames):
-            if self._y4m_frame_prefix:
-                line = self._file.readline()
-                if not line.startswith(b"FRAME"):
+        self._maybe_native(n_frames)
+        if self._native is not None:
+            res = self._native.next_batch()
+            if res is None:
+                return None
+            data_flat, _first = res
+        else:
+            frames = []
+            for _ in range(n_frames):
+                if self._y4m_frame_prefix:
+                    line = self._file.readline()
+                    if not line.startswith(b"FRAME"):
+                        break
+                raw = self._file.read(fsz)
+                if len(raw) < fsz:
                     break
-            raw = self._file.read(fsz)
-            if len(raw) < fsz:
-                break
-            frames.append(np.frombuffer(raw, np.uint8))
-        if not frames:
-            return None
-        data_flat = np.stack(frames)
+                frames.append(np.frombuffer(raw, np.uint8))
+            if not frames:
+                return None
+            data_flat = np.stack(frames)
+        n_got = data_flat.shape[0]
         planes = from_bytes(info.finfo, data_flat, info.width, info.height)
         fps = info.fps
         pts = (self._frame_idx * 1_000_000_000 * fps.denom // fps.num
                if fps.num else 0)
         dur = 1_000_000_000 * fps.denom // fps.num if fps.num else None
         buf = Buffer(data=tuple(planes), pts=pts, duration=dur,
-                     batch=len(frames), offset=self._frame_idx)
-        self._frame_idx += len(frames)
+                     batch=n_got, offset=self._frame_idx)
+        self._frame_idx += n_got
         return buf
 
     def _create_audio(self, n_frames):

