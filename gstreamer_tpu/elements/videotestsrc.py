@@ -340,7 +340,12 @@ class VideoTestSrc(SourceElement):
     def _pack_static(self):
         import jax.numpy as jnp
         info = self._info
-        planes = pack(np, info.finfo, self._canon_static, info.width, info.height)
+        canon = self._canon_static
+        if info.finfo.bits == 16:
+            # reference paints 8-bit then widens with TO_16(x) = x<<8|x
+            # (videotestsrc.c:35)
+            canon = canon.astype(np.int32) * 257
+        planes = pack(np, info.finfo, canon, info.width, info.height)
         self._static_planes = tuple(jnp.asarray(p) for p in planes)
 
     def _setup_noise(self):
@@ -376,7 +381,10 @@ class VideoTestSrc(SourceElement):
             blended = (t + ((t + 128) >> 8) + 128) >> 8    # (B, m, 4)
             base = jnp.broadcast_to(static_j, (starts.shape[0], h * w, 4))
             canon = base.at[:, lin_idx, :].set(blended)
-            return pack(jnp, finfo, canon.reshape(-1, h, w, 4), w, h)
+            canon = canon.reshape(-1, h, w, 4)
+            if finfo.bits == 16:
+                canon = canon.astype(jnp.int32) * 257
+            return pack(jnp, finfo, canon, w, h)
 
         self._noise_fn = jax.jit(noise_frames)
 

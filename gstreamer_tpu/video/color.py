@@ -189,13 +189,17 @@ def _is_no_clip(im) -> bool:
     return True
 
 
-def prepare_matrix(dm: np.ndarray, unpack_rgb: bool, pack_rgb: bool) -> PreparedMatrix:
+def prepare_matrix(dm: np.ndarray, unpack_rgb: bool, pack_rgb: bool,
+                   bits: int = 8) -> PreparedMatrix:
     """prepare_matrix (video-converter.c:1323): scale by 2^8, round, then
-    pick the same application routine the reference would."""
+    pick the same application routine the reference would (8-bit ORC
+    paths, or video_converter_matrix16 when either side is 16-bit)."""
     scaled = scale_components(dm.copy(), SCALE_F, SCALE_F, SCALE_F)
     im = _color_matrix_convert(scaled)
     if _is_identity_im(im):
         return PreparedMatrix("identity", im)
+    if bits != 8:
+        return PreparedMatrix("matrix16", im)
     if not unpack_rgb and pack_rgb and _is_ayuv_to_rgb(im):
         return PreparedMatrix("ayuv_argb", im)
     if _is_no_clip(im):
@@ -370,9 +374,24 @@ def apply_matrix8_ayuv_argb_planes(xp, chans, pm: PreparedMatrix):
     return (chans[0], r, g, b)
 
 
+def apply_matrix16_planes(xp, chans, pm: PreparedMatrix):
+    """video_converter_matrix16 (video-converter.c:1295): int path with
+    CLAMP to [0, 65535]; alpha passes through."""
+    im = pm.im
+    cs = [c.astype(xp.int32) for c in chans[1:]]
+    outs = []
+    for row in range(3):
+        acc = (int(im[row][0]) * cs[0] + int(im[row][1]) * cs[1]
+               + int(im[row][2]) * cs[2] + int(im[row][3]))
+        outs.append(xp.clip(acc >> SCALE, 0, 65535))
+    return (chans[0], outs[0], outs[1], outs[2])
+
+
 def apply_prepared_planes(xp, chans, pm: PreparedMatrix):
     if pm.mode == "identity":
         return chans
+    if pm.mode == "matrix16":
+        return apply_matrix16_planes(xp, chans, pm)
     if pm.mode == "ayuv_argb":
         return apply_matrix8_ayuv_argb_planes(xp, chans, pm)
     if pm.mode == "table":

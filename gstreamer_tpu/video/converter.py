@@ -49,6 +49,22 @@ DEFAULTS = {
 }
 
 
+class _UnpackFinfo:
+    """Shim standing in for the UNPACK format's GstVideoFormatInfo when
+    computing range offsets (the converter computes offsets against
+    AYUV/AYUV64, i.e. full 8/16-bit depth — video-converter.c:1380)."""
+
+    def __init__(self, finfo):
+        self.is_yuv = finfo.is_yuv or finfo.is_gray
+        self.is_rgb = finfo.is_rgb
+        self.is_gray = False
+        self.depth = (finfo.bits,) * 4
+
+
+def _unpack_finfo(finfo):
+    return _UnpackFinfo(finfo)
+
+
 class VideoConverter:
     def __init__(self, in_info: VideoInfo, out_info: VideoInfo,
                  config: Optional[Dict[str, Any]] = None):
@@ -117,15 +133,28 @@ class VideoConverter:
             oi.width * oi.height <= ii.width * ii.height)
         plan["h_res"], plan["v_res"] = h_res, v_res
 
-        # matrix plan (chain_convert :1719)
+        # matrix plan (chain_convert :1719) — range offsets are computed
+        # against the UNPACK format (AYUV/AYUV64), i.e. full 8/16-bit depth
         matrix_mode = cfg["matrix-mode"]
+        in_bits, out_bits = ifmt.bits, ofmt.bits
+        plan["unpack_bits"], plan["pack_bits"] = in_bits, out_bits
         m = color_mod.identity()
+        if in_bits < out_bits:
+            s = 1 << (out_bits - in_bits)
+            m = color_mod.scale_components(
+                m, *(float(np.float32(1.0) / np.float32(s)),) * 3)
         m = color_mod.compute_matrix_to_rgb(
-            m, ii.colorimetry, ifmt, matrix_mode_none=(matrix_mode == "none"))
+            m, ii.colorimetry, _unpack_finfo(ifmt),
+            matrix_mode_none=(matrix_mode == "none"))
         m = color_mod.compute_matrix_to_yuv(
-            m, oi.colorimetry, ofmt, matrix_mode_none=(matrix_mode == "none"))
+            m, oi.colorimetry, _unpack_finfo(ofmt),
+            matrix_mode_none=(matrix_mode == "none"))
+        if in_bits > out_bits:
+            s = float(np.float32(1 << (in_bits - out_bits)))
+            m = color_mod.scale_components(m, s, s, s)
         plan["matrix"] = color_mod.prepare_matrix(
-            m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb)
+            m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb,
+            bits=max(in_bits, out_bits))
         return plan
 
     # -- execution ---------------------------------------------------------
@@ -167,11 +196,17 @@ class VideoConverter:
                 v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
             chans = (a, y, u, v)
 
+        scale_bits = (plan["unpack_bits"] if plan["scale_before_matrix"]
+                      else plan["pack_bits"])
+
         def do_scale(chans):
             def sc(c, axis, res):
                 if c is None:
                     return None
-                return scaler_mod.scale_axis_exact(xp, c, axis, res)
+                return scaler_mod.scale_axis_exact(
+                    xp, c, axis, res,
+                    precision=scaler_mod.SCALE_U8,
+                    value_bits=scale_bits)
 
             if plan["scale_order"] == "hv":
                 if plan["h_res"] is not None:
@@ -188,8 +223,18 @@ class VideoConverter:
         if plan["scale_before_matrix"]:
             chans = do_scale(chans)
 
+        # conversion stage (do_convert_lines): optional 8->16 widening
+        # (v*257, video_orc_convert_u8_to_u16), matrix, 16->8 narrowing
+        # (>>8, video_orc_convert_u16_to_u8)
         pm = plan["matrix"]
+        in_bits, out_bits = plan["unpack_bits"], plan["pack_bits"]
+        if in_bits == 8 and out_bits == 16:
+            chans = tuple(c if c is None else (c.astype(xp.int32) * 257)
+                          for c in chans)
         chans = color_mod.apply_prepared_planes(xp, chans, pm)
+        if in_bits == 16 and out_bits == 8:
+            chans = tuple(c if c is None else (c.astype(xp.int32) >> 8)
+                          for c in chans)
 
         if not plan["scale_before_matrix"]:
             chans = do_scale(chans)

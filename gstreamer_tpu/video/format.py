@@ -140,6 +140,49 @@ FORMATS: Dict[str, VideoFormatInfo] = {
                             layout="planar", plane_order=(1, 2, 0, 3)),
 }
 
+# high bit-depth formats (16-bit containers; canonical unpack is 16-bit
+# AYUV64/ARGB64 semantics — video-format.c unpack_I420_10LE: v<<6 with
+# low-bit replication, P010: values already left-justified)
+
+
+def _yuv16(name, depth, w_sub, h_sub, layout="planar", plane_order=(0, 1, 2),
+           justify="low", n_components=3, has_alpha=False):
+    return VideoFormatInfo(
+        name, "yuv", bits=16, n_components=n_components, w_sub=w_sub,
+        h_sub=h_sub, has_alpha=has_alpha, layout=layout,
+        plane_order=plane_order,
+        packed_order=("A", "Y", "U", "V") if layout == "packed" else (),
+        depth=(depth,) * 4)
+
+
+FORMATS.update({
+    "I420_10LE": _yuv16("I420_10LE", 10, (0, 1, 1), (0, 1, 1)),
+    "I420_12LE": _yuv16("I420_12LE", 12, (0, 1, 1), (0, 1, 1)),
+    "I422_10LE": _yuv16("I422_10LE", 10, (0, 1, 1), (0, 0, 0)),
+    "I422_12LE": _yuv16("I422_12LE", 12, (0, 1, 1), (0, 0, 0)),
+    "Y444_10LE": _yuv16("Y444_10LE", 10, (0, 0, 0), (0, 0, 0)),
+    "Y444_12LE": _yuv16("Y444_12LE", 12, (0, 0, 0), (0, 0, 0)),
+    "Y444_16LE": _yuv16("Y444_16LE", 16, (0, 0, 0), (0, 0, 0)),
+    "P010_10LE": _yuv16("P010_10LE", 10, (0, 1, 1), (0, 1, 1), layout="semi",
+                        justify="high"),
+    "P012_LE": _yuv16("P012_LE", 12, (0, 1, 1), (0, 1, 1), layout="semi",
+                      justify="high"),
+    "AYUV64": _yuv16("AYUV64", 16, (0, 0, 0, 0), (0, 0, 0, 0),
+                     layout="packed", n_components=4, has_alpha=True),
+    "GRAY16_LE": VideoFormatInfo("GRAY16_LE", "gray", bits=16,
+                                 n_components=1, layout="planar",
+                                 plane_order=(0,), depth=(16,) * 4),
+    "ARGB64": VideoFormatInfo("ARGB64", "rgb", bits=16, n_components=4,
+                              has_alpha=True, layout="packed",
+                              packed_order=(3, 0, 1, 2), depth=(16,) * 4),
+    "RGBA64_LE": VideoFormatInfo("RGBA64_LE", "rgb", bits=16, n_components=4,
+                                 has_alpha=True, layout="packed",
+                                 packed_order=(0, 1, 2, 3), depth=(16,) * 4),
+})
+
+# formats whose 16-bit container stores values left-justified (MSB)
+HIGH_JUSTIFIED = {"P010_10LE", "P012_LE"}
+
 
 def format_info(name: str) -> VideoFormatInfo:
     try:
@@ -181,22 +224,40 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
     lane dimension at full width (the (...,4) channel-last layout tiles
     terribly on the VPU).  dtype defaults to int32."""
     dt = dtype or xp.int32
+    if fmt.bits == 16:
+        dt = xp.int32
     comps = []
     n = fmt.n_components
+    d = fmt.depth[0]
     for c in range(min(n, 3)):
         p = planes[c].astype(dt)
+        if fmt.bits == 16 and d < 16:
+            # scale to 16-bit with low-bit replication
+            # (video-format.c unpack_I420_10LE: (v<<6) | (v<<6)>>10;
+            # P010: left-justified already: v | v>>10)
+            if fmt.name in HIGH_JUSTIFIED:
+                p = p | (p >> d)
+            else:
+                p = (p << (16 - d))
+                p = p | (p >> d)
         p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
         p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
         comps.append(p)
+    neutral = 0x80 if fmt.bits == 8 else 0x8000
+    opaque = 255 if fmt.bits == 8 else 0xFFFF
     if fmt.is_gray:
         # GRAY unpacks with neutral chroma (video-format.c unpack_GRAY8)
-        half = xp.full_like(comps[0], 0x80)
+        half = xp.full_like(comps[0], neutral)
         comps = [comps[0], half, half]
     if fmt.has_alpha:
         a = planes[n - 1] if fmt.layout != "packed" else planes[3]
-        alpha = a.astype(dt)
+        a = a.astype(dt)
+        if fmt.bits == 16 and d < 16:
+            a = (a << (16 - d))
+            a = a | (a >> d)
+        alpha = a
     else:
-        alpha = xp.full_like(comps[0], 255)
+        alpha = xp.full_like(comps[0], opaque)
     return (alpha, comps[0], comps[1], comps[2])
 
 
@@ -208,17 +269,32 @@ def pack_planes(xp, fmt: VideoFormatInfo, chans, width: int, height: int):
     format stores alpha)."""
     out = []
     n = fmt.n_components
+    d = fmt.depth[0]
+
+    def store(p):
+        if fmt.bits == 8:
+            return p.astype(xp.uint8)
+        # 16-bit containers: pack_I420_10LE truncates v >> (16-depth);
+        # P010 keeps left-justified with low bits cleared
+        p = p.astype(xp.int32)
+        if d < 16:
+            if fmt.name in HIGH_JUSTIFIED:
+                p = p & (((1 << d) - 1) << (16 - d))
+            else:
+                p = p >> (16 - d)
+        return p.astype(xp.uint16)
+
     for c in range(min(n, 3)):
         hs, ws = fmt.h_sub[c], fmt.w_sub[c]
-        p = chans[1 + c][..., ::(1 << hs), ::(1 << ws)].astype(xp.uint8)
-        out.append(p)
+        out.append(store(chans[1 + c][..., ::(1 << hs), ::(1 << ws)]))
     if fmt.is_gray:
         out = out[:1]
     if fmt.has_alpha:
         a = chans[0]
         if a is None:
-            a = xp.full(out[0].shape, 255, xp.uint8)
-        out.append(a.astype(xp.uint8))
+            opaque = 255 if fmt.bits == 8 else 0xFFFF
+            a = xp.full(out[0].shape, opaque, xp.int32)
+        out.append(store(a))
     return tuple(out)
 
 
@@ -255,18 +331,21 @@ def plane_shapes(fmt: VideoFormatInfo, width: int, height: int):
 
 
 def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
+    bps = fmt.bits // 8
     if fmt.layout == "packed":
-        if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
-            return height * width * len(fmt.packed_order)
+        if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
+            return height * width * len(fmt.packed_order) * bps
         # 4:2:2 packed: 4 bytes / 2 pixels
-        return height * (-(-width // 2)) * 4
-    return sum(h * w for (h, w) in plane_shapes(fmt, width, height))
+        return height * (-(-width // 2)) * 4 * bps
+    return sum(h * w for (h, w) in plane_shapes(fmt, width, height)) * bps
 
 
 def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
                height: int):
     """Decode the format's memory layout into component planes (numpy)."""
     data = np.asarray(data, dtype=np.uint8)
+    if fmt.bits == 16:
+        data = np.ascontiguousarray(data).view("<u2")
     batch = data.shape[:-1]
     shapes = plane_shapes(fmt, width, height)
 
@@ -294,7 +373,7 @@ def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
         return tuple(planes)
 
     # packed
-    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
+    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
         nb = len(fmt.packed_order)
         img = data.reshape(batch + (height, width, nb))
         if fmt.is_rgb:
@@ -320,10 +399,11 @@ def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
     return (y, img[..., pos["U"]], img[..., pos["V"]])
 
 
-def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarray:
-    """Encode component planes into the format's memory layout (numpy)."""
-    planes = [np.asarray(p, dtype=np.uint8) for p in planes]
+def _assemble(fmt: VideoFormatInfo, planes, width: int, height: int,
+              sdt) -> np.ndarray:
+    """Element-typed layout assembly shared by 8/16-bit to_bytes."""
     batch = planes[0].shape[:-2]
+    opaque = 255 if fmt.bits == 8 else 0xFFFF
 
     if fmt.layout == "planar":
         chunks = [planes[comp].reshape(batch + (-1,))
@@ -337,12 +417,12 @@ def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarra
             [planes[0].reshape(batch + (-1,)), uv.reshape(batch + (-1,))],
             axis=-1)
 
-    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
+    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
         nb = len(fmt.packed_order)
-        out = np.empty(batch + (height, width, nb), np.uint8)
+        out = np.empty(batch + (height, width, nb), sdt)
         if fmt.is_rgb:
             for posi, ch in enumerate(fmt.packed_order):
-                out[..., posi] = planes[ch] if ch >= 0 else 255
+                out[..., posi] = planes[ch] if ch >= 0 else opaque
         else:
             named = {"Y": planes[0], "U": planes[1], "V": planes[2],
                      "A": planes[3]}
@@ -360,3 +440,14 @@ def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarra
              "V": planes[2]}
     out = np.stack([named[ch] for ch in fmt.packed_order], axis=-1)
     return out.reshape(batch + (-1,))
+
+
+def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarray:
+    """Encode component planes into the format's memory layout (numpy),
+    returned as flat uint8 per frame."""
+    sdt = np.uint8 if fmt.bits == 8 else np.dtype("<u2")
+    out = _assemble(fmt, [np.asarray(p, sdt) for p in planes], width,
+                    height, sdt)
+    if fmt.bits == 16:
+        return np.ascontiguousarray(out).view(np.uint8)
+    return out

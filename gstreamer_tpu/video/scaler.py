@@ -218,51 +218,59 @@ def tap_matrix(res: Resampler, precision: int = SCALE_U8) -> np.ndarray:
 
 
 def scale_axis_exact(xp, img, axis: int, res: Resampler,
-                     precision: int = SCALE_U8):
-    """Exact u8 HQ scaling along `axis`:
-    out = clamp_u8((sum_j tap_s16[j]*src[offset+j] + 4095) >> 12)
-    (video_orc_resample_scaletaps_u8, video-orc.orc:2370).
+                     precision: int = SCALE_U8, value_bits: int = 8):
+    """Exact HQ scaling along `axis`:
+    out = clamp((sum_j tap_s16[j]*src[offset+j] + 4095) >> 12)
+    (video_orc_resample_scaletaps_u8/u16, video-orc.orc:2370,2507).
 
-    Implemented as a dense f32 matmul over the scaled axis (exact: all
-    intermediates are integers << 2^24), then bias+shift+clamp."""
+    Device path: dense MXU matmuls with an EXACT bf16 limb decomposition —
+    taps (<=13 bit) split into hi/lo limbs with <=8 significant bits each;
+    16-bit pixels additionally split into hi/lo bytes with int32
+    recombination.  Bit-identical to the int64 reference arithmetic."""
     m = tap_matrix(res, precision)
     ax = axis if axis >= 0 else img.ndim + axis
+    maxv = (1 << value_bits) - 1
     if xp is np:
-        src = np.moveaxis(img, ax, -1).astype(np.float32)
-        acc = src @ m.T.astype(np.float32)
+        src = np.moveaxis(img, ax, -1).astype(np.float64)
+        acc = (src @ m.T.astype(np.float64)).astype(np.int64)
     else:
-        import jax
-
         src = xp.moveaxis(img, ax, -1)
-        if int(np.abs(m).max()) < (1 << 13):
-            # EXACT bf16 limb decomposition: pixels (<=8 bit) are exact in
-            # bf16; taps (<=13 bit) split into a high limb (multiple of 32,
-            # 8 significant bits) and a low limb (<32).  Both MXU matmuls
-            # accumulate in f32; every partial product is an exact f32
-            # integer and sums stay far below 2^24 — bit-identical to the
-            # int64 reference math at ~3x the speed of HIGHEST-precision
-            # f32.
+        limb_ok = int(np.abs(m).max()) < (1 << 13)
+
+        def mm_exact_u8(x_b):
+            # x_b: bf16 values <=255 (exact); two bf16 matmuls, f32 acc
             m_hi = (m >> 5) << 5
             m_lo = m - m_hi
-            src_b = src.astype(xp.bfloat16)
-            acc = (
-                xp.matmul(src_b, xp.asarray(m_hi.T, dtype=xp.bfloat16),
+            return (
+                xp.matmul(x_b, xp.asarray(m_hi.T, dtype=xp.bfloat16),
                           preferred_element_type=xp.float32)
-                + xp.matmul(src_b, xp.asarray(m_lo.T, dtype=xp.bfloat16),
+                + xp.matmul(x_b, xp.asarray(m_lo.T, dtype=xp.bfloat16),
                             preferred_element_type=xp.float32))
+
+        if limb_ok and value_bits <= 8:
+            acc = mm_exact_u8(src.astype(xp.bfloat16)).astype(xp.int32)
+        elif limb_ok:
+            hi = (src.astype(xp.int32) >> 8).astype(xp.bfloat16)
+            lo = (src.astype(xp.int32) & 0xFF).astype(xp.bfloat16)
+            acc = (mm_exact_u8(hi).astype(xp.int32) * 256
+                   + mm_exact_u8(lo).astype(xp.int32))
         else:
+            import jax
             acc = xp.matmul(src.astype(xp.float32),
                             xp.asarray(m.T, dtype=xp.float32),
-                            precision=jax.lax.Precision.HIGHEST)
-    acc = acc.astype(xp.int32)
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(xp.int32)
     rnd = (1 << precision) - 1
     out = (acc + rnd) >> precision
-    out = xp.clip(out, 0, 255)
+    out = xp.clip(out, 0, maxv)
+    if xp is np:
+        out = out.astype(np.int64)
     return xp.moveaxis(out, -1, ax)
 
 
 def scale_axis_ref(img: np.ndarray, axis: int, res: Resampler,
-                   precision: int = SCALE_U8) -> np.ndarray:
+                   precision: int = SCALE_U8,
+                   value_bits: int = 8) -> np.ndarray:
     """Numpy gold using explicit gather (mirrors video_scale_h_ntap_u8)."""
     ax = axis if axis >= 0 else img.ndim + axis
     src = np.moveaxis(img, ax, -1).astype(np.int64)
@@ -272,5 +280,5 @@ def scale_axis_ref(img: np.ndarray, axis: int, res: Resampler,
         idx = res.offset + j
         out += src[..., idx] * ts16[:, j]
     out = (out + ((1 << precision) - 1)) >> precision
-    out = np.clip(out, 0, 255)
+    out = np.clip(out, 0, (1 << value_bits) - 1)
     return np.moveaxis(out, -1, ax)

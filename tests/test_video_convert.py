@@ -233,3 +233,72 @@ def test_convert_1080p_to_224_shape():
     planes = rand_planes(ii)
     out = conv.convert_ref(planes)
     assert out[0].shape == (224, 224)
+
+
+HIGH_DEPTH_CASES = [
+    ("I420_10LE", (32, 32), "RGB", (32, 32)),
+    ("I420", (32, 32), "I420_10LE", (32, 32)),
+    ("I420_10LE", (64, 48), "I420", (32, 24)),
+    ("P010_10LE", (32, 32), "RGB", (32, 32)),
+    ("Y444_16LE", (32, 32), "AYUV64", (32, 32)),
+    ("AYUV64", (32, 32), "RGB", (32, 32)),
+    ("I420_10LE", (32, 32), "Y444_10LE", (32, 32)),
+    ("RGB", (32, 32), "I420_10LE", (32, 32)),
+    ("ARGB64", (16, 16), "BGRA", (16, 16)),
+]
+
+
+@pytest.mark.parametrize("case", HIGH_DEPTH_CASES,
+                         ids=[f"{c[0]}to{c[2]}" for c in HIGH_DEPTH_CASES])
+def test_high_depth_jax_matches_gold(case):
+    from gstreamer_tpu.video.format import format_info, plane_shapes
+    in_fmt, (iw, ih), out_fmt, (ow, oh) = case
+    ii = VideoInfo(format=in_fmt, width=iw, height=ih)
+    oi = VideoInfo(format=out_fmt, width=ow, height=oh)
+    conv = VideoConverter(ii, oi)
+    f = ii.finfo
+    d = f.depth[0]
+    planes = []
+    for s in ii.plane_shapes():
+        if f.bits == 16:
+            if in_fmt.startswith("P0"):
+                v = (RNG.integers(0, 1 << d, s) << (16 - d)).astype(np.uint16)
+            elif d < 16:
+                v = RNG.integers(0, 1 << d, s, dtype=np.uint16)
+            else:
+                v = RNG.integers(0, 65536, s, dtype=np.uint16)
+        else:
+            v = RNG.integers(0, 256, s, dtype=np.uint8)
+        planes.append(v)
+    planes = tuple(planes)
+    gold = conv.convert_ref(planes)
+    got = conv.convert(planes)
+    for g, j in zip(gold, got):
+        np.testing.assert_array_equal(g, np.asarray(j))
+
+
+def test_high_depth_white_level():
+    # 10-bit white (940) -> 8-bit RGB ~ 253 (same fast... generic 16-bit
+    # matrix path); roundtrip sanity rather than oracle (the 1.22 oracle
+    # takes fastpaths here)
+    ii = VideoInfo(format="I420_10LE", width=8, height=8)
+    oi = VideoInfo(format="RGB", width=8, height=8)
+    conv = VideoConverter(ii, oi)
+    y = np.full((8, 8), 940, np.uint16)
+    u = np.full((4, 4), 512, np.uint16)
+    v = np.full((4, 4), 512, np.uint16)
+    out = conv.convert_ref((y, u, v))
+    assert 250 <= out[0][0, 0] <= 255
+
+
+def test_videotestsrc_10bit():
+    from gstreamer_tpu.core.parse import parse_launch
+    p = parse_launch(
+        "videotestsrc num-buffers=1 pattern=white ! "
+        "video/x-raw,format=I420_10LE,width=16,height=16 ! appsink name=o")
+    sink = p.get_by_name("o")
+    p.run()
+    y = np.asarray(sink.pull_sample().buffer.data[0])[0]
+    assert y.dtype == np.uint16
+    # white Y=235 painted 8-bit, widened TO_16 (235*257), stored >>6
+    assert y[0, 0] == (235 * 257) >> 6
