@@ -475,6 +475,43 @@ class Pipeline(Bin):
             n += 1
         self.set_state(State.NULL)
 
+    # -- seek / flush (gstevent.c SEEK + FLUSH_START/STOP semantics) ------
+    def seek(self, start: int, stop: Optional[int] = None,
+             rate: float = 1.0, flush: bool = True) -> bool:
+        """Seek every source to `start` (ns) and flush element state.
+
+        Mirrors gst_element_seek on the pipeline: the SEEK event travels
+        to the sources; a flushing seek resets the streaming state of
+        every element (here: the host-side histories)."""
+        from .segment import Segment
+
+        if self._plan is None:
+            self.compile()
+        # elements must be started before seeking (set_state would reset
+        # their positions otherwise)
+        if self.state != State.PLAYING:
+            self.set_state(State.PLAYING)
+        seg = Segment(rate=rate, start=start,
+                      stop=stop if stop is not None else -1, time=start,
+                      position=start)
+        ok = False
+        for e in self._order:
+            if isinstance(e, SourceElement) and hasattr(e, "do_seek"):
+                if e.do_seek(seg):
+                    ok = True
+        if flush:
+            for e in self._order:
+                if getattr(e, "HOST_ELEMENT", False) or hasattr(e, "flush"):
+                    fl = getattr(e, "flush", None)
+                    if fl is not None:
+                        fl()
+                    else:
+                        e.start()     # host elements reset their history
+        if ok:
+            self.bus.post(Message("segment", self.name,
+                                  {"start": start, "rate": rate}))
+        return ok
+
 
 class NegotiationError(Exception):
     pass

@@ -96,6 +96,15 @@ class AudioTestSrc(SourceElement):
         self._nbuf = 0
         self._sample_pos = 0
 
+    def do_seek(self, segment) -> bool:
+        if self._info is None:
+            return False
+        rate = self._info.rate
+        self._sample_pos = segment.start * rate // 1_000_000_000
+        step = 2 * math.pi * self.props["freq"] / rate
+        self._acc = float((self._sample_pos * step) % (2 * math.pi))
+        return True
+
     def create(self, n_frames: int) -> Optional[Buffer]:
         num = self.props["num-buffers"]
         if num >= 0 and self._nbuf >= num:

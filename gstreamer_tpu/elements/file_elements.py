@@ -123,6 +123,9 @@ class FileSrc(SourceElement):
             if available():
                 self._native = NativeY4MReader(self.props["location"],
                                                batch=batch)
+                seek_to = getattr(self, "_seek_frame", 0)
+                if seek_to:
+                    self._native._lib.gtpu_seek(self._native._h, seek_to)
                 self._native.start()
         except Exception:
             self._native = None
@@ -131,6 +134,35 @@ class FileSrc(SourceElement):
         if self._file:
             self._file.close()
             self._file = None
+
+    def do_seek(self, segment) -> bool:
+        if self._video_info is not None:
+            fps = self._video_info.fps
+            if not fps.num:
+                return False
+            frame = segment.start * fps.num // (1_000_000_000 * fps.denom)
+            self._frame_idx = frame
+            if self._native is not None:
+                self._native.close()
+                self._native = None
+                self._native_pending = True
+            if self._file:
+                fsz = frame_size(self._video_info.finfo,
+                                 self._video_info.width,
+                                 self._video_info.height)
+                per = fsz + (6 if self._y4m_frame_prefix else 0)
+                base = self._y4m_header_len if self._y4m_frame_prefix else 0
+                self._file.seek(base + frame * per)
+            # native reader restart honors the new index
+            self._seek_frame = frame
+            return True
+        if self._audio_info is not None:
+            pos = segment.start * self._audio_info.rate // 1_000_000_000
+            self._frame_idx = pos
+            if self._file:
+                self._file.seek(pos * self._audio_info.bpf)
+            return True
+        return False
 
     def create(self, n_frames: int) -> Optional[Buffer]:
         if self._video_info is not None:

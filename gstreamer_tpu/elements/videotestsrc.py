@@ -393,6 +393,13 @@ class VideoTestSrc(SourceElement):
         self._frame = 0
         self._lcg_state = 0
 
+    def do_seek(self, segment) -> bool:
+        fps = self._info.fps if self._info else None
+        if not fps or not fps.num:
+            return False
+        self._frame = segment.start * fps.num // (1_000_000_000 * fps.denom)
+        return True
+
     def create(self, n_frames: int) -> Optional[Buffer]:
         import jax.numpy as jnp
 

@@ -383,3 +383,42 @@ class TestNativeIO:
         while (s := sink.pull_sample()) is not None:
             total += s.buffer.batch
         assert total == 4
+
+
+class TestSeek:
+    def test_videotestsrc_seek(self):
+        p = parse_launch("videotestsrc num-buffers=10 ! appsink name=o")
+        p.compile()
+        p.seek(100_000_000)   # 100ms @30fps = frame 3
+        p.run()
+        sink = p.get_by_name("o")
+        pts = sink.pull_sample().buffer.pts
+        assert pts == 3_000_000_000 // 30   # frame 3 (gst_util_uint64_scale)
+
+    def test_filesrc_seek(self, tmp_path):
+        w, h = 8, 8
+        path = tmp_path / "s.y4m"
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W8 H8 F10:1\n")
+            for i in range(10):
+                f.write(b"FRAME\n")
+                f.write(bytes([i]) * (w * h * 3 // 2))
+        p = parse_launch(f"filesrc location={path} ! appsink name=o")
+        p.compile()
+        p.set_state("playing")
+        p.seek(500_000_000)   # 0.5s @10fps = frame 5
+        p.run()
+        sink = p.get_by_name("o")
+        first = np.asarray(sink.pull_sample().buffer.data[0])
+        assert first.ravel()[0] == 5
+
+    def test_audiotestsrc_seek_phase(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 samplesperbuffer=100 ! appsink name=o")
+        p.compile()
+        p.set_state("playing")
+        p.seek(1_000_000_000)
+        p.run()
+        sink = p.get_by_name("o")
+        buf = sink.pull_sample().buffer
+        assert buf.pts == 1_000_000_000
