@@ -68,6 +68,11 @@ BT601_75 = [
 (C_WHITE, C_YELLOW, C_CYAN, C_GREEN, C_MAGENTA, C_RED, C_BLUE, C_BLACK,
  C_NEG_I, C_POS_Q, C_SUPER_BLACK, C_DARK_GREY) = range(12)
 
+# videotestsrc.c:1125 sine_table[256] == int(128 + 127.999*sin(2*pi*i/256))
+# (verified identical against the reference table)
+SINE_TABLE = (128 + 127.999 * np.sin(
+    2 * np.pi * np.arange(256) / 256)).astype(np.int64)
+
 # CCIR fixed-point RGB->YUV (videotestsrc.c:160-204)
 SCALEBITS = 10
 ONE_HALF = 1 << (SCALEBITS - 1)
@@ -161,6 +166,7 @@ class VideoTestSrc(SourceElement):
         "is-live": (bool, False, ""),
         "animation-mode": (str, "frames", "frames|wall-time|running-time"),
         "horizontal-speed": (int, 0, "scroll pixels per frame"),
+        "k0": (int, 0, "zoneplate zero-order phase"),
         "kx": (int, 0, "zoneplate x phase"), "ky": (int, 0, ""),
         "kt": (int, 0, ""), "kxt": (int, 0, ""), "kyt": (int, 0, ""),
         "kxy": (int, 0, ""), "kx2": (int, 20, ""), "ky2": (int, 20, ""),
@@ -307,20 +313,19 @@ class VideoTestSrc(SourceElement):
             for c in range(4):
                 out[..., c] = _blend(fg[c], bg[c], t)
         elif pat in ("zone-plate", "chroma-zone-plate"):
-            kx2, ky2 = self.props["kx2"], self.props["ky2"]
-            phase = (np.pi * ((xx - cx) ** 2 * kx2 / w + (yy - cy) ** 2 * ky2 / h)
-                     / max(w, h))
-            s = (np.sin(phase) * 127 + 128).astype(np.int32)
+            s = SINE_TABLE[self._zoneplate_phase(w, h, 0) & 0xFF]
             if pat == "zone-plate":
                 out[..., 0] = 255
                 out[..., 1] = s
                 out[..., 2] = 128
                 out[..., 3] = 128
             else:
+                # gst_video_test_src_chromazoneplate: Y=128, U=V=sine
+                # (videotestsrc.c:1356-1358)
                 out[..., 0] = 255
                 out[..., 1] = 128
                 out[..., 2] = s
-                out[..., 3] = 255 - s
+                out[..., 3] = s
         elif pat in ("pinwheel", "spokes"):
             ang = np.arctan2(yy - cy, xx - cx)
             sect = ((ang + np.pi) * 8 / np.pi).astype(np.int64) & 1
@@ -336,6 +341,41 @@ class VideoTestSrc(SourceElement):
             for i in range(4):
                 out[i * h // 4:(i + 1) * h // 4] = self._canon_color(i + 1)
         return out
+
+    def _zoneplate_phase(self, w, h, t):
+        """Exact port of the optimized zoneplate loop
+        (videotestsrc.c gst_video_test_src_zoneplate):
+        phase = k0 + kx(i+1) + ky(j+1) + kt*t + kxt*t(i+1) + kyt*t(j+1)
+              + (kxy*y*scale_kxy*(xreset+i+1)) >> 16
+              + (kx2*x^2*scale_kx2) >> 16 + (ky2*y^2)/h + (kt2*t^2) >> 1
+        in wrapping 32-bit integer arithmetic."""
+        pp = self.props
+        i32 = np.int32
+        xoff, yoff = pp["xoffset"], pp["yoffset"]
+        xreset = -(w // 2) - xoff
+        yreset = -(h // 2) - yoff
+        ii = np.arange(w, dtype=np.int64)
+        jj = np.arange(h, dtype=np.int64)
+        x = (xreset + ii)
+        y = (yreset + jj)
+        scale_kxy = 0xFFFF // (w // 2) if w >= 2 else 0
+        scale_kx2 = 0xFFFF // w
+
+        def w32(a):
+            return ((np.asarray(a, np.int64) + (1 << 31)) % (1 << 32)
+                    - (1 << 31)).astype(np.int64)
+
+        phase = np.zeros((h, w), np.int64)
+        phase += pp["k0"] + pp["kt"] * t + ((pp["kt2"] * t * t) >> 1)
+        phase += (pp["kx"] + pp["kxt"] * t) * (ii + 1)[None, :]
+        phase += (pp["ky"] + pp["kyt"] * t) * (jj + 1)[None, :].T
+        delta_kxy = w32(pp["kxy"] * y * scale_kxy)
+        accum_kxy = w32(delta_kxy[:, None] * (xreset + ii + 1)[None, :])
+        phase += accum_kxy >> 16
+        phase += w32(pp["kx2"] * x * x * scale_kx2)[None, :] >> 16
+        ky2row = np.trunc((pp["ky2"] * y * y) / h).astype(np.int64)
+        phase += ky2row[:, None]
+        return phase.astype(np.int64)
 
     def _pack_static(self):
         import jax.numpy as jnp

@@ -155,6 +155,14 @@ class VideoConverter:
         plan["matrix"] = color_mod.prepare_matrix(
             m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb,
             bits=max(in_bits, out_bits))
+
+        # fused Pallas ingest kernel (ops/convert_kernel.py) eligibility:
+        # 8-bit 4:2:0 -> downscale, h-first, no alpha
+        from ..ops import convert_kernel as ck
+        plan["pallas_ok"] = (
+            ck.applicable(ifmt, ii, oi, plan)
+            and not ifmt.has_alpha
+            and (plan["v_res"] is None or plan["scale_order"] == "hv"))
         return plan
 
     # -- execution ---------------------------------------------------------
@@ -169,6 +177,10 @@ class VideoConverter:
         plan = self._plan
 
         from .format import pack_planes, unpack_planes
+
+        if (xp is not np and plan["pallas_ok"] and self._pallas_enabled()):
+            return self._pipeline_pallas(xp, planes)
+
         # int16 is wide enough for every stage up to the matrix (values
         # <=255, chroma filter sums <=1277) and halves HBM traffic; the
         # alpha plane is skipped entirely when neither side carries alpha
@@ -256,6 +268,59 @@ class VideoConverter:
                 v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
             chans = (a, y, u, v)
 
+        return pack_planes(xp, ofmt, chans, oi.width, oi.height)
+
+    def _pallas_enabled(self) -> bool:
+        import os
+
+        mode = os.environ.get("GTPU_PALLAS", "auto")
+        if mode == "0":
+            return False
+        if mode == "interpret":
+            return True
+        import jax
+        return jax.default_backend() == "tpu"
+
+    def _pipeline_pallas(self, xp, planes):
+        """Fused-ingest variant: Pallas kernel does unpack + chroma-up +
+        h-scale, XLA finishes vscale + matrix + downsample + pack."""
+        import os
+
+        from ..ops.convert_kernel import fused_i420_up_hscale
+        from .format import pack_planes
+
+        ii, oi = self.in_info, self.out_info
+        plan = self._plan
+        interp = os.environ.get("GTPU_PALLAS") == "interpret"
+        taps_m = scaler_mod.tap_matrix(plan["h_res"])
+        y, u, v = planes[0], planes[1], planes[2]
+        yk, ue, uo, ve, vo = fused_i420_up_hscale(
+            y, u, v, taps_m, None,
+            h_cosited=plan["up_h_cosited"], interpret=interp)
+        if plan["v_res"] is not None:
+            yk = scaler_mod.scale_axis_exact(xp, yk, -2, plan["v_res"])
+            uk = scaler_mod.scale_rows_split_exact(xp, ue, uo, plan["v_res"])
+            vk = scaler_mod.scale_rows_split_exact(xp, ve, vo, plan["v_res"])
+        else:
+            # interleave the parity planes (cheap at the scaled width)
+            def _ilv(e, o):
+                st = xp.stack([e, o], axis=-2)
+                return st.reshape(e.shape[:-2] + (e.shape[-2] * 2,
+                                                  e.shape[-1]))
+            uk = _ilv(ue, uo)
+            vk = _ilv(ve, vo)
+        chans = (None, yk, uk, vk)
+        chans = color_mod.apply_prepared_planes(xp, chans, plan["matrix"])
+        ofmt = oi.finfo
+        if plan["downsample"]:
+            a, yy, uu, vv = chans
+            if ofmt.h_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -2, plan["down_v_cosited"])
+                vv = chroma_mod.down2(xp, vv, -2, plan["down_v_cosited"])
+            if ofmt.w_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -1, plan["down_h_cosited"])
+                vv = chroma_mod.down2(xp, vv, -1, plan["down_h_cosited"])
+            chans = (a, yy, uu, vv)
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     # numpy gold path

@@ -268,6 +268,37 @@ def scale_axis_exact(xp, img, axis: int, res: Resampler,
     return xp.moveaxis(out, -1, ax)
 
 
+def scale_rows_split_exact(xp, even, odd, res: Resampler,
+                           precision: int = SCALE_U8, value_bits: int = 8):
+    """Vertical scale where the input rows arrive as separate even/odd
+    planes (each (..., in/2, W)): the contraction splits by row parity
+    BEFORE the fixed-point rounding, so
+        acc = even @ T[:, 0::2].T + odd @ T[:, 1::2].T
+    is bit-identical to scaling the interleaved plane.  Used downstream
+    of the fused Pallas ingest kernel."""
+    m = tap_matrix(res, precision)
+    me, mo = m[:, 0::2], m[:, 1::2]
+    maxv = (1 << value_bits) - 1
+
+    def mm(x, mm_):
+        if xp is np:
+            return (np.moveaxis(x, -2, -1).astype(np.float64)
+                    @ mm_.T.astype(np.float64))
+        m_hi = (mm_ >> 5) << 5
+        m_lo = mm_ - m_hi
+        xb = xp.moveaxis(x, -2, -1).astype(xp.bfloat16)
+        return (xp.matmul(xb, xp.asarray(m_hi.T, dtype=xp.bfloat16),
+                          preferred_element_type=xp.float32)
+                + xp.matmul(xb, xp.asarray(m_lo.T, dtype=xp.bfloat16),
+                            preferred_element_type=xp.float32))
+
+    acc = mm(even, me) + mm(odd, mo)
+    acc = acc.astype(xp.int32) if xp is not np else acc.astype(np.int64)
+    out = (acc + ((1 << precision) - 1)) >> precision
+    out = xp.clip(out, 0, maxv)
+    return xp.moveaxis(out, -1, -2)
+
+
 def scale_axis_ref(img: np.ndarray, axis: int, res: Resampler,
                    precision: int = SCALE_U8,
                    value_bits: int = 8) -> np.ndarray:

@@ -422,3 +422,26 @@ class TestSeek:
         sink = p.get_by_name("o")
         buf = sink.pull_sample().buffer
         assert buf.pts == 1_000_000_000
+
+
+class TestValidate:
+    def test_monitor_clean_pipeline(self):
+        from gstreamer_tpu.validate import PipelineMonitor
+        p = parse_launch("videotestsrc num-buffers=3 ! videoconvert ! "
+                         "video/x-raw,format=RGB ! fakesink")
+        mon = PipelineMonitor(p)
+        p.run()
+        assert mon.ok, mon.violations
+
+    def test_scenario_seek(self):
+        from gstreamer_tpu.validate import PipelineMonitor, Scenario
+        p = parse_launch("videotestsrc num-buffers=10 ! fakesink name=s")
+        mon = PipelineMonitor(p)
+        p.compile()
+        sc = Scenario(actions=[(3, lambda pp: (pp.seek(0),
+                                               mon.reset_timestamps()))],
+                      max_ticks=20)
+        sc.run(p)
+        # seek back to 0 at tick 3 -> extra frames rendered
+        assert p.get_by_name("s").n_rendered >= 10
+        assert mon.ok, mon.violations

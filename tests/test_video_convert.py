@@ -302,3 +302,19 @@ def test_videotestsrc_10bit():
     assert y.dtype == np.uint16
     # white Y=235 painted 8-bit, widened TO_16 (235*257), stored >>6
     assert y[0, 0] == (235 * 257) >> 6
+
+
+def test_pallas_fused_path_matches(monkeypatch):
+    """The fused Pallas ingest kernel (interpret mode on CPU) must be
+    bit-identical to the XLA path for an eligible conversion."""
+    monkeypatch.setenv("GTPU_PALLAS", "interpret")
+    ii = VideoInfo(format="I420", width=128, height=120)
+    oi = VideoInfo(format="RGB", width=64, height=60)
+    conv = VideoConverter(ii, oi, {"resampler-method": "linear",
+                                   "resampler-taps": 2})
+    assert conv._plan["pallas_ok"]
+    planes = rand_planes(ii, batch=(2,))
+    gold = conv.convert_ref(planes)
+    got = conv.convert(planes)
+    for g, j in zip(gold, got):
+        np.testing.assert_array_equal(g, np.asarray(j))
