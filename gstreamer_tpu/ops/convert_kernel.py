@@ -8,37 +8,41 @@ intermediates per frame when expressed as XLA ops).  This kernel performs
     ->  chroma up2 V (interstitial)  ->  horizontal scale (exact
     bf16-limb MXU matmuls, SCALE_U8 fixed point)
 
-in ONE pass over row tiles held in VMEM, writing only the (H, out_w)
-per-channel results.  Arithmetic is bit-identical to the XLA path (and to
-the reference ORC kernels):
+in ONE pass over row tiles held in VMEM, writing only the scaled
+channels.  Arithmetic is bit-identical to the XLA path (and to the
+reference ORC kernels):
 
 * up2 H cosited: even = c[k], odd = (c[k] + c[k+1] + 1) >> 1
 * up2 H interstitial: out[2k] = (c[k-1] + 3c[k] + 2) >> 2,
                       out[2k+1] = (3c[k] + c[k+1] + 2) >> 2
-* up2 V interstitial: same filter over rows
+* up2 V interstitial: same filter over rows (applied AFTER the h filter,
+  matching MAKE_UPSAMPLE_V2 which h-resamples each line first)
 * h-scale: clamp_u8((sum taps_s16 * px + 4095) >> 12) as two bf16
   matmuls over hi/lo tap limbs with f32 accumulation (exact for 8-bit
   pixels x 13-bit taps)
 
-Mosaic-friendly structure: the full-width chroma row is never
-materialized — even and odd columns are kept as separate half-width
-arrays and contracted against the even/odd ROWS of the tap matrix
-(mathematically identical because the contraction sum splits by column
-parity before the fixed-point rounding); only OUTPUT rows are
-interleaved, via a leading-dimension reshape.
+Mosaic-friendly structure:
+* the full-width chroma row is never materialized — even and odd
+  columns stay as half-width arrays contracted against the even/odd
+  ROWS of the tap matrix (exact: the contraction sum splits by column
+  parity before the fixed-point rounding);
+* chroma outputs are even/odd ROW parity planes — the interleave is
+  folded into the downstream v-scale contraction (or done in XLA);
+* the v-filter halo comes from three SHIFTED chroma views (k-1, k, k+1)
+  fed through ordinary BlockSpecs, so the Pallas pipeline machinery
+  double-buffers every load automatically (no manual DMA);
+* geometry is padded to sublane/lane tilings (padded tap rows are zero,
+  padded output rows are sliced off).
 
-Grid: (batch, H / TILE_ROWS).  Y arrives via a blocked BlockSpec; the
-subsampled chroma planes stay in HBM and each step DMAs its tile + 1-row
-halo (top/bottom padded by the caller), following the async-copy pattern
-from the Pallas guide.
+Grid: (batch, H / tile).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-TILE_ROWS = 64          # output rows per grid step (sublane-aligned);
-                        # inputs are edge-padded to a multiple
+TILE_ROWS = 128         # output rows per grid step (tc=64 keeps chroma
+                        # blocks sublane-aligned); height pads to a multiple
 
 
 def _limbs(m: np.ndarray):
@@ -66,22 +70,20 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
     B, H, W = y.shape
     WC = u.shape[-1]
     out_w = tap_matrix.shape[0]
-    # edge-pad the height to a tile multiple (sliced off after the call;
-    # the tc+2 chroma DMA window stays in range thanks to the padding)
-    H_pad = -(-H // TILE_ROWS) * TILE_ROWS
+    tile = TILE_ROWS
+    H_pad = -(-H // tile) * tile
+    tc = tile // 2
     if H_pad != H:
-        import jax.numpy as _jnp
-        pad_y = H_pad - H
-        y = _jnp.concatenate(
-            [y] + [y[:, -1:]] * pad_y, axis=1)
-        pad_c = H_pad // 2 - u.shape[1]
-        u = _jnp.concatenate([u] + [u[:, -1:]] * pad_c, axis=1)
-        v = _jnp.concatenate([v] + [v[:, -1:]] * pad_c, axis=1)
-    n_tiles = H_pad // TILE_ROWS
-    tc = TILE_ROWS // 2          # chroma rows advanced per tile
+        y = jnp.concatenate(
+            [y, jnp.repeat(y[:, -1:], H_pad - H, axis=1)], axis=1)
+        padc = H_pad // 2 - u.shape[1]
+        u = jnp.concatenate([u, jnp.repeat(u[:, -1:], padc, axis=1)], axis=1)
+        v = jnp.concatenate([v, jnp.repeat(v[:, -1:], padc, axis=1)], axis=1)
+    n_tiles = H_pad // tile
+    HC = H_pad // 2
 
-    # chroma width padded to the lane tiling (128); the padded tap rows
-    # are ZERO so junk columns cannot contribute
+    # lane-align chroma width; padded tap rows are ZERO so junk columns
+    # cannot contribute
     WCP = -(-WC // 128) * 128
 
     t_hi, t_lo = _limbs(tap_matrix)                  # (out_w, W)
@@ -93,37 +95,29 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
         out[:m.shape[0]] = m
         return jnp.asarray(out, jnp.bfloat16)
 
-    # even/odd column rows of the tap matrix (for the split contraction)
     te_hi = _pad_rows(t_hi.T[0::2])                  # (WCP, out_w)
     te_lo = _pad_rows(t_lo.T[0::2])
     to_hi = _pad_rows(t_hi.T[1::2])
     to_lo = _pad_rows(t_lo.T[1::2])
 
-    # pad chroma: 1 edge row on top (v-filter halo) and 7 on the bottom
-    # (DMA lengths must be sublane-aligned, so each step copies tc+8 rows);
-    # columns edge-padded to the lane tiling
-    def _pad_c(c):
-        c = jnp.concatenate([c[:, :1], c] + [c[:, -1:]] * 7, axis=1)
+    def _wpad(c):
         if WCP != WC:
             c = jnp.concatenate(
                 [c, jnp.repeat(c[:, :, -1:], WCP - WC, axis=2)], axis=2)
         return c
 
-    upad = _pad_c(u)
-    vpad = _pad_c(v)
+    def _shifted(c):
+        """(prev, cur, next) row views with edge clamp."""
+        prev = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+        nxt = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+        return _wpad(prev), _wpad(c), _wpad(nxt)
 
-    def kernel(y_ref, u_hbm, v_hbm, thi_ref, tlo_ref,
-               tehi_ref, telo_ref, tohi_ref, tolo_ref,
-               oy_ref, oue_ref, ouo_ref, ove_ref, ovo_ref, usc, vsc, sem):
-        b = pl.program_id(0)
-        i = pl.program_id(1)
+    up_, uc_, un_ = _shifted(u)
+    vp_, vc_, vn_ = _shifted(v)
 
-        cu = pltpu.make_async_copy(
-            u_hbm.at[b, pl.ds(i * tc, tc + 8)], usc.at[:tc + 8], sem.at[0])
-        cv = pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(i * tc, tc + 8)], vsc.at[:tc + 8], sem.at[1])
-        cu.start()
-        cv.start()
+    def kernel(y_ref, upr, ucr, unr, vpr, vcr, vnr,
+               thi_ref, tlo_ref, tehi_ref, telo_ref, tohi_ref, tolo_ref,
+               oy_ref, oue_ref, ouo_ref, ove_ref, ovo_ref):
 
         def to_bf16(x):
             # Mosaic lacks direct u8/i16 -> bf16 casts; go via i32/f32
@@ -133,34 +127,31 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
             acc = acc_f32.astype(jnp.int32)
             return jnp.clip((acc + 4095) >> 12, 0, 255).astype(jnp.int16)
 
-        # Y: full-width matmul while chroma DMA is in flight
         yb = to_bf16(y_ref[0])
         acc = (jnp.dot(yb, thi_ref[:], preferred_element_type=jnp.float32)
                + jnp.dot(yb, tlo_ref[:], preferred_element_type=jnp.float32))
         oy_ref[0] = scale_out(acc)
 
-        cu.wait()
-        cv.wait()
-
-        def chroma_channel(csc, out_e_ref, out_o_ref):
-            c = csc[:tc + 2].astype(jnp.int32)       # chroma rows k-1..k+tc
-            cn = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)   # c[k+1]
+        def h_up(c):
+            """int32 (rows, WCP) half-res -> (even, odd) column halves."""
+            cn = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
             if h_cosited:
-                ec = c                               # even columns
-                oc = (c + cn + 1) >> 1               # odd columns
-            else:
-                cp = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
-                ec = (cp + 3 * c + 2) >> 2
-                oc = (3 * c + cn + 2) >> 2
+                return c, (c + cn + 1) >> 1
+            cp = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+            return (cp + 3 * c + 2) >> 2, (3 * c + cn + 2) >> 2
 
-            def vfilt(x):
-                prev, cur, nxt = x[0:tc], x[1:tc + 1], x[2:tc + 2]
-                even_r = (prev + 3 * cur + 2) >> 2   # full-res rows 2k
-                odd_r = (3 * cur + nxt + 2) >> 2     # rows 2k+1
-                return even_r, odd_r
-
-            ec_e, ec_o = vfilt(ec)
-            oc_e, oc_o = vfilt(oc)
+        def chroma_channel(p_ref, c_ref, n_ref, out_e_ref, out_o_ref):
+            # h filter FIRST (reference order), per shifted row view
+            pe, po = h_up(p_ref[0].astype(jnp.int32))
+            ce, co = h_up(c_ref[0].astype(jnp.int32))
+            ne, no = h_up(n_ref[0].astype(jnp.int32))
+            # v filter per column-parity half:
+            #   even rows 2k: (h[k-1] + 3h[k] + 2) >> 2
+            #   odd rows 2k+1: (3h[k] + h[k+1] + 2) >> 2
+            er_ec = (pe + 3 * ce + 2) >> 2
+            er_oc = (po + 3 * co + 2) >> 2
+            orr_ec = (3 * ce + ne + 2) >> 2
+            orr_oc = (3 * co + no + 2) >> 2
 
             def hscale(e_half, o_half):
                 eb = to_bf16(e_half)
@@ -171,58 +162,47 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
                     + jnp.dot(ob, tohi_ref[:], preferred_element_type=jnp.float32)
                     + jnp.dot(ob, tolo_ref[:], preferred_element_type=jnp.float32))
 
-            out_e_ref[0] = scale_out(hscale(ec_e, oc_e))   # rows 2k
-            out_o_ref[0] = scale_out(hscale(ec_o, oc_o))   # rows 2k+1
+            out_e_ref[0] = scale_out(hscale(er_ec, er_oc))
+            out_o_ref[0] = scale_out(hscale(orr_ec, orr_oc))
 
-        chroma_channel(usc, oue_ref, ouo_ref)
-        chroma_channel(vsc, ove_ref, ovo_ref)
+        chroma_channel(upr, ucr, unr, oue_ref, ouo_ref)
+        chroma_channel(vpr, vcr, vnr, ove_ref, ovo_ref)
 
     grid = (B, n_tiles)
-    # outputs: Y (interleaved rows via its BlockSpec) + per-parity chroma
-    # row planes (interleaving is folded into the downstream v-scale
-    # contraction — Mosaic cannot materialize minor-dim interleaves)
+    cspec = pl.BlockSpec((1, tc, WCP), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    tspec_full = pl.BlockSpec((W, out_w), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    tspec_half = pl.BlockSpec((WCP, out_w), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((B, H_pad, out_w), jnp.int16),
-        jax.ShapeDtypeStruct((B, H_pad // 2, out_w), jnp.int16),
-        jax.ShapeDtypeStruct((B, H_pad // 2, out_w), jnp.int16),
-        jax.ShapeDtypeStruct((B, H_pad // 2, out_w), jnp.int16),
-        jax.ShapeDtypeStruct((B, H_pad // 2, out_w), jnp.int16),
+        jax.ShapeDtypeStruct((B, HC, out_w), jnp.int16),
+        jax.ShapeDtypeStruct((B, HC, out_w), jnp.int16),
+        jax.ShapeDtypeStruct((B, HC, out_w), jnp.int16),
+        jax.ShapeDtypeStruct((B, HC, out_w), jnp.int16),
     )
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, W), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((W, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WCP, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WCP, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WCP, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WCP, out_w), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            cspec, cspec, cspec, cspec, cspec, cspec,
+            tspec_full, tspec_full,
+            tspec_half, tspec_half, tspec_half, tspec_half,
         ],
         out_specs=(
-            pl.BlockSpec((1, TILE_ROWS, out_w), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, out_w), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ) + tuple(
-            pl.BlockSpec((1, TILE_ROWS // 2, out_w), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tc, out_w), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM) for _ in range(4)),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((tc + 8, WCP), jnp.uint8),
-            pltpu.VMEM((tc + 8, WCP), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(y.astype(jnp.uint8), upad.astype(jnp.uint8), vpad.astype(jnp.uint8),
+    )(y.astype(jnp.uint8),
+      up_.astype(jnp.uint8), uc_.astype(jnp.uint8), un_.astype(jnp.uint8),
+      vp_.astype(jnp.uint8), vc_.astype(jnp.uint8), vn_.astype(jnp.uint8),
       t_hi_j, t_lo_j, te_hi, te_lo, to_hi, to_lo)
     if H_pad != H:
         res = (res[0][:, :H], res[1][:, :H // 2], res[2][:, :H // 2],
@@ -232,8 +212,7 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
 
 def applicable(ifmt, ii, oi, plan) -> bool:
     """The fused kernel covers: 8-bit 4:2:0 input, vertical interstitial +
-    horizontal cosited-or-not chroma, downscale with scale-before-matrix,
-    height divisible by the tile."""
+    horizontal cosited-or-not chroma, downscale with scale-before-matrix."""
     return (
         ifmt.bits == 8
         and ifmt.w_sub[1] == 1 and ifmt.h_sub[1] == 1

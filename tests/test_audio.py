@@ -267,3 +267,23 @@ class TestAudioMix:
         out2 = ar.host_process(b2)
         assert out2.data.shape[0] == 150
         assert ar.add_samples == 50
+
+
+class TestFFT:
+    def test_fft_roundtrip(self):
+        from gstreamer_tpu.audio.fft import FFT
+        f = FFT(256)
+        x = np.sin(2 * np.pi * 8 * np.arange(256) / 256)
+        spec = f.fft(np, x)
+        assert spec.shape == (129,)
+        assert np.abs(spec).argmax() == 8
+        back = f.ifft(np, spec) / 256
+        np.testing.assert_allclose(back, x, atol=1e-12)
+
+    def test_windows(self):
+        from gstreamer_tpu.audio import fft as fft_mod
+        for kind in (fft_mod.WINDOW_HAMMING, fft_mod.WINDOW_HANN,
+                     fft_mod.WINDOW_BARTLETT, fft_mod.WINDOW_BLACKMAN):
+            w = fft_mod.window(np, 64, kind)
+            assert w.shape == (64,)
+            assert w.max() <= 1.0 + 1e-9

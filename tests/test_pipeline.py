@@ -445,3 +445,59 @@ class TestValidate:
         # seek back to 0 at tick 3 -> extra frames rendered
         assert p.get_by_name("s").n_rendered >= 10
         assert mon.ok, mon.violations
+
+
+class TestAux:
+    def test_discoverer_y4m(self, tmp_path):
+        from gstreamer_tpu.utils.discoverer import Discoverer
+        path = tmp_path / "d.y4m"
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W64 H48 F25:1\n")
+            for _ in range(25):
+                f.write(b"FRAME\n" + bytes(64 * 48 * 3 // 2))
+        info = Discoverer().discover(str(path))
+        v = info.video_streams[0]
+        assert (v.width, v.height) == (64, 48)
+        assert info.duration_ns == 1_000_000_000
+
+    def test_discoverer_wav(self, tmp_path):
+        import struct
+        from gstreamer_tpu.utils.discoverer import Discoverer
+        path = tmp_path / "d.wav"
+        data = b"\x00\x00" * 48000
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                       96000, 2, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        path.write_bytes(hdr + data)
+        info = Discoverer().discover(str(path))
+        a = info.audio_streams[0]
+        assert a.rate == 48000 and a.channels == 1 and a.format == "S16LE"
+        assert info.duration_ns == 1_000_000_000
+
+    def test_presets(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("GTPU_PRESET_PATH", str(tmp_path))
+        from gstreamer_tpu.core import preset
+        from gstreamer_tpu.core.element import element_factory_make
+        e = element_factory_make("videobalance", contrast=1.5)
+        preset.save_preset(e, "high-contrast")
+        e2 = element_factory_make("videobalance")
+        assert preset.load_preset(e2, "high-contrast")
+        assert e2.get_property("contrast") == 1.5
+        assert "high-contrast" in preset.get_preset_names("videobalance")
+        assert preset.delete_preset("videobalance", "high-contrast")
+
+    def test_controller_lfo_and_interpolation(self):
+        from gstreamer_tpu.core.controller import (
+            Controller, InterpolationControlSource, LFOControlSource)
+        from gstreamer_tpu.core.element import element_factory_make
+        e = element_factory_make("volume")
+        ctrl = Controller()
+        src = InterpolationControlSource()
+        src.set(0, 0.0)
+        src.set(1_000_000_000, 1.0)
+        ctrl.bind(e, "volume", src)
+        ctrl.sync_values(500_000_000)
+        assert abs(e.get_property("volume") - 0.5) < 1e-9
+        lfo = LFOControlSource(frequency=2.0)
+        assert abs(lfo.value_at(0) - 0.5) < 1e-9
