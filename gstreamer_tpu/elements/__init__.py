@@ -12,3 +12,5 @@ from . import deinterlace      # noqa: F401
 from . import file_elements     # noqa: F401
 from . import audio_mix         # noqa: F401
 from . import flow_elements     # noqa: F401
+from . import wav_elements      # noqa: F401
+from . import audiofx           # noqa: F401

@@ -287,3 +287,71 @@ class TestFFT:
             w = fft_mod.window(np, 64, kind)
             assert w.shape == (64,)
             assert w.max() <= 1.0 + 1e-9
+
+
+class TestWavAndFx:
+    def test_wav_roundtrip(self, tmp_path):
+        out = tmp_path / "t.wav"
+        p = parse_launch(
+            f"audiotestsrc num-buffers=4 samplesperbuffer=1000 freq=500 ! "
+            f"wavenc location={out}")
+        p.run()
+        assert out.stat().st_size == 44 + 4 * 1000 * 2
+        p2 = parse_launch(f"wavparse location={out} ! appsink name=o")
+        sink = p2.get_by_name("o")
+        p2.run()
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            total += np.asarray(s.buffer.data).shape[0]
+            rate_caps = s.caps
+        assert total == 4000
+        assert rate_caps[0]["rate"] == 44100
+
+    def test_audioamplify(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 wave=square volume=0.4 ! "
+            "audioamplify amplification=2.0 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        peak = np.abs(arr.astype(int)).max()
+        assert abs(peak - 0.8 * 32767) < 400
+
+    def test_audioinvert_full(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 ! audioinvert degree=1.0 ! "
+            "appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        # degree 1.0 -> inverted waveform (starts negative for sine)
+        arr = np.asarray(sink.pull_sample().buffer.data)
+        assert arr[0, 0] <= 0
+
+    def test_audioecho(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=2 samplesperbuffer=1000 wave=ticks ! "
+            "audioecho delay=100000000 intensity=0.5 ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        assert sink.pull_sample() is not None
+
+    def test_level_messages(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 volume=0.5 ! level name=l ! "
+            "fakesink")
+        p.run()
+        lvl = p.get_by_name("l")
+        # sine at 0.5 amplitude: rms = 0.5/sqrt(2) -> about -9 dB
+        assert abs(lvl.last_rms[0] - 20 * np.log10(0.5 / np.sqrt(2))) < 0.5
+        msg = p.bus.pop_filtered("element")
+        assert msg is not None and "rms" in msg.data
+
+    def test_spectrum_peak(self):
+        p = parse_launch(
+            "audiotestsrc num-buffers=1 samplesperbuffer=4096 freq=4306.64 ! "
+            "spectrum name=s bands=129 ! fakesink")
+        p.run()
+        s = p.get_by_name("s")
+        mags = np.asarray(s.last_magnitudes)
+        # 4306.64 Hz at 44.1k with nfft 256: bin = 4306.64*256/44100 = 25
+        assert mags.argmax() == 25
