@@ -327,19 +327,64 @@ class VideoTestSrc(SourceElement):
                 out[..., 2] = s
                 out[..., 3] = s
         elif pat in ("pinwheel", "spokes"):
-            ang = np.arctan2(yy - cy, xx - cx)
-            sect = ((ang + np.pi) * 8 / np.pi).astype(np.int64) & 1
+            # exact port of gst_video_test_src_pinwheel/spokes: 19 ray
+            # projections summed, then blended fg/bg
+            t = 0
+            theta = np.pi / 19 * np.arange(19) + 0.001 * self.props["kt"] * t
+            cth, sth = np.cos(theta), np.sin(theta)
+            xi = (xx - 0.5 * w)
+            yj = (yy - 0.5 * h)
+            proj = (cth[:, None, None] * xi[None] + sth[:, None, None] * yj[None])
+            if pat == "pinwheel":
+                y19 = np.clip(proj, -1, 1)
+                y19[1::2] *= -1
+                vsum = y19.sum(axis=0)
+                tline = np.clip(np.rint(vsum * 128 + 128), 0, 255).astype(np.int64)
+            else:
+                x19 = 2.0 * 0.5 - np.abs(proj)
+                y19 = np.clip(x19 + 0.5, 0.0, 1.0)
+                vsum = y19.sum(axis=0)
+                tline = np.clip(np.rint(vsum * 255), 0, 255).astype(np.int64)
             for c in range(4):
-                out[..., c] = np.where(sect == 0, fg[c], bg[c])
+                out[..., c] = _blend(fg[c], bg[c], tline)
         elif pat == "circular":
-            d = np.hypot((xx - cx) / w, (yy - cy) / h) * 2
-            s = (np.sin(d * np.pi * 8) * 127 + 128).astype(np.int64)
+            # exact port of gst_video_test_src_circular: ring segments
+            # with octave-spaced frequencies through sine_table
+            freq = np.zeros(8)
+            for i in range(1, 8):
+                freq[i] = 200 * (2.0 ** (-(i - 1) / 4.0))
+            dist = np.sqrt((2 * xx - w) ** 2 + (2 * yy - h) ** 2) / (2 * w)
+            seg = np.floor(dist * 16).astype(np.int64)
+            d16 = np.floor(256 * dist * freq[np.clip(seg, 0, 7)] + 0.5
+                           ).astype(np.int64)
+            tline = np.where((seg == 0) | (seg >= 8), 0,
+                             SINE_TABLE[d16 & 0xFF]).astype(np.int64)
             for c in range(4):
-                out[..., c] = _blend(fg[c], bg[c], s)
+                out[..., c] = _blend(fg[c], bg[c], tline)
         elif pat == "gamut":
-            out[:] = self._canon_color(C_BLACK)
-            for i in range(4):
-                out[i * h // 4:(i + 1) * h // 4] = self._canon_color(i + 1)
+            # exact port of gst_video_test_src_gamut: 4 bands with a
+            # 16-px checker alternating in-gamut and out-of-gamut colors
+            prim = np.zeros((4, 4), np.int64)
+            sec = np.zeros((4, 4), np.int64)
+            for r, base in enumerate((C_BLACK, C_WHITE, C_RED, C_BLUE)):
+                col = self._canon_color(base)
+                prim[r] = col
+                s2 = col.copy()
+                if r == 0:
+                    s2[1] = 0      # superblack Y=0
+                elif r == 1:
+                    s2[1] = 255    # superwhite Y=255
+                elif r == 2:
+                    s2[3] = 255    # V=255 (out of gamut red)
+                else:
+                    s2[2] = 255    # U=255 (out of gamut blue)
+                sec[r] = s2
+            yyi, xxi = np.mgrid[0:h, 0:w]
+            region = (yyi * 4) // h
+            checker = ((xxi ^ yyi) & 16) != 0
+            for c in range(4):
+                out[..., c] = np.where(checker, prim[region][..., c],
+                                       sec[region][..., c])
         return out
 
     def _zoneplate_phase(self, w, h, t):
