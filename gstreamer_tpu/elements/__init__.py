@@ -14,3 +14,4 @@ from . import audio_mix         # noqa: F401
 from . import flow_elements     # noqa: F401
 from . import wav_elements      # noqa: F401
 from . import audiofx           # noqa: F401
+from . import playback          # noqa: F401

@@ -1,0 +1,139 @@
+"""Playback autoplugging: typefind element, decodebin, uridecodebin,
+playbin equivalents.
+
+Reference: subprojects/gst-plugins-base/gst/playback/ — gstdecodebin3.c
+(caps-driven graph auto-construction from rank-sorted factories),
+gstplaybin3.c, gsturidecodebin3.c; gstreamer/plugins/elements/
+gsttypefindelement.c.
+
+The batched runtime autopluggs at negotiation time: uridecodebin sniffs
+the URI (utils/typefind.py), instantiates the matching parser source
+internally, and proxies its caps/data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (Element, PadDirection, PadTemplate,
+                            SinkElement, SourceElement, TransformElement,
+                            element_factory_make, register_element)
+from ..utils.typefind import DECODABLE, type_find_file
+
+
+@register_element
+class TypeFindElement(TransformElement):
+    """typefind element: sniffs the stream, exposes .caps (the sniffed
+    media type) and fires have-type callbacks."""
+    FACTORY = "typefind"
+    DESCRIPTION = "Finds the media type of a stream"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.caps_found: Optional[str] = None
+        self.have_type_cb = None
+
+    def process_meta(self, buf: Buffer) -> Buffer:
+        if self.caps_found is None:
+            import numpy as np
+            from ..utils.typefind import type_find_data
+            data = np.asarray(buf.data).tobytes()[:64]
+            self.caps_found, prob = type_find_data(data)
+            if self.have_type_cb:
+                self.have_type_cb(self.caps_found, prob)
+        return buf
+
+
+@register_element
+class UriDecodeBin(SourceElement):
+    """uridecodebin: uri -> raw stream via autoplugging."""
+    FACTORY = "uridecodebin"
+    DESCRIPTION = "Autoplug a URI to raw media"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {"uri": (str, "", "file:// URI or path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._inner: Optional[SourceElement] = None
+
+    def _ensure_inner(self):
+        if self._inner is not None:
+            return
+        uri = self.props["uri"]
+        path = uri[7:] if uri.startswith("file://") else uri
+        mtype, _prob = type_find_file(path)
+        factory = DECODABLE.get(mtype)
+        if factory is None:
+            raise ValueError(
+                f"uridecodebin: no decoder for {mtype!r} ({path!r})")
+        self._inner = element_factory_make(factory, location=path)
+
+    def get_caps(self, filter=None):
+        self._ensure_inner()
+        return self._inner.get_caps(filter)
+
+    def fixate(self, caps):
+        self._ensure_inner()
+        return self._inner.fixate(caps)
+
+    def set_info(self, incaps, outcaps):
+        self._inner.set_info(incaps, outcaps)
+
+    def start(self):
+        self._ensure_inner()
+        self._inner.start()
+
+    def stop(self):
+        if self._inner:
+            self._inner.stop()
+
+    def do_seek(self, segment):
+        return (self._inner.do_seek(segment)
+                if hasattr(self._inner, "do_seek") else False)
+
+    def create(self, n_frames):
+        return self._inner.create(n_frames)
+
+
+@register_element
+class DecodeBin(UriDecodeBin):
+    """decodebin3-style alias (uri-driven in the batched model)."""
+    FACTORY = "decodebin"
+    DESCRIPTION = "Autoplug a stream to raw media"
+
+
+@register_element
+class PlayBin(SinkElement):
+    """playbin3 equivalent for the offline runtime: builds
+    uridecodebin ! (convert) ! appsink internally and exposes frames via
+    pull_sample / a sample callback."""
+    FACTORY = "playbin"
+    DESCRIPTION = "Autoplug and render a URI (offline: collect samples)"
+    PAD_TEMPLATES = []
+    PROPERTIES = {
+        "uri": (str, "", ""),
+        "video-format": (str, "RGB", "output video format"),
+    }
+
+    def build_pipeline(self):
+        from ..core.parse import parse_launch
+        uri = self.props["uri"]
+        path = uri[7:] if uri.startswith("file://") else uri
+        mtype, _ = type_find_file(path)
+        if mtype == "application/x-yuv4mpeg":
+            desc = (f"filesrc location={path} ! videoconvert ! "
+                    f"video/x-raw,format={self.props['video-format']} ! "
+                    f"appsink name=playsink")
+        elif mtype == "audio/x-wav":
+            desc = (f"wavparse location={path} ! audioconvert ! "
+                    f"appsink name=playsink")
+        else:
+            raise ValueError(f"playbin: cannot play {mtype!r}")
+        pipe = parse_launch(desc)
+        return pipe, pipe.get_by_name("playsink")

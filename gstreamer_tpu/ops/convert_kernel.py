@@ -200,9 +200,9 @@ def fused_i420_up_hscale(y, u, v, tap_matrix: np.ndarray,
                          memory_space=pltpu.VMEM) for _ in range(4)),
         out_shape=out_shape,
         interpret=interpret,
-    )(y.astype(jnp.int16),
-      up_.astype(jnp.int16), uc_.astype(jnp.int16), un_.astype(jnp.int16),
-      vp_.astype(jnp.int16), vc_.astype(jnp.int16), vn_.astype(jnp.int16),
+    )(y.astype(jnp.uint8),
+      up_.astype(jnp.uint8), uc_.astype(jnp.uint8), un_.astype(jnp.uint8),
+      vp_.astype(jnp.uint8), vc_.astype(jnp.uint8), vn_.astype(jnp.uint8),
       t_hi_j, t_lo_j, te_hi, te_lo, to_hi, to_lo)
     if H_pad != H:
         res = (res[0][:, :H], res[1][:, :H // 2], res[2][:, :H // 2],

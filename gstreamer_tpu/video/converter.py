@@ -271,15 +271,20 @@ class VideoConverter:
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     def _pallas_enabled(self) -> bool:
+        # The fused ingest kernel is bit-exact (verified on TPU) but its
+        # current schedule underperforms the XLA path (~0.75k vs 3.2k fps
+        # at 1080p) and Mosaic compiles take minutes on this tunnel —
+        # opt-in only until the schedule is tuned (GTPU_PALLAS=1 or
+        # =interpret for CPU tests).
         import os
 
-        mode = os.environ.get("GTPU_PALLAS", "auto")
-        if mode == "0":
-            return False
+        mode = os.environ.get("GTPU_PALLAS", "0")
         if mode == "interpret":
             return True
-        import jax
-        return jax.default_backend() == "tpu"
+        if mode == "1":
+            import jax
+            return jax.default_backend() == "tpu"
+        return False
 
     def _pipeline_pallas(self, xp, planes):
         """Fused-ingest variant: Pallas kernel does unpack + chroma-up +

@@ -501,3 +501,38 @@ class TestAux:
         assert abs(e.get_property("volume") - 0.5) < 1e-9
         lfo = LFOControlSource(frequency=2.0)
         assert abs(lfo.value_at(0) - 0.5) < 1e-9
+
+
+class TestPlayback:
+    def test_typefind_file(self, tmp_path):
+        from gstreamer_tpu.utils.typefind import type_find_file
+        p1 = tmp_path / "a.y4m"
+        p1.write_bytes(b"YUV4MPEG2 W8 H8 F30:1\nFRAME\n" + bytes(96))
+        assert type_find_file(str(p1))[0] == "application/x-yuv4mpeg"
+        p2 = tmp_path / "a.png"
+        p2.write_bytes(b"\x89PNG\r\n\x1a\n" + bytes(16))
+        assert type_find_file(str(p2))[0] == "image/png"
+
+    def test_uridecodebin_y4m(self, tmp_path):
+        path = tmp_path / "u.y4m"
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W16 H8 F30:1\n")
+            for _ in range(2):
+                f.write(b"FRAME\n" + bytes(16 * 8 * 3 // 2))
+        p = parse_launch(f"uridecodebin uri=file://{path} ! appsink name=o")
+        sink = p.get_by_name("o")
+        p.run()
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            total += s.buffer.batch
+        assert total == 2
+
+    def test_playbin_wav(self, tmp_path):
+        out = tmp_path / "p.wav"
+        parse_launch(f"audiotestsrc num-buffers=2 ! wavenc location={out}"
+                     ).run()
+        from gstreamer_tpu.core.element import element_factory_make
+        pb = element_factory_make("playbin", uri=f"file://{out}")
+        pipe, sink = pb.build_pipeline()
+        pipe.run()
+        assert sink.pull_sample() is not None
