@@ -15,3 +15,4 @@ from . import flow_elements     # noqa: F401
 from . import wav_elements      # noqa: F401
 from . import audiofx           # noqa: F401
 from . import playback          # noqa: F401
+from . import overlay           # noqa: F401

@@ -81,6 +81,30 @@ def up2(xp, plane, axis, cosited: bool):
     return _take(out, axis, 0, n)
 
 
+def up2_half(xp, c, axis, cosited: bool, out_size: int):
+    """2x chroma upsample DIRECTLY from the subsampled plane (no wasteful
+    nearest-duplication round-trip through HBM).  `c` holds the true
+    chroma samples along `axis`; identical arithmetic to up2() (which
+    extracts c = plane[::2] from the duplicated layout)."""
+    nc = c.shape[axis]
+    cn = _take(_pad_edge_last(xp, c, axis, 0, 1), axis, 1, nc + 1)  # c[k+1]
+    if cosited:
+        odd = (c + cn + 1) >> 1
+        out = _interleave(xp, c, odd, axis)
+    else:
+        cp = _take(_pad_edge_last(xp, c, axis, 1, 0), axis, 0, nc)  # c[k-1]
+        even_pos = (cp + 3 * c + 2) >> 2
+        odd_pos = (3 * c + cn + 2) >> 2
+        out = _interleave(xp, even_pos, odd_pos, axis)
+    n = out.shape[axis]
+    if out_size < n:
+        out = _take(out, axis, 0, out_size)
+    elif out_size > n:   # odd full size: trailing sample = duplicate
+        out = xp.concatenate(
+            [out, _take(out, axis, n - 1, n)], axis=axis)
+    return out
+
+
 def down2(xp, plane, axis, cosited: bool):
     """2x chroma downsample along axis; output written back at duplicated
     full resolution (pack() then selects the even samples)."""

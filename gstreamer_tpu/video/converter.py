@@ -185,8 +185,15 @@ class VideoConverter:
         # <=255, chroma filter sums <=1277) and halves HBM traffic; the
         # alpha plane is skipped entirely when neither side carries alpha
         # (it would be a constant 255 all the way through).
+        # When upsampling 2x-subsampled chroma, unpack keeps the chroma
+        # planes at their stored (half) resolution and up2_half produces
+        # the full-res plane directly — skipping the nearest-duplicated
+        # intermediate (a full-res int16 HBM round-trip per plane/axis
+        # whose duplicated samples up2 would immediately re-stride away).
+        sub_up = (plan["upsample"] and not ifmt.is_gray
+                  and ifmt.w_sub[1] <= 1 and ifmt.h_sub[1] <= 1)
         chans = unpack_planes(xp, ifmt, planes, ii.width, ii.height,
-                              dtype=xp.int16)
+                              dtype=xp.int16, subsampled_chroma=sub_up)
         skip_alpha = not ifmt.has_alpha and not ofmt.has_alpha
         if skip_alpha:
             chans = (None,) + chans[1:]
@@ -194,18 +201,30 @@ class VideoConverter:
         if plan["upsample"]:
             # h first, then v (MAKE_UPSAMPLE_V2 calls h_resample first)
             a, y, u, v = chans
-            if ifmt.w_sub[1] == 1:
-                u = chroma_mod.up2(xp, u, -1, plan["up_h_cosited"])
-                v = chroma_mod.up2(xp, v, -1, plan["up_h_cosited"])
-            elif ifmt.w_sub[1] == 2:
-                u = chroma_mod.up4(xp, u, -1, plan["up_h_cosited"])
-                v = chroma_mod.up4(xp, v, -1, plan["up_h_cosited"])
-            if ifmt.h_sub[1] == 1:
-                u = chroma_mod.up2(xp, u, -2, plan["up_v_cosited"])
-                v = chroma_mod.up2(xp, v, -2, plan["up_v_cosited"])
-            elif ifmt.h_sub[1] == 2:
-                u = chroma_mod.up4(xp, u, -2, plan["up_v_cosited"])
-                v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
+            if sub_up:
+                if ifmt.w_sub[1] == 1:
+                    u = chroma_mod.up2_half(xp, u, -1, plan["up_h_cosited"],
+                                            ii.width)
+                    v = chroma_mod.up2_half(xp, v, -1, plan["up_h_cosited"],
+                                            ii.width)
+                if ifmt.h_sub[1] == 1:
+                    u = chroma_mod.up2_half(xp, u, -2, plan["up_v_cosited"],
+                                            ii.height)
+                    v = chroma_mod.up2_half(xp, v, -2, plan["up_v_cosited"],
+                                            ii.height)
+            else:
+                if ifmt.w_sub[1] == 1:
+                    u = chroma_mod.up2(xp, u, -1, plan["up_h_cosited"])
+                    v = chroma_mod.up2(xp, v, -1, plan["up_h_cosited"])
+                elif ifmt.w_sub[1] == 2:
+                    u = chroma_mod.up4(xp, u, -1, plan["up_h_cosited"])
+                    v = chroma_mod.up4(xp, v, -1, plan["up_h_cosited"])
+                if ifmt.h_sub[1] == 1:
+                    u = chroma_mod.up2(xp, u, -2, plan["up_v_cosited"])
+                    v = chroma_mod.up2(xp, v, -2, plan["up_v_cosited"])
+                elif ifmt.h_sub[1] == 2:
+                    u = chroma_mod.up4(xp, u, -2, plan["up_v_cosited"])
+                    v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
             chans = (a, y, u, v)
 
         scale_bits = (plan["unpack_bits"] if plan["scale_before_matrix"]

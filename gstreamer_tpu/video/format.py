@@ -217,12 +217,17 @@ def _dup(xp, a, factor_log2: int, axis: int, size: int):
 
 
 def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
-                  dtype=None):
+                  dtype=None, subsampled_chroma: bool = False):
     """planes -> canonical channel tuple (A, c0, c1, c2), each (..., H, W).
 
     This is the TPU-native canonical form: per-channel planes keep the
     lane dimension at full width (the (...,4) channel-last layout tiles
-    terribly on the VPU).  dtype defaults to int32."""
+    terribly on the VPU).  dtype defaults to int32.
+
+    subsampled_chroma=True skips the nearest-duplication of subsampled
+    chroma planes (the caller upsamples directly from the half-res planes
+    via chroma.up2_half — avoids a full-res int16 round-trip through HBM
+    whose duplicated samples the upsampler would immediately re-stride)."""
     dt = dtype or xp.int32
     if fmt.bits == 16:
         dt = xp.int32
@@ -240,8 +245,9 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
             else:
                 p = (p << (16 - d))
                 p = p | (p >> d)
-        p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
-        p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
+        if not (subsampled_chroma and c in (1, 2)):
+            p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
+            p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
         comps.append(p)
     neutral = 0x80 if fmt.bits == 8 else 0x8000
     opaque = 255 if fmt.bits == 8 else 0xFFFF
