@@ -439,7 +439,13 @@ class Pipeline(Bin):
                 if not pads:
                     continue
                 buf = buf_by_pad[pads[0].peer]
-                if not self._fused and self._fns.get(e) is not None:
+                if (not self._fused and e in self._host_elems
+                        and hasattr(e, "host_aggregate")):
+                    ins_bufs = {p.name: buf_by_pad[p.peer] for p in pads}
+                    buf = e.host_aggregate(ins_bufs)
+                    if buf is None:
+                        continue
+                elif not self._fused and self._fns.get(e) is not None:
                     ins = {p.name: buf_by_pad[p.peer].data for p in pads}
                     buf = buf.with_(data=self._elem_jit[e](ins))
                 buf = e.process_meta(buf)

@@ -16,3 +16,4 @@ from . import wav_elements      # noqa: F401
 from . import audiofx           # noqa: F401
 from . import playback          # noqa: F401
 from . import overlay           # noqa: F401
+from . import smpte             # noqa: F401
