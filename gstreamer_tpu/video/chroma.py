@@ -105,6 +105,22 @@ def up2_half(xp, c, axis, cosited: bool, out_size: int):
     return out
 
 
+def up2_phases(xp, c, axis, cosited: bool):
+    """2x chroma upsample WITHOUT interleaving: returns (even, odd) phase
+    arrays such that full[2k] = even[k], full[2k+1] = odd[k].
+
+    Identical arithmetic to up2_half; skipping the interleave avoids a
+    minor-dim relayout on TPU — downstream scaling contracts the phases
+    against the tap matrix's even/odd columns instead (bit-identical,
+    the parity split happens before the fixed-point rounding)."""
+    nc = c.shape[axis]
+    cn = _take(_pad_edge_last(xp, c, axis, 0, 1), axis, 1, nc + 1)  # c[k+1]
+    if cosited:
+        return c, (c + cn + 1) >> 1
+    cp = _take(_pad_edge_last(xp, c, axis, 1, 0), axis, 0, nc)      # c[k-1]
+    return (cp + 3 * c + 2) >> 2, (3 * c + cn + 2) >> 2
+
+
 def down2(xp, plane, axis, cosited: bool):
     """2x chroma downsample along axis; output written back at duplicated
     full resolution (pack() then selects the even samples)."""

@@ -397,3 +397,205 @@ def apply_prepared_planes(xp, chans, pm: PreparedMatrix):
     if pm.mode == "table":
         return apply_matrix8_table_planes(xp, chans, pm)
     return apply_matrix8_planes(xp, chans, pm)
+
+
+# ---------------------------------------------------------------------------
+# Transfer functions, primaries, gamma LUTs (video-color.c)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+
+def transfer_decode(func: str, val: float) -> float:
+    """gst_video_transfer_function_decode (video-color.c:628): non-linear
+    L' -> linear L."""
+    v = val
+    if func in ("gamma18",):
+        return v ** 1.8
+    if func in ("gamma20",):
+        return v ** 2.0
+    if func in ("gamma22",):
+        return v ** 2.2
+    if func in ("bt601", "bt709", "bt2020-10"):
+        return v / 4.5 if v < 0.081 else ((v + 0.099) / 1.099) ** (1.0 / 0.45)
+    if func == "smpte240m":
+        return v / 4.0 if v < 0.0913 else ((v + 0.1115) / 1.1115) ** (1.0 / 0.45)
+    if func == "srgb":
+        return v / 12.92 if v <= 0.04045 else ((v + 0.055) / 1.055) ** 2.4
+    if func == "gamma28":
+        return v ** 2.8
+    if func == "log100":
+        return 0.0 if v == 0.0 else 10.0 ** (2.0 * (v - 1.0))
+    if func == "log316":
+        return 0.0 if v == 0.0 else 10.0 ** (2.5 * (v - 1.0))
+    if func == "bt2020-12":
+        return v / 4.5 if v < 0.08145 else ((v + 0.0993) / 1.0993) ** (1.0 / 0.45)
+    if func == "adobergb":
+        return v ** 2.19921875
+    if func == "smpte2084":
+        c1, c2, c3 = 0.8359375, 18.8515625, 18.6875
+        m1, m2 = 0.1593017578125, 78.84375
+        tmp = v ** (1 / m2)
+        tmp2 = max(tmp - c1, 0.0)
+        return (tmp2 / (c2 - c3 * tmp)) ** (1 / m1)
+    if func == "arib-std-b67":
+        a, b, c = 0.17883277, 0.28466892, 0.55991073
+        if v > 0.5:
+            return (_math.exp((v - c) / a) + b) / 12.0
+        return v * v / 3.0
+    return v   # unknown / gamma10
+
+
+def transfer_encode(func: str, val: float) -> float:
+    """gst_video_transfer_function_encode (video-color.c:495)."""
+    v = val
+    if func == "gamma18":
+        return v ** (1.0 / 1.8)
+    if func == "gamma20":
+        return v ** (1.0 / 2.0)
+    if func == "gamma22":
+        return v ** (1.0 / 2.2)
+    if func in ("bt601", "bt709", "bt2020-10"):
+        return 4.5 * v if v < 0.018 else 1.099 * v ** 0.45 - 0.099
+    if func == "smpte240m":
+        return v * 4.0 if v < 0.0228 else 1.1115 * v ** 0.45 - 0.1115
+    if func == "srgb":
+        return 12.92 * v if v <= 0.0031308 else 1.055 * v ** (1.0 / 2.4) - 0.055
+    if func == "gamma28":
+        return v ** (1 / 2.8)
+    if func == "log100":
+        return 0.0 if v < 0.01 else 1.0 + _math.log10(v) / 2.0
+    if func == "log316":
+        return 0.0 if v < 0.0031622777 else 1.0 + _math.log10(v) / 2.5
+    if func == "bt2020-12":
+        return 4.5 * v if v < 0.0181 else 1.0993 * v ** 0.45 - 0.0993
+    if func == "adobergb":
+        return v ** (1.0 / 2.19921875)
+    if func == "smpte2084":
+        c1, c2, c3 = 0.8359375, 18.8515625, 18.6875
+        m1, m2 = 0.1593017578125, 78.84375
+        Ln = v ** m1
+        return ((c1 + c2 * Ln) / (1.0 + c3 * Ln)) ** m2
+    if func == "arib-std-b67":
+        a, b, c = 0.17883277, 0.28466892, 0.55991073
+        if v > (1.0 / 12.0):
+            return a * _math.log(12.0 * v - b) + c
+        return _math.sqrt(3.0 * v)
+    return v
+
+
+# (Wx, Wy, Rx, Ry, Gx, Gy, Bx, By) — video-color.c:309 color_primaries[]
+_WP_C = (0.31006, 0.31616)
+_WP_D65 = (0.31271, 0.32902)
+_WP_CENTRE = (1 / 3, 1 / 3)
+_WP_WHITE = (0.314, 0.351)
+
+PRIMARIES_INFO = {
+    "bt709": (*_WP_D65, 0.64, 0.33, 0.30, 0.60, 0.15, 0.06),
+    "bt470m": (*_WP_C, 0.67, 0.33, 0.21, 0.71, 0.14, 0.08),
+    "bt470bg": (*_WP_D65, 0.64, 0.33, 0.29, 0.60, 0.15, 0.06),
+    "smpte170m": (*_WP_D65, 0.63, 0.34, 0.31, 0.595, 0.155, 0.07),
+    "smpte240m": (*_WP_D65, 0.63, 0.34, 0.31, 0.595, 0.155, 0.07),
+    "film": (*_WP_C, 0.681, 0.319, 0.243, 0.692, 0.145, 0.049),
+    "bt2020": (*_WP_D65, 0.708, 0.292, 0.170, 0.797, 0.131, 0.046),
+    "adobergb": (*_WP_D65, 0.64, 0.33, 0.21, 0.71, 0.15, 0.06),
+    "smptest428": (*_WP_CENTRE, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+    "smpterp431": (*_WP_WHITE, 0.68, 0.32, 0.265, 0.69, 0.15, 0.06),
+    "smpteeg432": (*_WP_D65, 0.68, 0.32, 0.265, 0.69, 0.15, 0.06),
+    "ebu3213": (*_WP_D65, 0.63, 0.34, 0.295, 0.605, 0.155, 0.077),
+}
+
+
+def primaries_is_equivalent(a: str, b: str) -> bool:
+    """gst_video_color_primaries_is_equivalent (video-color.c:366)."""
+    if a == b:
+        return True
+    s = {a, b}
+    return s <= {"smpte170m", "smpte240m"}
+
+
+def matrix_invert(m: np.ndarray) -> np.ndarray:
+    """color_matrix_invert (video-converter.c:943): adjugate/det on the
+    3x3 part, exact double arithmetic order."""
+    tmp = identity()
+    for j in range(3):
+        for i in range(3):
+            tmp[j, i] = (m[(i + 1) % 3, (j + 1) % 3] * m[(i + 2) % 3, (j + 2) % 3]
+                         - m[(i + 1) % 3, (j + 2) % 3] * m[(i + 2) % 3, (j + 1) % 3])
+    det = tmp[0, 0] * m[0, 0] + tmp[0, 1] * m[1, 0] + tmp[0, 2] * m[2, 0]
+    for j in range(3):
+        for i in range(3):
+            tmp[i, j] /= det
+    return tmp
+
+
+def rgb_to_xyz_matrix(primaries: str) -> np.ndarray:
+    """color_matrix_RGB_to_XYZ (video-converter.c:1069)."""
+    Wx, Wy, Rx, Ry, Gx, Gy, Bx, By = PRIMARIES_INFO[primaries]
+    m = identity()
+    m[0, 0], m[1, 0], m[2, 0] = Rx, Ry, 1.0 - Rx - Ry
+    m[0, 1], m[1, 1], m[2, 1] = Gx, Gy, 1.0 - Gx - Gy
+    m[0, 2], m[1, 2], m[2, 2] = Bx, By, 1.0 - Bx - By
+    im = matrix_invert(m)
+    wx, wy, wz = Wx / Wy, 1.0, (1.0 - Wx - Wy) / Wy
+    sx = im[0, 0] * wx + im[0, 1] * wy + im[0, 2] * wz
+    sy = im[1, 0] * wx + im[1, 1] * wy + im[1, 2] * wz
+    sz = im[2, 0] * wx + im[2, 1] * wy + im[2, 2] * wz
+    m[:3, 0] *= sx
+    m[:3, 1] *= sy
+    m[:3, 2] *= sz
+    return m
+
+
+def primaries_convert_matrix(in_primaries: str, out_primaries: str) -> np.ndarray:
+    """chain_convert primaries block (video-converter.c:1752):
+    XYZ_to_RGB_out * RGB_to_XYZ_in."""
+    p1 = rgb_to_xyz_matrix(in_primaries)
+    p2 = matrix_invert(rgb_to_xyz_matrix(out_primaries))
+    return p2 @ p1
+
+
+def gamma_decode_table(transfer: str, bits: int) -> np.ndarray:
+    """setup_gamma_decode (video-converter.c:1496): u16 LUT, rint
+    rounding."""
+    n = 256 if bits == 8 else 65536
+    mx = n - 1
+    t = np.array([transfer_decode(transfer, i / mx) * 65535.0
+                  for i in range(n)])
+    return np.rint(t).astype(np.uint16)
+
+
+def gamma_encode_table(transfer: str, target_bits: int) -> np.ndarray:
+    """setup_gamma_encode (video-converter.c:1533): 65536-entry LUT."""
+    mx = 255.0 if target_bits == 8 else 65535.0
+    t = np.array([transfer_encode(transfer, i / 65535.0) * mx
+                  for i in range(65536)])
+    t = np.rint(t)
+    return t.astype(np.uint8 if target_bits == 8 else np.uint16)
+
+
+def apply_gamma_decode_planes(xp, chans, table: np.ndarray, in_bits: int):
+    """gamma_convert_u8_u16 / u16_u16 (video-converter.c:1445,1480):
+    alpha widened by byte-replication, colors through the LUT."""
+    tab = xp.asarray(table.astype(np.int32))
+    a = chans[0]
+    if a is not None and in_bits == 8:
+        a = (a.astype(xp.int32) << 8) | a.astype(xp.int32)
+
+    def lut(c):
+        return xp.take(tab, c.astype(xp.int32), axis=0)
+
+    return (a,) + tuple(lut(c) for c in chans[1:])
+
+
+def apply_gamma_encode_planes(xp, chans, table: np.ndarray, target_bits: int):
+    """gamma_convert_u16_u8 / u16_u16: alpha narrowed by >>8."""
+    tab = xp.asarray(table.astype(np.int32))
+    a = chans[0]
+    if a is not None and target_bits == 8:
+        a = a.astype(xp.int32) >> 8
+
+    def lut(c):
+        return xp.take(tab, c.astype(xp.int32), axis=0)
+
+    return (a,) + tuple(lut(c) for c in chans[1:])

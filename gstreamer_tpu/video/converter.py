@@ -138,23 +138,71 @@ class VideoConverter:
         matrix_mode = cfg["matrix-mode"]
         in_bits, out_bits = ifmt.bits, ofmt.bits
         plan["unpack_bits"], plan["pack_bits"] = in_bits, out_bits
-        m = color_mod.identity()
-        if in_bits < out_bits:
-            s = 1 << (out_bits - in_bits)
-            m = color_mod.scale_components(
-                m, *(float(np.float32(1.0) / np.float32(s)),) * 3)
-        m = color_mod.compute_matrix_to_rgb(
-            m, ii.colorimetry, _unpack_finfo(ifmt),
-            matrix_mode_none=(matrix_mode == "none"))
-        m = color_mod.compute_matrix_to_yuv(
-            m, oi.colorimetry, _unpack_finfo(ofmt),
-            matrix_mode_none=(matrix_mode == "none"))
-        if in_bits > out_bits:
-            s = float(np.float32(1 << (in_bits - out_bits)))
-            m = color_mod.scale_components(m, s, s, s)
-        plan["matrix"] = color_mod.prepare_matrix(
-            m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb,
-            bits=max(in_bits, out_bits))
+
+        # gamma remap + primaries conversion (chain_convert_to_RGB :1566,
+        # chain_convert primaries block :1752, chain_convert_to_YUV :1955)
+        do_gamma = cfg.get("gamma-mode", "none") == "remap"
+        same_primaries = (
+            cfg.get("primaries-mode", "none") == "none"
+            or color_mod.primaries_is_equivalent(
+                ii.colorimetry.primaries, oi.colorimetry.primaries))
+        plan["do_gamma"] = do_gamma
+        conv = color_mod.identity()
+        if not same_primaries:
+            conv = color_mod.primaries_convert_matrix(
+                ii.colorimetry.primaries, oi.colorimetry.primaries)
+
+        if not do_gamma:
+            m = conv
+            if in_bits < out_bits:
+                s = 1 << (out_bits - in_bits)
+                m = color_mod.scale_components(
+                    m, *(float(np.float32(1.0) / np.float32(s)),) * 3)
+            m = color_mod.compute_matrix_to_rgb(
+                m, ii.colorimetry, _unpack_finfo(ifmt),
+                matrix_mode_none=(matrix_mode == "none"))
+            m = color_mod.compute_matrix_to_yuv(
+                m, oi.colorimetry, _unpack_finfo(ofmt),
+                matrix_mode_none=(matrix_mode == "none"))
+            if in_bits > out_bits:
+                s = float(np.float32(1 << (in_bits - out_bits)))
+                m = color_mod.scale_components(m, s, s, s)
+            plan["matrix"] = color_mod.prepare_matrix(
+                m, unpack_rgb=ifmt.is_rgb, pack_rgb=ofmt.is_rgb,
+                bits=max(in_bits, out_bits))
+        else:
+            # to-RGB matrix at unpack bits (only when input is YUV)
+            if ifmt.is_rgb:
+                plan["to_rgb"] = None
+            else:
+                m1 = color_mod.compute_matrix_to_rgb(
+                    color_mod.identity(), ii.colorimetry,
+                    _unpack_finfo(ifmt),
+                    matrix_mode_none=(matrix_mode == "none"))
+                s = float(1 << in_bits)
+                m1 = color_mod.scale_components(m1, s, s, s)
+                plan["to_rgb"] = color_mod.prepare_matrix(
+                    m1, unpack_rgb=False, pack_rgb=True, bits=in_bits)
+            plan["gamma_dec"] = color_mod.gamma_decode_table(
+                ii.colorimetry.transfer, in_bits)
+            # linear-light primaries conversion at 16 bits
+            plan["matrix"] = (color_mod.prepare_matrix(
+                conv, unpack_rgb=True, pack_rgb=True, bits=16)
+                if not same_primaries else None)
+            plan["gamma_enc"] = color_mod.gamma_encode_table(
+                oi.colorimetry.transfer, out_bits)
+            # to-YUV matrix at pack bits (only when output is YUV)
+            if ofmt.is_rgb:
+                plan["to_yuv"] = None
+            else:
+                s = 1.0 / float(1 << out_bits)
+                m2 = color_mod.scale_components(color_mod.identity(),
+                                                s, s, s)
+                m2 = color_mod.compute_matrix_to_yuv(
+                    m2, oi.colorimetry, _unpack_finfo(ofmt),
+                    matrix_mode_none=(matrix_mode == "none"))
+                plan["to_yuv"] = color_mod.prepare_matrix(
+                    m2, unpack_rgb=True, pack_rgb=False, bits=out_bits)
 
         # fused Pallas ingest kernel (ops/convert_kernel.py) eligibility:
         # 8-bit 4:2:0 -> downscale, h-first, no alpha
@@ -162,6 +210,7 @@ class VideoConverter:
         plan["pallas_ok"] = (
             ck.applicable(ifmt, ii, oi, plan)
             and not ifmt.has_alpha
+            and not plan["do_gamma"]
             and (plan["v_res"] is None or plan["scale_order"] == "hv"))
         return plan
 
@@ -192,11 +241,27 @@ class VideoConverter:
         # whose duplicated samples up2 would immediately re-stride away).
         sub_up = (plan["upsample"] and not ifmt.is_gray
                   and ifmt.w_sub[1] <= 1 and ifmt.h_sub[1] <= 1)
+        # Phase-split fast path: 4:2:0 upsample + downscale in "hv" order.
+        # The full-width chroma plane is NEVER materialized — up2 produces
+        # even/odd column/row phases at the stored (quarter) resolution and
+        # the h/v scales contract them against the tap matrix's even/odd
+        # columns (bit-identical; the parity split happens before the
+        # fixed-point rounding).  Kills the interleave relayout and 3/4 of
+        # the chroma HBM traffic.
+        phase_split = (
+            sub_up and ifmt.w_sub[1] == 1
+            and plan["scale_before_matrix"] and plan["scale_order"] == "hv"
+            and plan["h_res"] is not None
+            and (plan["unpack_bits"] == 8 and not plan["do_gamma"])
+            and not getattr(self, "_disable_phase_split", False))
         chans = unpack_planes(xp, ifmt, planes, ii.width, ii.height,
                               dtype=xp.int16, subsampled_chroma=sub_up)
         skip_alpha = not ifmt.has_alpha and not ofmt.has_alpha
         if skip_alpha:
             chans = (None,) + chans[1:]
+
+        if phase_split:
+            return self._pipeline_phase_split(xp, chans)
 
         if plan["upsample"]:
             # h first, then v (MAKE_UPSAMPLE_V2 calls h_resample first)
@@ -227,8 +292,10 @@ class VideoConverter:
                     v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
             chans = (a, y, u, v)
 
-        scale_bits = (plan["unpack_bits"] if plan["scale_before_matrix"]
-                      else plan["pack_bits"])
+        do_gamma = plan["do_gamma"]
+        scale_bits = (16 if do_gamma
+                      else (plan["unpack_bits"] if plan["scale_before_matrix"]
+                            else plan["pack_bits"]))
 
         def do_scale(chans):
             def sc(c, axis, res):
@@ -251,24 +318,49 @@ class VideoConverter:
                     chans = tuple(sc(c, -1, plan["h_res"]) for c in chans)
             return chans
 
+        if do_gamma:
+            # chain_convert_to_RGB: matrix to R'G'B' at unpack bits, then
+            # gamma decode through the LUT -> 16-bit linear ARGB64
+            if plan["to_rgb"] is not None:
+                chans = color_mod.apply_prepared_planes(xp, chans,
+                                                        plan["to_rgb"])
+            chans = color_mod.apply_gamma_decode_planes(
+                xp, chans, plan["gamma_dec"], plan["unpack_bits"])
+
         if plan["scale_before_matrix"]:
             chans = do_scale(chans)
 
-        # conversion stage (do_convert_lines): optional 8->16 widening
-        # (v*257, video_orc_convert_u8_to_u16), matrix, 16->8 narrowing
-        # (>>8, video_orc_convert_u16_to_u8)
-        pm = plan["matrix"]
-        in_bits, out_bits = plan["unpack_bits"], plan["pack_bits"]
-        if in_bits == 8 and out_bits == 16:
-            chans = tuple(c if c is None else (c.astype(xp.int32) * 257)
-                          for c in chans)
-        chans = color_mod.apply_prepared_planes(xp, chans, pm)
-        if in_bits == 16 and out_bits == 8:
-            chans = tuple(c if c is None else (c.astype(xp.int32) >> 8)
-                          for c in chans)
+        if do_gamma:
+            # chain_convert in linear light: only the (optional) primaries
+            # conversion matrix
+            if plan["matrix"] is not None:
+                chans = color_mod.apply_prepared_planes(xp, chans,
+                                                        plan["matrix"])
+        else:
+            # conversion stage (do_convert_lines): optional 8->16 widening
+            # (v*257, video_orc_convert_u8_to_u16), matrix, 16->8 narrowing
+            # (>>8, video_orc_convert_u16_to_u8)
+            pm = plan["matrix"]
+            in_bits, out_bits = plan["unpack_bits"], plan["pack_bits"]
+            if in_bits == 8 and out_bits == 16:
+                chans = tuple(c if c is None else (c.astype(xp.int32) * 257)
+                              for c in chans)
+            chans = color_mod.apply_prepared_planes(xp, chans, pm)
+            if in_bits == 16 and out_bits == 8:
+                chans = tuple(c if c is None else (c.astype(xp.int32) >> 8)
+                              for c in chans)
 
         if not plan["scale_before_matrix"]:
             chans = do_scale(chans)
+
+        if do_gamma:
+            # chain_convert_to_YUV: gamma encode to pack bits, then the
+            # to-YUV matrix
+            chans = color_mod.apply_gamma_encode_planes(
+                xp, chans, plan["gamma_enc"], plan["pack_bits"])
+            if plan["to_yuv"] is not None:
+                chans = color_mod.apply_prepared_planes(xp, chans,
+                                                        plan["to_yuv"])
 
         if plan["downsample"]:
             # v first, then h (MAKE_DOWNSAMPLE_V2 filters lines then h)
@@ -286,6 +378,79 @@ class VideoConverter:
                 u = chroma_mod.down4(xp, u, -1, plan["down_h_cosited"])
                 v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
             chans = (a, y, u, v)
+
+        return pack_planes(xp, ofmt, chans, oi.width, oi.height)
+
+    def _pipeline_phase_split(self, xp, chans):
+        """Chroma-phase-split execution (see _pipeline): 4:2:x chroma is
+        upsampled as separate even/odd parity phases at stored resolution
+        and scaled via split-tap contraction — bit-identical to the
+        sequential up2 -> scale chain."""
+        ii, oi = self.in_info, self.out_info
+        ifmt, ofmt = ii.finfo, oi.finfo
+        plan = self._plan
+        from .format import pack_planes
+
+        a, y, u, v = chans
+        h_res, v_res = plan["h_res"], plan["v_res"]
+
+        def sc(c, axis, res):
+            if c is None or res is None:
+                return c
+            return scaler_mod.scale_axis_exact(
+                xp, c, axis, res, precision=scaler_mod.SCALE_U8,
+                value_bits=8)
+
+        y = sc(sc(y, -1, h_res), -2, v_res)
+        a = sc(sc(a, -1, h_res), -2, v_res)
+
+        def chroma(c):
+            ce, co = chroma_mod.up2_phases(xp, c, -1, plan["up_h_cosited"])
+            if ifmt.h_sub[1] == 1:
+                ce_re, ce_ro = chroma_mod.up2_phases(
+                    xp, ce, -2, plan["up_v_cosited"])
+                co_re, co_ro = chroma_mod.up2_phases(
+                    xp, co, -2, plan["up_v_cosited"])
+                h_re = scaler_mod.scale_cols_split_exact(xp, ce_re, co_re,
+                                                         h_res)
+                h_ro = scaler_mod.scale_cols_split_exact(xp, ce_ro, co_ro,
+                                                         h_res)
+                if v_res is not None:
+                    return scaler_mod.scale_rows_split_exact(xp, h_re, h_ro,
+                                                             v_res)
+                st = xp.stack([h_re, h_ro], axis=-2)
+                full = st.reshape(h_re.shape[:-2]
+                                  + (h_re.shape[-2] * 2, h_re.shape[-1]))
+                return full[..., :ii.height, :]
+            out = scaler_mod.scale_cols_split_exact(xp, ce, co, h_res)
+            return sc(out, -2, v_res)
+
+        u = chroma(u)
+        v = chroma(v)
+        chans = (a, y, u, v)
+
+        pm = plan["matrix"]
+        in_bits, out_bits = plan["unpack_bits"], plan["pack_bits"]
+        if in_bits == 8 and out_bits == 16:
+            chans = tuple(c if c is None else (c.astype(xp.int32) * 257)
+                          for c in chans)
+        chans = color_mod.apply_prepared_planes(xp, chans, pm)
+
+        if plan["downsample"]:
+            a, yy, uu, vv = chans
+            if ofmt.h_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -2, plan["down_v_cosited"])
+                vv = chroma_mod.down2(xp, vv, -2, plan["down_v_cosited"])
+            elif ofmt.h_sub[1] == 2:
+                uu = chroma_mod.down4(xp, uu, -2, plan["down_v_cosited"])
+                vv = chroma_mod.down4(xp, vv, -2, plan["down_v_cosited"])
+            if ofmt.w_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -1, plan["down_h_cosited"])
+                vv = chroma_mod.down2(xp, vv, -1, plan["down_h_cosited"])
+            elif ofmt.w_sub[1] == 2:
+                uu = chroma_mod.down4(xp, uu, -1, plan["down_h_cosited"])
+                vv = chroma_mod.down4(xp, vv, -1, plan["down_h_cosited"])
+            chans = (a, yy, uu, vv)
 
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 

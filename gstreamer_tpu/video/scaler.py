@@ -279,6 +279,8 @@ def scale_rows_split_exact(xp, even, odd, res: Resampler,
     m = tap_matrix(res, precision)
     me, mo = m[:, 0::2], m[:, 1::2]
     maxv = (1 << value_bits) - 1
+    even = even[..., :me.shape[1], :]
+    odd = odd[..., :mo.shape[1], :]
 
     def mm(x, mm_):
         if xp is np:
@@ -297,6 +299,37 @@ def scale_rows_split_exact(xp, even, odd, res: Resampler,
     out = (acc + ((1 << precision) - 1)) >> precision
     out = xp.clip(out, 0, maxv)
     return xp.moveaxis(out, -1, -2)
+
+
+def scale_cols_split_exact(xp, even, odd, res: Resampler,
+                           precision: int = SCALE_U8, value_bits: int = 8):
+    """Horizontal scale where the input columns arrive as separate
+    even/odd phase planes (each (..., H, ceil(in/2) / floor(in/2))):
+        acc = even @ T[:, 0::2].T + odd @ T[:, 1::2].T
+    — bit-identical to scaling the interleaved plane (the parity split
+    happens before the (acc+4095)>>12 rounding)."""
+    m = tap_matrix(res, precision)
+    me, mo = m[:, 0::2], m[:, 1::2]
+    maxv = (1 << value_bits) - 1
+    ne, no = me.shape[1], mo.shape[1]
+    even = even[..., :ne]
+    odd = odd[..., :no]
+
+    def mm(x, mm_):
+        if xp is np:
+            return x.astype(np.float64) @ mm_.T.astype(np.float64)
+        m_hi = (mm_ >> 5) << 5
+        m_lo = mm_ - m_hi
+        xb = x.astype(xp.bfloat16)
+        return (xp.matmul(xb, xp.asarray(m_hi.T, dtype=xp.bfloat16),
+                          preferred_element_type=xp.float32)
+                + xp.matmul(xb, xp.asarray(m_lo.T, dtype=xp.bfloat16),
+                            preferred_element_type=xp.float32))
+
+    acc = mm(even, me) + mm(odd, mo)
+    acc = acc.astype(xp.int32) if xp is not np else acc.astype(np.int64)
+    out = (acc + ((1 << precision) - 1)) >> precision
+    return xp.clip(out, 0, maxv)
 
 
 def scale_axis_ref(img: np.ndarray, axis: int, res: Resampler,

@@ -318,3 +318,160 @@ def test_pallas_fused_path_matches(monkeypatch):
     got = conv.convert(planes)
     for g, j in zip(gold, got):
         np.testing.assert_array_equal(g, np.asarray(j))
+
+
+class TestGammaPrimaries:
+    """gamma-mode=remap + primaries-mode=merge-only (video-converter.c
+    chain_convert_to_RGB :1566, primaries block :1752, to_YUV :1955)."""
+
+    def _infos(self, out_prim="bt709"):
+        from gstreamer_tpu.video.info import Colorimetry, VideoInfo
+        ii = VideoInfo(format="I420", width=64, height=32,
+                       colorimetry=Colorimetry("16-235", "bt709", "bt709",
+                                               "bt709"))
+        oi = VideoInfo(format="RGB", width=48, height=32,
+                       colorimetry=Colorimetry("0-255", "rgb", "srgb",
+                                               out_prim))
+        return ii, oi
+
+    def test_gamma_tables_match_formulas(self):
+        from gstreamer_tpu.video import color as cm
+        t = cm.gamma_decode_table("srgb", 8)
+        assert t.shape == (256,) and t.dtype == np.uint16
+        assert t[0] == 0 and t[255] == 65535
+        assert t[128] == round(cm.transfer_decode("srgb", 128 / 255) * 65535)
+        e = cm.gamma_encode_table("bt709", 8)
+        assert e.shape == (65536,) and e.dtype == np.uint8
+        assert e[0] == 0 and e[65535] == 255
+        assert e[30000] == round(cm.transfer_encode("bt709", 30000 / 65535)
+                                 * 255)
+
+    def test_gamma_lut_roundtrip_nearly_identity(self):
+        from gstreamer_tpu.video import color as cm
+        for func in ("srgb", "bt709", "gamma22"):
+            dec = cm.gamma_decode_table(func, 8).astype(int)
+            enc = cm.gamma_encode_table(func, 8).astype(int)
+            err = np.abs(enc[dec] - np.arange(256))
+            assert err.max() <= 1, (func, err.max())
+
+    def test_primaries_matrix_bt709_to_bt2020(self):
+        from gstreamer_tpu.video import color as cm
+        m = cm.primaries_convert_matrix("bt709", "bt2020")
+        # known BT.709 -> BT.2020 linear matrix (ITU-R BT.2087 table 2)
+        expect = np.array([[0.6274, 0.3293, 0.0433],
+                           [0.0691, 0.9195, 0.0114],
+                           [0.0164, 0.0880, 0.8956]])
+        assert np.allclose(m[:3, :3], expect, atol=2e-3)
+        assert cm.primaries_is_equivalent("smpte170m", "smpte240m")
+        assert not cm.primaries_is_equivalent("bt709", "bt2020")
+
+    def test_gamma_remap_flat_gray_pinned(self):
+        # Y'=128 limited bt709: centered AYUV->ARGB matrix keeps 128,
+        # decode t[128]=17136, srgb encode -> 140 (regression pin)
+        from gstreamer_tpu.video.converter import VideoConverter
+        ii, oi = self._infos()
+        vc = VideoConverter(ii, oi, {"gamma-mode": "remap"})
+        y = np.full((1, 32, 64), 128, np.uint8)
+        u = np.full((1, 16, 32), 128, np.uint8)
+        out = vc.convert_ref((y, u, u.copy()))
+        assert int(np.asarray(out[0])[0, 0, 0]) == 140
+        assert vc._plan["do_gamma"]
+        assert vc._plan["to_rgb"].mode == "ayuv_argb"
+
+    def test_gamma_device_matches_gold(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        ii, oi = self._infos()
+        vc = VideoConverter(ii, oi, {"gamma-mode": "remap",
+                                     "primaries-mode": "merge-only"})
+        rng = np.random.RandomState(9)
+        y = rng.randint(0, 256, (2, 32, 64), np.uint8)
+        u = rng.randint(0, 256, (2, 16, 32), np.uint8)
+        v = rng.randint(0, 256, (2, 16, 32), np.uint8)
+        gold = vc.convert_ref((y, u, v))
+        dev = vc.convert((np.asarray(y), np.asarray(u), np.asarray(v)))
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))
+
+    def test_primaries_merge_only_no_gamma_matches_gold(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        ii, oi = self._infos(out_prim="bt2020")
+        vc = VideoConverter(ii, oi, {"primaries-mode": "merge-only"})
+        assert not vc._plan["do_gamma"]
+        rng = np.random.RandomState(10)
+        y = rng.randint(0, 256, (1, 32, 64), np.uint8)
+        u = rng.randint(0, 256, (1, 16, 32), np.uint8)
+        v = rng.randint(0, 256, (1, 16, 32), np.uint8)
+        gold = vc.convert_ref((y, u, v))
+        dev = vc.convert((y, u, v))
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))
+        # and differs from the primaries-none result
+        vc0 = VideoConverter(ii, oi)
+        gold0 = vc0.convert_ref((y, u, v))
+        assert not all(np.array_equal(np.asarray(a), np.asarray(b))
+                       for a, b in zip(gold, gold0))
+
+    def test_gamma16_output(self):
+        # 8-bit input -> 16-bit output through linear light
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import Colorimetry, VideoInfo
+        ii = VideoInfo(format="I420", width=32, height=16,
+                       colorimetry=Colorimetry("16-235", "bt709", "bt709",
+                                               "bt709"))
+        oi = VideoInfo(format="AYUV64", width=32, height=16,
+                       colorimetry=Colorimetry("16-235", "bt709", "bt709",
+                                               "bt709"))
+        vc = VideoConverter(ii, oi, {"gamma-mode": "remap"})
+        rng = np.random.RandomState(11)
+        y = rng.randint(0, 256, (1, 16, 32), np.uint8)
+        u = rng.randint(0, 256, (1, 8, 16), np.uint8)
+        v = rng.randint(0, 256, (1, 8, 16), np.uint8)
+        gold = vc.convert_ref((y, u, v))
+        dev = vc.convert((y, u, v))
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))
+
+
+class TestPhaseSplitChroma:
+    """The phase-split chroma fast path must be bit-identical to the
+    sequential up2 -> scale chain for every geometry."""
+
+    @pytest.mark.parametrize("w,h,ow,oh,fmt", [
+        (64, 32, 48, 24, "I420"),
+        (63, 31, 48, 24, "I420"),     # odd input dims
+        (64, 32, 40, 32, "I420"),     # h-scale only
+        (64, 32, 48, 24, "YUY2"),     # 4:2:2 (no vertical phases)
+        (64, 32, 48, 24, "NV12"),
+    ])
+    def test_bit_identical_to_sequential(self, w, h, ow, oh, fmt):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.format import format_info, plane_shapes
+        from gstreamer_tpu.video.info import VideoInfo
+        ii = VideoInfo(format=fmt, width=w, height=h)
+        oi = VideoInfo(format="RGB", width=ow, height=oh)
+        rng = np.random.RandomState(hash((w, h, fmt)) % 2**31)
+        shapes = plane_shapes(format_info(fmt), w, h)
+        planes = tuple(rng.randint(0, 256, (2,) + s, np.uint8)
+                       for s in shapes)
+        vc = VideoConverter(ii, oi)
+        fast = vc.convert_ref(planes)
+        vc2 = VideoConverter(ii, oi)
+        vc2._disable_phase_split = True
+        slow = vc2.convert_ref(planes)
+        for f, s in zip(fast, slow):
+            assert np.array_equal(np.asarray(f), np.asarray(s)), fmt
+
+    def test_device_matches_gold(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        ii = VideoInfo(format="I420", width=64, height=32)
+        oi = VideoInfo(format="RGB", width=48, height=24)
+        rng = np.random.RandomState(3)
+        planes = (rng.randint(0, 256, (2, 32, 64), np.uint8),
+                  rng.randint(0, 256, (2, 16, 32), np.uint8),
+                  rng.randint(0, 256, (2, 16, 32), np.uint8))
+        vc = VideoConverter(ii, oi)
+        gold = vc.convert_ref(planes)
+        dev = vc.convert(planes)
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))
