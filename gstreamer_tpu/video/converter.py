@@ -42,7 +42,8 @@ DEFAULTS = {
     "chroma-resampler-method": scaler_mod.METHOD_LINEAR,
     "chroma-mode": "full",      # full | upsample-only | downsample-only | none
     "matrix-mode": "full",      # full | input-only | output-only | none
-    "dither-method": "none",
+    "dither-method": "bayer",   # DEFAULT_OPT_DITHER_METHOD (:793)
+    "dither-quantization": 1,   # DEFAULT_OPT_DITHER_QUANTIZATION (:794)
     "alpha-mode": "copy",
     "alpha-value": 1.0,
     "fill-border": True,
@@ -203,6 +204,12 @@ class VideoConverter:
                     matrix_mode_none=(matrix_mode == "none"))
                 plan["to_yuv"] = color_mod.prepare_matrix(
                     m2, unpack_rgb=True, pack_rgb=False, bits=out_bits)
+
+        # dither plan (chain_dither :2034)
+        from . import dither as dither_mod
+        plan["dither"] = dither_mod.make_converter_dither(
+            cfg["dither-method"], int(cfg.get("dither-quantization", 1)),
+            ofmt, out_bits)
 
         # fused Pallas ingest kernel (ops/convert_kernel.py) eligibility:
         # 8-bit 4:2:0 -> downscale, h-first, no alpha
@@ -379,6 +386,8 @@ class VideoConverter:
                 v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
             chans = (a, y, u, v)
 
+        if plan["dither"] is not None:
+            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     def _pipeline_phase_split(self, xp, chans):
@@ -452,6 +461,8 @@ class VideoConverter:
                 vv = chroma_mod.down4(xp, vv, -1, plan["down_h_cosited"])
             chans = (a, yy, uu, vv)
 
+        if plan["dither"] is not None:
+            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     def _pallas_enabled(self) -> bool:
@@ -510,6 +521,8 @@ class VideoConverter:
                 uu = chroma_mod.down2(xp, uu, -1, plan["down_h_cosited"])
                 vv = chroma_mod.down2(xp, vv, -1, plan["down_h_cosited"])
             chans = (a, yy, uu, vv)
+        if plan["dither"] is not None:
+            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     # numpy gold path
@@ -521,6 +534,13 @@ class VideoConverter:
         import jax
         import jax.numpy as jnp
 
+        d = self._plan["dither"]
+        if d is not None and d.method in ("floyd-steinberg", "sierra-lite"):
+            # serial error propagation cannot be traced — run the exact
+            # numpy pipeline on the host (the reference's own comment at
+            # video-orc.orc:2885 notes these defeat vectorization)
+            return tuple(jnp.asarray(p) for p in self.convert_ref(
+                tuple(np.asarray(p) for p in planes)))
         if self._jit_fn is None:
             self._jit_fn = jax.jit(lambda ps: self._pipeline(jnp, ps))
         return self._jit_fn(tuple(planes))
