@@ -132,6 +132,28 @@ class _ConvertScaleBase(TransformElement):
         if method_name in CUBIC_BC:
             b, c = CUBIC_BC[method_name]
             cfg["cubic-b"], cfg["cubic-c"] = b, c
+        # add-borders: keep display aspect ratio with symmetric borders
+        # (gstvideoconvertscale.c:932-949 border calc, :1068 DEST_* opts)
+        if self.props.get("add-borders", True):
+            from_dar = (in_info.width * in_info.par.num,
+                        in_info.height * in_info.par.denom)
+            to_dar = (out_info.width * out_info.par.num,
+                      out_info.height * out_info.par.denom)
+            if from_dar[0] * to_dar[1] != to_dar[0] * from_dar[1]:
+                n = from_dar[0] * out_info.par.denom
+                d = from_dar[1] * out_info.par.num
+                to_h = out_info.width * d // n
+                if to_h <= out_info.height:
+                    bw, bh = 0, out_info.height - to_h
+                else:
+                    to_w = out_info.height * n // d
+                    bw, bh = out_info.width - to_w, 0
+                if bw or bh:
+                    cfg.update({
+                        "dest-x": bw // 2, "dest-y": bh // 2,
+                        "dest-width": out_info.width - bw,
+                        "dest-height": out_info.height - bh,
+                    })
         self._converter = VideoConverter(in_info, out_info, cfg)
 
     def make_fn(self):

@@ -84,6 +84,27 @@ class VideoConverter:
         cfg = self.config
         plan: Dict[str, Any] = {}
 
+        # src/dest rectangles (gst_video_converter_new :2306-2363):
+        # crop offsets round DOWN to chroma alignment; sizes clamp to the
+        # frame.  The convert chain runs at the rect sizes; _finish embeds
+        # the result at (out_x, out_y) and fills the border.
+        in_x = int(cfg.get("src-x", 0)) & ~((1 << ifmt.w_sub[1]) - 1)
+        in_y = int(cfg.get("src-y", 0)) & ~((1 << ifmt.h_sub[1]) - 1)
+        in_w = int(cfg.get("src-width", ii.width - in_x))
+        in_h = int(cfg.get("src-height", ii.height - in_y))
+        in_w = max(0, min(in_w, ii.width - in_x))
+        in_h = max(0, min(in_h, ii.height - in_y))
+        out_x = int(cfg.get("dest-x", 0)) & ~((1 << ofmt.w_sub[1]) - 1)
+        out_y = int(cfg.get("dest-y", 0)) & ~((1 << ofmt.h_sub[1]) - 1)
+        out_w = int(cfg.get("dest-width", oi.width - out_x))
+        out_h = int(cfg.get("dest-height", oi.height - out_y))
+        out_w = max(0, min(out_w, oi.width - out_x))
+        out_h = max(0, min(out_h, oi.height - out_y))
+        plan["rect"] = (in_x, in_y, in_w, in_h, out_x, out_y, out_w, out_h)
+        plan["rect_active"] = (
+            (in_x, in_y, in_w, in_h) != (0, 0, ii.width, ii.height)
+            or (out_x, out_y, out_w, out_h) != (0, 0, oi.width, oi.height))
+
         chroma_mode = cfg["chroma-mode"]
         # video_converter_compute_resample condition (:2866)
         need_resample = (
@@ -91,8 +112,8 @@ class VideoConverter:
             and (ifmt.w_sub[1] != ofmt.w_sub[1]
                  or ifmt.h_sub[1] != ofmt.h_sub[1]
                  or ii.chroma_site != oi.chroma_site
-                 or ii.width != oi.width
-                 or ii.height != oi.height)
+                 or in_w != out_w
+                 or in_h != out_h)
         )
         plan["upsample"] = (
             need_resample and chroma_mode != "downsample-only"
@@ -118,20 +139,19 @@ class VideoConverter:
             rkw["max_taps_opt"] = taps
             taps = 0
         h_res = v_res = None
-        if ii.width != oi.width:
-            h_res = scaler_mod.make_resampler(method, ii.width, oi.width, taps,
+        if in_w != out_w:
+            h_res = scaler_mod.make_resampler(method, in_w, out_w, taps,
                                               **rkw)
-        if ii.height != oi.height:
-            v_res = scaler_mod.make_resampler(method, ii.height, oi.height,
+        if in_h != out_h:
+            v_res = scaler_mod.make_resampler(method, in_h, out_h,
                                               taps, **rkw)
-        s1 = oi.width * ii.height
-        s2 = ii.width * oi.height
+        s1 = out_w * in_h
+        s2 = in_w * out_h
         plan["scale_order"] = "hv" if s1 <= s2 else "vh"
         # chain_scale is invoked twice (video-converter.c:2522,2528): all
         # scaling happens BEFORE the color matrix when the total pixel count
         # shrinks, AFTER it otherwise.
-        plan["scale_before_matrix"] = (
-            oi.width * oi.height <= ii.width * ii.height)
+        plan["scale_before_matrix"] = (out_w * out_h <= in_w * in_h)
         plan["h_res"], plan["v_res"] = h_res, v_res
 
         # matrix plan (chain_convert :1719) — range offsets are computed
@@ -205,6 +225,40 @@ class VideoConverter:
                 plan["to_yuv"] = color_mod.prepare_matrix(
                     m2, unpack_rgb=True, pack_rgb=False, bits=out_bits)
 
+        # border color (setup_borderline :2188): ARGB (0xAARRGGBB) taken
+        # to the output space; YUV via the 8-bit to-YUV 3x3 with hardcoded
+        # 16/128 offsets.  16-bit containers inherit the reference's
+        # splat2_u64 lane layout verbatim.
+        if plan["rect_active"]:
+            argb = int(cfg.get("border-argb", 0xFF000000)) & 0xFFFFFFFF
+            ba = (argb >> 24) & 0xFF
+            br = (argb >> 16) & 0xFF
+            bg = (argb >> 8) & 0xFF
+            bb = argb & 0xFF
+            if ofmt.is_rgb:
+                bc = (ba, br, bg, bb)
+                val32 = ((bb << 24) | (bg << 16) | (br << 8) | ba)
+            else:
+                m2 = color_mod.compute_matrix_to_yuv(
+                    color_mod.identity(), oi.colorimetry,
+                    _unpack_finfo(ofmt), matrix_mode_none=False)
+                im = np.rint(m2 * 256.0).astype(np.int64)
+                by = 16 + int((br * im[0][0] + bg * im[0][1]
+                               + bb * im[0][2]) >> 8)
+                bu = 128 + int((br * im[1][0] + bg * im[1][1]
+                                + bb * im[1][2]) >> 8)
+                bv = 128 + int((br * im[2][0] + bg * im[2][1]
+                                + bb * im[2][2]) >> 8)
+                by, bu, bv = (max(0, min(255, x)) for x in (by, bu, bv))
+                bc = (ba, by, bu, bv)
+                val32 = (ba | (by << 8) | (bu << 16) | (bv << 24))
+            if out_bits == 16:
+                lane0, lane1 = val32 & 0xFFFF, (val32 >> 16) & 0xFFFF
+                bc = (lane0, lane1, lane0, lane1)
+            plan["border"] = bc
+        else:
+            plan["border"] = None
+
         # dither plan (chain_dither :2034)
         from . import dither as dither_mod
         plan["dither"] = dither_mod.make_converter_dither(
@@ -218,6 +272,7 @@ class VideoConverter:
             ck.applicable(ifmt, ii, oi, plan)
             and not ifmt.has_alpha
             and not plan["do_gamma"]
+            and not plan["rect_active"]
             and (plan["v_res"] is None or plan["scale_order"] == "hv"))
         return plan
 
@@ -261,7 +316,19 @@ class VideoConverter:
             and plan["h_res"] is not None
             and (plan["unpack_bits"] == 8 and not plan["do_gamma"])
             and not getattr(self, "_disable_phase_split", False))
-        chans = unpack_planes(xp, ifmt, planes, ii.width, ii.height,
+        in_x, in_y, in_w, in_h = plan["rect"][:4]
+        if (in_x, in_y, in_w, in_h) != (0, 0, ii.width, ii.height):
+            # SRC rect crop: offsets are chroma-aligned so per-component
+            # slices stay integral
+            planes = tuple(
+                p[..., in_y >> ifmt.h_sub[min(c, len(ifmt.h_sub) - 1)]:
+                  (in_y + in_h + (1 << ifmt.h_sub[min(c, len(ifmt.h_sub) - 1)])
+                   - 1) >> ifmt.h_sub[min(c, len(ifmt.h_sub) - 1)],
+                  in_x >> ifmt.w_sub[min(c, len(ifmt.w_sub) - 1)]:
+                  (in_x + in_w + (1 << ifmt.w_sub[min(c, len(ifmt.w_sub) - 1)])
+                   - 1) >> ifmt.w_sub[min(c, len(ifmt.w_sub) - 1)]]
+                for c, p in enumerate(planes))
+        chans = unpack_planes(xp, ifmt, planes, in_w, in_h,
                               dtype=xp.int16, subsampled_chroma=sub_up)
         skip_alpha = not ifmt.has_alpha and not ofmt.has_alpha
         if skip_alpha:
@@ -276,14 +343,14 @@ class VideoConverter:
             if sub_up:
                 if ifmt.w_sub[1] == 1:
                     u = chroma_mod.up2_half(xp, u, -1, plan["up_h_cosited"],
-                                            ii.width)
+                                            in_w)
                     v = chroma_mod.up2_half(xp, v, -1, plan["up_h_cosited"],
-                                            ii.width)
+                                            in_w)
                 if ifmt.h_sub[1] == 1:
                     u = chroma_mod.up2_half(xp, u, -2, plan["up_v_cosited"],
-                                            ii.height)
+                                            in_h)
                     v = chroma_mod.up2_half(xp, v, -2, plan["up_v_cosited"],
-                                            ii.height)
+                                            in_h)
             else:
                 if ifmt.w_sub[1] == 1:
                     u = chroma_mod.up2(xp, u, -1, plan["up_h_cosited"])
@@ -386,9 +453,7 @@ class VideoConverter:
                 v = chroma_mod.down4(xp, v, -1, plan["down_h_cosited"])
             chans = (a, y, u, v)
 
-        if plan["dither"] is not None:
-            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
-        return pack_planes(xp, ofmt, chans, oi.width, oi.height)
+        return self._finish(xp, chans)
 
     def _pipeline_phase_split(self, xp, chans):
         """Chroma-phase-split execution (see _pipeline): 4:2:x chroma is
@@ -430,7 +495,7 @@ class VideoConverter:
                 st = xp.stack([h_re, h_ro], axis=-2)
                 full = st.reshape(h_re.shape[:-2]
                                   + (h_re.shape[-2] * 2, h_re.shape[-1]))
-                return full[..., :ii.height, :]
+                return full[..., :plan["rect"][3], :]
             out = scaler_mod.scale_cols_split_exact(xp, ce, co, h_res)
             return sc(out, -2, v_res)
 
@@ -461,8 +526,45 @@ class VideoConverter:
                 vv = chroma_mod.down4(xp, vv, -1, plan["down_h_cosited"])
             chans = (a, yy, uu, vv)
 
+        return self._finish(xp, chans)
+
+    def _finish(self, xp, chans):
+        """dither -> dest-rect embed with border fill -> pack."""
+        oi = self.out_info
+        ofmt = oi.finfo
+        plan = self._plan
+        from .format import pack_planes
+
+        _, _, _, _, out_x, out_y, out_w, out_h = plan["rect"]
         if plan["dither"] is not None:
-            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
+            chans = plan["dither"].apply(xp, chans, out_h, out_w)
+
+        if plan["rect_active"]:
+            border = plan["border"]
+            maxv = 255 if plan["pack_bits"] == 8 else 65535
+            new = []
+            for i, c in enumerate(chans):
+                if c is None:
+                    # materialize alpha only if the output stores it and
+                    # the border alpha differs from opaque
+                    if i == 0 and ofmt.has_alpha:
+                        c = xp.full(
+                            chans[1].shape[:-2] + (out_h, out_w),
+                            maxv, dtype=xp.int32)
+                    else:
+                        new.append(None)
+                        continue
+                full_shape = c.shape[:-2] + (oi.height, oi.width)
+                bg = xp.full(full_shape, int(border[i]), dtype=c.dtype)
+                sl = (Ellipsis, slice(out_y, out_y + out_h),
+                      slice(out_x, out_x + out_w))
+                if hasattr(bg, "at"):
+                    bg = bg.at[sl].set(c)
+                else:
+                    bg[sl] = c
+                new.append(bg)
+            chans = tuple(new)
+
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
 
     def _pallas_enabled(self) -> bool:
@@ -521,9 +623,7 @@ class VideoConverter:
                 uu = chroma_mod.down2(xp, uu, -1, plan["down_h_cosited"])
                 vv = chroma_mod.down2(xp, vv, -1, plan["down_h_cosited"])
             chans = (a, yy, uu, vv)
-        if plan["dither"] is not None:
-            chans = plan["dither"].apply(xp, chans, oi.height, oi.width)
-        return pack_planes(xp, ofmt, chans, oi.width, oi.height)
+        return self._finish(xp, chans)
 
     # numpy gold path
     def convert_ref(self, planes):

@@ -475,3 +475,140 @@ class TestPhaseSplitChroma:
         dev = vc.convert(planes)
         for g, d in zip(gold, dev):
             assert np.array_equal(np.asarray(g), np.asarray(d))
+
+
+class TestRectAndBorder:
+    """SRC/DEST rectangles + border fill (video-converter.c:2306-2363,
+    setup_borderline :2188)."""
+
+    def _planes(self, rng, w, h):
+        return (rng.randint(0, 256, (1, h, w), np.uint8),
+                rng.randint(0, 256, (1, (h + 1) // 2, (w + 1) // 2), np.uint8),
+                rng.randint(0, 256, (1, (h + 1) // 2, (w + 1) // 2), np.uint8))
+
+    def test_dest_rect_interior_matches_small_convert(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        rng = np.random.RandomState(6)
+        planes = self._planes(rng, 64, 32)
+        ii = VideoInfo(format="I420", width=64, height=32)
+        oi = VideoInfo(format="I420", width=64, height=32)
+        vc = VideoConverter(ii, oi, {"dest-x": 8, "dest-y": 4,
+                                     "dest-width": 32, "dest-height": 16})
+        out = [np.asarray(p)[0] for p in vc.convert_ref(planes)]
+        # interior == plain 64x32 -> 32x16 conversion
+        oi2 = VideoInfo(format="I420", width=32, height=16)
+        small = [np.asarray(p)[0]
+                 for p in VideoConverter(ii, oi2).convert_ref(planes)]
+        assert np.array_equal(out[0][4:20, 8:40], small[0])
+        assert np.array_equal(out[1][2:10, 4:20], small[1])
+        # border: default 0xFF000000 -> YUV (16, 128, 128)
+        assert int(out[0][0, 0]) == 16
+        assert int(out[1][0, 0]) == 128
+        assert int(out[2][-1, -1]) == 128
+
+    def test_border_color_yuv_from_argb(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        ii = VideoInfo(format="I420", width=16, height=8)
+        oi = VideoInfo(format="I420", width=16, height=8)
+        # setup_borderline applies the [0,1]-domain matrix to byte values
+        # (reference quirk): white saturates Y to 255; r=g=b=1 lands at
+        # 16 + (sum(im[0])>>8) = 235 exactly
+        vc = VideoConverter(ii, oi, {"dest-width": 8, "dest-height": 4,
+                                     "border-argb": 0xFFFFFFFF})
+        assert vc._plan["border"] == (255, 255, 128, 128)
+        vc2 = VideoConverter(ii, oi, {"dest-width": 8, "dest-height": 4,
+                                      "border-argb": 0xFF010101})
+        assert vc2._plan["border"][1] == 235
+        assert vc2._plan["border"][2] == 128
+
+    def test_border_color_rgb_passthrough(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        ii = VideoInfo(format="RGB", width=16, height=8)
+        oi = VideoInfo(format="RGB", width=16, height=8)
+        vc = VideoConverter(ii, oi, {"dest-width": 8, "dest-height": 4,
+                                     "border-argb": 0xFF112233})
+        assert vc._plan["border"] == (0xFF, 0x11, 0x22, 0x33)
+        planes = (np.zeros((1, 8, 16), np.uint8),
+                  np.zeros((1, 8, 16), np.uint8),
+                  np.zeros((1, 8, 16), np.uint8))
+        out = [np.asarray(p)[0] for p in vc.convert_ref(planes)]
+        assert int(out[0][7, 15]) == 0x11    # R border
+        assert int(out[2][7, 15]) == 0x33    # B border
+
+    def test_src_rect_equals_precrop(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        rng = np.random.RandomState(7)
+        planes = self._planes(rng, 64, 32)
+        ii = VideoInfo(format="I420", width=64, height=32)
+        oi = VideoInfo(format="RGB", width=24, height=12)
+        vc = VideoConverter(ii, oi, {"src-x": 16, "src-y": 8,
+                                     "src-width": 32, "src-height": 16})
+        out = [np.asarray(p)[0] for p in vc.convert_ref(planes)]
+        # manual pre-crop
+        cropped = (planes[0][:, 8:24, 16:48],
+                   planes[1][:, 4:12, 8:24],
+                   planes[2][:, 4:12, 8:24])
+        ii2 = VideoInfo(format="I420", width=32, height=16)
+        gold = [np.asarray(p)[0]
+                for p in VideoConverter(ii2, oi).convert_ref(cropped)]
+        for o, g in zip(out, gold):
+            assert np.array_equal(o, g)
+
+    def test_src_offset_chroma_alignment(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        ii = VideoInfo(format="I420", width=32, height=16)
+        oi = VideoInfo(format="RGB", width=16, height=8)
+        vc = VideoConverter(ii, oi, {"src-x": 5, "src-y": 3,
+                                     "src-width": 16, "src-height": 8})
+        # offsets round down to even (w_sub/h_sub = 1)
+        assert vc._plan["rect"][:2] == (4, 2)
+
+    def test_device_matches_gold_with_rect(self):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        rng = np.random.RandomState(8)
+        planes = self._planes(rng, 32, 16)
+        ii = VideoInfo(format="I420", width=32, height=16)
+        oi = VideoInfo(format="RGBA", width=32, height=16)
+        vc = VideoConverter(ii, oi, {"dest-x": 4, "dest-y": 2,
+                                     "dest-width": 16, "dest-height": 8,
+                                     "border-argb": 0x80FF0000})
+        gold = vc.convert_ref(planes)
+        dev = vc.convert(planes)
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))
+        # alpha border = 0x80
+        assert int(np.asarray(gold[3])[0, 0, 0]) == 0x80
+
+
+class TestAddBorders:
+    def test_videoscale_letterboxes_on_dar_change(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "videotestsrc pattern=white num-buffers=1 ! "
+            "video/x-raw,format=I420,width=64,height=32 ! "
+            "videoconvertscale ! video/x-raw,format=I420,width=32,height=32 ! "
+            "appsink name=o")
+        pipe.run()
+        y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data[0])[0]
+        # DAR 2:1 -> 1:1: 16 rows of image centered, 8-row black borders
+        assert int(y[0, 0]) == 16      # border Y (black)
+        assert int(y[31, 16]) == 16
+        assert int(y[16, 16]) == 235   # white image center
+        assert int(y[8, 0]) == 235     # first image row
+
+    def test_add_borders_false_stretches(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "videotestsrc pattern=white num-buffers=1 ! "
+            "video/x-raw,format=I420,width=64,height=32 ! "
+            "videoconvertscale add-borders=false ! "
+            "video/x-raw,format=I420,width=32,height=32 ! appsink name=o")
+        pipe.run()
+        y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data[0])[0]
+        assert int(y[0, 0]) == 235     # stretched: no border
