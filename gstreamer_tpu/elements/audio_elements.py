@@ -258,7 +258,8 @@ class AudioConvert(TransformElement):
             in_depth = 32 if inf.is_integer else 64
             if onf.depth > 20 or (inf.is_integer and onf.depth >= inf.depth):
                 dither = DITHER_NONE
-            quant = Quantizer(dither, 32 - onf.depth, oinfo.channels)
+            quant = Quantizer(dither, 32 - onf.depth, oinfo.channels,
+                              ns=self.props["noise-shaping"])
         self._quant = quant
 
         int_domain = inf.is_integer and onf.is_integer
@@ -284,9 +285,20 @@ class AudioConvert(TransformElement):
             return afmt.pack(xp, onf, v)
 
         self._fn = fn
+        # noise shaping is a sequential error recurrence -> host element
+        # (quantizer runs the exact numpy recurrence per buffer)
+        self.HOST_ELEMENT = (quant is not None
+                             and self.props["noise-shaping"] != "none")
 
     def make_fn(self):
+        if getattr(self, "HOST_ELEMENT", False):
+            return None
         return self._fn
+
+    def host_process(self, buf):
+        if self._fn is None:
+            return buf
+        return buf.with_(data=self._fn(buf.data))
 
 
 @register_element

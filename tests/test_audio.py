@@ -355,3 +355,84 @@ class TestWavAndFx:
         mags = np.asarray(s.last_magnitudes)
         # 4306.64 Hz at 44.1k with nfft 256: bin = 4306.64*256/44100 = 25
         assert mags.argmax() == 25
+
+
+class TestNoiseShaping:
+    """audio-quantize.c noise shaping (:200 error-feedback, :240 shaped)."""
+
+    def _gold_feedback(self, s, dith, mask):
+        # scalar transliteration of quantize_int_dither_feedback
+        out = np.empty_like(s)
+        e = np.zeros(s.shape[1], np.int64)
+        for i in range(s.shape[0]):
+            for ch in range(s.shape[1]):
+                o = int(s[i, ch])
+                err = int(dith[i, ch]) - int(e[ch])
+                v = max(-(1 << 31), min((1 << 31) - 1, o + err))
+                v &= ~mask
+                e[ch] = e[ch] + (v - o)
+                out[i, ch] = v
+        return out
+
+    def test_error_feedback_matches_gold(self):
+        from gstreamer_tpu.audio.quantize import Quantizer
+        rng = np.random.RandomState(0)
+        s = rng.randint(-(1 << 30), 1 << 30, (64, 2)).astype(np.int64)
+        q1 = Quantizer("tpdf", 16, 2, ns="error-feedback", seed=123)
+        out = q1._apply_ns(s.astype(np.int32))
+        q2 = Quantizer("tpdf", 16, 2, seed=123)
+        dith = q2.dither_buf(64).astype(np.int64)
+        gold = self._gold_feedback(s, dith, (1 << 16) - 1)
+        assert np.array_equal(out.astype(np.int64), gold)
+
+    def _gold_shaped(self, s, dith, mask, coeffs):
+        SHIFT, REDUCE, RROUND, SREDUCE, SROUND = 10, 8, 128, 2, 2
+        c = [int(np.floor(x * (1 << SHIFT) + 0.5)) for x in coeffs]
+        nc = len(c)
+        ch_n = s.shape[1]
+        e = np.zeros((s.shape[0] + nc, ch_n), np.int64)
+        out = np.empty_like(s)
+        for i in range(s.shape[0]):
+            for ch in range(ch_n):
+                err = 0
+                for j in range(nc):
+                    err -= int(e[i + j, ch]) * c[j]
+                err = (err + SROUND) >> SREDUCE
+                v = max(-(1 << 31), min((1 << 31) - 1, int(s[i, ch]) + err))
+                o = v
+                v = max(-(1 << 31), min((1 << 31) - 1, v + int(dith[i, ch])))
+                v &= ~mask
+                e[i + nc, ch] = (v - o + RROUND) >> REDUCE
+                out[i, ch] = v
+        return out
+
+    @pytest.mark.parametrize("ns,coeffs", [
+        ("simple", [-0.5, 1.0]),
+        ("medium", [0.6149, -1.590, 1.959, -2.165, 2.033]),
+        ("high", [-0.340122, 0.876066, -1.72008, 2.61339, -3.31399,
+                  3.27918, -2.92975, 2.08484]),
+    ])
+    def test_shaped_matches_gold(self, ns, coeffs):
+        from gstreamer_tpu.audio.quantize import Quantizer
+        rng = np.random.RandomState(1)
+        s = rng.randint(-(1 << 28), 1 << 28, (48, 2)).astype(np.int64)
+        q1 = Quantizer("tpdf", 16, 2, ns=ns, seed=77)
+        out = q1._apply_ns(s.astype(np.int32))
+        q2 = Quantizer("tpdf", 16, 2, seed=77)
+        dith = q2.dither_buf(48).astype(np.int64)
+        gold = self._gold_shaped(s, dith, (1 << 16) - 1, coeffs)
+        assert np.array_equal(out.astype(np.int64), gold)
+
+    def test_audioconvert_noise_shaping_pipeline(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "audiotestsrc wave=sine num-buffers=2 samplesperbuffer=256 ! "
+            "audio/x-raw,format=S32LE,rate=44100,channels=1 ! "
+            "audioconvert noise-shaping=high dithering=tpdf ! "
+            "audio/x-raw,format=S16LE ! appsink name=o")
+        pipe.run()
+        s = pipe.get_by_name("o").pull_sample()
+        x = np.asarray(s.buffer.data)
+        assert x.dtype == np.int16 and x.size > 0
+        # shaped output should not be identical to plain truncation
+        assert int(np.abs(x.astype(int)).max()) > 0
