@@ -17,3 +17,4 @@ from . import audiofx           # noqa: F401
 from . import playback          # noqa: F401
 from . import overlay           # noqa: F401
 from . import smpte             # noqa: F401
+from . import rawparse          # noqa: F401

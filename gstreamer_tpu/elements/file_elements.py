@@ -96,8 +96,10 @@ class FileSrc(SourceElement):
             caps = Caps([self._audio_info.to_caps_structure()])
         else:
             caps = Caps.any()
-        if filter is not None and not caps.is_any:
-            caps = caps.intersect(filter)
+        if filter is not None:
+            # ANY ∩ filter = filter (lets downstream parsers like
+            # rawvideoparse pin the byte-stream caps)
+            caps = filter if caps.is_any else caps.intersect(filter)
         return caps
 
     def set_info(self, incaps, outcaps):
