@@ -159,6 +159,9 @@ FORMATS.update({
     "I420_10LE": _yuv16("I420_10LE", 10, (0, 1, 1), (0, 1, 1)),
     "I420_12LE": _yuv16("I420_12LE", 12, (0, 1, 1), (0, 1, 1)),
     "I422_10LE": _yuv16("I422_10LE", 10, (0, 1, 1), (0, 0, 0)),
+    # v210: 10-bit 4:2:2, 6 pixels in 16 bytes, rows 128-byte aligned
+    # (video-format.c unpack_v210 :559 / pack_v210 :651)
+    "v210": _yuv16("v210", 10, (0, 1, 1), (0, 0, 0), layout="v210"),
     "I422_12LE": _yuv16("I422_12LE", 12, (0, 1, 1), (0, 0, 0)),
     "Y444_10LE": _yuv16("Y444_10LE", 10, (0, 0, 0), (0, 0, 0)),
     "Y444_12LE": _yuv16("Y444_12LE", 12, (0, 0, 0), (0, 0, 0)),
@@ -336,8 +339,15 @@ def plane_shapes(fmt: VideoFormatInfo, width: int, height: int):
     return shapes
 
 
+def v210_stride(width: int) -> int:
+    """v210 row stride: ((width + 47) / 48) * 128 (video-info.c)."""
+    return ((width + 47) // 48) * 128
+
+
 def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
     bps = fmt.bits // 8
+    if fmt.layout == "v210":
+        return height * v210_stride(width)
     if fmt.layout == "packed":
         if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
             return height * width * len(fmt.packed_order) * bps
@@ -346,10 +356,64 @@ def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
     return sum(h * w for (h, w) in plane_shapes(fmt, width, height)) * bps
 
 
+def _v210_from_bytes(data: np.ndarray, width: int, height: int):
+    """unpack_v210 (video-format.c:559) word extraction: per 16-byte group
+    a0..a3 carry (u0,y0,v0),(y1,u2,y2),(v2,y3,u4),(y4,v4,y5) as 10-bit
+    fields.  Returns raw 10-bit component planes Y (H,W), U/V (H,ceil(W/2))
+    as uint16 (the canonical <<6 | >>10 widening happens in
+    unpack_planes' standard low-justified path)."""
+    stride = v210_stride(width)
+    batch = data.shape[:-1]
+    rows = data.reshape(batch + (height, stride))
+    words = np.ascontiguousarray(rows).view("<u4").astype(np.uint32)
+    ng = -(-width // 6)
+    g = words.reshape(batch + (height, -1, 4))[..., :ng, :]
+    a0, a1, a2, a3 = (g[..., k] for k in range(4))
+    y = np.stack([(a0 >> 10) & 0x3FF, a1 & 0x3FF, (a1 >> 20) & 0x3FF,
+                  (a2 >> 10) & 0x3FF, a3 & 0x3FF, (a3 >> 20) & 0x3FF],
+                 axis=-1).reshape(batch + (height, ng * 6))[..., :width]
+    cw = -(-width // 2)
+    u = np.stack([a0 & 0x3FF, (a1 >> 10) & 0x3FF, (a2 >> 20) & 0x3FF],
+                 axis=-1).reshape(batch + (height, ng * 3))[..., :cw]
+    v = np.stack([(a0 >> 20) & 0x3FF, a2 & 0x3FF, (a3 >> 10) & 0x3FF],
+                 axis=-1).reshape(batch + (height, ng * 3))[..., :cw]
+    return [y.astype(np.uint16), u.astype(np.uint16), v.astype(np.uint16)]
+
+
+def _v210_to_bytes(planes, width: int, height: int) -> np.ndarray:
+    """pack_v210 (video-format.c:651): components are 10-bit values
+    (pack_planes already >>6'd); tail lanes beyond width pack as 0."""
+    y, u, v = (np.asarray(p).astype(np.uint32) for p in planes[:3])
+    batch = y.shape[:-2]
+    ng = -(-width // 6)
+
+    def padlast(a, n):
+        pad = [(0, 0)] * a.ndim
+        pad[-1] = (0, n - a.shape[-1])
+        return np.pad(a, pad)
+
+    y = padlast(y, ng * 6).reshape(batch + (height, ng, 6))
+    u = padlast(u, ng * 3).reshape(batch + (height, ng, 3))
+    v = padlast(v, ng * 3).reshape(batch + (height, ng, 3))
+    a0 = u[..., 0] | (y[..., 0] << 10) | (v[..., 0] << 20)
+    a1 = y[..., 1] | (u[..., 1] << 10) | (y[..., 2] << 20)
+    a2 = v[..., 1] | (y[..., 3] << 10) | (u[..., 2] << 20)
+    a3 = y[..., 4] | (v[..., 2] << 10) | (y[..., 5] << 20)
+    words = np.ascontiguousarray(
+        np.stack([a0, a1, a2, a3], axis=-1).astype("<u4"))
+    stride = v210_stride(width)
+    out = np.zeros(batch + (height, stride), np.uint8)
+    rowbytes = words.view(np.uint8).reshape(batch + (height, ng * 16))
+    out[..., :ng * 16] = rowbytes
+    return out.reshape(batch + (height * stride,))
+
+
 def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
                height: int):
     """Decode the format's memory layout into component planes (numpy)."""
     data = np.asarray(data, dtype=np.uint8)
+    if fmt.layout == "v210":
+        return _v210_from_bytes(data, width, height)
     if fmt.bits == 16:
         data = np.ascontiguousarray(data).view("<u2")
     batch = data.shape[:-1]
@@ -451,6 +515,8 @@ def _assemble(fmt: VideoFormatInfo, planes, width: int, height: int,
 def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarray:
     """Encode component planes into the format's memory layout (numpy),
     returned as flat uint8 per frame."""
+    if fmt.layout == "v210":
+        return _v210_to_bytes(planes, width, height)
     sdt = np.uint8 if fmt.bits == 8 else np.dtype("<u2")
     out = _assemble(fmt, [np.asarray(p, sdt) for p in planes], width,
                     height, sdt)

@@ -100,17 +100,23 @@ def plane_rows(fmt_name: str, w: int, h: int):
     import sys
     from gstreamer_tpu.video.format import format_info
     fmt = format_info(fmt_name)
+    bps = fmt.bits // 8
     if fmt.layout == "planar":
         out = []
         for comp in fmt.plane_order:
-            out.append((fmt.comp_height(comp, h), fmt.comp_width(comp, w)))
+            out.append((fmt.comp_height(comp, h),
+                        fmt.comp_width(comp, w) * bps))
         return out
+    if fmt.layout == "v210":
+        from gstreamer_tpu.video.format import v210_stride
+        return [(h, v210_stride(w))]
     if fmt.layout == "semi":
-        return [(h, w), (fmt.comp_height(1, h), 2 * fmt.comp_width(1, w))]
+        return [(h, w * bps),
+                (fmt.comp_height(1, h), 2 * fmt.comp_width(1, w) * bps)]
     # packed
-    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA"):
-        return [(h, w * len(fmt.packed_order))]
-    return [(h, (-(-w // 2)) * 4)]
+    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64", "ARGB64"):
+        return [(h, w * len(fmt.packed_order) * bps)]
+    return [(h, (-(-w // 2)) * 4 * bps)]
 
 
 def _tight_to_strided(fmt_name, w, h, tight: np.ndarray, size, offsets, strides):

@@ -94,3 +94,50 @@ def test_i420_to_rgb_reference_levels():
             np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
         assert out[0][0, 0] == expect
         assert ref[0] == expect
+
+
+@pytest.mark.skipif(not gst_ref.available(), reason="no libgstvideo")
+class TestV210Parity:
+    """v210 conversions verified byte-exact against real libgstvideo."""
+
+    # (v210->I420 takes the convert_v210_I420 fastpath in 1.22 with
+    #  different chroma handling -- not oracle-comparable)
+    @pytest.mark.parametrize("outf", ["AYUV64", "Y42B", "v210"])
+    def test_v210_to(self, outf):
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.format import (format_info, from_bytes,
+                                                to_bytes)
+        from gstreamer_tpu.video.info import VideoInfo
+        W, H = 48, 8
+        rng = np.random.RandomState(2)
+        y = rng.randint(0, 1024, (H, W)).astype(np.uint16)
+        u = rng.randint(0, 1024, (H, W // 2)).astype(np.uint16)
+        v = rng.randint(0, 1024, (H, W // 2)).astype(np.uint16)
+        tight = to_bytes(format_info("v210"), [y, u, v], W, H)
+        ref_b = gst_ref.convert_frame(
+            f"video/x-raw,format=v210,width={W},height={H}",
+            f"video/x-raw,format={outf},width={W},height={H}",
+            tight, config=gst_ref.GENERIC_CONFIG)
+        ref = from_bytes(format_info(outf), np.asarray(ref_b), W, H)
+        vc = VideoConverter(VideoInfo(format="v210", width=W, height=H),
+                            VideoInfo(format=outf, width=W, height=H))
+        ours = vc.convert_ref(tuple(p[None] for p in (y, u, v)))
+        for o, r in zip(ours, ref):
+            assert np.array_equal(np.asarray(o)[0], np.asarray(r)), outf
+
+    def test_i420_to_v210_device_matches_gold(self):
+        # (I420->v210 fastpaths in 1.22 with different chroma handling --
+        #  pin jit == numpy gold instead)
+        from gstreamer_tpu.video.converter import VideoConverter
+        from gstreamer_tpu.video.info import VideoInfo
+        W, H = 48, 8
+        rng = np.random.RandomState(3)
+        planes = (rng.randint(0, 256, (1, H, W)).astype(np.uint8),
+                  rng.randint(0, 256, (1, H // 2, W // 2)).astype(np.uint8),
+                  rng.randint(0, 256, (1, H // 2, W // 2)).astype(np.uint8))
+        vc = VideoConverter(VideoInfo(format="I420", width=W, height=H),
+                            VideoInfo(format="v210", width=W, height=H))
+        gold = vc.convert_ref(planes)
+        dev = vc.convert(planes)
+        for g, d in zip(gold, dev):
+            assert np.array_equal(np.asarray(g), np.asarray(d))

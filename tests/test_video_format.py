@@ -87,3 +87,35 @@ def test_jax_matches_numpy_unpack():
         gold = unpack(np, fmt, planes, w, h)
         got = np.asarray(unpack(jnp, fmt, tuple(jnp.asarray(p) for p in planes), w, h))
         np.testing.assert_array_equal(gold, got)
+
+
+class TestV210:
+    """v210: 10-bit 4:2:2, 6 px / 16 bytes (video-format.c:559,651)."""
+
+    def test_roundtrip(self):
+        from gstreamer_tpu.video.format import (format_info, from_bytes,
+                                                frame_size, to_bytes)
+        f = format_info("v210")
+        rng = np.random.RandomState(0)
+        for w, h in ((48, 4), (20, 3), (6, 2), (7, 2)):
+            y = rng.randint(0, 1024, (h, w)).astype(np.uint16)
+            u = rng.randint(0, 1024, (h, (w + 1) // 2)).astype(np.uint16)
+            v = rng.randint(0, 1024, (h, (w + 1) // 2)).astype(np.uint16)
+            b = to_bytes(f, [y, u, v], w, h)
+            assert b.size == frame_size(f, w, h) == h * ((w + 47) // 48) * 128
+            y2, u2, v2 = from_bytes(f, b, w, h)
+            assert np.array_equal(y, y2) and np.array_equal(u, u2) \
+                and np.array_equal(v, v2), (w, h)
+
+    def test_known_word_layout(self):
+        from gstreamer_tpu.video.format import format_info, to_bytes
+        f = format_info("v210")
+        y = np.arange(1, 7, dtype=np.uint16).reshape(1, 6)
+        u = np.array([[0x10, 0x20, 0x30]], np.uint16)
+        v = np.array([[0x40, 0x50, 0x60]], np.uint16)
+        b = to_bytes(f, [y, u, v], 6, 1)
+        w = np.frombuffer(b.tobytes()[:16], "<u4")
+        assert w[0] == 0x10 | (1 << 10) | (0x40 << 20)
+        assert w[1] == 2 | (0x20 << 10) | (3 << 20)
+        assert w[2] == 0x50 | (4 << 10) | (0x30 << 20)
+        assert w[3] == 5 | (0x60 << 10) | (6 << 20)
