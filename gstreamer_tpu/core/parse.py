@@ -57,6 +57,17 @@ _CAPS_RE = re.compile(r"^[a-zA-Z0-9]+/[a-zA-Z0-9+.\-]+")
 _REF_RE = re.compile(r"^([A-Za-z_][\w\-]*)\.([\w%\-]*)$")
 
 
+class _BinRef:
+    """Marker unit for a parsed `( ... )` bin: linking INTO the bin goes
+    to its first element, linking OUT comes from its last element (the
+    parser's auto-ghost-pad behavior, grammar.y.in chain rule)."""
+
+    def __init__(self, bin_, first, last):
+        self.bin = bin_
+        self.first = first
+        self.last = last
+
+
 def parse_launch(description: str, batch: int = 1) -> Pipeline:
     """Build and return a Pipeline from a launch-line description."""
     toks = _tokenize(description)
@@ -69,19 +80,54 @@ def parse_launch(description: str, batch: int = 1) -> Pipeline:
     pipe = Pipeline()
     pipe.default_batch = batch
     named: Dict[str, Element] = {}
+    _build(toks, pipe, pipe, named)
+    return pipe
 
-    # Group tokens into units (element + its properties, a caps filter, or
-    # a named ref) and units into chains; a new chain starts at a token
-    # that is neither a property nor preceded by '!'.
-    raw_chains: List[List[List[str]]] = []
-    chain: List[List[str]] = []
+
+def _build(toks: List[str], pipe, container, named: Dict[str, Element]):
+    """Build elements/links from tokens into `container` (pipeline or
+    bin).  Returns (first, last) element of the FIRST chain (for bin
+    ghost-pad linking)."""
+    from .pipeline import Bin
+
+    # Group tokens into units (element + its properties, a caps filter, a
+    # named ref, or a `( ... )` bin) and units into chains; a new chain
+    # starts at a token that is neither a property nor preceded by '!'.
+    raw_chains: List[List] = []
+    chain: List = []
     unit: List[str] = []
     pending_link = False
-    for t in toks + ["\n"]:
+    i = 0
+    toks = toks + ["\n"]
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            # collect the balanced paren group (gst-launch bins)
+            depth = 1
+            j = i + 1
+            while j < len(toks) and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ParseError("unbalanced '(' in description")
+            inner = toks[i + 1:j - 1]
+            bin_ = Bin()
+            container.add(bin_)
+            first, last = _build(inner, pipe, bin_, named)
+            if unit:
+                raise ParseError("'(' must start a link target")
+            chain.append(_BinRef(bin_, first, last))
+            pending_link = False
+            i = j
+            continue
         if t == "!":
-            if not unit:
+            if not unit and not (chain and isinstance(chain[-1], _BinRef)):
                 raise ParseError("dangling '!'")
-            chain.append(unit)
+            if unit:
+                chain.append(unit)
             unit = []
             pending_link = True
         elif t == "\n":
@@ -103,11 +149,22 @@ def parse_launch(description: str, batch: int = 1) -> Pipeline:
                 unit = [t]
             else:
                 unit.append(t)
-    # build elements/links
-    last_pad_ref: Optional[Tuple[Element, Optional[str]]] = None
-    for chain in raw_chains:
+        i += 1
+
+    first_of_first = last_of_first = None
+    for ci, chain in enumerate(raw_chains):
         prev: Optional[Tuple[Element, Optional[str]]] = None
         for unit in chain:
+            if isinstance(unit, _BinRef):
+                if prev is not None:
+                    pel, ppad = prev
+                    link(pel, unit.first, srcpad=ppad)
+                prev = (unit.last, None)
+                if ci == 0 and first_of_first is None:
+                    first_of_first = unit.first
+                if ci == 0:
+                    last_of_first = unit.last
+                continue
             head = unit[0]
             m = _REF_RE.match(head)
             if m and not factory_exists(head):
@@ -118,7 +175,7 @@ def parse_launch(description: str, batch: int = 1) -> Pipeline:
             elif _CAPS_RE.match(head) and "/" in head:
                 caps = Caps.from_string(" ".join(unit))
                 cf = element_factory_make("capsfilter", caps=caps)
-                pipe.add(cf)
+                container.add(cf)
                 cur_elem = (cf, None)
             else:
                 if not factory_exists(head):
@@ -136,7 +193,7 @@ def parse_launch(description: str, batch: int = 1) -> Pipeline:
                     else:
                         props[k] = v
                 elem = element_factory_make(head, name=elem_name, **props)
-                pipe.add(elem)
+                container.add(elem)
                 if elem_name:
                     named[elem_name] = elem
                 cur_elem = (elem, None)
@@ -145,7 +202,11 @@ def parse_launch(description: str, batch: int = 1) -> Pipeline:
                 cel, cpad = cur_elem
                 link(pel, cel, srcpad=ppad, sinkpad=cpad)
             prev = cur_elem
-    return pipe
+            if ci == 0:
+                if first_of_first is None:
+                    first_of_first = cur_elem[0]
+                last_of_first = cur_elem[0]
+    return first_of_first, last_of_first
 
 
 def _is_caps_token_continuation(unit: List[str], tok: str) -> bool:

@@ -217,6 +217,22 @@ def tap_matrix(res: Resampler, precision: int = SCALE_U8) -> np.ndarray:
     return m
 
 
+
+def _mm_limbs(xp, x_b, m: np.ndarray):
+    """Exact tap-matrix product for bf16 pixel operands: taps split into
+    hi/lo limbs (<=8 significant bits each, exact in bf16) CONCATENATED
+    along the output axis so the big pixel operand streams from HBM once;
+    the two halves add in f32 (exact: both partial sums are integers well
+    below 2^24)."""
+    m_hi = (m >> 5) << 5
+    m_lo = m - m_hi
+    cat = np.concatenate([m_hi.T, m_lo.T], axis=1)
+    r = xp.matmul(x_b, xp.asarray(cat, dtype=xp.bfloat16),
+                  preferred_element_type=xp.float32)
+    n = m.shape[0]
+    return r[..., :n] + r[..., n:]
+
+
 def scale_axis_exact(xp, img, axis: int, res: Resampler,
                      precision: int = SCALE_U8, value_bits: int = 8):
     """Exact HQ scaling along `axis`:
@@ -238,14 +254,9 @@ def scale_axis_exact(xp, img, axis: int, res: Resampler,
         limb_ok = int(np.abs(m).max()) < (1 << 13)
 
         def mm_exact_u8(x_b):
-            # x_b: bf16 values <=255 (exact); two bf16 matmuls, f32 acc
-            m_hi = (m >> 5) << 5
-            m_lo = m - m_hi
-            return (
-                xp.matmul(x_b, xp.asarray(m_hi.T, dtype=xp.bfloat16),
-                          preferred_element_type=xp.float32)
-                + xp.matmul(x_b, xp.asarray(m_lo.T, dtype=xp.bfloat16),
-                            preferred_element_type=xp.float32))
+            # x_b: bf16 values <=255 (exact); single concatenated-limb
+            # matmul with f32 accumulation
+            return _mm_limbs(xp, x_b, m)
 
         if limb_ok and value_bits <= 8:
             acc = mm_exact_u8(src.astype(xp.bfloat16)).astype(xp.int32)
@@ -286,13 +297,8 @@ def scale_rows_split_exact(xp, even, odd, res: Resampler,
         if xp is np:
             return (np.moveaxis(x, -2, -1).astype(np.float64)
                     @ mm_.T.astype(np.float64))
-        m_hi = (mm_ >> 5) << 5
-        m_lo = mm_ - m_hi
         xb = xp.moveaxis(x, -2, -1).astype(xp.bfloat16)
-        return (xp.matmul(xb, xp.asarray(m_hi.T, dtype=xp.bfloat16),
-                          preferred_element_type=xp.float32)
-                + xp.matmul(xb, xp.asarray(m_lo.T, dtype=xp.bfloat16),
-                            preferred_element_type=xp.float32))
+        return _mm_limbs(xp, xb, mm_)
 
     acc = mm(even, me) + mm(odd, mo)
     acc = acc.astype(xp.int32) if xp is not np else acc.astype(np.int64)
@@ -318,13 +324,7 @@ def scale_cols_split_exact(xp, even, odd, res: Resampler,
     def mm(x, mm_):
         if xp is np:
             return x.astype(np.float64) @ mm_.T.astype(np.float64)
-        m_hi = (mm_ >> 5) << 5
-        m_lo = mm_ - m_hi
-        xb = x.astype(xp.bfloat16)
-        return (xp.matmul(xb, xp.asarray(m_hi.T, dtype=xp.bfloat16),
-                          preferred_element_type=xp.float32)
-                + xp.matmul(xb, xp.asarray(m_lo.T, dtype=xp.bfloat16),
-                            preferred_element_type=xp.float32))
+        return _mm_limbs(xp, x.astype(xp.bfloat16), mm_)
 
     acc = mm(even, me) + mm(odd, mo)
     acc = acc.astype(xp.int32) if xp is not np else acc.astype(np.int64)

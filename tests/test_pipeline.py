@@ -536,3 +536,32 @@ class TestPlayback:
         pipe, sink = pb.build_pipeline()
         pipe.run()
         assert sink.pull_sample() is not None
+
+
+class TestParseBins:
+    def test_bin_in_chain(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "videotestsrc num-buffers=2 ! "
+            "( videoconvert ! video/x-raw,format=RGB ) ! appsink name=o")
+        pipe.run()
+        import numpy as np
+        s = pipe.get_by_name("o").pull_sample()
+        assert s is not None
+        assert len(s.buffer.data) == 3   # RGB planes
+
+    def test_nested_bin_named_elements(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "videotestsrc num-buffers=1 ! "
+            "( identity name=inner ! ( identity name=deep ) ) ! "
+            "fakesink name=sink")
+        assert pipe.get_by_name("inner") is not None
+        assert pipe.get_by_name("deep") is not None
+        pipe.run()
+
+    def test_unbalanced_paren_raises(self):
+        from gstreamer_tpu.core.parse import parse_launch, ParseError
+        import pytest as _pytest
+        with _pytest.raises(ParseError):
+            parse_launch("videotestsrc ! ( identity ! fakesink")
