@@ -302,3 +302,85 @@ class Level(_AudioFxBase):
                     {"rms": self.last_rms.tolist(),
                      "peak": self.last_peak.tolist()}))
         return buf
+
+
+class _EqualizerBase(_AudioFxBase):
+    """Shared equalizer machinery (gstiirequalizer.c — cascaded biquads,
+    S16 processed as float per CREATE_OPTIMIZED_FUNCTIONS_INT gint16 ->
+    gfloat :819)."""
+    HOST_ELEMENT = True
+    N_BANDS = 3
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._eq = None
+
+    def set_info(self, incaps, outcaps):
+        super().set_info(incaps, outcaps)
+        from ..audio.equalizer import IirEqualizer
+        info = self._info
+        self._eq = IirEqualizer(self._n_bands(), info.rate, info.channels)
+        self._apply_gains()
+        self._eq.setup()
+
+    def _n_bands(self):
+        return self.N_BANDS
+
+    def _apply_gains(self):
+        for i in range(self._n_bands()):
+            key = f"band{i}"
+            if key in self.props:
+                self._eq.bands[i].gain = float(self.props[key])
+
+    def start(self):
+        if self._eq is not None:
+            self._eq.reset()
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        if self._eq is None or all(b.gain == 0.0 for b in self._eq.bands):
+            return buf    # set_passthrough(:585): all gains 0 -> identity
+        x = np.asarray(buf.data)
+        lim = self._limits()
+        y = self._eq.process(x.astype(np.float64))
+        if lim is None:
+            out = y.astype(x.dtype)
+        else:
+            # the reference's int path computes in float and casts back
+            # (one_step gint16/gfloat) with CLAMP
+            out = np.clip(y, lim[0], lim[1]).astype(x.dtype)
+        return buf.with_(data=out)
+
+
+@register_element
+class Equalizer3Bands(_EqualizerBase):
+    FACTORY = "equalizer-3bands"
+    DESCRIPTION = "3-band IIR equalizer (110 Hz / 1.1 kHz / 11 kHz)"
+    N_BANDS = 3
+    PROPERTIES = {
+        "band0": (float, 0.0, "gain dB, 110 Hz band"),
+        "band1": (float, 0.0, "gain dB, 1.1 kHz band"),
+        "band2": (float, 0.0, "gain dB, 11 kHz band"),
+    }
+
+
+@register_element
+class Equalizer10Bands(_EqualizerBase):
+    FACTORY = "equalizer-10bands"
+    DESCRIPTION = "10-band IIR equalizer"
+    N_BANDS = 10
+    PROPERTIES = {f"band{i}": (float, 0.0, f"gain dB, band {i}")
+                  for i in range(10)}
+
+
+@register_element
+class EqualizerNBands(_EqualizerBase):
+    FACTORY = "equalizer-nbands"
+    DESCRIPTION = "N-band IIR equalizer"
+    PROPERTIES = {"num-bands": (int, 10, "number of bands (1-64)")}
+
+    def _n_bands(self):
+        return int(self.props["num-bands"])
+
+    def set_band_gain(self, idx: int, gain_db: float):
+        """child-proxy equivalent: set band gain programmatically."""
+        self._eq.set_gain(idx, gain_db)

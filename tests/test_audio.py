@@ -436,3 +436,75 @@ class TestNoiseShaping:
         assert x.dtype == np.int16 and x.size > 0
         # shaped output should not be identical to plain truncation
         assert int(np.abs(x.astype(int)).max()) > 0
+
+
+class TestEqualizer:
+    def test_band_layout_3bands(self):
+        from gstreamer_tpu.audio.equalizer import make_bands
+        b = make_bands(3)
+        # step = 10: bands at 110/1100/11000 Hz (gstiirequalizer3bands.c
+        # property blurbs)
+        assert abs(b[0].freq - 110.0) < 1e-9
+        assert abs(b[1].freq - 1100.0) < 1e-9
+        assert abs(b[2].freq - 11000.0) < 1e-9
+        assert b[0].type == "low-shelf" and b[2].type == "high-shelf"
+
+    def test_peak_filter_coefficients(self):
+        from gstreamer_tpu.audio.equalizer import Band
+        import math
+        b = Band(freq=1000.0, width=200.0, gain=6.0, type="peak")
+        b.setup(44100)
+        gain = 10 ** (6.0 / 40)
+        omega = 2 * math.pi * 1000.0 / 44100
+        alpha = math.tan(2 * math.pi * (200.0 / 44100) / 2)
+        b0 = 1 + alpha / gain
+        assert abs(b.a0 - (1 + alpha * gain) / b0) < 1e-12
+        assert abs(b.b1 - (2 * math.cos(omega)) / b0) < 1e-12
+
+    def test_zero_gain_passthrough(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=256 ! "
+            "audio/x-raw,format=F64LE,rate=44100,channels=1 ! "
+            "equalizer-3bands ! appsink name=o")
+        pipe.run()
+        y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data)
+        pipe2 = parse_launch(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=256 ! "
+            "audio/x-raw,format=F64LE,rate=44100,channels=1 ! appsink name=o")
+        pipe2.run()
+        x = np.asarray(pipe2.get_by_name("o").pull_sample().buffer.data)
+        assert np.array_equal(x, y)
+
+    def test_boost_low_band_amplifies_low_freq(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        # 100 Hz tone boosted by band0=+12dB
+        pipe = parse_launch(
+            "audiotestsrc wave=sine freq=100 num-buffers=4 "
+            "samplesperbuffer=4096 ! "
+            "audio/x-raw,format=F64LE,rate=44100,channels=1 ! "
+            "equalizer-3bands band0=12.0 ! appsink name=o")
+        pipe.run()
+        sink = pipe.get_by_name("o")
+        chunks = []
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            chunks.append(np.asarray(s.buffer.data))
+        y = np.concatenate(chunks)[-4096:]
+        rms = float(np.sqrt((y ** 2).mean()))
+        # +12 dB ~ 4x amplitude on a band-centered-ish tone; loose bound
+        assert rms > 1.5 * 0.8 / np.sqrt(2)
+
+    def test_s16_path_clamps(self):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            "audiotestsrc wave=square volume=1.0 freq=100 num-buffers=2 "
+            "samplesperbuffer=2048 ! "
+            "audio/x-raw,format=S16LE,rate=44100,channels=2 ! "
+            "equalizer-10bands band0=12.0 band1=12.0 ! appsink name=o")
+        pipe.run()
+        y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data)
+        assert y.dtype == np.int16
+        assert int(y.max()) <= 32767
