@@ -565,3 +565,36 @@ class TestParseBins:
         import pytest as _pytest
         with _pytest.raises(ParseError):
             parse_launch("videotestsrc ! ( identity ! fakesink")
+
+
+class TestDeviceMonitor:
+    def test_enumerates_devices(self):
+        from gstreamer_tpu.core.device import DeviceMonitor
+        mon = DeviceMonitor()
+        mon.start()
+        devs = mon.get_devices()
+        assert any(d.device_class.startswith("Compute/") for d in devs)
+        assert any(d.device_class == "Source/Video" for d in devs)
+        mon.stop()
+
+    def test_class_filter(self):
+        from gstreamer_tpu.core.device import DeviceMonitor
+        mon = DeviceMonitor()
+        mon.add_filter(classes="Source/Video")
+        devs = mon.get_devices()
+        assert devs and all(d.has_classes("Source/Video") for d in devs)
+
+    def test_device_creates_element(self):
+        from gstreamer_tpu.core.device import DeviceMonitor
+        mon = DeviceMonitor()
+        mon.add_filter(classes="Source/Video")
+        el = mon.get_devices()[0].create_element()
+        assert el.FACTORY == "videotestsrc"
+
+    def test_caps_filter(self):
+        from gstreamer_tpu.core.caps import Caps
+        from gstreamer_tpu.core.device import DeviceMonitor
+        mon = DeviceMonitor()
+        mon.add_filter(caps=Caps.from_string("audio/x-raw"))
+        devs = mon.get_devices()
+        assert all("audio" in str(d.caps) for d in devs)
