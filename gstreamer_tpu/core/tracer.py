@@ -153,3 +153,63 @@ TRACERS = {
     "stats": StatsTracer,
     "log": LogTracer,
 }
+
+
+class LeaksTracer(Tracer):
+    """Mirrors plugins/tracers/gstleaks.c: tracks live framework objects
+    (elements seen vs torn down) and reports what never reached NULL."""
+
+    name = "leaks"
+
+    def __init__(self):
+        self.created = set()
+        self.disposed = set()
+
+    def subscribe(self):
+        return {"element-new": self._new, "element-stop": self._stop,
+                "buffer-post": self._seen}
+
+    def _new(self, element, *a):
+        self.created.add(element.name)
+
+    def _seen(self, element, buf):
+        self.created.add(element.name)
+
+    def _stop(self, element, *a):
+        self.disposed.add(element.name)
+
+    def report(self):
+        return {"live": sorted(self.created - self.disposed),
+                "created": len(self.created),
+                "disposed": len(self.disposed)}
+
+
+class RUsageTracer(Tracer):
+    """Mirrors plugins/tracers/gstrusage.c: CPU time / RSS per tick."""
+
+    name = "rusage"
+
+    def __init__(self):
+        self.samples = []
+
+    def subscribe(self):
+        return {"tick-post": self._tick}
+
+    def _tick(self, pipeline):
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        self.samples.append({
+            "utime": ru.ru_utime,
+            "stime": ru.ru_stime,
+            "maxrss_kb": ru.ru_maxrss,
+        })
+
+    def report(self):
+        if not self.samples:
+            return {}
+        last = self.samples[-1]
+        return {"ticks": len(self.samples), **last}
+
+
+TRACERS["leaks"] = LeaksTracer
+TRACERS["rusage"] = RUsageTracer
