@@ -18,3 +18,4 @@ from . import playback          # noqa: F401
 from . import overlay           # noqa: F401
 from . import smpte             # noqa: F401
 from . import rawparse          # noqa: F401
+from . import effectv           # noqa: F401

@@ -1,0 +1,395 @@
+"""EffecTV video effects — exact ports of the classic effectv kernels.
+
+Reference: subprojects/gst-plugins-good/gst/effectv/ —
+gstedge.c (:98 4x4 block edge map with intra-frame neighbor feedback),
+gststreak.c (:85 32-plane afterimage accumulation),
+gstshagadelic.c (:103 ripple/spiral tables, :168 psychedelic mask),
+gstvertigo.c (:102 set_parms, :158 16.16 fixed-point zoom feedback),
+gstquark.c (:100 random time-displaced plane per pixel, fastrand LCG),
+gstrev.c (:106 waveform rendering, THE_COLOR 0xffffffff),
+fastrand = state*1103515245 + 12345 (gsteffectv.h:40).
+
+Pixels are processed as the reference's guint32 words
+(R<<16 | G<<8 | B, little-endian BGRx) reassembled from the canonical
+component planes; all math is exact integer.  Frame-to-frame feedback
+makes these host elements; per-frame work is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, TransformElement,
+                            register_element)
+from ..video.info import VideoInfo
+from .videotestsrc import LCG_A, lcg_affine, lcg_tables
+
+RGB_CAPS = ("video/x-raw, format={ BGRx, RGBx, xRGB, RGB, RGBA, BGRA }, "
+            "width=[1,32767], height=[1,32767], "
+            "framerate=[0/1,2147483647/1]")
+
+M32 = 0xFFFFFFFF
+
+
+def _words(planes) -> np.ndarray:
+    """(R,G,B[,A]) component planes -> (B, H, W) int64 guint32 words."""
+    r, g, b = (np.asarray(planes[i]).astype(np.int64) for i in range(3))
+    return (r << 16) | (g << 8) | b
+
+
+def _unwords(w: np.ndarray, planes):
+    out = [((w >> 16) & 0xFF).astype(np.uint8),
+           ((w >> 8) & 0xFF).astype(np.uint8),
+           (w & 0xFF).astype(np.uint8)]
+    if len(planes) > 3:
+        out.append(np.asarray(planes[3]))
+    return tuple(out)
+
+
+class _EffectvBase(TransformElement):
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, RGB_CAPS),
+        PadTemplate("src", PadDirection.SRC, RGB_CAPS),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._info: Optional[VideoInfo] = None
+
+    def set_info(self, incaps, outcaps):
+        if incaps is not None:
+            self._info = VideoInfo.from_caps_structure(incaps[0])
+            self._reset()
+
+    def start(self):
+        self._reset()
+
+    def _reset(self):
+        pass
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        w = _words(buf.data)
+        out = np.empty_like(w)
+        for k in range(w.shape[0]):
+            out[k] = self._frame(w[k])
+        return buf.with_(data=_unwords(out, buf.data))
+
+    def _frame(self, w: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+def _sat_add_words(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """The edgetv byte-saturated add: r = a+b; g = r & 0x01010100;
+    out = r | (g - (g >> 8))  (gstedge.c:171)."""
+    r = a + b
+    g = r & 0x01010100
+    return r | (g - (g >> 8))
+
+
+@register_element
+class EdgeTV(_EffectvBase):
+    FACTORY = "edgetv"
+    DESCRIPTION = "Apply edge detect on video"
+
+    def _reset(self):
+        if self._info is None:
+            return
+        mw = self._info.width // 4
+        mh = self._info.height // 4
+        self._map = np.zeros((mh, mw, 2), np.int64)
+
+    def _frame(self, w):
+        info = self._info
+        mw, mh = info.width // 4, info.height // 4
+        out = np.zeros_like(w)
+        # reference pixels of each interior block (row 4y, col 4x)
+        ys = np.arange(1, mh - 1)
+        xs = np.arange(1, mw - 1)
+        p = w[4 * ys[:, None], 4 * xs[None, :]]
+        ql = w[4 * ys[:, None], 4 * xs[None, :] - 1]
+        qu = w[4 * ys[:, None] - 1, 4 * xs[None, :]]
+
+        def diffmap(p, q):
+            r = ((p & 0xFF0000) - (q & 0xFF0000)) >> 16
+            g = ((p & 0xFF00) - (q & 0xFF00)) >> 8
+            b = (p & 0xFF) - (q & 0xFF)
+            r = np.minimum((r * r) >> 5, 127)
+            g = np.minimum((g * g) >> 5, 127)
+            b = np.minimum((b * b) >> 4, 255)
+            return (r << 17) | (g << 9) | b
+
+        v2 = diffmap(p, ql)
+        v3 = diffmap(p, qu)
+        newmap = self._map.copy()
+        newmap[1:mh - 1, 1:mw - 1, 0] = v2
+        newmap[1:mh - 1, 1:mw - 1, 1] = v3
+        # v0 = map[y-1][x][0] and v1 = map[y][x-1][1] AFTER this frame's
+        # writes at those positions (the C updates in scan order)
+        v0 = newmap[0:mh - 2, 1:mw - 1, 0]
+        v1 = newmap[1:mh - 1, 0:mw - 2, 1]
+        self._map = newmap
+
+        by = 4 * ys[:, None]
+        bx = 4 * xs[None, :]
+        out[by, bx] = _sat_add_words(v0, v1)
+        out[by, bx + 1] = _sat_add_words(v0, v3)
+        out[by, bx + 2] = v3
+        out[by, bx + 3] = v3
+        out[by + 1, bx] = _sat_add_words(v2, v1)
+        out[by + 1, bx + 1] = _sat_add_words(v2, v3)
+        out[by + 1, bx + 2] = v3
+        out[by + 1, bx + 3] = v3
+        # (rows 4y+2/4y+3 and the border blocks stay black — the C leaves
+        # them unwritten in the fresh output buffer)
+        return out & M32
+
+
+@register_element
+class StreakTV(_EffectvBase):
+    FACTORY = "streaktv"
+    DESCRIPTION = "Makes after-image of moving objects"
+    PROPERTIES = {"feedback": (bool, False, "feedback mode")}
+
+    def _reset(self):
+        if self._info is None:
+            return
+        shape = (32, self._info.height, self._info.width)
+        self._planes = np.zeros(shape, np.int64)
+        self._plane = 0
+
+    def _frame(self, w):
+        fb = self.props["feedback"]
+        mask, stride, shift = ((0xFCFCFCFC, 8, 2) if fb
+                               else (0xF8F8F8F8, 4, 3))
+        self._planes[self._plane] = (w & mask) >> shift
+        cf = self._plane & (stride - 1)
+        if fb:
+            dest = (self._planes[cf] + self._planes[cf + stride]
+                    + self._planes[cf + stride * 2]
+                    + self._planes[cf + stride * 3])
+            self._planes[self._plane] = (dest & mask) >> shift
+        else:
+            dest = sum(self._planes[cf + stride * k] for k in range(8))
+        self._plane = (self._plane + 1) & 31
+        return dest & M32
+
+
+@register_element
+class ShagadelicTV(_EffectvBase):
+    FACTORY = "shagadelictv"
+    DESCRIPTION = "Oh behave, ShagadelicTV makes images shagadelic!"
+
+    def _reset(self):
+        if self._info is None:
+            return
+        wdt, hgt = self._info.width, self._info.height
+        yy = (np.arange(2 * hgt)[:, None] - hgt).astype(np.float64) ** 2
+        xx = (np.arange(2 * wdt)[None, :] - wdt).astype(np.float64)
+        self._ripple = (np.sqrt(xx * xx + yy) * 8).astype(np.uint64) & 255
+        sy = (np.arange(hgt)[:, None] - hgt // 2).astype(np.float64)
+        sx = (np.arange(wdt)[None, :] - wdt // 2).astype(np.float64)
+        self._spiral = (np.arctan2(sx, sy + np.zeros_like(sx)) / math.pi
+                        * 256 * 9
+                        + np.sqrt(sx * sx + sy * sy) * 5
+                        ).astype(np.int64).astype(np.uint64) & 255
+        # fastrand starts at 0 (static guint, gsteffectv.h:42)
+        s = 0
+        vals = []
+        for _ in range(4):
+            s = (s * 1103515245 + 12345) & M32
+            vals.append(s)
+        self._rx, self._ry = vals[0] % wdt, vals[1] % hgt
+        self._bx, self._by = vals[2] % wdt, vals[3] % hgt
+        self._rvx = self._rvy = -2
+        self._bvx = self._bvy = 2
+        self._phase = 0
+
+    def _frame(self, w):
+        wdt, hgt = self._info.width, self._info.height
+        v = w | 0x1010100
+        v = (v - 0x707060) & 0x1010100
+        v = v - (v >> 8)
+        rip = self._ripple
+
+        def chan(tab, off, mult):
+            # ((gint8)(table + phase*mult)) >> 7 — arithmetic shift of the
+            # byte reinterpreted signed: 0 or -1 (0xFF..)
+            t = (tab + self._phase * mult) & 0xFF
+            return np.where(t >= 128, 0xFF, 0)
+
+        r = chan(rip[self._ry:self._ry + hgt, self._rx:self._rx + wdt],
+                 0, 2)
+        g = chan(self._spiral, 0, 3)
+        b = chan(rip[self._by:self._by + hgt, self._bx:self._bx + wdt],
+                 0, -1)
+        out = v & ((r << 16) | (g << 8) | b)
+
+        self._phase -= 8
+        for a, va, lim in (("_rx", "_rvx", wdt), ("_ry", "_rvy", hgt),
+                           ("_bx", "_bvx", wdt), ("_by", "_bvy", hgt)):
+            pos, vel = getattr(self, a), getattr(self, va)
+            if pos + vel < 0 or pos + vel >= lim:
+                vel = -vel
+                setattr(self, va, vel)
+            setattr(self, a, pos + vel)
+        return out & M32
+
+
+@register_element
+class VertigoTV(_EffectvBase):
+    FACTORY = "vertigotv"
+    DESCRIPTION = "A loopback alpha blending effector with rotating and scaling"
+    PROPERTIES = {
+        "speed": (float, 0.02, "phase increment"),
+        "zoom-speed": (float, 1.01, "zoom rate"),
+    }
+
+    def _reset(self):
+        if self._info is None:
+            return
+        area = self._info.width * self._info.height
+        self._cur = np.zeros(area + 1, np.int64)
+        self._alt = np.zeros(area + 1, np.int64)
+        self._phase = 0.0
+
+    def _set_parms(self):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        phase = self._phase
+        dizz = math.sin(phase) * 10 + math.sin(phase * 1.9 + 5) * 5
+        x, y = wdt / 2, hgt / 2
+        t = (x * x + y * y) * float(self.props["zoom-speed"])
+        if wdt > hgt:
+            dizz = min(dizz, x) if dizz >= 0 else max(dizz, -x)
+            vx = (x * (x - dizz) + y * y) / t
+            vy = (dizz * y) / t
+        else:
+            dizz = min(dizz, y) if dizz >= 0 else max(dizz, -y)
+            vx = (x * x + y * (y - dizz)) / t
+            vy = (dizz * x) / t
+        self._dx = int(vx * 65536)
+        self._dy = int(vy * 65536)
+        self._sx = int((-vx * x + vy * y + x + math.cos(phase * 5) * 2)
+                       * 65536)
+        self._sy = int((-vx * y - vy * x + y + math.sin(phase * 6) * 2)
+                       * 65536)
+        self._phase += float(self.props["speed"])
+        if self._phase > 5700000:
+            self._phase = 0.0
+
+    def _frame(self, w):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        area = wdt * hgt
+        self._set_parms()
+        xs = np.arange(wdt, dtype=np.int64)
+        ys = np.arange(hgt, dtype=np.int64)
+        # per-row ox starts at sx - y*dy; per-col step dx (and oy dual)
+        ox = (self._sx - ys[:, None] * self._dy) + xs[None, :] * self._dx
+        oy = (self._sy + ys[:, None] * self._dx) + xs[None, :] * self._dy
+        i = (oy >> 16) * wdt + (ox >> 16)
+        i = np.clip(i, 0, area)
+        # (index `area` emulates the C's one-past read as 0)
+        v = self._cur[i] & 0xFCFCFF
+        v = v * 3 + (w & 0xFCFCFF)
+        out = (v >> 2) & M32
+        self._alt[:area] = out.reshape(-1)
+        self._cur, self._alt = self._alt, self._cur
+        return out
+
+
+@register_element
+class QuarkTV(_EffectvBase):
+    FACTORY = "quarktv"
+    DESCRIPTION = "Motion dissolver"
+    PROPERTIES = {"planes": (int, 16, "number of history planes")}
+
+    def _reset(self):
+        if self._info is None:
+            return
+        n = int(self.props["planes"])
+        area = self._info.width * self._info.height
+        self._table = [None] * n
+        self._current = n - 1
+        self._rand_state = 0
+        # LCG doubling ladder: (mul, add) of 2^j fastrand applications
+        muls, adds = [], []
+        m_, a_ = 1103515245, 12345
+        for _ in range(area.bit_length() + 1):
+            muls.append(m_)
+            adds.append(a_)
+            a_ = (m_ * a_ + a_) & M32
+            m_ = (m_ * m_) & M32
+        self._muls, self._adds = muls, adds
+
+    def _frame(self, w):
+        info = self._info
+        area = info.width * info.height
+        n = int(self.props["planes"])
+        flat = w.reshape(-1)
+        self._table[self._current] = flat.copy()
+        # the C loop `while (--area)` draws area-1 fastrands for pixels
+        # area-1 .. 1 (pixel 0 keeps the previous content; we use src)
+        ks = np.arange(1, area, dtype=np.uint64)       # draw index per pix
+        s = np.uint64(self._rand_state)
+        # state after k draws: affine ladder
+        mul = np.ones(area - 1, np.uint64)
+        add = np.zeros(area - 1, np.uint64)
+        k = (area - 1) - ks + 1   # pixel i=area-1 gets draw 1, i=1 gets area-1
+        for bit, (m_, a_) in enumerate(zip(self._muls, self._adds)):
+            sel = ((k >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+            add = np.where(sel, (np.uint64(a_) + np.uint64(m_) * add)
+                           & np.uint64(M32), add)
+            mul = np.where(sel, (mul * np.uint64(m_)) & np.uint64(M32), mul)
+        states = (mul * s + add) & np.uint64(M32)
+        sel_plane = ((np.uint64(self._current) + (states >> np.uint64(24)))
+                     % np.uint64(n)).astype(np.int64)
+        # advance the scalar state by area-1 draws
+        m_f, a_f = lcg_affine(area - 1)
+        self._rand_state = (m_f * int(s) + a_f) & M32
+
+        out = flat.copy()
+        idx = np.arange(1, area)
+        for pl in range(n):
+            tab = self._table[pl]
+            if tab is None:
+                continue
+            m = sel_plane == pl
+            out[idx[m]] = tab[idx[m]]
+        self._current -= 1
+        if self._current < 0:
+            self._current = n - 1
+        return out.reshape(info.height, info.width) & M32
+
+
+@register_element
+class RevTV(_EffectvBase):
+    FACTORY = "revtv"
+    DESCRIPTION = "A video waveform monitor for each line of video"
+    PROPERTIES = {
+        "delay": (int, 1, "delay in frames"),
+        "linespace": (int, 6, "control line spacing"),
+        "gain": (int, 50, "control gain"),
+    }
+
+    def _frame(self, w):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        linespace = int(self.props["linespace"])
+        vscale = int(self.props["gain"])
+        out = np.zeros_like(w)
+        for y in range(0, hgt, linespace):
+            row = w[y]
+            R = (row & 0xFF0000) >> 15
+            G = (row & 0xFF00) >> 6
+            B = row & 0xFF
+            yval = y - ((R + G + B).astype(np.int64) // vscale)
+            ok = yval > 0
+            out[yval[ok], np.arange(wdt)[ok]] = 0xFFFFFFFF
+        return out

@@ -1,0 +1,214 @@
+"""EffecTV elements vs scalar transliterations of the C kernels."""
+
+import math
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.core.parse import parse_launch
+
+
+def _run_elem(factory, frames_words, w, h, props=""):
+    """Push word frames through the element via appsrc."""
+    from gstreamer_tpu.core.buffer import Buffer
+    pipe = parse_launch(
+        f"appsrc name=in caps=video/x-raw,format=BGRx,width={w},height={h},"
+        f"framerate=30/1 ! {factory} {props} name=fx ! appsink name=out")
+    src = pipe.get_by_name("in")
+    for k, wf in enumerate(frames_words):
+        planes = (((wf >> 16) & 0xFF).astype(np.uint8)[None],
+                  ((wf >> 8) & 0xFF).astype(np.uint8)[None],
+                  (wf & 0xFF).astype(np.uint8)[None],
+                  np.zeros((1, h, w), np.uint8))
+        src.push_buffer(Buffer(data=planes, pts=k * 33333333,
+                               duration=33333333))
+    src.end_of_stream()
+    pipe.run()
+    sink = pipe.get_by_name("out")
+    outs = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = s.buffer.data
+        r, g, b = (np.asarray(d[i]).astype(np.int64) for i in range(3))
+        for k in range(r.shape[0]):
+            outs.append((r[k] << 16) | (g[k] << 8) | b[k])
+    return outs
+
+
+def _edge_gold(frames, w, h):
+    """Scalar transliteration of gst_edgetv_transform_frame."""
+    mw, mh = w // 4, h // 4
+    gmap = np.zeros(mh * mw * 2, np.int64)
+    outs = []
+    for f in frames:
+        src = f.reshape(-1)
+        dest = np.zeros(w * h, np.int64)
+        base = w * 4 + 4
+        si = base
+        for y in range(1, mh - 1):
+            for x in range(1, mw - 1):
+                p = int(src[si])
+                q = int(src[si - 1])
+
+                def dm(p, q):
+                    r = ((p & 0xFF0000) - (q & 0xFF0000)) >> 16
+                    g = ((p & 0xFF00) - (q & 0xFF00)) >> 8
+                    b = (p & 0xFF) - (q & 0xFF)
+                    r = min((r * r) >> 5, 127)
+                    g = min((g * g) >> 5, 127)
+                    b = min((b * b) >> 4, 255)
+                    return (r << 17) | (g << 9) | b
+
+                v2 = dm(p, q)
+                v3 = dm(p, int(src[si - w]))
+                v0 = int(gmap[(y - 1) * mw * 2 + x * 2])
+                v1 = int(gmap[y * mw * 2 + (x - 1) * 2 + 1])
+                gmap[y * mw * 2 + x * 2] = v2
+                gmap[y * mw * 2 + x * 2 + 1] = v3
+
+                def sat(a, b):
+                    r = a + b
+                    g = r & 0x01010100
+                    return r | (g - (g >> 8))
+
+                dest[si] = sat(v0, v1)
+                dest[si + 1] = sat(v0, v3)
+                dest[si + 2] = v3
+                dest[si + 3] = v3
+                dest[si + w] = sat(v2, v1)
+                dest[si + w + 1] = sat(v2, v3)
+                dest[si + w + 2] = v3
+                dest[si + w + 3] = v3
+                si += 4
+            si += w * 3 + 8 + (w % 4)
+        outs.append(dest.reshape(h, w) & 0xFFFFFFFF)
+    return outs
+
+
+class TestEdgeTV:
+    def test_matches_scalar_gold(self):
+        rng = np.random.RandomState(0)
+        w, h = 32, 24
+        frames = [rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+                  for _ in range(3)]
+        got = _run_elem("edgetv", frames, w, h)
+        gold = _edge_gold(frames, w, h)
+        for a, b in zip(got, gold):
+            # compare RGB bits only: the C also writes carry bits into
+            # the BGRx padding byte, which is don't-care data our
+            # canonical component planes do not carry
+            assert np.array_equal(a & 0xFFFFFF, b & 0xFFFFFF)
+
+
+class TestStreakTV:
+    def test_afterimage_accumulates(self):
+        w, h = 16, 8
+        bright = np.full((h, w), 0xF8F8F8, np.int64)
+        dark = np.zeros((h, w), np.int64)
+        frames = [bright] + [dark] * 5
+        got = _run_elem("streaktv", frames, w, h)
+        # frame 0: bright/8 summed once = bright>>3
+        assert got[0][0, 0] == (0xF8F8F8 & 0xF8F8F8) >> 3
+        # cf = plane & 3: the bright plane 0 re-enters the sum every 4th
+        # frame (cf == 0) until overwritten 32 frames later
+        assert got[3][0, 0] == 0
+        assert got[4][0, 0] == 0xF8F8F8 >> 3
+        assert got[5][0, 0] == 0
+
+
+class TestVertigoTV:
+    def test_scalar_gold_one_frame(self):
+        w, h = 16, 12
+        rng = np.random.RandomState(1)
+        f = rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+        got = _run_elem("vertigotv", [f], w, h)[0]
+        # gold: phase=0 parms, current buffer zeros
+        phase = 0.0
+        dizz = math.sin(phase) * 10 + math.sin(phase * 1.9 + 5) * 5
+        x, y = w / 2, h / 2
+        t = (x * x + y * y) * 1.01
+        dizz = min(dizz, x) if dizz >= 0 else max(dizz, -x)
+        vx = (x * (x - dizz) + y * y) / t
+        vy = (dizz * y) / t
+        dx, dy = int(vx * 65536), int(vy * 65536)
+        sx = int((-vx * x + vy * y + x + math.cos(0.0) * 2) * 65536)
+        sy = int((-vx * y - vy * x + y + math.sin(0.0) * 2) * 65536)
+        gold = np.zeros((h, w), np.int64)
+        for yy in range(h):
+            ox, oy = sx, sy
+            for xx in range(w):
+                # current buffer is zero -> v = src & 0xFCFCFF
+                gold[yy, xx] = (f[yy, xx] & 0xFCFCFF) >> 2
+                ox += dx
+                oy += dy
+            sx -= dy
+            sy += dx
+        assert np.array_equal(got, gold)
+
+
+class TestQuarkTV:
+    def test_first_frame_mixes_only_src(self):
+        w, h = 8, 6
+        rng = np.random.RandomState(2)
+        f0 = rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+        got = _run_elem("quarktv", [f0], w, h)[0]
+        # with a single frame in the table every drawn plane is either
+        # the current frame or empty (-> src); output == input
+        assert np.array_equal(got, f0)
+
+    def test_matches_scalar_gold(self):
+        # scalar transliteration of gst_quarktv_transform_frame with the
+        # shared fastrand state starting at 0
+        w, h = 32, 24
+        area = w * h
+        rng = np.random.RandomState(3)
+        frames = [rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+                  for _ in range(3)]
+        got = _run_elem("quarktv", frames, w, h)
+
+        state = 0
+        table = [None] * 16
+        current = 15
+        gold = []
+        for f in frames:
+            src = f.reshape(-1)
+            table[current] = src.copy()
+            dest = src.copy()
+            i = area
+            while True:
+                i -= 1
+                if i == 0:
+                    break
+                state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+                pl = table[(current + (state >> 24)) % 16]
+                if pl is not None:
+                    dest[i] = pl[i]
+            gold.append(dest.reshape(h, w))
+            current -= 1
+            if current < 0:
+                current = 15
+        for a, b in zip(got, gold):
+            assert np.array_equal(a, b)
+
+
+class TestShagadelicRev:
+    def test_shagadelic_runs_and_masks(self):
+        w, h = 16, 8
+        f = np.full((h, w), 0xFFFFFF, np.int64)
+        got = _run_elem("shagadelictv", [f], w, h)[0]
+        # output only contains maskable bits of v (per-channel 0 or
+        # saturated channel values)
+        assert got.shape == (h, w)
+        assert int(got.max()) <= 0xFFFFFF
+
+    def test_revtv_draws_waveform(self):
+        # black frame: yval = y - 0, lines at y = 6 (linespace) light up
+        # their own row; y = 0 fails the yval > 0 test
+        w, h = 16, 12
+        f = np.zeros((h, w), np.int64)
+        got = _run_elem("revtv", [f], w, h)[0]
+        assert np.all(got[6] == 0xFFFFFFFF & 0xFFFFFF)
+        assert np.all(got[0] == 0)
+        assert np.all(got[5] == 0)
