@@ -353,3 +353,62 @@ class MultiFileSink(SinkElement):
                 f.write(np.asarray(buf.data).tobytes())
             self._index += 1
         return FlowReturn.OK
+
+
+@register_element
+class Y4mEnc(SinkElement):
+    """y4menc+filesink fused: writes a YUV4MPEG2 stream.
+
+    Reference: subprojects/gst-plugins-good/gst/y4m/gsty4menc.c —
+    stream header "YUV4MPEG2 C%s W%d H%d I%c F%d:%d A%d:%d\\n" (:192),
+    per-frame "FRAME\\n" (:215); chroma tags per gsty4mformat.c
+    ChromaSubsamplingMap (:166)."""
+    FACTORY = "y4menc"
+    DESCRIPTION = "Encodes video into the YUV4MPEG2 stream format"
+    PAD_TEMPLATES = [PadTemplate(
+        "sink", PadDirection.SINK,
+        "video/x-raw, format={ I420, Y42B, Y444, GRAY8 }, "
+        "width=[1,32767], height=[1,32767], "
+        "framerate=[0/1,2147483647/1]")]
+    PROPERTIES = {"location": (str, "out.y4m", "output path")}
+
+    _TAGS = {"I420": "420jpeg", "Y42B": "422", "Y444": "444",
+             "GRAY8": "mono"}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self._info = None
+
+    def set_info(self, incaps, outcaps):
+        self._info = VideoInfo.from_caps_structure(incaps[0])
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        info = self._info
+        # 420jpeg for interstitial siting, 420mpeg2 for H-cosited
+        tag = self._TAGS[info.format]
+        if info.format == "I420" and info.chroma_site == "mpeg2":
+            tag = "420mpeg2"
+        fps = info.fps
+        hdr = (f"YUV4MPEG2 C{tag} W{info.width} H{info.height} Ip "
+               f"F{fps.num}:{fps.denom} "
+               f"A{info.par.num}:{info.par.denom}\n")
+        self._file.write(hdr.encode())
+
+    def stop(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def render(self, buf: Buffer) -> str:
+        from ..video.format import to_bytes
+        info = self._info
+        planes = [np.asarray(p) for p in buf.data]
+        n = planes[0].shape[0]
+        for k in range(n):
+            self._file.write(b"FRAME\n")
+            tight = to_bytes(info.finfo, [p[k] for p in planes],
+                             info.width, info.height)
+            self._file.write(tight.tobytes())
+        return FlowReturn.OK

@@ -598,3 +598,40 @@ class TestDeviceMonitor:
         mon.add_filter(caps=Caps.from_string("audio/x-raw"))
         devs = mon.get_devices()
         assert all("audio" in str(d.caps) for d in devs)
+
+
+class TestY4mEnc:
+    def test_y4m_roundtrip(self, tmp_path):
+        from gstreamer_tpu.core.parse import parse_launch
+        import numpy as np
+        path = tmp_path / "out.y4m"
+        pipe = parse_launch(
+            f"videotestsrc pattern=smpte num-buffers=3 ! "
+            f"video/x-raw,format=I420,width=64,height=32,framerate=25/1 ! "
+            f"y4menc location={path}")
+        pipe.run()
+        head = path.read_bytes()[:64]
+        assert head.startswith(b"YUV4MPEG2 C420jpeg W64 H32 Ip F25:1 A1:1\n")
+        # read it back through filesrc
+        pipe2 = parse_launch(f"filesrc location={path} ! appsink name=o")
+        pipe2.run()
+        sink = pipe2.get_by_name("o")
+        n = 0
+        first = None
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            y = np.asarray(s.buffer.data[0])
+            if first is None:
+                first = y[0]
+            n += y.shape[0]
+        assert n == 3
+        # compare against a direct capture of frame 0
+        pipe3 = parse_launch(
+            "videotestsrc pattern=smpte num-buffers=1 ! "
+            "video/x-raw,format=I420,width=64,height=32,framerate=25/1 ! "
+            "appsink name=o")
+        pipe3.run()
+        ref = np.asarray(pipe3.get_by_name("o").pull_sample().buffer.data[0])[0]
+        assert np.array_equal(first, ref)
