@@ -25,7 +25,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
 
-    batch = 32
+    batch = 128
     ii = VideoInfo(format="I420", width=1920, height=1080)
     oi = VideoInfo(format="RGB", width=224, height=224)
     # videoscale's default method is bilinear/2-tap
@@ -44,7 +44,7 @@ def main():
     out = fn(planes)
     _ = np.asarray(out[0])
 
-    iters = 30
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(planes)

@@ -384,3 +384,91 @@ class EqualizerNBands(_EqualizerBase):
     def set_band_gain(self, idx: int, gain_db: float):
         """child-proxy equivalent: set band gain programmatically."""
         self._eq.set_gain(idx, gain_db)
+
+
+@register_element
+class AudioPanorama(TransformElement):
+    """audiopanorama: mono/stereo -> stereo panning.
+
+    Reference: gst-plugins-good/gst/audiofx/audiopanorama.c + the ORC
+    kernels (audiopanoramaorc.orc): psychoacoustic mode crossfeeds the
+    attenuated channel into the other (ch2_psy_right :64/:108:
+    L'=L*(1-pan), R'=R+L*pan; mirrored for pan<0); simple mode only
+    attenuates (ch2_sim_* :235); mono spreads L=x*(1-r), R=x*r with
+    r=(pan+1)/2 (:33)."""
+    FACTORY = "audiopanorama"
+    DESCRIPTION = "Positions audio streams in the stereo panorama"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "audio/x-raw, format={ S16LE, F32LE }, "
+                    "rate=[1,2147483647], channels=[1,2], "
+                    "layout=interleaved"),
+        PadTemplate("src", PadDirection.SRC,
+                    "audio/x-raw, format={ S16LE, F32LE }, "
+                    "rate=[1,2147483647], channels=2, "
+                    "layout=interleaved"),
+    ]
+    PROPERTIES = {
+        "panorama": (float, 0.0, "position [-1..1]"),
+        "method": (str, "psychoacoustic", "psychoacoustic|simple"),
+    }
+
+    def transform_caps(self, direction, caps, filter=None):
+        out = []
+        for s in caps:
+            ns = s.copy()
+            if direction == PadDirection.SINK:
+                ns["channels"] = 2
+            else:
+                from ..core.value import IntRange
+                ns["channels"] = IntRange(1, 2)
+            out.append(ns)
+        res = Caps(out).simplify()
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        self._info = AudioInfo.from_caps_structure(incaps[0])
+
+    def make_fn(self):
+        pan = np.float32(self.props["panorama"])
+        psy = self.props["method"] == "psychoacoustic"
+        mono = self._info.channels == 1
+        is_int = self._info.finfo.is_integer
+
+        def fn(x):
+            import jax.numpy as jnp
+            v = x.astype(jnp.float32)
+            if mono:
+                s = v[..., 0]
+                if psy:
+                    r = np.float32((pan + 1.0) / 2.0)
+                    left, right = s * (np.float32(1.0) - r), s * r
+                elif pan == 0.0:
+                    left = right = s
+                elif pan > 0.0:
+                    left, right = s * np.float32(1.0 - pan), s
+                else:
+                    left, right = s, s * np.float32(1.0 + pan)
+            else:
+                L, R = v[..., 0], v[..., 1]
+                if pan == 0.0:
+                    left, right = L, R
+                elif psy and pan > 0.0:
+                    left = L * np.float32(1.0 - pan)
+                    right = R + L * np.float32(pan)
+                elif psy:
+                    left = L + R * np.float32(-pan)
+                    right = R * np.float32(1.0 + pan)
+                elif pan > 0.0:
+                    left, right = L * np.float32(1.0 - pan), R
+                else:
+                    left, right = L, R * np.float32(1.0 + pan)
+            out = jnp.stack([left, right], axis=-1)
+            if is_int:
+                out = jnp.clip(jnp.round(out), -32768, 32767
+                               ).astype(jnp.int16)
+            return out
+
+        return fn

@@ -508,3 +508,42 @@ class TestEqualizer:
         y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data)
         assert y.dtype == np.int16
         assert int(y.max()) <= 32767
+
+
+class TestAudioPanorama:
+    def _run(self, desc):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(desc)
+        pipe.run()
+        return np.asarray(pipe.get_by_name("o").pull_sample().buffer.data)
+
+    def test_mono_center_psy_splits_half(self):
+        y = self._run(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=64 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=1 ! "
+            "audiopanorama panorama=0.0 ! appsink name=o")
+        assert y.shape[-1] == 2
+        assert np.allclose(y[:, 0], y[:, 1])
+        x = self._run(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=64 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=1 ! appsink name=o")
+        assert np.allclose(y[:, 0], x[:, 0] * np.float32(0.5))
+
+    def test_stereo_psy_right_crossfeeds(self):
+        y = self._run(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=64 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=2 ! "
+            "audiopanorama panorama=0.5 ! appsink name=o")
+        x = self._run(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=64 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=2 ! appsink name=o")
+        L, R = x[:, 0].astype(np.float32), x[:, 1].astype(np.float32)
+        assert np.allclose(y[:, 0], L * np.float32(0.5))
+        assert np.allclose(y[:, 1], R + L * np.float32(0.5))
+
+    def test_simple_mode_attenuates_only(self):
+        y = self._run(
+            "audiotestsrc wave=sine num-buffers=1 samplesperbuffer=64 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=2 ! "
+            "audiopanorama panorama=1.0 method=simple ! appsink name=o")
+        assert np.allclose(y[:, 0], 0.0)
