@@ -19,3 +19,4 @@ from . import overlay           # noqa: F401
 from . import smpte             # noqa: F401
 from . import rawparse          # noqa: F401
 from . import effectv           # noqa: F401
+from . import interlace         # noqa: F401

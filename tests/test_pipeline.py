@@ -635,3 +635,38 @@ class TestY4mEnc:
         pipe3.run()
         ref = np.asarray(pipe3.get_by_name("o").pull_sample().buffer.data[0])[0]
         assert np.array_equal(first, ref)
+
+
+class TestInterlace:
+    def test_2_2_passthrough_content_sets_tff(self):
+        from gstreamer_tpu.core.buffer import BufferFlags
+        from gstreamer_tpu.core.parse import parse_launch
+        import numpy as np
+        pipe = parse_launch(
+            "videotestsrc pattern=gradient num-buffers=2 ! "
+            "video/x-raw,format=GRAY8,width=16,height=8,framerate=30/1 ! "
+            "interlace field-pattern=2:2 top-field-first=true ! "
+            "appsink name=o")
+        pipe.run()
+        s = pipe.get_by_name("o").pull_sample()
+        assert s.buffer.flags & BufferFlags.INTERLACED_TFF
+
+    def test_1_1_weaves_fields_from_pairs(self):
+        from gstreamer_tpu.core.buffer import Buffer
+        from gstreamer_tpu.core.parse import parse_launch
+        import numpy as np
+        pipe = parse_launch(
+            "appsrc name=in caps=video/x-raw,format=GRAY8,width=8,height=4,"
+            "framerate=60/1 ! interlace field-pattern=1:1 ! appsink name=o")
+        f0 = np.full((1, 4, 8), 10, np.uint8)
+        f1 = np.full((1, 4, 8), 200, np.uint8)
+        frames = np.concatenate([f0, f1])
+        pipe.get_by_name("in").push_buffer(
+            Buffer(data=(frames,), pts=0, duration=16666666, batch=2))
+        pipe.get_by_name("in").end_of_stream()
+        pipe.run()
+        out = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data[0])
+        assert out.shape[0] == 1
+        # default BFF: even rows (top field) from frame 2, odd from frame 1
+        assert int(out[0, 0, 0]) == 200
+        assert int(out[0, 1, 0]) == 10
