@@ -472,3 +472,188 @@ class AudioPanorama(TransformElement):
             return out
 
         return fn
+
+
+def _wsinc_window(kernel: np.ndarray, window: str) -> np.ndarray:
+    """The five FIR windows (audiowsinclimit.c:273-291)."""
+    ln = len(kernel)
+    i = np.arange(ln, dtype=np.float64)
+    if window == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * i / (ln - 1))
+    elif window == "blackman":
+        w = (0.42 - 0.5 * np.cos(2 * np.pi * i / (ln - 1))
+             + 0.08 * np.cos(4 * np.pi * i / (ln - 1)))
+    elif window == "gaussian":
+        w = np.exp(-0.5 * (3.0 / ln * (2 * i - (ln - 1))) ** 2)
+    elif window == "cosine":
+        w = np.cos(np.pi * i / (ln - 1) - np.pi / 2)
+    elif window == "hann":
+        w = 0.5 * (1 - np.cos(2 * np.pi * i / (ln - 1)))
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    return kernel * w
+
+
+def _sinc_kernel(cutoff: float, rate: int, ln: int,
+                 window: str) -> np.ndarray:
+    """Windowed-sinc lowpass, DC-normalized (audiowsinclimit.c:262-298)."""
+    w = 2 * np.pi * (cutoff / rate)
+    i = np.arange(ln, dtype=np.float64)
+    mid = (ln - 1) / 2.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = np.where(i == mid, w, np.sin(w * (i - mid)) / (i - mid))
+    k = _wsinc_window(k, window)
+    return k / k.sum()
+
+
+def _spectral_invert(k: np.ndarray) -> np.ndarray:
+    ln = len(k)
+    k = -k
+    if ln % 2 == 1:
+        k[(ln - 1) // 2] += 1.0
+    else:
+        k[ln // 2 - 1] += 0.5
+        k[ln // 2] += 0.5
+    return k
+
+
+class _FirBase(_AudioFxBase):
+    """gstaudiofxbasefirfilter equivalent: streaming FIR with carried
+    history; output delayed by the kernel latency."""
+    HOST_ELEMENT = True
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._zi = None
+
+    def start(self):
+        self._zi = None
+
+    def _kernel(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        from scipy.signal import lfilter
+
+        k = self._kernel()
+        x = np.asarray(buf.data)
+        xf = x.astype(np.float64)
+        if self._zi is None:
+            self._zi = np.zeros((len(k) - 1, xf.shape[-1]))
+        y, self._zi = lfilter(k, [1.0], xf, axis=0, zi=self._zi)
+        lim = self._limits()
+        if lim is None:
+            out = y.astype(x.dtype)
+        else:
+            out = np.clip(y, lim[0], lim[1]).astype(x.dtype)
+        return buf.with_(data=out)
+
+
+@register_element
+class AudioWSincLimit(_FirBase):
+    """audiowsinclimit: windowed-sinc low/high-pass
+    (audiowsinclimit.c build_kernel :223)."""
+    FACTORY = "audiowsinclimit"
+    DESCRIPTION = "Low/high-pass windowed-sinc filter"
+    PROPERTIES = {
+        "cutoff": (float, 0.0, "cutoff Hz"),
+        "length": (int, 101, "kernel length"),
+        "mode": (str, "low-pass", "low-pass|high-pass"),
+        "window": (str, "hamming", "hamming|blackman|gaussian|cosine|hann"),
+    }
+
+    def _kernel(self):
+        rate = self._info.rate
+        cutoff = min(max(float(self.props["cutoff"]), 0.0), rate / 2)
+        k = _sinc_kernel(cutoff, rate, int(self.props["length"]),
+                         self.props["window"])
+        if self.props["mode"] == "high-pass":
+            k = _spectral_invert(k)
+        return k
+
+
+@register_element
+class AudioWSincBand(_FirBase):
+    """audiowsincband: windowed-sinc band-pass/reject
+    (audiowsincband.c build_kernel :250)."""
+    FACTORY = "audiowsincband"
+    DESCRIPTION = "Band-pass/reject windowed-sinc filter"
+    PROPERTIES = {
+        "lower-frequency": (float, 0.0, "lower edge Hz"),
+        "upper-frequency": (float, 0.0, "upper edge Hz"),
+        "length": (int, 101, "kernel length"),
+        "mode": (str, "band-pass", "band-pass|band-reject"),
+        "window": (str, "hamming", ""),
+    }
+
+    def _kernel(self):
+        rate = self._info.rate
+        lo = min(max(float(self.props["lower-frequency"]), 0.0), rate / 2)
+        hi = min(max(float(self.props["upper-frequency"]), 0.0), rate / 2)
+        if lo > hi:
+            lo, hi = hi, lo
+        ln = int(self.props["length"])
+        win = self.props["window"]
+        k_lp = _sinc_kernel(lo, rate, ln, win)
+        k_hp = _spectral_invert(_sinc_kernel(hi, rate, ln, win))
+        k = k_lp + k_hp            # band reject
+        if self.props["mode"] == "band-pass":
+            k = -k
+            k[ln // 2] += 1        # (:372 — uses len/2, not (len-1)/2)
+        return k
+
+
+@register_element
+class AudioFirFilter(_FirBase):
+    """audiofirfilter: user-supplied FIR kernel (gstaudiofirfilter.c)."""
+    FACTORY = "audiofirfilter"
+    DESCRIPTION = "Generic FIR filter with custom kernel"
+    PROPERTIES = {"kernel": (object, None, "float taps")}
+
+    def _kernel(self):
+        k = self.props["kernel"]
+        if k is None:
+            return np.array([1.0])
+        return np.asarray(k, np.float64)
+
+
+@register_element
+class AudioIirFilter(_AudioFxBase):
+    """audioiirfilter: user-supplied IIR coefficients
+    (gstaudioiirfilter.c: y = (sum a[j] x[n-j] - sum b[j>=1] y[n-j]) / b[0]
+    in the gst naming where `a` feeds forward and `b` feeds back)."""
+    FACTORY = "audioiirfilter"
+    DESCRIPTION = "Generic IIR filter with custom coefficients"
+    HOST_ELEMENT = True
+    PROPERTIES = {
+        "a": (object, None, "feed-forward coefficients"),
+        "b": (object, None, "feed-back coefficients (b[0] != 0)"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._zi = None
+
+    def start(self):
+        self._zi = None
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        from scipy.signal import lfilter
+
+        ff = self.props["a"]
+        fb = self.props["b"]
+        if ff is None:
+            return buf
+        ff = np.asarray(ff, np.float64)
+        fb = (np.asarray(fb, np.float64) if fb is not None
+              else np.array([1.0]))
+        x = np.asarray(buf.data)
+        xf = x.astype(np.float64)
+        n = max(len(ff), len(fb))
+        if self._zi is None:
+            self._zi = np.zeros((n - 1, xf.shape[-1]))
+        y, self._zi = lfilter(ff, fb, xf, axis=0, zi=self._zi)
+        lim = self._limits()
+        out = (y.astype(x.dtype) if lim is None
+               else np.clip(y, lim[0], lim[1]).astype(x.dtype))
+        return buf.with_(data=out)

@@ -547,3 +547,71 @@ class TestAudioPanorama:
             "audio/x-raw,format=F32LE,rate=44100,channels=2 ! "
             "audiopanorama panorama=1.0 method=simple ! appsink name=o")
         assert np.allclose(y[:, 0], 0.0)
+
+
+class TestWSincFilters:
+    def _spectrum(self, y, rate):
+        f = np.fft.rfft(y * np.hanning(len(y)))
+        freqs = np.fft.rfftfreq(len(y), 1.0 / rate)
+        return freqs, np.abs(f)
+
+    def _tone_through(self, desc, freq):
+        from gstreamer_tpu.core.parse import parse_launch
+        pipe = parse_launch(
+            f"audiotestsrc wave=sine freq={freq} num-buffers=4 "
+            f"samplesperbuffer=2048 ! "
+            f"audio/x-raw,format=F64LE,rate=44100,channels=1 ! "
+            f"{desc} ! appsink name=o")
+        pipe.run()
+        sink = pipe.get_by_name("o")
+        parts = []
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            parts.append(np.asarray(s.buffer.data)[:, 0])
+        return np.concatenate(parts)[-4096:]
+
+    def test_lowpass_attenuates_high(self):
+        lo = self._tone_through("audiowsinclimit cutoff=2000 length=101",
+                                440)
+        hi = self._tone_through("audiowsinclimit cutoff=2000 length=101",
+                                10000)
+        assert np.sqrt((lo ** 2).mean()) > 0.5
+        assert np.sqrt((hi ** 2).mean()) < 0.05
+
+    def test_highpass_inverts(self):
+        hi = self._tone_through(
+            "audiowsinclimit cutoff=2000 length=101 mode=high-pass", 10000)
+        lo = self._tone_through(
+            "audiowsinclimit cutoff=2000 length=101 mode=high-pass", 100)
+        assert np.sqrt((hi ** 2).mean()) > 0.5
+        assert np.sqrt((lo ** 2).mean()) < 0.05
+
+    def test_bandpass_kernel_dc_behaviour(self):
+        pass_band = self._tone_through(
+            "audiowsincband lower-frequency=500 upper-frequency=3000 "
+            "length=101", 1000)
+        stop = self._tone_through(
+            "audiowsincband lower-frequency=500 upper-frequency=3000 "
+            "length=101", 10000)
+        assert np.sqrt((pass_band ** 2).mean()) > 0.4
+        assert np.sqrt((stop ** 2).mean()) < 0.08
+
+    def test_kernel_matches_reference_formula(self):
+        from gstreamer_tpu.elements.audiofx import _sinc_kernel
+        import math
+        ln, rate, cutoff = 9, 8000, 1000
+        k = _sinc_kernel(cutoff, rate, ln, "hamming")
+        w = 2 * math.pi * cutoff / rate
+        gold = []
+        for i in range(ln):
+            if i == (ln - 1) / 2.0:
+                v = w
+            else:
+                v = math.sin(w * (i - (ln - 1) / 2)) / (i - (ln - 1) / 2.0)
+            v *= 0.54 - 0.46 * math.cos(2 * math.pi * i / (ln - 1))
+            gold.append(v)
+        gold = np.array(gold)
+        gold /= gold.sum()
+        assert np.allclose(k, gold, atol=1e-15)
