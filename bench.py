@@ -25,7 +25,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
 
-    batch = 128
+    batch = 256
     ii = VideoInfo(format="I420", width=1920, height=1080)
     oi = VideoInfo(format="RGB", width=224, height=224)
     # videoscale's default method is bilinear/2-tap
@@ -42,15 +42,16 @@ def main():
     # warmup / compile; fetch to host — on the tunneled backend
     # block_until_ready can return before async completion
     out = fn(planes)
-    _ = np.asarray(out[0])
+    _ = np.asarray(out[0].ravel()[0:1])
 
-    iters = 10
+    iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(planes)
-    # device executes in stream order: fetching the last output element
-    # forces completion of every queued step
-    _ = np.asarray(out[0])
+    # device executes in stream order: fetching one element of the last
+    # output forces completion of every queued step without dragging the
+    # whole frame over the management tunnel
+    _ = np.asarray(out[0].ravel()[0:1])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -133,6 +133,14 @@ class AudioResampler:
     quality: int = DEFAULT_QUALITY
     cubic_b: float = 1.0
     cubic_c: float = 0.0
+    # filter construction (audio-resampler.c:1100-1168): "full" builds
+    # every phase from the sinc directly; "interpolated" builds a small
+    # oversampled table and interpolates per-phase taps from it (the
+    # variable-rate / huge-phase-count mode); "auto" per the reference
+    # heuristic (out_rate <= oversample or memory under 1 MiB -> full)
+    filter_mode: str = "auto"
+    filter_interpolation: str = "cubic"   # linear | cubic
+    filter_oversample: int = 8
 
     def __post_init__(self):
         g = math.gcd(self.in_rate, self.out_rate)
@@ -183,14 +191,80 @@ class AudioResampler:
         self.cutoff = cutoff
         self.beta = beta
         self.n_phases = self.out_red
-        # full filter-bank mode (the fixed-rate path; interpolated mode is
-        # for variable-rate streams)
-        self.taps_f64 = np.stack([
-            self._make_phase_taps(p) for p in range(self.n_phases)])
+
+        # oversample for the interpolated table (:1119-1142)
+        mult = 2
+        ov = self.filter_oversample
+        while ov > 1:
+            if mult * self.out_rate >= self.in_rate:
+                break
+            mult *= 2
+            ov >>= 1
+        if self.filter_interpolation == "linear":
+            ov *= 11
+        self.oversample = ov
+
+        mode = self.filter_mode
+        if mode == "auto":
+            # bps=4 (the float32 compute layout) in the memory heuristic
+            if self.out_rate <= ov or 4 * n_taps * self.out_rate < 1048576:
+                mode = "full"
+            else:
+                mode = "interpolated"
+        if method == "nearest":
+            mode = "full"
+        self.effective_filter_mode = mode
+
+        if mode == "interpolated":
+            isize = 2 if self.filter_interpolation == "linear" else 4
+            # rows at x = -n/2 + i/ov for i in [-1, ov+isize): the cubic
+            # window brackets the target between rows offset and offset+1
+            # with one row of margin on each side
+            self.base_taps_f64 = np.stack([
+                self._make_taps_at(-(n_taps // 2) + i / ov)
+                for i in range(-1, ov + isize)])
+            self.taps_f64 = np.stack([
+                self._interp_phase_f64(p) for p in range(self.n_phases)])
+        else:
+            self.base_taps_f64 = None
+            self.taps_f64 = np.stack([
+                self._make_phase_taps(p) for p in range(self.n_phases)])
+
+    # -- interpolated-mode helpers (GET_TAPS_FULL_FUNC :529-550) ----------
+    def _interp_geometry(self, phase: int):
+        pos = phase * self.oversample
+        offset = (self.oversample - 1) - pos // self.n_phases
+        frac = pos % self.n_phases
+        return offset, frac
+
+    def _interp_coeffs(self, frac: int):
+        """make_coeff_gdouble_linear/_cubic (:333,:360)."""
+        x = frac / self.n_phases
+        if self.filter_interpolation == "linear":
+            return np.array([x, 1.0 - x])
+        x2, x3 = x * x, x * x * x
+        c0 = 0.16667 * (x3 - x)
+        c1 = x + 0.5 * (x2 - x3)
+        c3 = -0.33333 * x + 0.5 * x2 - 0.16667 * x3
+        c2 = 1.0 - c0 - c1 - c3
+        return np.array([c0, c1, c2, c3])
+
+    def _interp_phase_f64(self, phase: int) -> np.ndarray:
+        offset, frac = self._interp_geometry(phase)
+        ic = self._interp_coeffs(frac)
+        # base_taps row i lives at array index i+1 (leading margin row);
+        # linear brackets rows [offset, offset+1], cubic [offset-1..+2]
+        start = (offset + 1) if self.filter_interpolation == "linear" \
+            else offset
+        rows = self.base_taps_f64[start:start + len(ic)]
+        return (ic[:, None] * rows).sum(axis=0)
 
     def _make_phase_taps(self, phase: int) -> np.ndarray:
+        return self._make_taps_at(1.0 - self.n_taps / 2
+                                  - phase / self.n_phases)
+
+    def _make_taps_at(self, x0: float) -> np.ndarray:
         n = self.n_taps
-        x0 = 1.0 - n / 2 - phase / self.n_phases
         t = np.empty(n, np.float64)
         for i in range(n):
             x = x0 + i

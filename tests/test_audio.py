@@ -615,3 +615,59 @@ class TestWSincFilters:
         gold = np.array(gold)
         gold /= gold.sum()
         assert np.allclose(k, gold, atol=1e-15)
+
+
+class TestInterpolatedFilterMode:
+    def test_auto_heuristic(self):
+        from gstreamer_tpu.audio.resampler import AudioResampler
+        # kaiser 44100->48000: memory 4*n_taps*48000 >> 1MiB -> interpolated
+        r = AudioResampler("kaiser", 44100, 48000)
+        assert r.effective_filter_mode == "interpolated"
+        # tiny out rate -> full
+        r2 = AudioResampler("kaiser", 16000, 8000, filter_mode="full")
+        assert r2.effective_filter_mode == "full"
+        # linear method: 4*2*48000 < 1MiB -> full
+        r3 = AudioResampler("linear", 44100, 48000)
+        assert r3.effective_filter_mode == "full"
+
+    def test_interpolated_taps_close_to_full(self):
+        from gstreamer_tpu.audio.resampler import AudioResampler
+        ri = AudioResampler("kaiser", 44100, 48000)
+        rf = AudioResampler("kaiser", 44100, 48000, filter_mode="full")
+        # cubic-interpolated taps approximate the directly-computed ones
+        wi = ri.taps_f64 / ri.taps_f64.sum(axis=1, keepdims=True)
+        wf = rf.taps_f64 / rf.taps_f64.sum(axis=1, keepdims=True)
+        assert np.abs(wi - wf).max() < 2e-4
+
+    def test_huge_phase_count_feasible(self):
+        from gstreamer_tpu.audio.resampler import AudioResampler
+        import time
+        t0 = time.time()
+        r = AudioResampler("kaiser", 44100, 44101)
+        assert r.effective_filter_mode == "interpolated"
+        assert r.n_phases == 44101
+        assert r.taps_f64.shape[0] == 44101
+        assert time.time() - t0 < 30
+
+    def test_int_taps_match_full_mode_quantization(self):
+        from gstreamer_tpu.audio.resampler import AudioResampler
+        r = AudioResampler("kaiser", 44100, 48000)
+        rf = AudioResampler("kaiser", 44100, 48000, filter_mode="full")
+        t16 = r.taps_for("s16").astype(np.int64)
+        tf = rf.taps_for("s16").astype(np.int64)
+        # same DC quantization targets as the directly-computed bank
+        assert set(np.unique(t16.sum(axis=1))) == \
+            set(np.unique(tf.sum(axis=1)))
+        assert np.abs(t16 - tf).max() <= 4
+
+    def test_resample_matches_full_mode(self):
+        from gstreamer_tpu.audio.resampler import AudioResampler
+        r = AudioResampler("kaiser", 44100, 48000)
+        rf = AudioResampler("kaiser", 44100, 48000, filter_mode="full")
+        n = 4096
+        t = np.arange(n) / 44100.0
+        x = np.sin(2 * np.pi * 440.0 * t)[:, None].astype(np.float64)
+        m = r.out_frames_for(n)
+        y = np.asarray(r.resample_ref(x, m))
+        yf = np.asarray(rf.resample_ref(x, m))
+        assert np.abs(y - yf).max() < 1e-5
