@@ -346,3 +346,124 @@ def scale_axis_ref(img: np.ndarray, axis: int, res: Resampler,
     out = (out + ((1 << precision) - 1)) >> precision
     out = np.clip(out, 0, (1 << value_bits) - 1)
     return np.moveaxis(out, -1, ax)
+
+
+def scale_hv_exact(xp, img, h_res: Resampler, v_res: Resampler,
+                   precision: int = SCALE_U8, value_bits: int = 8):
+    """Fused h-then-v scale with a TRANSPOSED intermediate: both
+    contractions ride the lane (minor) axis, avoiding the sublane-dim
+    dot of the plain vertical pass.
+
+        T1[b, n, h] = round(sum_k Th[n, k] * img[b, h, k])   (h pass)
+        out[b, m, n] = round(sum_h Tv[m, h] * T1[b, n, h])   (v pass)
+
+    Bit-identical to scale_axis_exact(-1) then (-2): the fixed-point
+    rounding happens after each pass exactly as in the sequential
+    chain; only the memory layout of the intermediate differs."""
+    mh = tap_matrix(h_res, precision)
+    mv = tap_matrix(v_res, precision)
+    maxv = (1 << value_bits) - 1
+    rnd = (1 << precision) - 1
+    if xp is np:
+        t1 = (img.astype(np.float64) @ mh.T.astype(np.float64)).astype(np.int64)
+        t1 = np.clip((t1 + rnd) >> precision, 0, maxv)       # (..., H, OW)
+        t1 = np.moveaxis(t1, -1, -2)                          # (..., OW, H)
+        out = (t1.astype(np.float64) @ mv.T.astype(np.float64)).astype(np.int64)
+        out = np.clip((out + rnd) >> precision, 0, maxv)      # (..., OW, OH)
+        return np.moveaxis(out, -1, -2)
+    # h pass, output transposed: (..., OW, H)
+    acc = xp.einsum("...hk,nk->...nh", img.astype(xp.bfloat16),
+                    _limb_cat(xp, mh), preferred_element_type=xp.float32)
+    n = mh.shape[0]
+    t1 = _limb_fold(xp, acc, n, axis=-2)
+    t1 = xp.clip((t1.astype(xp.int32) + rnd) >> precision, 0, maxv)
+    # v pass on the lane axis: (..., OW, OH) -> transpose small output
+    acc2 = xp.einsum("...nh,mh->...nm", t1.astype(xp.bfloat16),
+                     _limb_cat(xp, mv), preferred_element_type=xp.float32)
+    m = mv.shape[0]
+    out = _limb_fold(xp, acc2, m, axis=-1)
+    out = xp.clip((out.astype(xp.int32) + rnd) >> precision, 0, maxv)
+    return xp.swapaxes(out, -1, -2)
+
+
+def scale_hv_split_exact(xp, even, odd, h_res: Resampler, v_res: Resampler,
+                         row_even=None, row_odd=None,
+                         precision: int = SCALE_U8, value_bits: int = 8):
+    """Fused phase-split h+v scale for 4:2:0 chroma: column-parity
+    phases contract against split h-taps (transposed output), then
+    row-parity phases contract against split v-taps on the lane axis.
+
+    (even, odd): column phases of the row-EVEN field; (row_even=None)
+    means 4:2:2 (single row field).  For 4:2:0 pass the four phases
+    as (even=ce_re, odd=co_re, row_even=ce_ro, row_odd=co_ro)."""
+    mh = tap_matrix(h_res, precision)
+    me, mo = mh[:, 0::2], mh[:, 1::2]
+    mv = tap_matrix(v_res, precision)
+    mve, mvo = mv[:, 0::2], mv[:, 1::2]
+    maxv = (1 << value_bits) - 1
+    rnd = (1 << precision) - 1
+
+    def hpass_T(ce, co):
+        """column-split h pass, transposed output (..., OW, Hc)."""
+        ce = ce[..., :me.shape[1]]
+        co = co[..., :mo.shape[1]]
+        if xp is np:
+            acc = (ce.astype(np.float64) @ me.T.astype(np.float64)
+                   + co.astype(np.float64) @ mo.T.astype(np.float64)
+                   ).astype(np.int64)
+            t = np.clip((acc + rnd) >> precision, 0, maxv)
+            return np.moveaxis(t, -1, -2)
+        a = xp.einsum("...hk,nk->...nh", ce.astype(xp.bfloat16),
+                      _limb_cat(xp, me), preferred_element_type=xp.float32)
+        b = xp.einsum("...hk,nk->...nh", co.astype(xp.bfloat16),
+                      _limb_cat(xp, mo), preferred_element_type=xp.float32)
+        n = mh.shape[0]
+        acc = _limb_fold(xp, a, n, axis=-2) + _limb_fold(xp, b, n, axis=-2)
+        return xp.clip((acc.astype(xp.int32) + rnd) >> precision, 0, maxv)
+
+    h_re = hpass_T(even, odd)                       # (..., OW, Hc)
+    if row_even is None:
+        # 4:2:2: single field, plain v pass on the lane axis
+        vre = h_re[..., :mv.shape[1]]
+        if xp is np:
+            out = (vre.astype(np.float64) @ mv.T.astype(np.float64)
+                   ).astype(np.int64)
+            out = np.clip((out + rnd) >> precision, 0, maxv)
+            return np.moveaxis(out, -1, -2)
+        acc2 = xp.einsum("...nh,mh->...nm", vre.astype(xp.bfloat16),
+                         _limb_cat(xp, mv), preferred_element_type=xp.float32)
+        out = _limb_fold(xp, acc2, mv.shape[0], axis=-1)
+        out = xp.clip((out.astype(xp.int32) + rnd) >> precision, 0, maxv)
+        return xp.swapaxes(out, -1, -2)
+    h_ro = hpass_T(row_even, row_odd)
+    h_re = h_re[..., :mve.shape[1]]
+    h_ro = h_ro[..., :mvo.shape[1]]
+    if xp is np:
+        acc = (h_re.astype(np.float64) @ mve.T.astype(np.float64)
+               + h_ro.astype(np.float64) @ mvo.T.astype(np.float64)
+               ).astype(np.int64)
+        out = np.clip((acc + rnd) >> precision, 0, maxv)
+        return np.moveaxis(out, -1, -2)
+    a = xp.einsum("...nh,mh->...nm", h_re.astype(xp.bfloat16),
+                  _limb_cat(xp, mve), preferred_element_type=xp.float32)
+    b = xp.einsum("...nh,mh->...nm", h_ro.astype(xp.bfloat16),
+                  _limb_cat(xp, mvo), preferred_element_type=xp.float32)
+    m = mv.shape[0]
+    out = _limb_fold(xp, a, m, axis=-1) + _limb_fold(xp, b, m, axis=-1)
+    out = xp.clip((out.astype(xp.int32) + rnd) >> precision, 0, maxv)
+    return xp.swapaxes(out, -1, -2)
+
+
+def _limb_cat(xp, m: np.ndarray):
+    """Concatenated hi/lo limb matrix (2n, k) as bf16."""
+    m_hi = (m >> 5) << 5
+    m_lo = m - m_hi
+    return xp.asarray(np.concatenate([m_hi, m_lo], axis=0),
+                      dtype=xp.bfloat16)
+
+
+def _limb_fold(xp, r, n: int, axis: int):
+    """Fold the concatenated-limb halves back together along `axis`."""
+    if axis == -2:
+        return r[..., :n, :] + r[..., n:, :]
+    return r[..., :n] + r[..., n:]
