@@ -393,3 +393,93 @@ class RevTV(_EffectvBase):
             ok = yval > 0
             out[yval[ok], np.arange(wdt)[ok]] = 0xFFFFFFFF
         return out
+
+
+@register_element
+class DiceTV(_EffectvBase):
+    """dicetv (gstdice.c): the frame is cut into cube_size squares, each
+    statically rotated 0/90/180/270 per a fastrand map (:219)."""
+    FACTORY = "dicetv"
+    DESCRIPTION = "Dices the video into many small squares"
+    PROPERTIES = {"square-bits": (int, 4, "log2 of square size")}
+
+    def _reset(self):
+        if self._info is None:
+            return
+        bits = int(self.props["square-bits"])
+        self._cs = 1 << bits
+        self._mw = self._info.width >> bits
+        self._mh = self._info.height >> bits
+        n = self._mw * self._mh
+        s = 0
+        vals = np.empty(n, np.int64)
+        for i in range(n):
+            s = (s * 1103515245 + 12345) & M32
+            vals[i] = (s >> 24) & 0x03
+        self._map = vals.reshape(self._mh, self._mw)
+
+    def _frame(self, w):
+        cs, mw, mh = self._cs, self._mw, self._mh
+        out = w.copy()
+        blocks = w[:mh * cs, :mw * cs].reshape(mh, cs, mw, cs)
+        blocks = blocks.transpose(0, 2, 1, 3)          # (mh, mw, cs, cs)
+        ob = blocks.copy()
+        for rot, k in ((1, -1), (2, 2), (3, 1)):       # LEFT=cw, DOWN=180,
+            m = self._map == rot                       # RIGHT=ccw
+            if m.any():
+                ob[m] = np.rot90(blocks[m], k=k, axes=(1, 2))
+        out[:mh * cs, :mw * cs] = ob.transpose(0, 2, 1, 3).reshape(
+            mh * cs, mw * cs)
+        return out
+
+
+@register_element
+class WarpTV(_EffectvBase):
+    """warptv (gstwarp.c): sine-table based displacement warp; the last
+    row stays unwritten (black) like the reference loop bound."""
+    FACTORY = "warptv"
+    DESCRIPTION = "WarpTV does realtime goo'ing of the video input"
+
+    _SIN = None
+
+    def _reset(self):
+        if self._info is None:
+            return
+        wdt, hgt = self._info.width, self._info.height
+        if WarpTV._SIN is None:
+            t = np.array([int(math.sin(i * math.pi / 512) * 32767)
+                          for i in range(1024)], np.int64)
+            WarpTV._SIN = np.concatenate([t, t[:256]])
+        halfw, halfh = wdt >> 1, hgt >> 1
+        m = math.sqrt(halfw * halfw + halfh * halfh)
+        ys = np.arange(-halfh, halfh, dtype=np.float64)[:, None]
+        xs = np.arange(-halfw, halfw, dtype=np.float64)[None, :]
+        self._dist = ((np.sqrt(xs * xs + ys * ys) * 511.9999 / m)
+                      .astype(np.int64) << 1)
+        self._tval = 0
+
+    def _frame(self, w):
+        wdt, hgt = self._info.width, self._info.height
+        t = self._tval
+        xw = int(math.sin((t + 100) * math.pi / 128) * 30)
+        yw = int(math.sin(t * math.pi / 256) * -35)
+        cw = int(math.sin((t - 70) * math.pi / 64) * 50)
+        xw += int(math.sin((t - 10) * math.pi / 512) * 40)
+        yw += int(math.sin((t + 30) * math.pi / 512) * 40)
+        c = np.arange(512, dtype=np.int64) * cw
+        i = (c >> 3) & 0x3FE
+        ct_y = (WarpTV._SIN[i] * yw) >> 15           # ctable even entries
+        ct_x = (WarpTV._SIN[i + 256] * xw) >> 15     # ctable odd entries
+        ctable = np.empty(1024, np.int64)
+        ctable[0::2] = ct_y
+        ctable[1::2] = ct_x
+
+        d = self._dist[:hgt - 1]                     # rows 0..h-2
+        xs = np.arange(wdt, dtype=np.int64)[None, :]
+        ys = np.arange(hgt - 1, dtype=np.int64)[:, None]
+        dx = np.clip(ctable[d + 1] + xs, 0, wdt - 2)
+        dy = np.clip(ctable[d] + ys, 0, hgt - 2)
+        out = np.zeros_like(w)
+        out[:hgt - 1] = w[dy, dx]
+        self._tval = (t + 1) & 511
+        return out

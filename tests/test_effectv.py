@@ -212,3 +212,70 @@ class TestShagadelicRev:
         assert np.all(got[6] == 0xFFFFFFFF & 0xFFFFFF)
         assert np.all(got[0] == 0)
         assert np.all(got[5] == 0)
+
+
+class TestDiceWarp:
+    def test_dicetv_matches_scalar_gold(self):
+        w, h = 32, 32
+        rng = np.random.RandomState(5)
+        f = rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+        got = _run_elem("dicetv", [f], w, h, props="square-bits=3")[0]
+        # scalar gold
+        cs, mw, mh = 8, 4, 4
+        s = 0
+        dmap = []
+        for _ in range(mw * mh):
+            s = (s * 1103515245 + 12345) & 0xFFFFFFFF
+            dmap.append((s >> 24) & 3)
+        gold = f.copy()
+        k = 0
+        for my in range(mh):
+            for mx in range(mw):
+                blk = f[my * cs:(my + 1) * cs, mx * cs:(mx + 1) * cs]
+                r = dmap[k]
+                k += 1
+                if r == 0:
+                    nb = blk
+                elif r == 1:    # LEFT: dest[dx, cs-1-dy] = src[dy, dx]
+                    nb = np.rot90(blk, k=-1)
+                elif r == 2:    # DOWN: 180
+                    nb = np.rot90(blk, k=2)
+                else:           # RIGHT
+                    nb = np.rot90(blk, k=1)
+                gold[my * cs:(my + 1) * cs, mx * cs:(mx + 1) * cs] = nb
+        assert np.array_equal(got, gold)
+
+    def test_warptv_first_frame_gold(self):
+        import math
+        w, h = 32, 16
+        rng = np.random.RandomState(6)
+        f = rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+        got = _run_elem("warptv", [f], w, h)[0]
+        # scalar transliteration at tval=0
+        sintable = [int(math.sin(i * math.pi / 512) * 32767)
+                    for i in range(1024)]
+        sintable += sintable[:256]
+        halfw, halfh = w >> 1, h >> 1
+        m = math.sqrt(halfw * halfw + halfh * halfh)
+        xw = int(math.sin(100 * math.pi / 128) * 30)
+        yw = int(math.sin(0.0) * -35)
+        cw = int(math.sin(-70 * math.pi / 64) * 50)
+        xw += int(math.sin(-10 * math.pi / 512) * 40)
+        yw += int(math.sin(30 * math.pi / 512) * 40)
+        ctable = []
+        c = 0
+        for _x in range(512):
+            i = (c >> 3) & 0x3FE
+            ctable.append((sintable[i] * yw) >> 15)
+            ctable.append((sintable[i + 256] * xw) >> 15)
+            c += cw
+        gold = np.zeros_like(f)
+        for y in range(h - 1):
+            for x in range(w):
+                yy = y - halfh
+                xx = x - halfw
+                d = (int(math.sqrt(xx * xx + yy * yy) * 511.9999 / m)) << 1
+                dx = min(max(ctable[d + 1] + x, 0), w - 2)
+                dy = min(max(ctable[d] + y, 0), h - 2)
+                gold[y, x] = f[dy, dx]
+        assert np.array_equal(got, gold)
