@@ -213,3 +213,53 @@ class RUsageTracer(Tracer):
 
 TRACERS["leaks"] = LeaksTracer
 TRACERS["rusage"] = RUsageTracer
+
+
+class DotsTracer(Tracer):
+    """Mirrors plugins/tracers/gstdots.c: dumps pipeline graphs (dot) on
+    tick boundaries into GST_DEBUG_DUMP_DOT_DIR/GTPU_DEBUG_DUMP_DOT_DIR."""
+
+    name = "dots"
+
+    def __init__(self):
+        self.dumped = []
+
+    def subscribe(self):
+        return {"tick-post": self._tick}
+
+    def _tick(self, pipeline):
+        out_dir = (os.environ.get("GTPU_DEBUG_DUMP_DOT_DIR")
+                   or os.environ.get("GST_DEBUG_DUMP_DOT_DIR"))
+        if not out_dir or self.dumped:
+            return
+        from ..utils.dot import pipeline_to_dot
+        path = os.path.join(out_dir, "pipeline.tick.dot")
+        with open(path, "w") as f:
+            f.write(pipeline_to_dot(pipeline))
+        self.dumped.append(path)
+
+    def report(self):
+        return {"dumped": self.dumped}
+
+
+class FactoriesTracer(Tracer):
+    """Mirrors plugins/tracers/gstfactories.c: records which element
+    factories the pipeline used."""
+
+    name = "factories"
+
+    def __init__(self):
+        self.factories = set()
+
+    def subscribe(self):
+        return {"buffer-post": self._buf, "buffer-pre": self._buf}
+
+    def _buf(self, element, buf):
+        self.factories.add(getattr(element, "FACTORY", type(element).__name__))
+
+    def report(self):
+        return {"factories": sorted(self.factories)}
+
+
+TRACERS["dots"] = DotsTracer
+TRACERS["factories"] = FactoriesTracer
