@@ -483,3 +483,197 @@ class WarpTV(_EffectvBase):
         out[:hgt - 1] = w[dy, dx]
         self._tval = (t + 1) & 511
         return out
+
+
+@register_element
+class RippleTV(_EffectvBase):
+    """rippletv (gstripple.c): water-surface simulation refracting the
+    image.  motion mode feeds luma deltas into the height map (:184);
+    rain mode drops via the fastrand state machine (:248); wave
+    propagation + lowpass stencils (:358-397), sqrtable refraction
+    vectors (:405), 2x2 stretched refraction sampling (:418)."""
+    FACTORY = "rippletv"
+    DESCRIPTION = "RippleTV does ripple mark effect on the video input"
+    PROPERTIES = {"mode": (str, "motion-detection", "motion-detection|rain")}
+
+    _POINT, _IMPACT, _DECAY, _LOOPNUM = 16, 2, 8, 2
+
+    def _reset(self):
+        if self._info is None:
+            return
+        w, h = self._info.width, self._info.height
+        self._mw, self._mh = w // 2 + 1, h // 2 + 1
+        shape = (self._mh + 1, self._mw)
+        self._map1 = np.zeros(shape, np.int64)
+        self._map2 = np.zeros(shape, np.int64)
+        self._bg = None
+        self._rand = 0
+        self._period = 0
+        self._rain_stat = 0
+        self._drop_prob = 0
+        self._drop_prob_inc = 0
+        self._drop_power = 0
+        self._dpf_max = 0
+        self._dpf = 0
+        sq = np.zeros(256, np.int64)
+        sq[:128] = np.arange(128) ** 2
+        for i in range(1, 129):
+            sq[256 - i] = -(i * i)
+        self._sqrtable = sq
+
+    def _fastrand(self):
+        self._rand = (self._rand * 1103515245 + 12345) & M32
+        return self._rand
+
+    def _luma(self, w):
+        return (((w & 0xFF0000) >> 15) + ((w & 0xFF00) >> 6) + (w & 0xFF))
+
+    def _motiondetect(self, w):
+        vw, vh = self._info.width, self._info.height
+        lum = self._luma(w).astype(np.int64)
+        if self._bg is None:
+            self._bg = lum.copy()
+        v = lum - self._bg
+        self._bg = lum
+        # diff = ((v + 490) >> 24) | ((490 - v) >> 24) as u8: 0xFF when
+        # |v| exceeds the threshold band, else 0 (sign-bit trick)
+        d = (((v + 490) >> 24) | ((490 - v) >> 24)) & 0xFF
+        # 2x2 block sums at map cells (1..mh-2, 1..mw-2) from diff rows
+        # starting at (1, 2) stepping 2 (pointer walk :202-219)
+        mh, mw = self._mh, self._mw
+        blk = np.zeros((mh + 1, mw), np.int64)
+        ys = 1 + 2 * np.arange(mh - 2)[:, None]
+        xs = 2 + 2 * np.arange(mw - 2)[None, :]
+        hsum = (d[ys, xs] + d[ys, xs + 1]
+                + d[ys + 1, xs] + d[ys + 1, xs + 1])
+        m = hsum > 0
+        val = hsum << (self._POINT + self._IMPACT - 8)
+        sl = (slice(1, mh - 1), slice(1, mw - 1))
+        self._map1[sl] = np.where(m, val, self._map1[sl])
+        self._map2[sl] = np.where(m, val, self._map2[sl])
+
+    def _drop(self, power):
+        mw, mh = self._mw, self._mh
+        x = self._fastrand() % (mw - 4) + 2
+        y = self._fastrand() % (mh - 4) + 2
+        for mp in (self._map1, self._map2):
+            mp[y, x] = power
+            half = power // 2 if power >= 0 else -((-power) // 2)
+            quar = power // 4 if power >= 0 else -((-power) // 4)
+            # C division truncates toward zero
+            half = int(power / 2)
+            quar = int(power / 4)
+            mp[y - 1, x] = mp[y, x - 1] = mp[y, x + 1] = mp[y + 1, x] = half
+            mp[y - 1, x - 1] = mp[y - 1, x + 1] = mp[y + 1, x - 1] = quar
+            mp[y + 1, x + 1] = quar
+
+    def _raindrop(self):
+        if self._period == 0:
+            st = self._rain_stat
+            if st == 0:
+                self._period = (self._fastrand() >> 23) + 100
+                self._drop_prob = 0
+                self._drop_prob_inc = 0x00FFFFFF // self._period
+                self._drop_power = (-(self._fastrand() >> 28) - 2) \
+                    << self._POINT
+                self._dpf_max = 2 << (self._fastrand() >> 30)
+                self._rain_stat = 1
+            elif st == 1:
+                self._drop_prob = 0x00FFFFFF
+                self._dpf = 1
+                self._drop_prob_inc = 1
+                self._period = (self._dpf_max - 1) * 16
+                self._rain_stat = 2
+            elif st == 2:
+                self._period = (self._fastrand() >> 22) + 1000
+                self._drop_prob_inc = 0
+                self._rain_stat = 3
+            elif st == 3:
+                self._period = (self._dpf_max - 1) * 16
+                self._drop_prob_inc = -1
+                self._rain_stat = 4
+            elif st == 4:
+                self._period = (self._fastrand() >> 24) + 60
+                self._drop_prob_inc = -(self._drop_prob // self._period)
+                self._rain_stat = 5
+            else:
+                self._period = (self._fastrand() >> 23) + 500
+                self._drop_prob = 0
+                self._rain_stat = 0
+        st = self._rain_stat
+        if st in (1, 5):
+            if (self._fastrand() >> 8) < self._drop_prob:
+                self._drop(self._drop_power)
+            self._drop_prob += self._drop_prob_inc
+        elif st in (2, 3, 4):
+            for _ in range(self._dpf // 16):
+                self._drop(self._drop_power)
+            self._dpf += self._drop_prob_inc
+        self._period -= 1
+
+    def _frame(self, w):
+        vw, vh = self._info.width, self._info.height
+        mw, mh = self._mw, self._mh
+        if self.props["mode"] == "rain":
+            self._raindrop()
+        else:
+            self._motiondetect(w)
+
+        inner = (slice(1, mh - 1), slice(1, mw - 1))
+        for _ in range(self._LOOPNUM):
+            p, q = self._map1, self._map2
+            h = (p[0:mh - 2, 0:mw - 2] + p[0:mh - 2, 2:mw]
+                 + p[2:mh, 0:mw - 2] + p[2:mh, 2:mw]
+                 + p[0:mh - 2, 1:mw - 1] + p[1:mh - 1, 0:mw - 2]
+                 + p[1:mh - 1, 2:mw] + p[2:mh, 1:mw - 1]
+                 - p[inner] * 9) >> 3
+            v = p[inner] - q[inner]
+            v = v + h - (v >> self._DECAY)
+            map3 = np.zeros_like(p)
+            map3[inner] = v + p[inner]
+            # low pass into map2
+            q2 = np.zeros_like(p)
+            q2[inner] = (map3[0:mh - 2, 1:mw - 1] + map3[1:mh - 1, 0:mw - 2]
+                         + map3[1:mh - 1, 2:mw] + map3[2:mh, 1:mw - 1]
+                         + map3[inner] * 60) >> 6
+            # preserve untouched border cells of map2 (the C writes only
+            # the interior)
+            q2[0, :] = q[0, :]
+            q2[-1, :] = q[-1, :]
+            q2[:, 0] = q[:, 0]
+            q2[:, -1] = q[:, -1]
+            self._map1, self._map2 = q2, p
+
+        p = self._map1
+        sq = self._sqrtable
+        # refraction vectors at (y, x) for y in 0..mh-2, x in 0..mw-2
+        vp0 = np.zeros((mh, mw), np.int64)
+        vp1 = np.zeros((mh, mw), np.int64)
+        dx_id = ((p[:mh - 1, :mw - 1] - p[:mh - 1, 1:mw])
+                 >> (self._POINT - 1)) & 0xFF
+        dy_id = ((p[:mh - 1, :mw - 1] - p[1:mh, :mw - 1])
+                 >> (self._POINT - 1)) & 0xFF
+        vp0[:mh - 1, :mw - 1] = sq[dx_id]
+        vp1[:mh - 1, :mw - 1] = sq[dy_id]
+
+        ys = np.arange(0, vh, 2)[:, None]
+        xs = np.arange(0, vw, 2)[None, :]
+        my = ys // 2
+        mx = xs // 2
+        h0 = vp0[my, mx]
+        v0 = vp1[my, mx]
+        dx = np.clip(xs + h0, 0, vw - 2)
+        dy = np.clip(ys + v0, 0, vh - 2)
+        out = np.empty_like(w)
+        out[0::2, 0::2] = w[dy, dx]
+        h_next = vp0[my, mx + 1]
+        # C integer division truncates toward zero
+        s = h0 + h_next
+        dx1 = np.clip(xs + 1 + np.sign(s) * (np.abs(s) // 2), 0, vw - 2)
+        out[0::2, 1::2] = w[dy, dx1]
+        v_next = vp1[my + 1, mx]
+        s2 = v0 + v_next
+        dy1 = np.clip(ys + 1 + np.sign(s2) * (np.abs(s2) // 2), 0, vh - 2)
+        out[1::2, 0::2] = w[dy1, dx]
+        out[1::2, 1::2] = w[dy1, dx1]
+        return out

@@ -279,3 +279,111 @@ class TestDiceWarp:
                 dy = min(max(ctable[d] + y, 0), h - 2)
                 gold[y, x] = f[dy, dx]
         assert np.array_equal(got, gold)
+
+
+class TestRippleTV:
+    def test_motion_mode_matches_scalar_gold(self):
+        w, h = 16, 12
+        rng = np.random.RandomState(9)
+        frames = [rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+                  for _ in range(3)]
+        got = _run_elem("rippletv", frames, w, h)
+        gold = self._gold(frames, w, h)
+        for k, (a, b) in enumerate(zip(got, gold)):
+            assert np.array_equal(a, b), k
+
+    def _gold(self, frames, vw, vh):
+        point, impact, decay, loopnum = 16, 2, 8, 2
+        mw, mh = vw // 2 + 1, vh // 2 + 1
+        map1 = np.zeros((mh + 1) * mw, np.int64)
+        map2 = np.zeros((mh + 1) * mw, np.int64)
+        map3 = np.zeros((mh + 1) * mw, np.int64)
+        vtable = np.zeros((mh + 1) * mw * 2, np.int64)
+        sqr = np.zeros(256, np.int64)
+        sqr[:128] = np.arange(128) ** 2
+        for i in range(1, 129):
+            sqr[256 - i] = -(i * i)
+        bg = None
+        outs = []
+        for f in frames:
+            src = f.reshape(-1)
+            lum = (((src & 0xFF0000) >> 15) + ((src & 0xFF00) >> 6)
+                   + (src & 0xFF))
+            if bg is None:
+                bg = lum.copy()
+            v = lum - bg
+            bg = lum.copy()
+            diff = (((v + 490) >> 24) | ((490 - v) >> 24)) & 0xFF
+            # motiondetect pointer walk
+            pi = mw + 1
+            di = vw + 2
+            for y in range(mh - 2, 0, -1):
+                for x in range(mw - 2, 0, -1):
+                    hh = (int(diff[di]) + int(diff[di + 1])
+                          + int(diff[di + vw]) + int(diff[di + vw + 1]))
+                    if hh > 0:
+                        map1[pi] = hh << (point + impact - 8)
+                        map2[pi] = map1[pi]
+                    pi += 1
+                    di += 2
+                di += vw + 2
+                pi += 2
+            for _ in range(loopnum):
+                p, q, r = mw + 1, mw + 1, mw + 1
+                for y in range(mh - 2, 0, -1):
+                    for x in range(mw - 2, 0, -1):
+                        hh = (map1[p - mw - 1] + map1[p - mw + 1]
+                              + map1[p + mw - 1] + map1[p + mw + 1]
+                              + map1[p - mw] + map1[p - 1] + map1[p + 1]
+                              + map1[p + mw] - map1[p] * 9) >> 3
+                        vv = map1[p] - map2[q]
+                        vv += hh - (vv >> decay)
+                        map3[r] = vv + map1[p]
+                        p += 1; q += 1; r += 1
+                    p += 2; q += 2; r += 2
+                p, q = mw + 1, mw + 1
+                for y in range(mh - 2, 0, -1):
+                    for x in range(mw - 2, 0, -1):
+                        hh = (map3[p - mw] + map3[p - 1] + map3[p + 1]
+                              + map3[p + mw] + map3[p] * 60)
+                        map2[q] = hh >> 6
+                        p += 1; q += 1
+                    p += 2; q += 2
+                map1, map2 = map2, map1
+            # vectors
+            vp = 0
+            p = 0
+            for y in range(mh - 1, 0, -1):
+                for x in range(mw - 1, 0, -1):
+                    vtable[vp] = sqr[((map1[p] - map1[p + 1]) >> (point - 1))
+                                     & 0xFF]
+                    vtable[vp + 1] = sqr[((map1[p] - map1[p + mw])
+                                          >> (point - 1)) & 0xFF]
+                    p += 1
+                    vp += 2
+                p += 1
+                vp += 2
+            dest = np.zeros(vw * vh, np.int64)
+            vp = 0
+            dp = 0
+            for y in range(0, vh, 2):
+                for x in range(0, vw, 2):
+                    hh = int(vtable[vp])
+                    vv = int(vtable[vp + 1])
+                    dx = min(max(x + hh, 0), vw - 2)
+                    dy = min(max(y + vv, 0), vh - 2)
+                    dest[dp] = src[dy * vw + dx]
+                    o_dx = dx
+                    dx = x + 1 + int((hh + int(vtable[vp + 2])) / 2)
+                    dx = min(max(dx, 0), vw - 2)
+                    dest[dp + 1] = src[dy * vw + dx]
+                    dy = y + 1 + int((vv + int(vtable[vp + mw * 2 + 1])) / 2)
+                    dy = min(max(dy, 0), vh - 2)
+                    dest[dp + vw] = src[dy * vw + o_dx]
+                    dest[dp + vw + 1] = src[dy * vw + dx]
+                    dp += 2
+                    vp += 2
+                dp += vw
+                vp += 2     # gstripple.c:442 row-end vtable advance
+            outs.append(dest.reshape(vh, vw) & 0xFFFFFFFF)
+        return outs
