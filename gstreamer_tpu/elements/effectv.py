@@ -677,3 +677,147 @@ class RippleTV(_EffectvBase):
         out[1::2, 0::2] = w[dy1, dx]
         out[1::2, 1::2] = w[dy1, dx1]
         return out
+
+
+def _lcg_states_vec(state: int, n: int) -> np.ndarray:
+    """States after 1..n fastrand draws from `state` (doubling ladder)."""
+    muls, adds = [], []
+    m_, a_ = 1103515245, 12345
+    for _ in range(max(n.bit_length(), 1) + 1):
+        muls.append(m_)
+        adds.append(a_)
+        a_ = (m_ * a_ + a_) & M32
+        m_ = (m_ * m_) & M32
+    k = np.arange(1, n + 1, dtype=np.uint64)
+    mul = np.ones(n, np.uint64)
+    add = np.zeros(n, np.uint64)
+    for bit, (mm, aa) in enumerate(zip(muls, adds)):
+        sel = ((k >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+        add = np.where(sel, (np.uint64(aa) + np.uint64(mm) * add)
+                       & np.uint64(M32), add)
+        mul = np.where(sel, (mul * np.uint64(mm)) & np.uint64(M32), mul)
+    return ((mul * np.uint64(state) + add) & np.uint64(M32)).astype(np.int64)
+
+
+@register_element
+class AgingTV(_EffectvBase):
+    """agingtv (gstaging.c): color aging (:93, per-pixel fastrand noise
+    vectorized via the LCG ladder), scratches (:116), pits (:200),
+    dusts (:164) — one shared fastrand state threaded through all stages
+    in the reference call order (:336-345)."""
+    FACTORY = "agingtv"
+    DESCRIPTION = "AgingTV adds age to video input using scratches and dust"
+    PROPERTIES = {
+        "scratch-lines": (int, 7, "number of scratch lines"),
+        "color-aging": (bool, True, ""),
+        "pits": (bool, True, ""),
+        "dusts": (bool, True, ""),
+    }
+
+    _DX = [1, 1, 0, -1, -1, -1, 0, 1]
+    _DY = [0, -1, -1, -1, 0, 1, 1, 1]
+
+    def _reset(self):
+        if self._info is None:
+            return
+        self._rand = 0
+        self._coloraging_state = 0
+        self._scratches = [dict(life=0, x=0, dx=0, init=0)
+                           for _ in range(20)]
+        self._pits_interval = 0
+        self._dust_interval = 0
+
+    def _fastrand(self):
+        self._rand = (self._rand * 1103515245 + 12345) & M32
+        return self._rand
+
+    def _frame(self, w):
+        wdt, hgt = self._info.width, self._info.height
+        area = wdt * hgt
+        area_scale = max(wdt * hgt // 64 // 480, 1)
+        dest = w.copy()
+
+        if self.props["color-aging"]:
+            c = self._coloraging_state
+            r0 = self._fastrand()
+            # c -= (gint)fastrand() >> 28 (arithmetic shift of SIGNED)
+            sr = r0 - (1 << 32) if r0 >= (1 << 31) else r0
+            c -= sr >> 28
+            c = min(max(c, 0), 0x18)
+            states = _lcg_states_vec(self._rand, area).reshape(hgt, wdt)
+            self._rand = int(states[-1, -1])
+            noise = (states >> 8) & 0x101010
+            a = w
+            b = (a & 0xFCFCFC) >> 2
+            dest = (a - b + (c | (c << 8) | (c << 16)) + noise) & M32
+            self._coloraging_state = c
+
+        # scratches (:116) — per-line state, sequential but tiny
+        n_lines = int(self.props["scratch-lines"])
+        for s in self._scratches[:n_lines]:
+            if s["life"]:
+                s["x"] += s["dx"]
+                if s["x"] < 0 or s["x"] > wdt * 256:
+                    s["life"] = 0
+                    break
+                px = s["x"] >> 8
+                y1 = s["init"] or 0
+                s["init"] = 0
+                s["life"] -= 1
+                if s["life"]:
+                    y2 = hgt
+                else:
+                    y2 = self._fastrand() % hgt
+                col = dest[y1:y2, px]
+                a = (col & 0xFEFEFF) + 0x202020
+                b = a & 0x1010100
+                dest[y1:y2, px] = a | (b - (b >> 8))
+            else:
+                if (self._fastrand() & 0xF0000000) == 0:
+                    s["life"] = 2 + (self._fastrand() >> 27)
+                    s["x"] = self._fastrand() % (wdt * 256)
+                    r = self._fastrand()
+                    s["dx"] = (r - (1 << 32) if r >= (1 << 31) else r) >> 23
+                    s["init"] = (self._fastrand() % (hgt - 1)) + 1
+
+        if self.props["pits"]:
+            pnumscale = area_scale * 2
+            if self._pits_interval:
+                pnum = pnumscale + (self._fastrand() % pnumscale)
+                self._pits_interval -= 1
+            else:
+                pnum = self._fastrand() % pnumscale
+                if (self._fastrand() & 0xF8000000) == 0:
+                    self._pits_interval = (self._fastrand() >> 28) + 20
+            for _i in range(pnum):
+                x = self._fastrand() % (wdt - 1)
+                y = self._fastrand() % (hgt - 1)
+                size = self._fastrand() >> 28
+                for _j in range(size):
+                    x = (x + self._fastrand() % 3 - 1) & M32
+                    y = (y + self._fastrand() % 3 - 1) & M32
+                    if y >= hgt or x >= wdt:
+                        break
+                    dest[y, x] = 0xC0C0C0
+
+        if area_scale > 1 and self.props["dusts"]:
+            if self._dust_interval == 0:
+                if (self._fastrand() & 0xF0000000) == 0:
+                    self._dust_interval = self._fastrand() >> 29
+            else:
+                dnum = area_scale * 4 + (self._fastrand() >> 27)
+                for _i in range(dnum):
+                    x = self._fastrand() % wdt
+                    y = self._fastrand() % hgt
+                    d = self._fastrand() >> 29
+                    ln = self._fastrand() % area_scale + 5
+                    for _j in range(ln):
+                        dest[y, x] = 0x101010
+                        y = (y + self._DY[d]) & M32
+                        x = (x + self._DX[d]) & M32
+                        if y >= hgt or x >= wdt:
+                            break
+                        d = (d + self._fastrand() % 3 - 1) & 7
+                self._dust_interval -= 1
+
+        return dest & M32

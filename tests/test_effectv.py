@@ -387,3 +387,88 @@ class TestRippleTV:
                 vp += 2     # gstripple.c:442 row-end vtable advance
             outs.append(dest.reshape(vh, vw) & 0xFFFFFFFF)
         return outs
+
+
+class TestAgingTV:
+    def test_matches_scalar_gold(self):
+        w, h = 32, 24          # area_scale = 1 -> no dusts
+        rng = np.random.RandomState(11)
+        frames = [rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+                  for _ in range(4)]
+        got = _run_elem("agingtv", frames, w, h)
+        gold = self._gold(frames, w, h)
+        for k, (a, b) in enumerate(zip(got, gold)):
+            assert np.array_equal(a & 0xFFFFFF, b & 0xFFFFFF), k
+
+    def _gold(self, frames, w, h):
+        state = [0]
+
+        def fr():
+            state[0] = (state[0] * 1103515245 + 12345) & 0xFFFFFFFF
+            return state[0]
+
+        def signed(v):
+            return v - (1 << 32) if v >= (1 << 31) else v
+
+        area_scale = max(w * h // 64 // 480, 1)
+        coloraging_state = [0]
+        scratches = [dict(life=0, x=0, dx=0, init=0) for _ in range(20)]
+        pits_interval = [0]
+        outs = []
+        for f in frames:
+            src = f.reshape(-1)
+            dest = np.zeros(w * h, np.int64)
+            # coloraging
+            c = coloraging_state[0]
+            c -= signed(fr()) >> 28
+            c = min(max(c, 0), 0x18)
+            for i in range(w * h):
+                a = int(src[i])
+                b = (a & 0xFCFCFC) >> 2
+                dest[i] = (a - b + (c | (c << 8) | (c << 16))
+                           + ((fr() >> 8) & 0x101010)) & 0xFFFFFFFF
+            coloraging_state[0] = c
+            # scratching
+            for s in scratches[:7]:
+                if s["life"]:
+                    s["x"] += s["dx"]
+                    if s["x"] < 0 or s["x"] > w * 256:
+                        s["life"] = 0
+                        break
+                    p = s["x"] >> 8
+                    y1 = s["init"] or 0
+                    s["init"] = 0
+                    s["life"] -= 1
+                    y2 = h if s["life"] else fr() % h
+                    for y in range(y1, y2):
+                        a = int(dest[y * w + p]) & 0xFEFEFF
+                        a += 0x202020
+                        b = a & 0x1010100
+                        dest[y * w + p] = a | (b - (b >> 8))
+                else:
+                    if (fr() & 0xF0000000) == 0:
+                        s["life"] = 2 + (fr() >> 27)
+                        s["x"] = fr() % (w * 256)
+                        s["dx"] = signed(fr()) >> 23
+                        s["init"] = (fr() % (h - 1)) + 1
+            # pits
+            pnumscale = area_scale * 2
+            if pits_interval[0]:
+                pnum = pnumscale + (fr() % pnumscale)
+                pits_interval[0] -= 1
+            else:
+                pnum = fr() % pnumscale
+                if (fr() & 0xF8000000) == 0:
+                    pits_interval[0] = (fr() >> 28) + 20
+            for _i in range(pnum):
+                x = fr() % (w - 1)
+                y = fr() % (h - 1)
+                size = fr() >> 28
+                for _j in range(size):
+                    x = (x + fr() % 3 - 1) & 0xFFFFFFFF
+                    y = (y + fr() % 3 - 1) & 0xFFFFFFFF
+                    if y >= h or x >= w:
+                        break
+                    dest[y * w + x] = 0xC0C0C0
+            outs.append(dest.reshape(h, w))
+        return outs
