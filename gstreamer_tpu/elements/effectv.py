@@ -821,3 +821,63 @@ class AgingTV(_EffectvBase):
                 self._dust_interval -= 1
 
         return dest & M32
+
+
+@register_element
+class OpTV(_EffectvBase):
+    """optv (gstop.c): op-art palette mapping — phase-shifted pattern
+    maps (spiral/parabola/hstripe :139-181) XOR a luma threshold mask
+    (:184), looked up in the 256-entry palette (:121)."""
+    FACTORY = "optv"
+    DESCRIPTION = "Optical art meets real-time video effect"
+    PROPERTIES = {
+        "mode": (int, 0, "0=maelstrom 1=radiation 2=perspective 3=vertical"),
+        "speed": (int, 16, "effect speed"),
+        "threshold": (int, 60, "luma threshold"),
+    }
+
+    _PALETTE = None
+
+    def _reset(self):
+        if self._info is None:
+            return
+        if OpTV._PALETTE is None:
+            pal = np.zeros(256, np.int64)
+            pal[128:240] = 0xFFFFFF
+            for i in range(16):
+                v = 16 * (i + 1) - 1
+                pal[i + 112] = (v << 16) | (v << 8) | v
+                v2 = 255 - v
+                pal[i + 240] = (v2 << 16) | (v2 << 8) | v2
+            OpTV._PALETTE = pal
+        wdt, hgt = self._info.width, self._info.height
+        sci = 640 // wdt if wdt else 1
+        ys = np.arange(hgt)[:, None]
+        xs = np.arange(wdt)[None, :]
+        yy = (ys - hgt // 2) / wdt
+        xx = xs / wdt - 0.5
+        yy = yy + np.zeros_like(xx)
+        xx = xx + np.zeros((hgt, 1))
+        r = np.sqrt(xx * xx + yy * yy)
+        at = np.arctan2(xx, yy)
+        maps = {}
+        maps[0] = (at / math.pi * 256 + r * 4000).astype(np.int64) & 255
+        j = (r * 300 / 32).astype(np.int64)
+        rr = r * 300 - j * 32
+        j = j * 64 + np.where(rr > 28, ((rr - 28) * 16).astype(np.int64), 0)
+        maps[1] = (at / math.pi * 4096 + r * 1600 - j).astype(np.int64) & 255
+        maps[2] = (yy / (xx * xx * 0.3 + 0.1) * 400).astype(np.int64) & 255
+        maps[3] = (xs * 8 * sci + np.zeros((hgt, 1), np.int64)) & 255
+        # gint8 semantics: the map is stored as signed bytes
+        self._maps = {k: np.where(v >= 128, v - 256, v)
+                      for k, v in maps.items()}
+        self._phase = 0
+
+    def _frame(self, w):
+        p = self._maps[int(self.props["mode"]) & 3]
+        self._phase = (self._phase - int(self.props["speed"]))
+        lum = (((w & 0xFF0000) >> 15) + ((w & 0xFF00) >> 6) + (w & 0xFF))
+        v = int(self.props["threshold"]) * 7 - lum
+        diff = (v >> 24) & 0xFF      # (guint8)(v >> 24): 0 or 0xFF
+        idx = (((p + self._phase) & 0xFF) ^ diff) & 255
+        return OpTV._PALETTE[idx]

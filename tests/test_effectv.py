@@ -472,3 +472,33 @@ class TestAgingTV:
                     dest[y * w + x] = 0xC0C0C0
             outs.append(dest.reshape(h, w))
         return outs
+
+
+class TestOpTV:
+    def test_spiral1_matches_scalar_gold(self):
+        w, h = 32, 24
+        rng = np.random.RandomState(12)
+        f = rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+        got = _run_elem("optv", [f], w, h)[0]
+        pal = np.zeros(256, np.int64)
+        pal[128:240] = 0xFFFFFF
+        for i in range(16):
+            v = 16 * (i + 1) - 1
+            pal[i + 112] = (v << 16) | (v << 8) | v
+            v2 = 255 - v
+            pal[i + 240] = (v2 << 16) | (v2 << 8) | v2
+        gold = np.zeros((h, w), np.int64)
+        for y in range(h):
+            yy = (y - h // 2) / w
+            for x in range(w):
+                xx = x / w - 0.5
+                r = math.sqrt(xx * xx + yy * yy)
+                at = math.atan2(xx, yy)
+                mp = int(at / math.pi * 256 + r * 4000) & 255
+                m8 = mp - 256 if mp >= 128 else mp
+                src = int(f[y, x])
+                lum = (((src & 0xFF0000) >> 15) + ((src & 0xFF00) >> 6)
+                       + (src & 0xFF))
+                diff = ((60 * 7 - lum) >> 24) & 0xFF
+                gold[y, x] = pal[(((m8 - 16) & 0xFF) ^ diff) & 255]
+        assert np.array_equal(got & 0xFFFFFF, gold & 0xFFFFFF)
