@@ -881,3 +881,143 @@ class OpTV(_EffectvBase):
         diff = (v >> 24) & 0xFF      # (guint8)(v >> 24): 0 or 0xFF
         idx = (((p + self._phase) & 0xFF) ^ diff) & 255
         return OpTV._PALETTE[idx]
+
+
+@register_element
+class RadioacTV(_EffectvBase):
+    """radioactv (gstradioac.c): motion-triggered radioactive glow via a
+    blur+zoom feedback buffer (:232,:261), palette add (:397-406).
+    Geometry quirks ported verbatim: blur offsets by the FRAME width
+    (:243), buf_margin_right computed from the HEIGHT (:441)."""
+    FACTORY = "radioactv"
+    DESCRIPTION = "motion-enlightment effect"
+    PROPERTIES = {
+        "mode": (int, 0, "0=normal 1=strobe 2=strobe2 3=trigger"),
+        "color": (int, 3, "0=red 1=green 2=blue 3=white"),
+        "interval": (int, 3, "snapshot interval (strobe)"),
+        "trigger": (bool, False, "trigger (mode 3)"),
+    }
+
+    _COLORS, _PATTERN, _THRESH, _RATIO = 32, 4, 40, 0.95
+    _PALETTES = None
+
+    def _reset(self):
+        if self._info is None:
+            return
+        if RadioacTV._PALETTES is None:
+            C = self._COLORS
+            delta = 255 // (C // 2 - 1)
+            pal = np.zeros(C * 4, np.int64)
+            for i in range(C // 2):
+                pal[i] = i * delta
+                pal[C + i] = (i * delta) << 8
+                pal[2 * C + i] = (i * delta) << 16
+                pal[i + C // 2] = 255 | ((i * delta) << 16) | ((i * delta) << 8)
+                pal[C + i + C // 2] = (255 << 8) | ((i * delta) << 16) \
+                    | (i * delta)
+                pal[2 * C + i + C // 2] = (255 << 16) | ((i * delta) << 8) \
+                    | (i * delta)
+            for i in range(C):
+                pal[3 * C + i] = (255 * i // C) * 0x10101
+            RadioacTV._PALETTES = pal & 0xFEFEFF
+        w, h = self._info.width, self._info.height
+        self._bwb = min(w // 32, 255)
+        self._bw = self._bwb * 32
+        self._bh = h
+        self._area = self._bw * self._bh
+        self._ml = (w - self._bw) // 2
+        self._mr = max(h - self._bw - self._ml, 0)   # (:441 height quirk)
+        self._buf = np.zeros(2 * self._area + 2 * w, np.int64)
+        self._bg = None
+        self._snap = None
+        self._snaptime = 0
+        # zoom tables (:196)
+        R = self._RATIO
+        hw, hh = self._bw // 2, self._bh // 2
+        bits = np.zeros(self._bw, np.int64)
+        prev = int(0.5 + R * (-hw) + hw)
+        for i in range(self._bw):
+            ptr = int(0.5 + R * (i - hw) + hw)
+            bits[i] = 1 if ptr != prev else 0
+            prev = ptr
+        zy = np.zeros(self._bh, np.int64)
+        ty = int(0.5 + R * (-hh) + hh)
+        tx = int(0.5 + R * (-hw) + hw)
+        xx = int(0.5 + R * (self._bw - 1 - hw) + hw)
+        zy[0] = ty * self._bw + tx
+        prevptr = ty * self._bw + xx
+        for y in range(1, self._bh):
+            ty = int(0.5 + R * (y - hh) + hh)
+            zy[y] = ty * self._bw + tx - prevptr
+            prevptr = ty * self._bw + xx
+        # absolute gather indices: p starts at area and advances by
+        # blurzoomy[y] at each row then by bit per pixel (pre-increment)
+        cum_bits = np.cumsum(bits)
+        total = int(cum_bits[-1])
+        row_start = self._area + np.cumsum(zy) + np.arange(self._bh) * total
+        self._zoom_idx = (row_start[:, None] + cum_bits[None, :]).astype(
+            np.int64)
+
+    def _frame(self, w):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        mode = int(self.props["mode"])
+        pal_idx = [2, 1, 0, 3][int(self.props["color"])]  # BGRx swap_tab
+        palette = RadioacTV._PALETTES[
+            self._COLORS * pal_idx:self._COLORS * (pal_idx + 1)]
+
+        if mode == 3:
+            self._snaptime = 0 if self.props["trigger"] else 1
+
+        src = w
+        if mode != 2 or self._snaptime <= 0:
+            lum = (((w & 0xFF0000) >> 15) + ((w & 0xFF00) >> 6)
+                   + (w & 0xFF)).astype(np.int64)
+            if self._bg is None:
+                self._bg = np.zeros_like(lum)
+            v = lum - self._bg
+            self._bg = lum
+            th = self._THRESH * 7
+            diff = (((v + th) >> 24) | ((th - v) >> 24)) & 0xFF
+            if mode == 0 or self._snaptime <= 0:
+                d = diff[:, self._ml:self._ml + self._bw]
+                buf2d = self._buf[:self._area].reshape(self._bh, self._bw)
+                buf2d |= d >> 3
+                if mode in (1, 2):
+                    self._snap = w.copy()
+
+        # blur (:232): offsets use the FRAME width
+        buf = self._buf
+        fw = wdt
+        p0 = fw + 1
+        n = (self._bh - 2) * self._bw  # walk length approximation via 2D
+        first = buf[:self._area + 2 * fw]
+        # emulate the pointer walk on the flat buffer exactly
+        bw = self._bw
+        pidx = p0 + (np.arange(self._bh - 2)[:, None] * bw
+                     + np.arange(bw - 2)[None, :])
+        v = (buf[pidx - bw] + buf[pidx - 1] + buf[pidx + 1]
+             + buf[pidx + bw]) // 4 - 1
+        v = np.where((v & 0xFF) == 255, 0, v & 0xFF)
+        buf[self._area + p0
+            + (np.arange(self._bh - 2)[:, None] * bw
+               + np.arange(bw - 2)[None, :])] = v.reshape(self._bh - 2,
+                                                          bw - 2)
+        # zoom (:261)
+        buf[:self._area] = buf[self._zoom_idx].reshape(-1)
+
+        if mode in (1, 2) and self._snap is not None:
+            src = self._snap
+        out = src.copy()
+        glow = palette[buf[:self._area].reshape(self._bh, self._bw)
+                       & (self._COLORS - 1)]
+        sl = (slice(None), slice(self._ml, self._ml + self._bw))
+        a = (src[sl] & 0xFEFEFF) + glow
+        b = a & 0x1010100
+        out[sl] = a | (b - (b >> 8))
+
+        if mode in (1, 2):
+            self._snaptime -= 1
+            if self._snaptime < 0:
+                self._snaptime = int(self.props["interval"])
+        return out & M32

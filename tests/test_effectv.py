@@ -502,3 +502,120 @@ class TestOpTV:
                 diff = ((60 * 7 - lum) >> 24) & 0xFF
                 gold[y, x] = pal[(((m8 - 16) & 0xFF) ^ diff) & 255]
         assert np.array_equal(got & 0xFFFFFF, gold & 0xFFFFFF)
+
+
+class TestRadioacTV:
+    def test_mode0_matches_scalar_gold(self):
+        w, h = 64, 48
+        rng = np.random.RandomState(13)
+        frames = [rng.randint(0, 1 << 24, (h, w)).astype(np.int64)
+                  for _ in range(3)]
+        got = _run_elem("radioactv", frames, w, h)
+        gold = self._gold(frames, w, h)
+        for k, (a, b) in enumerate(zip(got, gold)):
+            assert np.array_equal(a & 0xFFFFFF, b & 0xFFFFFF), k
+
+    def _gold(self, frames, w, h):
+        COLORS, RATIO, TH = 32, 0.95, 40
+        delta = 255 // (COLORS // 2 - 1)
+        pal = np.zeros(COLORS * 4, np.int64)
+        for i in range(COLORS // 2):
+            pal[i] = i * delta
+            pal[COLORS + i] = (i * delta) << 8
+            pal[2 * COLORS + i] = (i * delta) << 16
+            pal[i + COLORS // 2] = 255 | ((i * delta) << 16) \
+                | ((i * delta) << 8)
+            pal[COLORS + i + COLORS // 2] = (255 << 8) \
+                | ((i * delta) << 16) | (i * delta)
+            pal[2 * COLORS + i + COLORS // 2] = (255 << 16) \
+                | ((i * delta) << 8) | (i * delta)
+        for i in range(COLORS):
+            pal[3 * COLORS + i] = (255 * i // COLORS) * 0x10101
+        pal &= 0xFEFEFF
+        palette = pal[3 * COLORS:4 * COLORS]   # white (swap_tab[3]=3)
+
+        bwb = min(w // 32, 255)
+        bw = bwb * 32
+        bh = h
+        area = bw * bh
+        ml = (w - bw) // 2
+        buf = np.zeros(2 * area + 2 * w, np.int64)
+        bg = np.zeros(w * h, np.int64)
+        # zoom tables
+        hw, hh = bw // 2, bh // 2
+        zx = []
+        prev = int(0.5 + RATIO * (-hw) + hw)
+        for xx_ in range(bwb):
+            bits = 0
+            for x in range(32):
+                ptr = int(0.5 + RATIO * (xx_ * 32 + x - hw) + hw)
+                bits >>= 1
+                if ptr != prev:
+                    bits |= 0x80000000
+                prev = ptr
+            zx.append(bits)
+        zy = [0] * bh
+        ty = int(0.5 + RATIO * (-hh) + hh)
+        tx = int(0.5 + RATIO * (-hw) + hw)
+        xx_ = int(0.5 + RATIO * (bw - 1 - hw) + hw)
+        zy[0] = ty * bw + tx
+        prevptr = ty * bw + xx_
+        for y in range(1, bh):
+            ty = int(0.5 + RATIO * (y - hh) + hh)
+            zy[y] = ty * bw + tx - prevptr
+            prevptr = ty * bw + xx_
+
+        outs = []
+        for f in frames:
+            src = f.reshape(-1)
+            lum = (((src & 0xFF0000) >> 15) + ((src & 0xFF00) >> 6)
+                   + (src & 0xFF))
+            v = lum - bg
+            bg = lum.copy()
+            th = TH * 7
+            diff = (((v + th) >> 24) | ((th - v) >> 24)) & 0xFF
+            # accumulate into buf
+            d = diff.reshape(h, w)[:, ml:ml + bw].reshape(-1)
+            buf[:area] |= d >> 3
+            # blur (frame-width offset quirk)
+            p = w + 1
+            q = p + area
+            for y in range(bh - 2, 0, -1):
+                for x in range(bw - 2, 0, -1):
+                    vv = ((buf[p - bw] + buf[p - 1] + buf[p + 1]
+                           + buf[p + bw]) // 4 - 1) & 0xFF
+                    if vv == 255:
+                        vv = 0
+                    buf[q] = vv
+                    p += 1
+                    q += 1
+                p += 2
+                q += 2
+            # zoom
+            p = area
+            qq = 0
+            for y in range(bh):
+                p += zy[y]
+                for b_ in range(bwb):
+                    dx = zx[b_]
+                    for x in range(32):
+                        p += dx & 1
+                        buf[qq] = buf[p]
+                        qq += 1
+                        dx >>= 1
+            # palette add
+            dest = src.copy()
+            bi = 0
+            si = 0
+            for y in range(h):
+                si += ml
+                for x in range(bw):
+                    a = int(src[si]) & 0xFEFEFF
+                    a += int(palette[buf[bi] & 31])
+                    b2 = a & 0x1010100
+                    dest[si] = a | (b2 - (b2 >> 8))
+                    si += 1
+                    bi += 1
+                si += max(h - bw - ml, 0)
+            outs.append(dest.reshape(h, w))
+        return outs
