@@ -1,0 +1,157 @@
+"""Extended benchmark suite — one JSON line per BASELINE.json config.
+
+`bench.py` remains the single-line headline benchmark (config 0); this
+script additionally measures the audioresample, compositor and
+deinterlace-chain configs on whatever jax.devices() provides.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    import numpy as _np
+    leaves = out if isinstance(out, (tuple, list)) else (out,)
+    _ = _np.asarray(leaves[0].ravel()[0:1])
+
+
+def bench_convert(jax, jnp):
+    from gstreamer_tpu.video.converter import VideoConverter
+    from gstreamer_tpu.video.info import VideoInfo
+
+    batch = 256
+    ii = VideoInfo(format="I420", width=1920, height=1080)
+    oi = VideoInfo(format="RGB", width=224, height=224)
+    conv = VideoConverter(ii, oi, {"resampler-method": "linear",
+                                   "resampler-taps": 2})
+    fn = jax.jit(conv.trace_fn())
+    rng = np.random.default_rng(0)
+    planes = tuple(jax.device_put(
+        rng.integers(0, 256, (batch,) + s, dtype=np.uint8))
+        for s in ii.plane_shapes())
+    out = fn(planes)
+    _sync(out)
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(planes)
+    _sync(out)
+    fps = batch * iters / (time.perf_counter() - t0)
+    return {"metric": "1080p_i420_to_rgb224_convert_scale",
+            "value": round(fps, 1), "unit": "frames/s/chip"}
+
+
+def bench_audioresample(jax, jnp):
+    from gstreamer_tpu.audio.channel_mixer import build_matrix
+    from gstreamer_tpu.audio.resampler import AudioResampler
+
+    res = AudioResampler("kaiser", 48000, 16000)
+    n = 1 << 20                       # ~21.8 s of 48 kHz stereo
+    rng = np.random.default_rng(0)
+    x = rng.integers(-32768, 32767, (n, 2), dtype=np.int16)
+    rf = res.resample_fn("f32", n, 2)
+    fn = jax.jit(lambda s: rf(s.astype(jnp.float32) / 32768.0
+                              ).mean(axis=-1))
+    X = jax.device_put(x)
+    out = fn(X)
+    _sync(out)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(X)
+    _sync(out)
+    msps = n * iters / (time.perf_counter() - t0) / 1e6
+    return {"metric": "audioresample_48k_stereo_s16_to_16k_mono",
+            "value": round(msps, 2), "unit": "Msamples/s"}
+
+
+def bench_compositor(jax, jnp):
+    from gstreamer_tpu.core.buffer import Buffer
+    from gstreamer_tpu.core.parse import parse_launch
+
+    batch = 8
+    desc = ("compositor name=c "
+            "sink_1::xpos=1920 sink_2::ypos=1080 "
+            "sink_3::xpos=1920 sink_3::ypos=1080 ! "
+            "video/x-raw,width=3840,height=2160 ! fakesink "
+            + " ".join(
+                f"appsrc name=in{k} caps=video/x-raw,format=I420,"
+                f"width=1920,height=1080,framerate=30/1 ! c.sink_{k}"
+                for k in range(4)))
+    pipe = parse_launch(desc)
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (batch, 1080, 1920), dtype=np.uint8)
+    u = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+    v = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+
+    def push_all():
+        for k in range(4):
+            pipe.get_by_name(f"in{k}").push_buffer(
+                Buffer(data=(y, u, v), pts=0, duration=33333333,
+                       batch=batch))
+
+    from gstreamer_tpu.core.pipeline import State
+    push_all()
+    pipe.set_state(State.PLAYING)
+    pipe.tick()
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        push_all()
+        pipe.tick()
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    return {"metric": "compositor_4x1080p_to_4k_mosaic",
+            "value": round(fps, 1), "unit": "frames/s/chip"}
+
+
+def bench_deinterlace_chain(jax, jnp):
+    from gstreamer_tpu.core.buffer import Buffer
+    from gstreamer_tpu.core.parse import parse_launch
+
+    batch = 32
+    pipe = parse_launch(
+        "appsrc name=in caps=video/x-raw,format=I420,width=1920,"
+        "height=1080,framerate=30/1 ! deinterlace method=linear ! "
+        "videobalance contrast=1.1 brightness=0.05 ! fakesink")
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (batch, 1080, 1920), dtype=np.uint8)
+    u = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+    v = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+
+    def push():
+        pipe.get_by_name("in").push_buffer(
+            Buffer(data=(y, u, v), pts=0, duration=33333333, batch=batch))
+
+    from gstreamer_tpu.core.pipeline import State
+    push()
+    pipe.set_state(State.PLAYING)
+    pipe.tick()
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        push()
+        pipe.tick()
+    fps = batch * iters / (time.perf_counter() - t0)
+    return {"metric": "deinterlace_videobalance_1080i_chain",
+            "value": round(fps, 1), "unit": "frames/s/chip"}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    for fn in (bench_convert, bench_audioresample, bench_compositor,
+               bench_deinterlace_chain):
+        try:
+            print(json.dumps(fn(jax, jnp)), flush=True)
+        except Exception as e:     # pragma: no cover
+            print(json.dumps({"metric": fn.__name__, "error": str(e)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

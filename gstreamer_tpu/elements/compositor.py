@@ -225,3 +225,11 @@ class Compositor(AggregatorElement):
             return pack(jnp, ofmt, out_canon, oi.width, oi.height)
 
         return fn
+
+
+@register_element
+class VideoMixer(Compositor):
+    """videomixer (gst-plugins-good/gst/videomixer): the legacy N:1 mixer
+    — same pad properties and blend math as compositor."""
+    FACTORY = "videomixer"
+    DESCRIPTION = "Mix multiple video streams (legacy alias of compositor)"

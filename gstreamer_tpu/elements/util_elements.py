@@ -250,3 +250,18 @@ class FakeSrc(SourceElement):
         buf = Buffer(data=data, pts=self._count, batch=n)
         self._count += n
         return buf
+
+
+@register_element
+class AutoVideoSink(FakeSink):
+    """autovideosink: in the offline/batched runtime there is no display
+    server — resolves to a measuring sink (the reference auto-plugs the
+    highest-rank video sink)."""
+    FACTORY = "autovideosink"
+    DESCRIPTION = "Auto-plugged video sink (offline: swallow + count)"
+
+
+@register_element
+class AutoAudioSink(FakeSink):
+    FACTORY = "autoaudiosink"
+    DESCRIPTION = "Auto-plugged audio sink (offline: swallow + count)"
