@@ -48,7 +48,7 @@ def bench_audioresample(jax, jnp):
     from gstreamer_tpu.audio.resampler import AudioResampler
 
     res = AudioResampler("kaiser", 48000, 16000)
-    n = 1 << 20                       # ~21.8 s of 48 kHz stereo
+    n = 1 << 17                       # ~2.7 s of 48 kHz stereo
     rng = np.random.default_rng(0)
     x = rng.integers(-32768, 32767, (n, 2), dtype=np.int16)
     rf = res.resample_fn("f32", n, 2)
@@ -82,9 +82,12 @@ def bench_compositor(jax, jnp):
                 for k in range(4)))
     pipe = parse_launch(desc)
     rng = np.random.default_rng(0)
-    y = rng.integers(0, 256, (batch, 1080, 1920), dtype=np.uint8)
-    u = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
-    v = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+    y = jax.device_put(rng.integers(0, 256, (batch, 1080, 1920),
+                                    dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (batch, 540, 960),
+                                    dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (batch, 540, 960),
+                                    dtype=np.uint8))
 
     def push_all():
         for k in range(4):
@@ -117,9 +120,12 @@ def bench_deinterlace_chain(jax, jnp):
         "height=1080,framerate=30/1 ! deinterlace method=linear ! "
         "videobalance contrast=1.1 brightness=0.05 ! fakesink")
     rng = np.random.default_rng(0)
-    y = rng.integers(0, 256, (batch, 1080, 1920), dtype=np.uint8)
-    u = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
-    v = rng.integers(0, 256, (batch, 540, 960), dtype=np.uint8)
+    y = jax.device_put(rng.integers(0, 256, (batch, 1080, 1920),
+                                    dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (batch, 540, 960),
+                                    dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (batch, 540, 960),
+                                    dtype=np.uint8))
 
     def push():
         pipe.get_by_name("in").push_buffer(

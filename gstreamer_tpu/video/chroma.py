@@ -210,3 +210,45 @@ def down4(xp, plane, axis, cosited: bool):
     if out.shape[ax] < n:   # tail samples keep original values
         out = xp.concatenate([out, _take(plane, axis, out.shape[ax], n)], axis=ax)
     return out
+
+
+def up2_interlaced(xp, plane, axis, cosited: bool):
+    """2x vertical chroma upsample for INTERLACED content
+    (video-chroma.c MAKE_UPSAMPLE_VI2 :345, line groups of 4 at offset
+    -2 per v_resamplers[] :1017).
+
+    `plane` is the nearest-duplicated full-res plane where chroma lines
+    alternate fields (duplicated pairs per field).  Each group of 4
+    lines (4g-2 .. 4g+1, edges clamped) maps to
+        l0' = (5*l0 + 3*l2 + 4) >> 3      l1' = (7*l1 + l3 + 4) >> 3
+        l2' = (l0 + 7*l2 + 4) >> 3        l3' = (3*l1 + 5*l3 + 4) >> 3
+    Cosited interlaced variants are unimplemented in the reference
+    (v_resamplers "IMPLEMENT ME" :1021) — identity there, like the
+    reference's fallback."""
+    if cosited:
+        return plane   # reference: not implemented -> passthrough
+    ax = axis if axis >= 0 else plane.ndim + axis
+    n = plane.shape[ax]
+
+    def line(i):
+        i = min(max(i, 0), n - 1)
+        return _take(plane, ax, i, i + 1)
+
+    outs = []
+    g = -1
+    # groups start at 4g+2 offset -2 => group starts at lines -2, 2, 6, ...
+    start = -2
+    rows = [None] * n
+    s = start
+    while s < n:
+        l0, l1, l2, l3 = (line(s), line(s + 1), line(s + 2), line(s + 3))
+        vals = [(5 * l0 + 3 * l2 + 4) >> 3,
+                (7 * l1 + l3 + 4) >> 3,
+                (l0 + 7 * l2 + 4) >> 3,
+                (3 * l1 + 5 * l3 + 4) >> 3]
+        for k in range(4):
+            idx = s + k
+            if 0 <= idx < n:
+                rows[idx] = vals[k]
+        s += 4
+    return xp.concatenate(rows, axis=ax)

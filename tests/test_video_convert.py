@@ -612,3 +612,29 @@ class TestAddBorders:
         pipe.run()
         y = np.asarray(pipe.get_by_name("o").pull_sample().buffer.data[0])[0]
         assert int(y[0, 0]) == 235     # stretched: no border
+
+
+class TestInterlacedChroma:
+    def test_up2_interlaced_group_formulas(self):
+        # duplicated interlaced chroma: lines grouped by 4 with offset -2
+        p = np.arange(8, dtype=np.int64)[:, None] * 10 * np.ones(
+            (1, 4), np.int64)
+        out = chroma_mod.up2_interlaced(np, p, -2, cosited=False)
+        # group at s=-2 (edges clamp to line 0): visible outputs are
+        # l2' = (l0 + 7*l2 + 4)>>3 and l3' = (3*l1 + 5*l3 + 4)>>3
+        assert out[0, 0] == (0 + 7 * 0 + 4) >> 3
+        assert out[1, 0] == (3 * 0 + 5 * 10 + 4) >> 3
+        # group at s=2: l0=p2,l1=p3,l2=p4,l3=p5
+        assert out[2, 0] == (5 * 20 + 3 * 40 + 4) >> 3
+        assert out[3, 0] == (7 * 30 + 50 + 4) >> 3
+        assert out[4, 0] == (20 + 7 * 40 + 4) >> 3
+        assert out[5, 0] == (3 * 30 + 5 * 50 + 4) >> 3
+        # group at s=6 (bottom clamp): l2,l3 clamp to line 7
+        assert out[6, 0] == (5 * 60 + 3 * 70 + 4) >> 3
+        assert out[7, 0] == (7 * 70 + 70 + 4) >> 3
+
+    def test_cosited_interlaced_passthrough(self):
+        p = np.arange(8, dtype=np.int64)[:, None] * np.ones((1, 4),
+                                                            np.int64)
+        out = chroma_mod.up2_interlaced(np, p, -2, cosited=True)
+        assert np.array_equal(out, p)
