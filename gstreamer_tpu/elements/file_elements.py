@@ -412,3 +412,83 @@ class Y4mEnc(SinkElement):
                              info.width, info.height)
             self._file.write(tight.tobytes())
         return FlowReturn.OK
+
+
+@register_element
+class DataUriSrc(SourceElement):
+    """dataurisrc (gstdataurisrc.c): decodes a data: URI into one buffer."""
+    FACTORY = "dataurisrc"
+    DESCRIPTION = "Handles data: uris"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {"uri": (str, "", "data:[<mediatype>][;base64],<data>")}
+
+    def get_caps(self, filter=None):
+        caps = Caps.from_string("application/octet-stream")
+        if filter is not None and not filter.is_any \
+                and caps.can_intersect(filter):
+            caps = caps.intersect(filter)
+        return caps
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._sent = False
+
+    def _decode(self) -> bytes:
+        import base64
+        import urllib.parse
+        uri = self.props["uri"]
+        if not uri.startswith("data:"):
+            raise ValueError(f"dataurisrc: not a data uri: {uri!r}")
+        header, _, payload = uri[5:].partition(",")
+        if header.endswith(";base64"):
+            return base64.b64decode(payload)
+        return urllib.parse.unquote_to_bytes(payload)
+
+    def start(self):
+        self._sent = False
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._sent:
+            return None
+        self._sent = True
+        return Buffer(data=np.frombuffer(self._decode(), np.uint8), batch=1)
+
+
+@register_element
+class FdSrc(SourceElement):
+    """fdsrc (gstfdsrc.c): reads byte buffers from a file descriptor."""
+    FACTORY = "fdsrc"
+    DESCRIPTION = "Read from a file descriptor"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {"fd": (int, 0, "file descriptor"),
+                  "blocksize": (int, 4096, "bytes per buffer")}
+
+    def get_caps(self, filter=None):
+        caps = Caps.from_string("application/octet-stream")
+        if filter is not None and not filter.is_any \
+                and caps.can_intersect(filter):
+            caps = caps.intersect(filter)
+        return caps
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        data = os.read(self.props["fd"],
+                       self.props["blocksize"] * max(n_frames, 1))
+        if not data:
+            return None
+        return Buffer(data=np.frombuffer(data, np.uint8), batch=1)
+
+
+@register_element
+class FdSink(SinkElement):
+    """fdsink (gstfdsink.c): writes raw bytes to a file descriptor."""
+    FACTORY = "fdsink"
+    DESCRIPTION = "Write to a file descriptor"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {"fd": (int, 1, "file descriptor")}
+
+    def render(self, buf: Buffer) -> str:
+        data = buf.data
+        leaves = data if isinstance(data, (tuple, list)) else (data,)
+        for leaf in leaves:
+            os.write(self.props["fd"], np.asarray(leaf).tobytes())
+        return FlowReturn.OK

@@ -670,3 +670,31 @@ class TestInterlace:
         # default BFF: even rows (top field) from frame 2, odd from frame 1
         assert int(out[0, 0, 0]) == 200
         assert int(out[0, 1, 0]) == 10
+
+
+class TestMiscSources:
+    def test_dataurisrc_base64(self):
+        import base64
+        from gstreamer_tpu.core.parse import parse_launch
+        payload = base64.b64encode(b"hello tpu").decode()
+        pipe = parse_launch(
+            f"dataurisrc uri=data:application/octet-stream;base64,{payload} "
+            f"! appsink name=o")
+        pipe.run()
+        import numpy as np
+        s = pipe.get_by_name("o").pull_sample()
+        assert bytes(np.asarray(s.buffer.data)) == b"hello tpu"
+
+    def test_fdsrc_fdsink_roundtrip(self, tmp_path):
+        import os
+        from gstreamer_tpu.core.parse import parse_launch
+        src_path = tmp_path / "in.bin"
+        src_path.write_bytes(bytes(range(200)))
+        out_path = tmp_path / "out.bin"
+        rfd = os.open(src_path, os.O_RDONLY)
+        wfd = os.open(out_path, os.O_WRONLY | os.O_CREAT)
+        pipe = parse_launch(f"fdsrc fd={rfd} blocksize=64 ! fdsink fd={wfd}")
+        pipe.run()
+        os.close(rfd)
+        os.close(wfd)
+        assert out_path.read_bytes() == bytes(range(200))
