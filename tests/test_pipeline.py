@@ -698,3 +698,38 @@ class TestMiscSources:
         os.close(rfd)
         os.close(wfd)
         assert out_path.read_bytes() == bytes(range(200))
+
+
+class TestTagsAndPromise:
+    def test_taglist_merge_modes(self):
+        from gstreamer_tpu.core.tags import (MERGE_APPEND, MERGE_KEEP,
+                                             MERGE_PREPEND,
+                                             MERGE_REPLACE_ALL, TagList)
+        a = TagList(title="A", artist="x")
+        b = TagList(title="B", album="y")
+        m = a.merge(b, MERGE_APPEND)
+        assert m.get("title") == "A"       # single-valued keeps first
+        assert m.get("album") == "y"
+        r = a.merge(b, MERGE_REPLACE_ALL)
+        assert r.get("title") == "B" and "artist" not in r
+        k = TagList()
+        k.add(MERGE_KEEP, "title", "first")
+        k.add(MERGE_KEEP, "title", "second")
+        assert k.get("title") == "first"
+        p = TagList()
+        p.add(MERGE_APPEND, "keyword", "a")
+        p.add(MERGE_PREPEND, "keyword", "b")
+        assert p.get_all("keyword") == ["b", "a"]
+
+    def test_promise_lifecycle(self):
+        import threading
+        from gstreamer_tpu.core.tags import Promise
+        pr = Promise()
+        threading.Timer(0.02, lambda: pr.reply({"answer": 42})).start()
+        assert pr.wait(1.0) == Promise.REPLIED
+        assert pr.get_reply()["answer"] == 42
+        p2 = Promise()
+        p2.interrupt()
+        assert p2.wait(0.1) == Promise.INTERRUPTED
+        p2.reply(1)     # post-interrupt reply ignored
+        assert p2.result == Promise.INTERRUPTED
