@@ -1,0 +1,206 @@
+"""Pallas TPU kernel: fused 4:2:0 chroma upsample + exact h+v scale.
+
+The XLA phase-split path materializes four parity-phase operands whose
+bytes total a full-resolution bf16 plane per chroma channel (~2/3 of
+the whole converter's HBM traffic).  This kernel keeps everything in
+VMEM: each grid step reads a (TILE_R, W) tile of the RAW half-res
+chroma plane (uint8, edge-padded), computes the up2 column/row parity
+phases in-register (exact video-chroma.c integer filters), runs the
+four split-tap h-scale matmuls with the bf16 limb trick and per-pass
+rounding, and accumulates the v-scale contraction into a VMEM-resident
+output block.
+
+HBM traffic: 1 byte per half-res chroma pixel in + 4 bytes per scaled
+output pixel.  Bit-exact to up2_phases -> scale_cols_split_exact ->
+scale_rows_split_exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+TILE_R = 192
+
+
+_STORE = {}
+_CACHE = {}
+
+
+def _limbs_T(m: np.ndarray, rows_pad: int, cols_pad: int) -> np.ndarray:
+    """(out, in) taps -> (rows_pad, 2*cols_pad) f32 [hi|lo] transposed."""
+    m_hi = (m >> 5) << 5
+    m_lo = m - m_hi
+    out = np.zeros((rows_pad, 2 * cols_pad), np.float32)
+    out[:m.shape[1], :m.shape[0]] = m_hi.T
+    out[:m.shape[1], cols_pad:cols_pad + m.shape[0]] = m_lo.T
+    return out
+
+
+def _build(key):
+    if key in _CACHE:
+        return _CACHE[key]
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    (cw, ch, full_w, full_h, ow, oh, h_cos, v_cos, _hh, _vh) = key
+    mh = _STORE[(key, "h")]           # (ow, full_w)
+    mv = _STORE[(key, "v")]           # (oh, full_h)
+    ow_pad = -(-ow // 128) * 128
+    oh_pad = -(-oh // 128) * 128
+    w_pad = -(-cw // 128) * 128
+    tiles = -(-ch // TILE_R) if ch % TILE_R == 0 else -(-ch // TILE_R)
+    h_pad = tiles * TILE_R
+    if h_pad < ch + 1:                # ensure at least one edge row below
+        tiles += 1
+        h_pad = tiles * TILE_R
+
+    # split tap matrices by input parity, pad the input dim
+    me = _limbs_T(mh[:, 0::2], w_pad, ow_pad)
+    mo = _limbs_T(mh[:, 1::2], w_pad, ow_pad)
+    mve = _limbs_T(mv[:, 0::2], h_pad, oh_pad)
+    mvo = _limbs_T(mv[:, 1::2], h_pad, oh_pad)
+    me_b = jnp.asarray(me, dtype=jnp.bfloat16)
+    mo_b = jnp.asarray(mo, dtype=jnp.bfloat16)
+    tve = jnp.asarray(mve, dtype=jnp.bfloat16)
+    tvo = jnp.asarray(mvo, dtype=jnp.bfloat16)
+
+    def kernel(prev_ref, cur_ref, nxt_ref, me_ref, mo_ref,
+               tve_ref, tvo_ref, o_ref):
+        j = pl.program_id(1)
+        cur = cur_ref[0].astype(jnp.int32)               # (TR, Wp)
+        top = prev_ref[0][-1:].astype(jnp.int32)         # last row of prev
+        bot = nxt_ref[0][:1].astype(jnp.int32)           # first row of next
+
+        # global row 0 has no row above: edge-clamp to itself
+        top_fixed = jnp.where(j == 0, cur[:1], top)
+
+        ccx = jnp.concatenate([top_fixed, cur], axis=0)  # (TR+1, Wp)
+
+        # column parity phases (video-chroma.c up2 h filters)
+        cp = jnp.concatenate([ccx[:, :1], ccx[:, :-1]], axis=1)
+        cn = jnp.concatenate([ccx[:, 1:], ccx[:, -1:]], axis=1)
+        if h_cos:
+            ce_x = ccx
+            co_x = (ccx + cn + 1) >> 1
+        else:
+            ce_x = (cp + 3 * ccx + 2) >> 2
+            co_x = (3 * ccx + cn + 2) >> 2
+
+        # row parity phases of the CURRENT rows (need row above)
+        # the below-neighbor of the block's last row is the first row
+        # of the next block (col phases of it computed locally)
+        def colph_row(r):
+            rp = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+            rn = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+            if h_cos:
+                return r, (r + rn + 1) >> 1
+            return (rp + 3 * r + 2) >> 2, (3 * r + rn + 2) >> 2
+
+        bot_e, bot_o = colph_row(bot)
+
+        def rowph(a, bot_row):
+            up = a[:-1]          # row r-1 for rows 0..TR-1 of cur
+            cc = a[1:]           # rows of cur
+            dnn = jnp.concatenate([a[2:], bot_row], axis=0)
+            if v_cos:
+                return cc, (cc + dnn + 1) >> 1
+            return (up + 3 * cc + 2) >> 2, (3 * cc + dnn + 2) >> 2
+
+        ce_re, ce_ro = rowph(ce_x, bot_e)
+        co_re, co_ro = rowph(co_x, bot_o)
+
+        def hpass(e, o):
+            a = jax.lax.dot_general(
+                e.astype(jnp.float32).astype(jnp.bfloat16), me_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            b = jax.lax.dot_general(
+                o.astype(jnp.float32).astype(jnp.bfloat16), mo_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = (a[:, :ow_pad] + a[:, ow_pad:]
+                   + b[:, :ow_pad] + b[:, ow_pad:])
+            return jnp.clip((acc.astype(jnp.int32) + 4095) >> 12, 0, 255)
+
+        h_re = hpass(ce_re, co_re).astype(jnp.float32).astype(jnp.bfloat16)
+        h_ro = hpass(ce_ro, co_ro).astype(jnp.float32).astype(jnp.bfloat16)
+
+        a2 = jax.lax.dot_general(
+            tve_ref[...], h_re, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        b2 = jax.lax.dot_general(
+            tvo_ref[...], h_ro, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part = (a2[:oh_pad] + a2[oh_pad:] + b2[:oh_pad] + b2[oh_pad:])
+
+        @pl.when(j == 0)
+        def _init():
+            o_ref[0] = part
+
+        @pl.when(j > 0)
+        def _acc():
+            o_ref[0] = o_ref[0] + part
+
+    def run(c):
+        b = c.shape[0]
+        # edge-pad: rows below the last valid row replicate it (matches
+        # the up2 bottom clamp), columns likewise for the h filters
+        c = jnp.pad(c, ((0, 0), (0, h_pad - ch), (0, w_pad - cw)),
+                    mode="edge")
+        acc = pl.pallas_call(
+            kernel,
+            grid=(b, tiles),
+            in_specs=[
+                pl.BlockSpec((1, TILE_R, w_pad),
+                             lambda i, j: (i, jnp.maximum(j - 1, 0), 0)),
+                pl.BlockSpec((1, TILE_R, w_pad), lambda i, j: (i, j, 0)),
+                pl.BlockSpec(
+                    (1, TILE_R, w_pad),
+                    lambda i, j: (i, jnp.minimum(j + 1, tiles - 1), 0)),
+                pl.BlockSpec((w_pad, 2 * ow_pad), lambda i, j: (0, 0)),
+                pl.BlockSpec((w_pad, 2 * ow_pad), lambda i, j: (0, 0)),
+                pl.BlockSpec((TILE_R, 2 * oh_pad), lambda i, j: (j, 0)),
+                pl.BlockSpec((TILE_R, 2 * oh_pad), lambda i, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, oh_pad, ow_pad),
+                                   lambda i, j: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, oh_pad, ow_pad),
+                                           jnp.float32),
+        )(c, c, c, me_b, mo_b, tve, tvo)
+        out = jnp.clip((acc.astype(jnp.int32) + 4095) >> 12, 0, 255)
+        return out[:, :oh, :ow]
+
+    _CACHE[key] = run
+    return run
+
+
+def chroma420_scale(c, h_res, v_res, h_cosited: bool, v_cosited: bool,
+                    full_w: int, full_h: int):
+    """c: (B, ch, cw) uint8 half-res chroma -> (B, OH, OW) int32."""
+    from ..video import scaler as scaler_mod
+
+    mh = scaler_mod.tap_matrix(h_res).astype(np.int64)
+    mv = scaler_mod.tap_matrix(v_res).astype(np.int64)
+    key = (int(c.shape[-1]), int(c.shape[-2]), full_w, full_h,
+           int(h_res.out_size), int(v_res.out_size),
+           bool(h_cosited), bool(v_cosited),
+           hashlib.sha1(mh.tobytes()).hexdigest(),
+           hashlib.sha1(mv.tobytes()).hexdigest())
+    _STORE.setdefault((key, "h"), mh)
+    _STORE.setdefault((key, "v"), mv)
+    return _build(key)(c)
+
+
+def applicable(h_res, v_res, cw: int, ch: int) -> bool:
+    from ..video import scaler as scaler_mod
+
+    if h_res is None or v_res is None:
+        return False
+    mh = scaler_mod.tap_matrix(h_res)
+    mv = scaler_mod.tap_matrix(v_res)
+    return (int(np.abs(mh).max()) < (1 << 13)
+            and int(np.abs(mv).max()) < (1 << 13)
+            and h_res.out_size <= cw and v_res.out_size <= ch)

@@ -733,3 +733,53 @@ class TestTagsAndPromise:
         assert p2.wait(0.1) == Promise.INTERRUPTED
         p2.reply(1)     # post-interrupt reply ignored
         assert p2.result == Promise.INTERRUPTED
+
+
+class TestBitstream:
+    def test_byte_reader_writer_roundtrip(self):
+        from gstreamer_tpu.core.bitstream import ByteReader, ByteWriter
+        w = ByteWriter()
+        w.put_uint8(0xAB)
+        w.put_uint16_le(0x1234)
+        w.put_uint32_be(0xDEADBEEF)
+        w.put_float64_le(3.5)
+        w.put_data(b"xyz")
+        data = w.reset_and_get_data()
+        r = ByteReader(data)
+        assert r.get_uint8() == 0xAB
+        assert r.get_uint16_le() == 0x1234
+        assert r.get_uint32_be() == 0xDEADBEEF
+        assert r.get_float64_le() == 3.5
+        assert r.get_data(3) == b"xyz"
+        assert r.get_uint8() is None
+
+    def test_masked_scan(self):
+        from gstreamer_tpu.core.bitstream import ByteReader
+        r = ByteReader(b"\x00\x00\x00\x01\x67\x42")
+        assert r.masked_scan_uint32(0xFFFFFFFF, 0x00000167, 0) == 1
+        assert r.masked_scan_uint32(0xFFFFFF00, 0x00000100, 0) == 1
+        assert r.masked_scan_uint32(0xFFFFFFFF, 0x12345678, 0) == -1
+
+    def test_bit_reader_writer(self):
+        from gstreamer_tpu.core.bitstream import BitReader, BitWriter
+        w = BitWriter()
+        w.put_bits(0b101, 3)
+        w.put_bits(0x7F, 7)
+        w.align_bytes(1)
+        data = w.get_data()
+        r = BitReader(data)
+        assert r.get_bits(3) == 0b101
+        assert r.get_bits(7) == 0x7F
+        assert r.get_bits(6) == 0b111111   # alignment fill
+
+    def test_flow_combiner(self):
+        from gstreamer_tpu.core.bitstream import FlowCombiner
+        from gstreamer_tpu.core.buffer import FlowReturn
+        fc = FlowCombiner()
+        assert fc.update_flow("a", FlowReturn.OK) == FlowReturn.OK
+        assert fc.update_flow("b", FlowReturn.EOS) == FlowReturn.OK
+        assert fc.update_flow("a", FlowReturn.EOS) == FlowReturn.EOS
+        assert fc.update_flow("b", FlowReturn.ERROR) == FlowReturn.ERROR
+        fc.reset()
+        assert fc.update_flow("a", FlowReturn.NOT_LINKED) \
+            == FlowReturn.NOT_LINKED
