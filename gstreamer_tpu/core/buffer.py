@@ -42,6 +42,12 @@ class BufferFlags:
     DROPPABLE = 1 << 7
     DELTA_UNIT = 1 << 8
     INTERLACED_TFF = 1 << 9
+    # video buffer flags (gstvideometa.h GST_VIDEO_BUFFER_FLAG_*)
+    INTERLACED = 1 << 10
+    RFF = 1 << 11
+    ONEFIELD = 1 << 12
+    TOP_FIELD = 1 << 13
+    BOTTOM_FIELD = 1 << 14
 
 
 @dataclass

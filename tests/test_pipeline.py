@@ -783,3 +783,80 @@ class TestBitstream:
         fc.reset()
         assert fc.update_flow("a", FlowReturn.NOT_LINKED) \
             == FlowReturn.NOT_LINKED
+
+
+class TestTelecine:
+    """gstinterlace.c pulldown state machine (formats table :364)."""
+
+    @staticmethod
+    def _mk(pattern, n, h=8, w=8, fps=(24, 1), **props):
+        from gstreamer_tpu.core.caps import Structure
+        from gstreamer_tpu.core.value import Fraction
+        from gstreamer_tpu.elements.interlace import Interlace
+        e = Interlace(**{"field-pattern": pattern, **props})
+        s = Structure("video/x-raw", format="GRAY8", width=w, height=h,
+                      framerate=Fraction(*fps))
+        e.set_info([s], None)
+        e.start()
+        frames = [np.full((h, w), 10 * (i + 1), np.uint8) for i in range(n)]
+        outs = []
+        for i, f in enumerate(frames):
+            b = Buffer(data=(f[None],), pts=i * 1_000_000_000 // fps[0],
+                       duration=1_000_000_000 // fps[0], batch=1)
+            r = e.host_process(b)
+            if r is not None:
+                for j in range(r.batch):
+                    outs.append((np.asarray(r.data[0][j]),
+                                 r.meta["frames"][j]))
+        return frames, outs
+
+    def test_2_3_pulldown(self):
+        from gstreamer_tpu.core.buffer import BufferFlags
+        frames, outs = self._mk("2:3", 4)
+        # 24p A B C D -> 30i A, B, B|C, C|D, D (2:3 pulldown)
+        assert len(outs) == 5
+        a, b, c, d = frames
+        assert (outs[0][0] == a).all()
+        assert (outs[1][0] == b).all()
+        # weave: odd rows (field_index=1, not tff) from stored frame
+        assert (outs[2][0][1::2] == b[1::2]).all()
+        assert (outs[2][0][0::2] == c[0::2]).all()
+        assert outs[2][1]["flags"] & BufferFlags.INTERLACED
+        assert (outs[3][0][1::2] == c[1::2]).all()
+        assert (outs[3][0][0::2] == d[0::2]).all()
+        assert (outs[4][0] == d).all()
+        assert not outs[0][1]["flags"] & BufferFlags.INTERLACED
+        # 24 fps in -> 30 fps out: duration = 2 fields at 1/60s
+        assert outs[0][1]["duration"] == 2 * 1_000_000_000 // 60
+        assert outs[1][1]["pts"] == 1_000_000_000 * 2 // 60
+
+    def test_2_3_allow_rff(self):
+        from gstreamer_tpu.core.buffer import BufferFlags
+        frames, outs = self._mk("2:3", 4, **{"allow-rff": True})
+        # every 3-field frame collapses into one RFF buffer: A B(rff) C D(rff)
+        assert len(outs) == 4
+        rff = [bool(o[1]["flags"] & BufferFlags.RFF) for o in outs]
+        assert rff == [False, True, False, True]
+        assert outs[1][1]["duration"] == 3 * 1_000_000_000 // 60
+
+    def test_1_1_weave(self):
+        frames, outs = self._mk("1:1", 4, fps=(60, 1))
+        # 60p -> 30-frame 60i: each output weaves two successive frames
+        assert len(outs) == 2
+        a, b, c, d = frames
+        assert (outs[0][0][1::2] == a[1::2]).all()
+        assert (outs[0][0][0::2] == b[0::2]).all()
+        assert (outs[1][0][1::2] == c[1::2]).all()
+        assert (outs[1][0][0::2] == d[0::2]).all()
+
+    def test_euro_pulldown_counts(self):
+        # 2-11:3: 12 input frames -> 25 fields -> 12 output frames + 1 stored
+        frames, outs = self._mk("2-11:3", 24, fps=(24, 1))
+        # over 24 frames: 50 fields -> 25 output frames
+        assert len(outs) == 25
+
+    def test_2_2_passthrough_content(self):
+        frames, outs = self._mk("2:2", 3, fps=(30, 1))
+        assert len(outs) == 3
+        for f, (o, _) in zip(frames, outs):
+            assert (o == f).all()
