@@ -212,6 +212,25 @@ def down4(xp, plane, axis, cosited: bool):
     return out
 
 
+def down2_interlaced(xp, plane, axis, cosited: bool):
+    """2x vertical chroma downsample for INTERLACED content.
+
+    The vertical filter is a passthrough stub in the reference
+    (video-chroma.c MAKE_DOWNSAMPLE_VI2 :461 '/* FIXME */', dispatch
+    n_lines=1 :1018 'IMPLEMENT ME'), so the row selection is done by
+    the 4:2:0 PACK: IS_CHROMA_LINE_420 interlaced is !(y & 2) and the
+    target row is GET_UV_420(y) (video-format.c :71,:80) — chroma row c
+    comes from full row (c & ~1) * 2 + (c & 1), i.e. rows 0,1,4,5,8,9…"""
+    del cosited  # both variants hit the same stub in the reference
+    ax = axis if axis >= 0 else plane.ndim + axis
+    n = plane.shape[ax]
+    cs = np.arange((n + 1) // 2)
+    rows = np.minimum((cs & ~1) * 2 + (cs & 1), n - 1)
+    sl = [slice(None)] * plane.ndim
+    sl[ax] = rows
+    return plane[tuple(sl)]
+
+
 def up2_interlaced(xp, plane, axis, cosited: bool):
     """2x vertical chroma upsample for INTERLACED content
     (video-chroma.c MAKE_UPSAMPLE_VI2 :345, line groups of 4 at offset

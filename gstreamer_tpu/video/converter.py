@@ -138,13 +138,22 @@ class VideoConverter:
             # GST_VIDEO_RESAMPLER_OPT_MAX_TAPS semantics: a tap budget
             rkw["max_taps_opt"] = taps
             taps = 0
+        # interlaced frames get field-aware vertical filters
+        # (video-converter.c :3301 selects upsample_i/v_scaler_i when the
+        # frame is interlaced and mode is not alternate; we key off the
+        # negotiated interlace-mode since whole batches share one program)
+        plan["interlaced"] = ii.interlace_mode in ("interleaved", "mixed")
         h_res = v_res = None
         if in_w != out_w:
             h_res = scaler_mod.make_resampler(method, in_w, out_w, taps,
                                               **rkw)
         if in_h != out_h:
-            v_res = scaler_mod.make_resampler(method, in_h, out_h,
-                                              taps, **rkw)
+            if plan["interlaced"]:
+                v_res = scaler_mod.make_resampler_interlaced(
+                    method, in_h, out_h, taps, **rkw)
+            else:
+                v_res = scaler_mod.make_resampler(method, in_h, out_h,
+                                                  taps, **rkw)
         s1 = out_w * in_h
         s2 = in_w * out_h
         plan["scale_order"] = "hv" if s1 <= s2 else "vh"
@@ -273,6 +282,7 @@ class VideoConverter:
             and not ifmt.has_alpha
             and not plan["do_gamma"]
             and not plan["rect_active"]
+            and not plan["interlaced"]
             and (plan["v_res"] is None or plan["scale_order"] == "hv"))
         return plan
 
@@ -302,7 +312,11 @@ class VideoConverter:
         # intermediate (a full-res int16 HBM round-trip per plane/axis
         # whose duplicated samples up2 would immediately re-stride away).
         sub_up = (plan["upsample"] and not ifmt.is_gray
-                  and ifmt.w_sub[1] <= 1 and ifmt.h_sub[1] <= 1)
+                  and ifmt.w_sub[1] <= 1 and ifmt.h_sub[1] <= 1
+                  # interlaced vertical up2 runs on the nearest-duplicated
+                  # full-res plane (4-line field groups), so the direct
+                  # from-half shortcut doesn't apply
+                  and not (plan["interlaced"] and ifmt.h_sub[1] == 1))
         # Phase-split fast path: 4:2:0 upsample + downscale in "hv" order.
         # The full-width chroma plane is NEVER materialized — up2 produces
         # even/odd column/row phases at the stored (quarter) resolution and
@@ -315,6 +329,7 @@ class VideoConverter:
             and plan["scale_before_matrix"] and plan["scale_order"] == "hv"
             and plan["h_res"] is not None
             and (plan["unpack_bits"] == 8 and not plan["do_gamma"])
+            and not plan["interlaced"]
             and not getattr(self, "_disable_phase_split", False))
         in_x, in_y, in_w, in_h = plan["rect"][:4]
         if (in_x, in_y, in_w, in_h) != (0, 0, ii.width, ii.height):
@@ -359,8 +374,10 @@ class VideoConverter:
                     u = chroma_mod.up4(xp, u, -1, plan["up_h_cosited"])
                     v = chroma_mod.up4(xp, v, -1, plan["up_h_cosited"])
                 if ifmt.h_sub[1] == 1:
-                    u = chroma_mod.up2(xp, u, -2, plan["up_v_cosited"])
-                    v = chroma_mod.up2(xp, v, -2, plan["up_v_cosited"])
+                    up_v = (chroma_mod.up2_interlaced if plan["interlaced"]
+                            else chroma_mod.up2)
+                    u = up_v(xp, u, -2, plan["up_v_cosited"])
+                    v = up_v(xp, v, -2, plan["up_v_cosited"])
                 elif ifmt.h_sub[1] == 2:
                     u = chroma_mod.up4(xp, u, -2, plan["up_v_cosited"])
                     v = chroma_mod.up4(xp, v, -2, plan["up_v_cosited"])
@@ -440,8 +457,10 @@ class VideoConverter:
             # v first, then h (MAKE_DOWNSAMPLE_V2 filters lines then h)
             a, y, u, v = chans
             if ofmt.h_sub[1] == 1:
-                u = chroma_mod.down2(xp, u, -2, plan["down_v_cosited"])
-                v = chroma_mod.down2(xp, v, -2, plan["down_v_cosited"])
+                dn_v = (chroma_mod.down2_interlaced if plan["interlaced"]
+                        else chroma_mod.down2)
+                u = dn_v(xp, u, -2, plan["down_v_cosited"])
+                v = dn_v(xp, v, -2, plan["down_v_cosited"])
             elif ofmt.h_sub[1] == 2:
                 u = chroma_mod.down4(xp, u, -2, plan["down_v_cosited"])
                 v = chroma_mod.down4(xp, v, -2, plan["down_v_cosited"])

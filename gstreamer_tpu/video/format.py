@@ -219,8 +219,27 @@ def _dup(xp, a, factor_log2: int, axis: int, size: int):
     return a[tuple(sl)]
 
 
+def _dup_v_interlaced(xp, a, factor_log2: int, size: int):
+    """Field-aware vertical nearest-duplication for interlaced frames.
+
+    video-format.c GET_UV_420 (:71): full line y reads chroma row
+    ((y & ~3) >> 1) + (y & 1) — top/bottom field lines alternate chroma
+    rows instead of pairing (c0,c1,c0,c1,... not c0,c0,c1,c1,...).
+    GET_UV_410 analog for 4x: ((y & ~7) >> 2) + (y & 1)."""
+    if factor_log2 == 0:
+        return a
+    ys = np.arange(size)
+    if factor_log2 == 1:
+        rows = ((ys & ~3) >> 1) + (ys & 1)
+    else:
+        rows = ((ys & ~7) >> 2) + (ys & 1)
+    rows = np.minimum(rows, a.shape[-2] - 1)
+    return a[..., rows, :]
+
+
 def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
-                  dtype=None, subsampled_chroma: bool = False):
+                  dtype=None, subsampled_chroma: bool = False,
+                  interlaced: bool = False):
     """planes -> canonical channel tuple (A, c0, c1, c2), each (..., H, W).
 
     This is the TPU-native canonical form: per-channel planes keep the
@@ -249,7 +268,10 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
                 p = (p << (16 - d))
                 p = p | (p >> d)
         if not (subsampled_chroma and c in (1, 2)):
-            p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
+            if interlaced and c in (1, 2):
+                p = _dup_v_interlaced(xp, p, fmt.h_sub[c], height)
+            else:
+                p = _dup(xp, p, fmt.h_sub[c], axis=-2, size=height)
             p = _dup(xp, p, fmt.w_sub[c], axis=-1, size=width)
         comps.append(p)
     neutral = 0x80 if fmt.bits == 8 else 0x8000

@@ -80,7 +80,8 @@ def make_resampler(method: str, in_size: int, out_size: int,
                    envelope: float = DEFAULT_ENVELOPE,
                    sharpness: float = DEFAULT_SHARPNESS,
                    sharpen: float = DEFAULT_SHARPEN,
-                   max_taps_opt: int = DEFAULT_MAX_TAPS) -> Resampler:
+                   max_taps_opt: int = DEFAULT_MAX_TAPS,
+                   half_taps: bool = False) -> Resampler:
     """gst_video_resampler_init (video-resampler.c:343)."""
     assert in_size > 0 and out_size > 0
 
@@ -105,6 +106,9 @@ def make_resampler(method: str, in_size: int, out_size: int,
     if n_taps == 0:
         dx = math.ceil(2.0 * env / fx)
         n_taps = max(0, min(int(dx), max_taps_opt))
+    if half_taps and n_taps > 3:
+        # GST_VIDEO_RESAMPLER_FLAG_HALF_TAPS (video-resampler.c:414)
+        n_taps //= 2
     fx = 2.0 * env / n_taps
     ex = 2.0 / n_taps
 
@@ -174,6 +178,31 @@ def make_resampler(method: str, in_size: int, out_size: int,
 
     return Resampler(in_size, out_size, max_taps,
                      offset.astype(np.int64), taps)
+
+
+def make_resampler_interlaced(method: str, in_size: int, out_size: int,
+                              n_taps: int = 0, **kw) -> Resampler:
+    """GST_VIDEO_SCALER_FLAG_INTERLACED (video-scaler.c:229): build two
+    half-size field resamplers — top shifted +0.5*out/in with HALF_TAPS,
+    bottom shifted -0.5*out/in with the top's tap count — and zip them
+    (resampler_zip: output row i uses field resampler i&1 at row i/2,
+    source offset doubled onto the field's lines)."""
+    shift = (0.5 * out_size) / in_size
+    t_in = (in_size + 1) // 2
+    t_out = (out_size + 1) // 2
+    tr = make_resampler(method, t_in, t_out, n_taps, shift=shift,
+                        half_taps=True, **kw)
+    br = make_resampler(method, in_size - t_in, out_size - t_out,
+                        tr.max_taps, shift=-shift, **kw)
+    assert br.max_taps == tr.max_taps
+    max_taps = tr.max_taps
+    offset = np.zeros(out_size, np.int64)
+    taps = np.zeros((out_size, max_taps), np.float64)
+    for i in range(out_size):
+        r = br if (i & 1) else tr
+        offset[i] = r.offset[i // 2] * 2 + (i & 1)
+        taps[i] = r.taps[i // 2]
+    return Resampler(in_size, out_size, max_taps, offset, taps)
 
 
 def convert_coeff(src: np.ndarray, precision: int) -> np.ndarray:
