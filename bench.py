@@ -43,8 +43,15 @@ def main():
     # block_until_ready can return before async completion
     out = fn(planes)
     _ = np.asarray(out[0].ravel()[0:1])
+    # second warmup pass settles the dispatch path
+    for _ in range(4):
+        out = fn(planes)
+    _ = np.asarray(out[0].ravel()[0:1])
 
-    iters = 6
+    # Steady-state throughput: enough iterations to amortize the fixed
+    # ~35-40 ms tunnel round-trip of the final sync fetch (measured: the
+    # marginal per-batch cost converges by ~48 iters).
+    iters = 64
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(planes)

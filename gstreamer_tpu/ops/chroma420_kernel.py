@@ -45,7 +45,8 @@ def _build(key):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    (cw, ch, full_w, full_h, ow, oh, h_cos, v_cos, _hh, _vh) = key
+    (cw, ch, full_w, full_h, ow, oh, h_cos, v_cos, interpret,
+     _hh, _vh) = key
     mh = _STORE[(key, "h")]           # (ow, full_w)
     mv = _STORE[(key, "v")]           # (oh, full_h)
     ow_pad = -(-ow // 128) * 128
@@ -58,14 +59,12 @@ def _build(key):
         h_pad = tiles * TILE_R
 
     # split tap matrices by input parity, pad the input dim
-    me = _limbs_T(mh[:, 0::2], w_pad, ow_pad)
-    mo = _limbs_T(mh[:, 1::2], w_pad, ow_pad)
-    mve = _limbs_T(mv[:, 0::2], h_pad, oh_pad)
-    mvo = _limbs_T(mv[:, 1::2], h_pad, oh_pad)
-    me_b = jnp.asarray(me, dtype=jnp.bfloat16)
-    mo_b = jnp.asarray(mo, dtype=jnp.bfloat16)
-    tve = jnp.asarray(mve, dtype=jnp.bfloat16)
-    tvo = jnp.asarray(mvo, dtype=jnp.bfloat16)
+    # keep as numpy: jnp conversion must happen inside run() so cached
+    # closures never capture tracers from an enclosing jit
+    me_n = _limbs_T(mh[:, 0::2], w_pad, ow_pad).astype(np.float32)
+    mo_n = _limbs_T(mh[:, 1::2], w_pad, ow_pad).astype(np.float32)
+    tve_n = _limbs_T(mv[:, 0::2], h_pad, oh_pad).astype(np.float32)
+    tvo_n = _limbs_T(mv[:, 1::2], h_pad, oh_pad).astype(np.float32)
 
     def kernel(prev_ref, cur_ref, nxt_ref, me_ref, mo_ref,
                tve_ref, tvo_ref, o_ref):
@@ -146,6 +145,10 @@ def _build(key):
 
     def run(c):
         b = c.shape[0]
+        me_b = jnp.asarray(me_n, dtype=jnp.bfloat16)
+        mo_b = jnp.asarray(mo_n, dtype=jnp.bfloat16)
+        tve = jnp.asarray(tve_n, dtype=jnp.bfloat16)
+        tvo = jnp.asarray(tvo_n, dtype=jnp.bfloat16)
         # edge-pad: rows below the last valid row replicate it (matches
         # the up2 bottom clamp), columns likewise for the h filters
         c = jnp.pad(c, ((0, 0), (0, h_pad - ch), (0, w_pad - cw)),
@@ -169,6 +172,7 @@ def _build(key):
                                    lambda i, j: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, oh_pad, ow_pad),
                                            jnp.float32),
+            interpret=interpret,
         )(c, c, c, me_b, mo_b, tve, tvo)
         out = jnp.clip((acc.astype(jnp.int32) + 4095) >> 12, 0, 255)
         return out[:, :oh, :ow]
@@ -178,7 +182,7 @@ def _build(key):
 
 
 def chroma420_scale(c, h_res, v_res, h_cosited: bool, v_cosited: bool,
-                    full_w: int, full_h: int):
+                    full_w: int, full_h: int, interpret: bool = False):
     """c: (B, ch, cw) uint8 half-res chroma -> (B, OH, OW) int32."""
     from ..video import scaler as scaler_mod
 
@@ -186,7 +190,7 @@ def chroma420_scale(c, h_res, v_res, h_cosited: bool, v_cosited: bool,
     mv = scaler_mod.tap_matrix(v_res).astype(np.int64)
     key = (int(c.shape[-1]), int(c.shape[-2]), full_w, full_h,
            int(h_res.out_size), int(v_res.out_size),
-           bool(h_cosited), bool(v_cosited),
+           bool(h_cosited), bool(v_cosited), bool(interpret),
            hashlib.sha1(mh.tobytes()).hexdigest(),
            hashlib.sha1(mv.tobytes()).hexdigest())
     _STORE.setdefault((key, "h"), mh)

@@ -331,6 +331,23 @@ class VideoConverter:
             and (plan["unpack_bits"] == 8 and not plan["do_gamma"])
             and not plan["interlaced"]
             and not getattr(self, "_disable_phase_split", False))
+        # Fused Pallas chroma kernel (ops/chroma420_kernel.py): the 4:2:0
+        # up2-phases + split-tap h/v scale never leave VMEM — replaces the
+        # XLA phase-split chroma path (4 materialized bf16 phase operands,
+        # ~2/3 of the converter's HBM traffic).  Bit-identical.
+        ck_mode = self._chroma_kernel_mode(xp)
+        if (phase_split and ck_mode is not None
+                and ifmt.h_sub[1] == 1 and plan["v_res"] is not None
+                and not plan["rect_active"]
+                and ii.width % 2 == 0 and ii.height % 2 == 0
+                and ifmt.layout == "planar" and not ifmt.has_alpha
+                and ifmt.bits == 8):
+            from ..ops import chroma420_kernel as ck420
+            cw = planes[1].shape[-1]
+            chh = planes[1].shape[-2]
+            if ck420.applicable(plan["h_res"], plan["v_res"], cw, chh):
+                return self._pipeline_chroma_kernel(
+                    xp, planes, interpret=(ck_mode == "interpret"))
         in_x, in_y, in_w, in_h = plan["rect"][:4]
         if (in_x, in_y, in_w, in_h) != (0, 0, ii.width, ii.height):
             # SRC rect crop: offsets are chroma-aligned so per-component
@@ -585,6 +602,74 @@ class VideoConverter:
             chans = tuple(new)
 
         return pack_planes(xp, ofmt, chans, oi.width, oi.height)
+
+    def _chroma_kernel_mode(self, xp):
+        """'tpu' | 'interpret' | None — GTPU_PALLAS_CHROMA gates the
+        fused 4:2:0 chroma kernel (default: ON for the TPU backend;
+        'interpret' runs the Pallas interpreter for CPU tests; '0' off)."""
+        import os
+
+        if xp is np:
+            return None
+        mode = os.environ.get("GTPU_PALLAS_CHROMA", "1")
+        if mode == "interpret":
+            return "interpret"
+        if mode == "1":
+            import jax
+            return "tpu" if jax.default_backend() == "tpu" else None
+        return None
+
+    def _pipeline_chroma_kernel(self, xp, planes, interpret: bool = False):
+        """4:2:0 fast path: chroma runs in the fused Pallas kernel
+        (phases + split-tap h/v scale in VMEM), luma scales straight from
+        the stored uint8 plane (no int16 staging copy).  Bit-identical to
+        _pipeline_phase_split."""
+        oi = self.out_info
+        ofmt = oi.finfo
+        plan = self._plan
+        from ..ops import chroma420_kernel as ck420
+
+        h_res, v_res = plan["h_res"], plan["v_res"]
+        y = scaler_mod.scale_axis_exact(
+            xp, planes[0], -1, h_res, precision=scaler_mod.SCALE_U8,
+            value_bits=8)
+        y = scaler_mod.scale_axis_exact(
+            xp, y, -2, v_res, precision=scaler_mod.SCALE_U8, value_bits=8)
+
+        u = ck420.chroma420_scale(
+            planes[1], h_res, v_res, plan["up_h_cosited"],
+            plan["up_v_cosited"], self.in_info.width, self.in_info.height,
+            interpret=interpret)
+        v = ck420.chroma420_scale(
+            planes[2], h_res, v_res, plan["up_h_cosited"],
+            plan["up_v_cosited"], self.in_info.width, self.in_info.height,
+            interpret=interpret)
+        chans = (None, y, u, v)
+
+        pm = plan["matrix"]
+        in_bits, out_bits = plan["unpack_bits"], plan["pack_bits"]
+        if in_bits == 8 and out_bits == 16:
+            chans = tuple(c if c is None else (c.astype(xp.int32) * 257)
+                          for c in chans)
+        chans = color_mod.apply_prepared_planes(xp, chans, pm)
+
+        if plan["downsample"]:
+            a, yy, uu, vv = chans
+            if ofmt.h_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -2, plan["down_v_cosited"])
+                vv = chroma_mod.down2(xp, vv, -2, plan["down_v_cosited"])
+            elif ofmt.h_sub[1] == 2:
+                uu = chroma_mod.down4(xp, uu, -2, plan["down_v_cosited"])
+                vv = chroma_mod.down4(xp, vv, -2, plan["down_v_cosited"])
+            if ofmt.w_sub[1] == 1:
+                uu = chroma_mod.down2(xp, uu, -1, plan["down_h_cosited"])
+                vv = chroma_mod.down2(xp, vv, -1, plan["down_h_cosited"])
+            elif ofmt.w_sub[1] == 2:
+                uu = chroma_mod.down4(xp, uu, -1, plan["down_h_cosited"])
+                vv = chroma_mod.down4(xp, vv, -1, plan["down_h_cosited"])
+            chans = (a, yy, uu, vv)
+
+        return self._finish(xp, chans)
 
     def _pallas_enabled(self) -> bool:
         # The fused ingest kernel is bit-exact (verified on TPU) but its
