@@ -33,7 +33,8 @@ def bench_convert(jax, jnp):
         for s in ii.plane_shapes())
     out = fn(planes)
     _sync(out)
-    iters = 6
+    # enough iterations to amortize the fixed ~40ms tunnel sync
+    iters = 48
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(planes)
@@ -58,7 +59,7 @@ def bench_audioresample(jax, jnp):
     X = jax.device_put(x)
     out = fn(X)
     _sync(out)
-    iters = 10
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(X)
@@ -100,7 +101,7 @@ def bench_compositor(jax, jnp):
     push_all()
     pipe.set_state(State.PLAYING)
     pipe.tick()
-    iters = 8
+    iters = 32
     t0 = time.perf_counter()
     for _ in range(iters):
         push_all()
@@ -136,7 +137,7 @@ def bench_deinterlace_chain(jax, jnp):
     push()
     pipe.set_state(State.PLAYING)
     pipe.tick()
-    iters = 6
+    iters = 24
     t0 = time.perf_counter()
     for _ in range(iters):
         push()
