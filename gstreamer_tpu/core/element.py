@@ -60,10 +60,43 @@ class Pad:
         # probes: callables(pad, buffer) -> buffer|None (tracing hook point;
         # mirrors gstpad.c do_probe_callbacks :3870)
         self.probes: List[Callable] = []
+        # sticky event store (gstpad.c:65 'the srcpad should always keep
+        # the last sent sticky events; a new peer gets them replayed') —
+        # one per sticky type, replaced on re-push
+        self.sticky: Dict[str, "object"] = {}
+        # event probes: callables(pad, event) -> event|None
+        self.event_probes: List[Callable] = []
 
     @property
     def template_caps(self) -> Caps:
         return self.template.caps if self.template else Caps.any()
+
+    # -- event flow (gst_pad_push_event / gst_pad_send_event) -------------
+    def push_event(self, event) -> bool:
+        """Send `event` over this pad in its natural direction:
+        downstream from a SRC pad (stored sticky on both endpoints,
+        delivered to the peer element's sink_event), upstream from a
+        SINK pad (delivered to the peer element's src_event).
+
+        Mirrors gst_pad_push_event_unchecked (gstpad.c:201): sticky
+        events replace any previous of the same type."""
+        for probe in list(self.event_probes):
+            event = probe(self, event)
+            if event is None:
+                return True          # probe consumed it
+        if event.is_sticky:
+            self.sticky[event.type] = event
+        peer = self.peer
+        if peer is None:
+            return False
+        if self.direction == PadDirection.SRC:
+            if event.is_sticky:
+                peer.sticky[event.type] = event
+            return peer.element.sink_event(peer, event)
+        return peer.element.src_event(peer, event)
+
+    def get_sticky(self, event_type: str):
+        return self.sticky.get(event_type)
 
     def link(self, sinkpad: "Pad") -> None:
         if self.direction != PadDirection.SRC or sinkpad.direction != PadDirection.SINK:
@@ -104,6 +137,8 @@ class Element:
             if t.presence == PadPresence.ALWAYS:
                 self.pads.append(t.instantiate(self))
         self.parent = None
+        self._pending_caps = None          # mid-stream CAPS event payload
+        self._needs_reconfigure = False    # RECONFIGURE mark (gstpad.c)
 
     # -- properties (mirrors GObject properties used in launch lines) ----
     def set_property(self, key: str, value: Any) -> None:
@@ -169,6 +204,80 @@ class Element:
     def set_info(self, incaps: Optional[Caps], outcaps: Optional[Caps]) -> None:
         """Called once negotiation fixed the caps; build compute state."""
 
+    # -- event hooks (gst_pad_event_default semantics) ---------------------
+    def sink_event(self, pad: Pad, event) -> bool:
+        """Downstream event arriving on a sink pad.  Default: forward to
+        every linked src pad (gst_pad_event_default, gstpad.c).  Elements
+        override to intercept (and may chain up to keep forwarding)."""
+        from .events import EventType
+
+        if event.type == EventType.CAPS:
+            # mid-stream caps: remember for the renegotiation pass
+            self._pending_caps = event.data.get("caps")
+        handled = False
+        for sp in self.src_pads():
+            if sp.peer is not None:
+                handled = sp.push_event(event) or handled
+            elif event.is_sticky:
+                sp.sticky[event.type] = event
+                handled = True
+        return handled or not self.src_pads()
+
+    def src_event(self, pad: Pad, event) -> bool:
+        """Upstream event arriving on a src pad.  Default: forward to
+        every linked sink pad; RECONFIGURE additionally marks this
+        element (gstpad.c gst_pad_mark_reconfigure)."""
+        from .events import EventType
+
+        if event.type == EventType.RECONFIGURE:
+            self._needs_reconfigure = True
+        handled = False
+        for kp in self.sink_pads():
+            if kp.peer is not None:
+                handled = kp.push_event(event) or handled
+        return handled or not self.sink_pads()
+
+    def send_event(self, event) -> bool:
+        """gst_element_send_event: route by direction — downstream events
+        enter via src pads, upstream events via sink pads."""
+        from .events import UPSTREAM_TYPES
+
+        if event.type in UPSTREAM_TYPES:
+            pads = self.sink_pads() or []
+            if not pads:
+                return self.src_event(None, event)
+            return any(p.push_event(event) for p in pads)
+        ok = False
+        for sp in self.src_pads():
+            ok = sp.push_event(event) or ok
+        return ok
+
+    # -- query hook (gstquery.c dispatch) ----------------------------------
+    def query(self, q) -> bool:
+        """Answer a query or forward it along the graph
+        (gst_pad_query_default): POSITION/DURATION/SEEKING travel
+        upstream toward sources, LATENCY accumulates, CAPS/ACCEPT_CAPS
+        answer from pad state."""
+        from .query import QueryType
+
+        if q.type == QueryType.CAPS:
+            pads = self.src_pads() or self.sink_pads()
+            caps = pads[0].caps or pads[0].template_caps
+            flt = q.params.get("filter")
+            q.result["caps"] = caps.intersect(flt) if flt else caps
+            return True
+        if q.type == QueryType.ACCEPT_CAPS:
+            pads = self.sink_pads() or self.src_pads()
+            q.result["accepted"] = q.params["caps"].can_intersect(
+                pads[0].template_caps)
+            return True
+        # default: forward upstream (position/duration/seeking live at
+        # the source; latency accumulates on the way)
+        for kp in self.sink_pads():
+            if kp.peer is not None and kp.peer.element.query(q):
+                return True
+        return False
+
     # -- compute hooks -----------------------------------------------------
     def make_fn(self) -> Optional[Callable]:
         """Pure device function arrays->arrays, or None for passthrough.
@@ -220,6 +329,38 @@ class SourceElement(Element):
         """Optional pure device generator (frame_indices)->arrays, fused
         into the pipeline program (videotestsrc patterns etc.)."""
         return None
+
+    def check_reconfigure(self) -> bool:
+        """True when this source's caps changed mid-stream and the
+        pipeline must renegotiate before the next batch (the CAPS-event /
+        RECONFIGURE path of the reference, gstbasesrc.c negotiate)."""
+        if self._needs_reconfigure:
+            self._needs_reconfigure = False
+            return True
+        return False
+
+    def query(self, q) -> bool:
+        from .query import QueryType
+
+        if q.type == QueryType.POSITION and hasattr(self, "position_ns"):
+            q.result["position"] = self.position_ns()
+            return True
+        if q.type == QueryType.DURATION and hasattr(self, "duration_ns"):
+            d = self.duration_ns()
+            if d is not None:
+                q.result["duration"] = d
+                return True
+            return False
+        if q.type == QueryType.SEEKING:
+            q.result["seekable"] = hasattr(self, "do_seek")
+            return True
+        if q.type == QueryType.LATENCY:
+            live = bool(self.props.get("is-live", False))
+            q.result.setdefault("live", live)
+            q.result.setdefault("min-latency", 0)
+            q.result.setdefault("max-latency", -1)
+            return True
+        return super().query(q)
 
 
 class TransformElement(Element):

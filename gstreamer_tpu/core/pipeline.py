@@ -154,6 +154,12 @@ class Pipeline(Bin):
         self.state = State.NULL
         self._plan = None
         self.default_batch = 1
+        # compiled-program cache keyed by the negotiated caps configuration
+        # (the XLA analog of the reference's per-caps transform state;
+        # lets mid-stream caps switches reuse earlier compilations)
+        self._program_cache: Dict[tuple, dict] = {}
+        self.compile_count = 0          # cache misses (observable in tests)
+        self._position_ns = 0
 
     # -- graph helpers -----------------------------------------------------
     def _nodes(self) -> List[Element]:
@@ -213,6 +219,11 @@ class Pipeline(Bin):
 
     def negotiate(self) -> None:
         order = self._topo_order()
+        # reset any previous negotiation (renegotiation path: the sticky
+        # CAPS state is replaced, gstevent.c:905)
+        for elem in order:
+            for p in elem.pads:
+                p.caps = None
         for elem in order:
             if isinstance(elem, SourceElement):
                 srcpad = elem.src_pads()[0]
@@ -285,6 +296,10 @@ class Pipeline(Bin):
                 log.info("%s: negotiated %s -> %s", elem.name, incaps, othercaps)
 
     # -- compile (build fused device programs) -----------------------------
+    def _caps_signature(self, order) -> tuple:
+        return tuple((e.name, p.name, str(p.caps))
+                     for e in order for p in e.pads)
+
     def compile(self, batch: Optional[int] = None) -> None:
         import jax
 
@@ -295,6 +310,15 @@ class Pipeline(Bin):
         maybe_dump(self)
         order = self._topo_order()
         batch = batch or self.default_batch
+
+        key = (self._caps_signature(order), batch)
+        cached = self._program_cache.get(key)
+        if cached is not None:
+            # same caps configuration seen before: reuse the compiled
+            # program (elements' set_info just reconfigured identically)
+            self.__dict__.update(cached)
+            self._plan = True
+            return
 
         # per-element pure fns
         fns: Dict[Element, Optional[Callable]] = {}
@@ -360,6 +384,31 @@ class Pipeline(Bin):
         self._order = order
         self._batch = batch
         self._plan = True
+        self.compile_count += 1
+        self._program_cache[key] = {
+            k: self.__dict__[k] for k in
+            ("_fns", "_host_elems", "_fused", "_device_step", "_order",
+             "_batch")}
+        if not self._fused:
+            self._program_cache[key]["_elem_jit"] = self._elem_jit
+
+    def _distribute_sticky(self) -> None:
+        """Push STREAM_START + CAPS + SEGMENT through the graph via the
+        real pad event flow (gstpad.c sticky replay): every pad ends up
+        holding its sticky set, elements see sink_event in order."""
+        from .events import caps_event, segment_event, stream_start_event
+        from .segment import Segment
+
+        for e in self._order:
+            if isinstance(e, SourceElement):
+                for sp in e.src_pads():
+                    if sp.peer is None:
+                        continue
+                    sid = f"{self.name}/{e.name}"
+                    sp.push_event(stream_start_event(sid))
+                    if sp.caps is not None:
+                        sp.push_event(caps_event(sp.caps))
+                    sp.push_event(segment_event(Segment()))
 
     # -- run loop ----------------------------------------------------------
     def set_state(self, state: str) -> None:
@@ -368,6 +417,7 @@ class Pipeline(Bin):
                 self.compile()
             for e in self._order:
                 e.start()
+            self._distribute_sticky()
             self.state = State.PLAYING
             self.bus.post(Message("state-changed", self.name,
                                   {"new": State.PLAYING}))
@@ -377,16 +427,32 @@ class Pipeline(Bin):
                     e.stop()
             self.state = state
 
+    def _reconfigure(self) -> None:
+        """Mid-stream caps change: renegotiate + recompile (cache-aware),
+        replay sticky CAPS events.  The RECONFIGURE/CAPS-event path of the
+        reference (gstbasetransform.c:1341 setcaps, gstevent.c:905)."""
+        log.info("%s: reconfiguring (mid-stream caps change)", self.name)
+        self.compile(batch=self._batch)
+        for e in self._order:
+            e.start()
+        self._distribute_sticky()
+        self.bus.post(Message("caps-changed", self.name))
+
     def tick(self) -> bool:
         """Run one batch through the graph.  False on EOS."""
         if self.state != State.PLAYING:
             self.set_state(State.PLAYING)
-        inputs: Dict[str, Any] = {}
-        metas: Dict[str, Buffer] = {}
-        eos = False
         sources = [e for e in self._order if isinstance(e, SourceElement)]
         if not sources:
             raise RuntimeError("pipeline has no sources")
+        # mid-stream caps change? (CAPS event / RECONFIGURE mark)
+        if any(s.check_reconfigure() for s in sources):
+            self._reconfigure()
+            sources = [e for e in self._order
+                       if isinstance(e, SourceElement)]
+        inputs: Dict[str, Any] = {}
+        metas: Dict[str, Buffer] = {}
+        eos = False
         for s in sources:
             buf = s.create(self._batch)
             if buf is None:
@@ -395,6 +461,10 @@ class Pipeline(Bin):
             inputs[s.name] = buf.data
             metas[s.name] = buf
         if eos:
+            from .events import eos_event
+            for s in sources:
+                for sp in s.src_pads():
+                    sp.push_event(eos_event())
             self.bus.post(Message("eos", self.name))
             hooks.fire("eos", self)
             return False
@@ -431,6 +501,10 @@ class Pipeline(Bin):
                 ret = e.render(buf)
                 if hooks.active:
                     hooks.fire("buffer-post", e, buf)
+                if buf.pts is not None:
+                    end = buf.pts + (buf.duration or 0) * max(
+                        getattr(buf, "batch", 1), 1)
+                    self._position_ns = max(self._position_ns, end)
                 if ret == FlowReturn.ERROR:
                     self.bus.post(Message("error", e.name, {}))
                     return False
@@ -517,6 +591,75 @@ class Pipeline(Bin):
             self.bus.post(Message("segment", self.name,
                                   {"start": start, "rate": rate}))
         return ok
+
+    # -- queries (gstquery.c:2936 family, answered at the pipeline level
+    #    like gst_element_query on a bin: sinks first, walk upstream) ------
+    def query(self, q) -> bool:
+        from .query import QueryType
+
+        if self._plan is None:
+            try:
+                self.compile()
+            except Exception:
+                return False
+        if q.type == QueryType.POSITION:
+            q.result["position"] = self._position_ns
+            return True
+        if q.type == QueryType.DURATION:
+            for e in self._order:
+                if isinstance(e, SourceElement) and e.query(q):
+                    return True
+            return False
+        if q.type == QueryType.LATENCY:
+            # gst_bin_query LATENCY: max of source min-latencies, plus the
+            # batch window (a batch must fill before the program runs —
+            # the batching analog of queue latency)
+            live, mn, mx = False, 0, -1
+            for e in self._order:
+                if isinstance(e, SourceElement):
+                    sq = type(q)(q.type)
+                    if e.query(sq):
+                        live = live or sq.result.get("live", False)
+                        mn = max(mn, sq.result.get("min-latency", 0))
+            batch_ns = 0
+            for e in self._order:
+                if isinstance(e, SourceElement):
+                    for sp in e.src_pads():
+                        if sp.caps is None:
+                            continue
+                        s = sp.caps[0] if len(sp.caps) else None
+                        fr = s.get("framerate") if s is not None else None
+                        if fr is not None and getattr(fr, "num", 0):
+                            batch_ns = max(batch_ns, int(
+                                self._batch * 1e9 * fr.denom / fr.num))
+            q.result.update({"live": live, "min-latency": mn + batch_ns,
+                             "max-latency": mx})
+            return True
+        if q.type == QueryType.SEEKING:
+            for e in self._order:
+                if isinstance(e, SourceElement):
+                    return e.query(q)
+            return False
+        # fall back to sink-side upstream walk
+        for e in self._order:
+            if isinstance(e, SinkElement) and e.query(q):
+                return True
+        return False
+
+    def query_position(self) -> Optional[int]:
+        from .query import position_query
+        q = position_query()
+        return q.result.get("position") if self.query(q) else None
+
+    def query_duration(self) -> Optional[int]:
+        from .query import duration_query
+        q = duration_query()
+        return q.result.get("duration") if self.query(q) else None
+
+    def query_latency(self):
+        from .query import latency_query
+        q = latency_query()
+        return q.result if self.query(q) else None
 
 
 class NegotiationError(Exception):

@@ -84,6 +84,52 @@ class FileSrc(SourceElement):
             elif s.name == "audio/x-raw":
                 self._audio_info = AudioInfo.from_caps_structure(s)
 
+    def set_property(self, key, value):
+        # mid-stream `location` change = new stream, possibly new caps:
+        # mark RECONFIGURE so the pipeline renegotiates before the next
+        # batch (gstbasesrc.c renegotiate-on-reconfigure path)
+        if key.replace("_", "-") == "location" \
+                and getattr(self, "_file", None) is not None \
+                and value != self.props.get("location"):
+            super().set_property(key, value)
+            self._video_info = None
+            self._audio_info = None
+            self._needs_reconfigure = True
+            return
+        super().set_property(key, value)
+
+    def duration_ns(self):
+        """DURATION query: total stream time from the file size."""
+        try:
+            if self._video_info is None and self._audio_info is None:
+                self._sniff()
+            loc = self.props["location"]
+            sz = os.path.getsize(loc)
+            if self._video_info is not None:
+                info = self._video_info
+                fsz = frame_size(info.finfo, info.width, info.height)
+                per = fsz + (6 if self._y4m_frame_prefix else 0)
+                base = getattr(self, "_y4m_header_len", 0) \
+                    if self._y4m_frame_prefix else 0
+                n = (sz - base) // per
+                fps = info.fps
+                if fps.num:
+                    return n * 1_000_000_000 * fps.denom // fps.num
+            if self._audio_info is not None:
+                n = sz // self._audio_info.bpf
+                return n * 1_000_000_000 // self._audio_info.rate
+        except (OSError, ValueError):
+            pass
+        return None
+
+    def position_ns(self):
+        if self._video_info is not None and self._video_info.fps.num:
+            fps = self._video_info.fps
+            return self._frame_idx * 1_000_000_000 * fps.denom // fps.num
+        if self._audio_info is not None:
+            return self._frame_idx * 1_000_000_000 // self._audio_info.rate
+        return 0
+
     def get_caps(self, filter=None):
         if self._video_info is None and self._audio_info is None:
             try:

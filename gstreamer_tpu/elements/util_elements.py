@@ -163,6 +163,7 @@ class AppSink(SinkElement):
         super().__init__(name=name, **props)
         self._queue: deque = deque()
         self.new_sample_cb: Optional[Callable[["AppSink"], None]] = None
+        self.events: list = []     # observed stream events (EOS/GAP/...)
 
     def render(self, buf: Buffer) -> str:
         maxb = self.props["max-buffers"]
@@ -183,6 +184,17 @@ class AppSink(SinkElement):
 
     def __len__(self):
         return len(self._queue)
+
+    def sink_event(self, pad, event) -> bool:
+        """Record stream events (EOS/GAP/CAPS/TAG...) so the app can
+        observe them, like gst_app_sink's eos signal / event access."""
+        self.events.append(event)
+        return super().sink_event(pad, event)
+
+    @property
+    def is_eos(self) -> bool:
+        from ..core.events import EventType
+        return any(e.type == EventType.EOS for e in self.events)
 
 
 @register_element
@@ -213,6 +225,30 @@ class AppSrc(SourceElement):
     def end_of_stream(self) -> None:
         self._eos = True
 
+    def set_caps(self, caps) -> None:
+        """Mid-stream caps switch (gst_app_src_set_caps): buffers pushed
+        before this call drain under the old caps; the next batch after
+        the marker renegotiates the pipeline (CAPS event semantics,
+        gstevent.c:905)."""
+        if isinstance(caps, str):
+            caps = Caps.from_string(caps)
+        self._queue.append(("__caps__", caps))
+
+    def push_gap(self, pts: int, duration: int) -> None:
+        """Send a GAP event downstream (gst_event_new_gap semantics:
+        'no data for this interval'); delivered via the pad event flow."""
+        from ..core.events import gap_event
+        for sp in self.src_pads():
+            sp.push_event(gap_event(pts, duration))
+
+    def check_reconfigure(self) -> bool:
+        if self._queue and isinstance(self._queue[0], tuple) \
+                and self._queue[0][0] == "__caps__":
+            _, caps = self._queue.popleft()
+            self.props["caps"] = caps
+            return True
+        return super().check_reconfigure()
+
     def get_caps(self, filter=None):
         caps = self.props["caps"] or Caps.any()
         if filter is not None:
@@ -220,9 +256,11 @@ class AppSrc(SourceElement):
         return caps
 
     def create(self, n_frames: int) -> Optional[Buffer]:
-        if self._queue:
+        # stop at a caps marker: those buffers belong to the next config
+        if self._queue and not (isinstance(self._queue[0], tuple)
+                                and self._queue[0][0] == "__caps__"):
             return self._queue.popleft()
-        return None  # EOS when drained
+        return None  # EOS when drained (or renegotiation pending)
 
 
 @register_element
