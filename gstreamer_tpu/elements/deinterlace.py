@@ -2,23 +2,51 @@
 
 TPU-native re-design of the reference element
 (subprojects/gst-plugins-good/gst/deinterlace/ — method enum
-gstdeinterlace.h:50-60, per-method vtables gstdeinterlacemethod.h:74-101;
-exact kernels from tvtime.orc: deinterlace_line_vfir :2
-  d = clamp_u8((4*(t0+b0) + 2*m1 - (tt1+bb1) + 4) >> 3)
-deinterlace_line_linear_blend :72  d = (t + b + 2*m + 2) >> 2
-deinterlace_line_greedy :92  best-of(m0,m2) by comb factor, clamped to
-  [min(t,b)-max_comb, max(t,b)+max_comb]
-yadif.c:251 FILTER — edge-directed spatial prediction with temporal
-  clamping).
+gstdeinterlace.h:50-60, per-method vtables gstdeinterlacemethod.h:74-101,
+field history engine gstdeinterlace.c:1155-1270 [field_history[0] is the
+NEWEST field; new fields shift older ones to higher indices]).
 
-Each output frame keeps the lines of one field and synthesizes the
-other; all line arithmetic is whole-plane vectorized (shifted views), so
-a method is one fused XLA op per plane.
+Field-history model: the input batch is split into a time-ordered FIELD
+sequence (TFF: top then bottom per frame); the last two input frames are
+carried across ticks so every output uses its true neighbors — for
+output field S[j]: the one-field-OLDER field S[j-1] is the reference's
+history[cur+1], the one-field-NEWER S[j+1] is history[cur-1]
+(gstdeinterlacemethod.c get_line :382 field_offset sign convention).
+Methods with latency 1 (greedyl/greedyh — gstdeinterlacemethod.h
+latency) defer the final field of each tick to the next one; the very
+first field of a stream falls back to linear, exactly like the
+reference's backup-method path (greedyh.c:805 cur_field_idx < 1).
+
+Method kernels (all integer-exact ports of the scanline functions):
+
+* linear / linearblend / vfir / greedyl: tvtime.orc kernels
+  (deinterlace_line_vfir :2, _linear_blend :72, _greedy :92) with the
+  correct field sources: t0/b0 from the kept field's source frame
+  (including the reference's edge clamping into the stale opposite
+  field, gstdeinterlacemethod.c get_line CLAMP), m1/tt1/bb1 from the
+  one-OLDER field, mp from the one-NEWER field.
+* greedyh: greedyh.c greedyh_scanline_C_planar_y/_uv :470/:576 —
+  surround-averaged bob (avg_sc), best-of L2/L2P by distance to it,
+  max-comb clamp, and the luma-only motion blend
+  (out*(256-mov)+avg_sc*mov)/256; frame assembly per
+  deinterlace_frame_di_greedyh_plane :718 (first/last line copies
+  differ by field parity).
+* tomsmocomp: the reference's PORTABLE C build compiles every
+  search-effort level with SKIP_SEARCH (TomsMoCompAll2.inc — the
+  motion-compensated search exists only in the x86 asm); the faithful
+  portable semantics are the WierdBob.inc / StrangeBob.inc diagonal
+  candidate selection clamped to the vertical neighbors, which is what
+  this port implements (search-effort is accepted and ignored, like the
+  C build).  The C include's per-line pointer stepping is internally
+  inconsistent (SearchLoopBottom.inc C tail advances two lines per
+  iteration); this port uses the coherent line mapping of the asm path.
+* yadif: yadif.c:251 FILTER with true prev/next FRAME neighbors
+  (fields +-2) carried across ticks.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -37,9 +65,19 @@ METHODS = ["tomsmocomp", "greedyh", "greedyl", "vfir", "linear",
            "linearblend", "scalerbob", "weave", "weave-tff", "weave-bff",
            "yadif"]
 
+# fields of temporal context each method needs, as (older, newer) counts
+# in FIELD units (latency == newer; gstdeinterlacemethod.h latency)
+_NEED = {
+    "linear": (0, 0), "scalerbob": (0, 0), "weave": (1, 0),
+    "weave-tff": (1, 0), "weave-bff": (1, 0), "linearblend": (1, 0),
+    "vfir": (1, 0), "greedyl": (1, 1), "greedyh": (1, 1),
+    "tomsmocomp": (0, 0),      # portable C build: spatial only
+    "yadif": (2, 2),           # prev/next frame
+}
+
 
 def _shift_rows(xp, p, n):
-    """Line p[y+n] with edge clamping."""
+    """Row p[y+n] with edge clamping (get_line CLAMP semantics)."""
     if n == 0:
         return p
     h = p.shape[-2]
@@ -47,111 +85,191 @@ def _shift_rows(xp, p, n):
     return p[..., idx, :]
 
 
-def _field_mask(xp, h, parity):
-    """(h, 1) bool: True on lines belonging to the KEPT field."""
-    rows = np.arange(h) % 2 == parity
-    return rows[:, None]
+def _shift_cols(xp, p, n):
+    if n == 0:
+        return p
+    w = p.shape[-1]
+    idx = np.clip(np.arange(w) + n, 0, w - 1)
+    return p[..., :, idx]
 
 
-def _interp_linear(xp, p, parity):
-    t = _shift_rows(xp, p, -1)
-    b = _shift_rows(xp, p, 1)
-    return (t.astype(xp.int32) + b.astype(xp.int32) + 1) >> 1
+def _interleave_rows(xp, a, b):
+    """rows a0 b0 a1 b1 ... (a, b same shape (..., F, W)) -> (..., 2F, W)"""
+    st = xp.stack([a, b], axis=-2)
+    return st.reshape(a.shape[:-2] + (a.shape[-2] * 2, a.shape[-1]))
 
 
-def _interp_linearblend(xp, p, parity):
-    t = _shift_rows(xp, p, -1).astype(xp.int32)
-    b = _shift_rows(xp, p, 1).astype(xp.int32)
-    m = p.astype(xp.int32)
-    return xp.clip((t + b + 2 * m + 2) >> 2, 0, 255)
+# ---------------------------------------------------------------------------
+# scanline kernels (int32 in/out)
+# ---------------------------------------------------------------------------
+
+def _greedyh_synth(xp, l1, l3, l2, lp2, luma: bool, max_comb: int,
+                   motion_threshold: int, motion_sense: int):
+    """greedyh_scanline_C_planar_y / _uv (greedyh.c:470,:576).
+
+    l1/l3: kept-field lines above/below the synthesized line;
+    l2: one-OLDER opposite-parity field line (the reference's L2 =
+    history[cur_field_idx + 1]); lp2: one-NEWER (L2P = history[cur-1])."""
+    avg = (l1 + l3) >> 1
+    # avg_1 = avg of NEXT pixel (edge: repeat), avg__1 = previous pixel's
+    # avg (Pos==0: avg itself)
+    avg_1 = _shift_cols(xp, avg, 1)
+    avg_m1 = _shift_cols(xp, avg, -1)
+    avg_s = (avg_m1 + avg_1) >> 1
+    avg_sc = (avg + avg_s) >> 1
+    best = xp.where(xp.abs(l2 - avg_sc) > xp.abs(lp2 - avg_sc), lp2, l2)
+    mx = xp.minimum(xp.maximum(l1, l3) + max_comb, 255)
+    mn = xp.maximum(xp.minimum(l1, l3) - max_comb, 0)
+    out = xp.clip(best, mn, mx)
+    if luma:
+        mov = xp.maximum(xp.abs(l2 - lp2) - motion_threshold, 0)
+        mov = xp.minimum(mov * motion_sense, 256)
+        out = (out * (256 - mov) + avg_sc * mov) >> 8
+    return out
 
 
-def _interp_vfir(xp, p, parity):
-    tt = _shift_rows(xp, p, -2).astype(xp.int32)
-    t = _shift_rows(xp, p, -1).astype(xp.int32)
-    m = p.astype(xp.int32)
-    b = _shift_rows(xp, p, 1).astype(xp.int32)
-    bb = _shift_rows(xp, p, 2).astype(xp.int32)
-    return xp.clip((4 * (t + b) + 2 * m - (tt + bb) + 4) >> 3, 0, 255)
+def _tomsmocomp_synth(xp, above, below, strange: bool, diff_thres: int = 15):
+    """WierdBob.inc / StrangeBob.inc C paths under SKIP_SEARCH.
+
+    above/below: kept-field lines bracketing the synthesized line.
+    Diagonal candidates (pixel offsets; WierdBob comment diagram):
+        a=above[x-1] f=below[x+1]; c=above[x+1] d=below[x-1];
+        j=above[x-2] n=below[x+2]; k=above[x+2] m=below[x-2]
+    selected by smallest |pair diff| (strict <, fixed order), then
+    clamped to [min(b,e), max(b,e)] with b=above[x], e=below[x].
+    The reference's k,m diff bookkeeping quirk (uses pBob[-4]/-3, i.e.
+    the j-side pixel) is reproduced.  Column edges (first/last 2 pixels)
+    use simple bob, including the pDest[0] quirk (pairs with below[x+1])."""
+    b = above
+    e = below
+
+    def pair(o):
+        return _shift_cols(xp, above, o), _shift_cols(xp, below, -o)
+
+    if not strange:
+        a_, f_ = _shift_cols(xp, above, -1), _shift_cols(xp, below, 1)
+        best = (a_ + f_) >> 1
+        diff = xp.abs(a_ - f_)
+        for off in (1, -2, 2):
+            ca, cb = pair(off)
+            d = xp.abs(ca - cb)
+            if off == 2:
+                # reference quirk: diff recorded from the j-side pixels
+                ja = _shift_cols(xp, above, -2)
+                d_rec = xp.abs(ja - cb)
+            else:
+                d_rec = d
+            upd = d < diff
+            best = xp.where(upd, (ca + cb) >> 1, best)
+            diff = xp.where(upd, d_rec, diff)
+    else:
+        # StrangeBob: candidate accepted only when the OPPOSITE diagonal
+        # is still (< thres) while this one moves (> thres); (b,e) last
+        best = xp.zeros_like(above)
+        diff = xp.full_like(above, -1)
+
+        def try_cand(cond, ca, cb):
+            nonlocal best, diff
+            d = xp.abs(ca - cb)
+            best = xp.where(cond, (ca + cb) >> 1, best)
+            diff = xp.where(cond, d, diff)
+
+        # j,n gate: |above[x-1] - below[x-2]| < T and |j - n| > T
+        ja, nb = pair(-2)
+        g = ((xp.abs(_shift_cols(xp, above, -1)
+                     - _shift_cols(xp, below, -2)) < diff_thres)
+             & (xp.abs(ja - nb) > diff_thres))
+        try_cand(g, _shift_cols(xp, above, -1), _shift_cols(xp, below, -2))
+        # k,m gate: |above[x+1] - below[x+2]| < T and |k - m| > T
+        ka, mb = _shift_cols(xp, above, 2), _shift_cols(xp, below, -2)
+        g = ((xp.abs(_shift_cols(xp, above, 1)
+                     - _shift_cols(xp, below, 2)) < diff_thres)
+             & (xp.abs(ka - mb) > diff_thres))
+        try_cand(g, ka, mb)
+        # c,d gate: |b - below[x+1]| < T and |c - d| > T
+        ca, db = _shift_cols(xp, above, 1), _shift_cols(xp, below, -1)
+        g = ((xp.abs(b - _shift_cols(xp, below, 1)) < diff_thres)
+             & (xp.abs(ca - db) > diff_thres))
+        try_cand(g, ca, db)
+        # a,f gate: |b - below[x-1]| < T and |a - f| > T
+        aa, fb = _shift_cols(xp, above, -1), _shift_cols(xp, below, 1)
+        g = ((xp.abs(b - _shift_cols(xp, below, -1)) < diff_thres)
+             & (xp.abs(aa - fb) > diff_thres))
+        try_cand(g, aa, fb)
+        # b,e: unconditional when close
+        g = xp.abs(b - e) < diff_thres
+        best = xp.where(g, (b + e) >> 1, best)
+
+    out = xp.clip(best, xp.minimum(b, e), xp.maximum(b, e))
+    # column boundaries: simple bob on first/last two pixels
+    simple = (b + e) >> 1
+    w = above.shape[-1]
+    col = np.arange(w)
+    edge = xp.asarray((col < 2) | (col >= w - 2))
+    out = xp.where(edge, simple, out)
+    # pDest[0] quirk: pairs above[0] with below[1]
+    quirk0 = (b[..., 0:1] + _shift_cols(xp, below, 1)[..., 0:1]) >> 1
+    return xp.concatenate([quirk0, out[..., 1:]], axis=-1)
 
 
-def _interp_greedy(xp, p, prev_p, next_p, parity, max_comb=15):
-    t = _shift_rows(xp, p, -1).astype(xp.int32)
-    b = _shift_rows(xp, p, 1).astype(xp.int32)
-    m0 = prev_p.astype(xp.int32)
-    m2 = next_p.astype(xp.int32)
-    avg = (t + b + 1) >> 1
-    l2 = xp.abs(m0 - avg)
-    lp2 = xp.abs(m2 - avg)
-    best = xp.where(l2 > lp2, m2, m0)
-    mx = xp.minimum(xp.maximum(t, b) + max_comb, 255)
-    mn = xp.maximum(xp.minimum(t, b) - max_comb, 0)
+def _greedyl_synth(xp, t, bt, m1, mp, max_comb: int):
+    """tvtime.orc deinterlace_line_greedy :92 — best of m1 (older) / mp
+    (newer) by distance to avg(t,b), clamped to [min-mc, max+mc]."""
+    avg = (t + bt + 1) >> 1
+    best = xp.where(xp.abs(m1 - avg) > xp.abs(mp - avg), mp, m1)
+    mx = xp.minimum(xp.maximum(t, bt) + max_comb, 255)
+    mn = xp.maximum(xp.minimum(t, bt) - max_comb, 0)
     return xp.clip(best, mn, mx)
 
 
-def _interp_yadif(xp, p, prev_p, next_p, parity, spatial_only=False):
-    """yadif.c:251 FILTER, vectorized.  p/prev_p/next_p: full frames;
-    the kernel computes the missing-field lines everywhere (the caller
-    masks to the missing lines)."""
-    c = _shift_rows(xp, p, -1).astype(xp.int32)     # stzero (line above)
-    e = _shift_rows(xp, p, 1).astype(xp.int32)      # sbzero (line below)
-    m_prev = prev_p.astype(xp.int32)                # smone (same line, prev)
-    m_next = next_p.astype(xp.int32)                # smp (same line, next)
+def _yadif_synth(xp, c, e, m_prev, m_next, tp_t, tp_b, tn_t, tn_b,
+                 b2, f2):
+    """yadif.c:251 FILTER (vectorized; round-1 kernel, field sources now
+    supplied by the caller from true history)."""
     d = (m_prev + m_next) >> 1
-
     temporal_diff0 = xp.abs(m_prev - m_next)
-    tp_t = _shift_rows(xp, prev_p, -1).astype(xp.int32)
-    tp_b = _shift_rows(xp, prev_p, 1).astype(xp.int32)
-    tn_t = _shift_rows(xp, next_p, -1).astype(xp.int32)
-    tn_b = _shift_rows(xp, next_p, 1).astype(xp.int32)
     temporal_diff1 = (xp.abs(tp_t - c) + xp.abs(tp_b - e)) >> 1
     temporal_diff2 = (xp.abs(tn_t - c) + xp.abs(tn_b - e)) >> 1
     diff = xp.maximum(temporal_diff0 >> 1,
                       xp.maximum(temporal_diff1, temporal_diff2))
 
-    def shift_x(a, n):
-        w = a.shape[-1]
-        idx = np.clip(np.arange(w) + n, 0, w - 1)
-        return a[..., :, idx]
+    def sx(a, n):
+        return _shift_cols(xp, a, n)
 
     spatial_pred = (c + e) >> 1
-    spatial_score = (xp.abs(shift_x(c, -1) - shift_x(e, -1)) + xp.abs(c - e)
-                     + xp.abs(shift_x(c, 1) - shift_x(e, 1)))
+    spatial_score = (xp.abs(sx(c, -1) - sx(e, -1)) + xp.abs(c - e)
+                     + xp.abs(sx(c, 1) - sx(e, 1)))
 
     def check(j, score, pred, gate):
-        s = (xp.abs(shift_x(c, -1 + j) - shift_x(e, -1 - j))
-             + xp.abs(shift_x(c, j) - shift_x(e, -j))
-             + xp.abs(shift_x(c, 1 + j) - shift_x(e, 1 - j)))
+        s = (xp.abs(sx(c, -1 + j) - sx(e, -1 - j))
+             + xp.abs(sx(c, j) - sx(e, -j))
+             + xp.abs(sx(c, 1 + j) - sx(e, 1 - j)))
         better = gate & (s < score)
-        p2 = (shift_x(c, j) + shift_x(e, -j)) >> 1
+        p2 = (sx(c, j) + sx(e, -j)) >> 1
         return (xp.where(better, s, score), xp.where(better, p2, pred),
                 better)
 
-    true_gate = spatial_score >= -1  # all-true array
-    score, pred, g1 = check(-1, spatial_score, spatial_pred,
-                            true_gate == true_gate)
+    allg = spatial_score == spatial_score
+    score, pred, g1 = check(-1, spatial_score, spatial_pred, allg)
     score, pred, _ = check(-2, score, pred, g1)
-    score, pred, g3 = check(1, score, pred, score == score)
+    score, pred, g3 = check(1, score, pred, allg)
     score, pred, _ = check(2, score, pred, g3)
 
-    if not spatial_only:
-        b2 = (_shift_rows(xp, prev_p, -2).astype(xp.int32)
-              + _shift_rows(xp, next_p, -2).astype(xp.int32)) >> 1
-        f2 = (_shift_rows(xp, prev_p, 2).astype(xp.int32)
-              + _shift_rows(xp, next_p, 2).astype(xp.int32)) >> 1
-        mx = xp.maximum(xp.maximum(d - e, d - c), xp.minimum(b2 - c, f2 - e))
-        mn = xp.minimum(xp.minimum(d - e, d - c), xp.maximum(b2 - c, f2 - e))
-        diff = xp.maximum(diff, xp.maximum(mn, -mx))
+    mx = xp.maximum(xp.maximum(d - e, d - c), xp.minimum(b2 - c, f2 - e))
+    mn = xp.minimum(xp.minimum(d - e, d - c), xp.maximum(b2 - c, f2 - e))
+    diff = xp.maximum(diff, xp.maximum(mn, -mx))
+    return xp.clip(pred, d - diff, d + diff)
 
-    pred = xp.clip(pred, d - diff, d + diff)
-    return pred
 
+# ---------------------------------------------------------------------------
+# element
+# ---------------------------------------------------------------------------
 
 @register_element
 class Deinterlace(TransformElement):
     FACTORY = "deinterlace"
     DESCRIPTION = "Deinterlace video"
-    HOST_ELEMENT = True     # needs frame history for temporal methods
+    HOST_ELEMENT = True     # carries true field history across ticks
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, DEINT_CAPS),
         PadTemplate("src", PadDirection.SRC, DEINT_CAPS),
@@ -160,12 +278,24 @@ class Deinterlace(TransformElement):
         "method": (str, "linear", "|".join(METHODS)),
         "mode": (str, "auto", "auto|interlaced|disabled"),
         "fields": (str, "all", "all|top|bottom"),
+        "field-layout": (str, "tff", "tff|bff (auto falls back to tff "
+                         "like the reference warning path)"),
+        # method sub-properties (reference exposes them on the method
+        # GObjects: greedyh.c:930-955, greedy.c, tomsmocomp.c)
+        "max-comb": (int, -1, "-1 = method default (greedyh 5, greedyl 15)"),
+        "motion-threshold": (int, 25, "greedyh"),
+        "motion-sense": (int, 30, "greedyh"),
+        "search-effort": (int, 5, "tomsmocomp (ignored: the reference's "
+                          "portable C build skips the search)"),
+        "strange-bob": (bool, False, "tomsmocomp bob variant"),
     }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
-        self._prev = None
-        self._fn = None
+        self._carry_planes = None       # planes of up to 2 carried frames
+        self._pending = 0               # carried fields not yet output
+        self._started = False
+        self._jit_cache = {}
 
     def transform_caps(self, direction, caps, filter=None):
         out = []
@@ -187,74 +317,253 @@ class Deinterlace(TransformElement):
     def set_info(self, incaps, outcaps):
         self._info = VideoInfo.from_caps_structure(incaps[0])
         self._mode = self.props["mode"]
-        self._build()
 
     def start(self):
-        self._prev = None
+        self._carry_planes = None
+        self._pending = 0
+        self._started = False
 
-    def _build(self):
-        import jax
-        import jax.numpy as jnp
+    def flush(self):
+        self.start()
 
-        method = self.props["method"]
-        fields = self.props["fields"]
-        fmt = self._info.finfo
+    # -- per-field synthesis ------------------------------------------------
+    def _method_params(self):
+        m = self.props["method"]
+        mc = self.props["max-comb"]
+        if mc < 0:
+            mc = 5 if m == "greedyh" else 15
+        return m, mc
 
-        def deint_plane(cur, prev, nxt, parity):
-            mask = jnp.asarray(_field_mask(jnp, cur.shape[-2], parity))
-            if method in ("weave", "weave-tff", "weave-bff"):
-                return cur
-            if method == "scalerbob":
-                interp = _shift_rows(jnp, cur, -1).astype(jnp.int32)
-            elif method == "linear":
-                interp = _interp_linear(jnp, cur, parity)
-            elif method == "linearblend":
-                interp = _interp_linearblend(jnp, cur, parity)
-            elif method == "vfir":
-                interp = _interp_vfir(jnp, cur, parity)
-            elif method in ("greedyl", "greedyh", "tomsmocomp"):
-                interp = _interp_greedy(jnp, cur, prev, nxt, parity)
-            elif method == "yadif":
-                interp = _interp_yadif(jnp, cur, prev, nxt, parity)
+    def _deint_fields(self, xp, plane, J: List[int], parity0: int,
+                      luma: bool):
+        """Output frames for field indices J, from one plane (NF, H, W).
+
+        field i = frame i//2, parity (parity0 + i) % 2 (0 = top rows).
+        Vectorized by parity group: every field in a group is processed
+        in ONE batched call; edge fields that the reference handles with
+        its linear backup method form their own group.  Returns
+        (len(J), H, W) in J order."""
+        method, max_comb = self._method_params()
+        NF = plane.shape[0]
+        n_fields = 2 * NF
+
+        top = plane[..., 0::2, :]
+        bot = plane[..., 1::2, :]
+        fields = (_interleave_fields(xp, top, bot) if parity0 == 0
+                  else _interleave_fields(xp, bot, top))
+
+        def cl(i):
+            return min(max(i, 0), n_fields - 1)
+
+        groups = {}          # (method, par) -> list of j
+        for j in J:
+            par = (parity0 + j) % 2
+            use_linear = (method in ("greedyl", "greedyh") and j == 0) or (
+                method == "yadif" and (j < 2 or j > n_fields - 3))
+            m = "linear" if use_linear else method
+            groups.setdefault((m, par), []).append(j)
+
+        pieces = []          # (j_list, (N, H, W) array)
+        for (m, par), js in groups.items():
+            idx = np.array([cl(j) for j in js])
+            l1f = fields[idx]
+            src = plane[idx // 2]
+            older = fields[np.array([cl(j - 1) for j in js])]
+            newer = fields[np.array([cl(j + 1) for j in js])]
+            prev_f = plane[np.array([cl(j - 2) for j in js]) // 2]
+            next_f = plane[np.array([cl(j + 2) for j in js]) // 2]
+            out = self._deint_one(xp, m, max_comb, l1f, src, older,
+                                  newer, prev_f, next_f, par, luma)
+            pieces.append((js, out))
+
+        # reassemble in J order
+        order = {j: (gi, k) for gi, (js, _) in enumerate(pieces)
+                 for k, j in enumerate(js)}
+        cat = xp.concatenate([o for _, o in pieces], axis=0)
+        offs = np.cumsum([0] + [len(js) for js, _ in pieces[:-1]])
+        perm = np.array([offs[order[j][0]] + order[j][1] for j in J])
+        return cat[perm]
+
+    def _deint_one(self, xp, method, max_comb, l1f, src, older, newer,
+                   prev_frame, next_frame, par, luma=True):
+        """Output frames (N, H, W) for kept fields l1f (N, F, W) of
+        source frames src (N, H, W), with field neighbors older/newer
+        (N, F, W) and frame neighbors prev/next (N, H, W).  par: 0 =
+        kept field occupies even (top) rows."""
+        i32 = xp.int32
+        l1f = l1f.astype(i32)
+        src = src.astype(i32)
+        H = src.shape[-2]
+
+        if method in ("weave", "weave-tff", "weave-bff"):
+            # kept rows from the kept field, missing rows from the
+            # one-older field (m1; deinterlace_line_weave = m1 copy)
+            older32 = older.astype(i32)
+            if par == 0:
+                out = _interleave_rows(xp, l1f, older32)
             else:
-                interp = _interp_linear(jnp, cur, parity)
-            return jnp.where(mask, cur.astype(jnp.int32),
-                             interp).astype(cur.dtype)
+                out = _interleave_rows(xp, older32, l1f)
+            return out[..., :H, :]
 
-        def fn(planes, prev_planes, next_planes, parity):
-            return tuple(
-                deint_plane(c, p, n, parity)
-                for c, p, n in zip(planes, prev_planes, next_planes))
+        if method == "greedyh":
+            mt = self.props["motion-threshold"]
+            ms = self.props["motion-sense"]
+            older32, newer32 = older.astype(i32), newer.astype(i32)
+            l1 = l1f[..., :-1, :]
+            l3 = l1f[..., 1:, :]
+            if par == 0:
+                l2, lp2 = older32[..., :-1, :], newer32[..., :-1, :]
+            else:
+                l2, lp2 = older32[..., 1:, :], newer32[..., 1:, :]
+            # plane 0 uses the luma scanline (motion blend), chroma
+            # planes the _uv variant without it (greedyh.c:864-869)
+            synth = _greedyh_synth(xp, l1, l3, l2, lp2, luma,
+                                   max_comb, mt, ms)
+            F = l1f.shape[-2]
+            if par == 0:
+                # rows: 0=l1f[0]; 2k+1=synth[k]; 2k+2=l1f[k+1]; last=L2 tail
+                body = _interleave_rows(xp, l1f[..., :-1, :], synth)
+                out = xp.concatenate(
+                    [body, l1f[..., -1:, :], older32[..., -1:, :]], axis=-2)
+            else:
+                # rows 0,1 = l1f[0]; 2k+2=synth[k]; 2k+3=l1f[k+1]
+                body = _interleave_rows(xp, synth, l1f[..., 1:, :])
+                out = xp.concatenate(
+                    [l1f[..., :1, :], l1f[..., :1, :], body], axis=-2)
+            return out[..., :H, :]
 
-        self._jit = jax.jit(fn, static_argnums=(3,))
+        if method == "tomsmocomp":
+            strange = bool(self.props["strange-bob"])
+            F = l1f.shape[-2]
+            if par == 0:
+                above, below = l1f[..., 1:F - 1, :], l1f[..., 2:, :]
+            else:
+                above, below = l1f[..., :F - 2, :], l1f[..., 1:F - 1, :]
+            synth = _tomsmocomp_synth(xp, above, below, strange)
+            # missing rows 0 and F-1 copy the kept field's line
+            # (Fieldcopy of 1st/last weave lines, TomsMoCompAll.inc:134)
+            miss = xp.concatenate(
+                [l1f[..., :1, :], synth, l1f[..., -1:, :]], axis=-2)
+            if par == 0:
+                out = _interleave_rows(xp, l1f, miss)
+            else:
+                out = _interleave_rows(xp, miss, l1f)
+            return out[..., :H, :]
 
+        # frame-based simple methods: synthesize missing rows over the
+        # source frame (edge clamps read the stale opposite field rows,
+        # matching get_line CLAMP), then mask
+        older_frame = self._field_at_missing_rows(xp, older.astype(i32),
+                                                  src, par)
+        t = _shift_rows(xp, src, -1)
+        bt = _shift_rows(xp, src, 1)
+        if method == "linear":
+            interp = (t + bt + 1) >> 1
+        elif method == "linearblend":
+            m1 = older_frame
+            interp = xp.clip((t + bt + 2 * m1 + 2) >> 2, 0, 255)
+        elif method == "vfir":
+            tt = _shift_rows(xp, older_frame, -2)
+            bb = _shift_rows(xp, older_frame, 2)
+            m1 = older_frame
+            interp = xp.clip((4 * (t + bt) + 2 * m1 - (tt + bb) + 4) >> 3,
+                             0, 255)
+        elif method == "scalerbob":
+            interp = t
+        elif method == "greedyl":
+            m1 = older_frame
+            mp = self._field_at_missing_rows(xp, newer.astype(i32), src,
+                                             par)
+            interp = _greedyl_synth(xp, t, bt, m1, mp, max_comb)
+        elif method == "yadif":
+            pf = prev_frame.astype(i32)
+            nf = next_frame.astype(i32)
+            interp = _yadif_synth(
+                xp, t, bt, pf, nf,
+                _shift_rows(xp, pf, -1), _shift_rows(xp, pf, 1),
+                _shift_rows(xp, nf, -1), _shift_rows(xp, nf, 1),
+                (_shift_rows(xp, pf, -2) + _shift_rows(xp, nf, -2)) >> 1,
+                (_shift_rows(xp, pf, 2) + _shift_rows(xp, nf, 2)) >> 1)
+        else:
+            interp = (t + bt + 1) >> 1
+        rows = np.arange(src.shape[-2]) % 2 == par
+        mask = xp.asarray(rows[:, None])
+        return xp.where(mask, src, interp)
+
+    @staticmethod
+    def _field_at_missing_rows(xp, field, src, par):
+        """Full-frame array whose missing-parity rows hold `field`'s
+        lines (kept rows: unused, filled with src)."""
+        H = src.shape[-2]
+        if par == 0:
+            out = _interleave_rows(xp, src[..., 0::2, :], field)
+        else:
+            out = _interleave_rows(xp, field, src[..., 1::2, :])
+        return out[..., :H, :]
+
+    # -- tick processing ----------------------------------------------------
     def host_process(self, buf: Buffer) -> Optional[Buffer]:
         if self._mode == "disabled":
             return buf
         import jax.numpy as jnp
 
-        planes = buf.data
-        # neighbors within the batch; batch edges clamp (history carry of
-        # a single frame across ticks)
-        def roll_prev(p):
-            return jnp.concatenate([p[:1], p[:-1]], axis=0)
+        planes = tuple(buf.data)
+        B = planes[0].shape[0]
+        method, _ = self._method_params()
+        need_old, need_new = _NEED[method]
 
-        def roll_next(p):
-            return jnp.concatenate([p[1:], p[-1:]], axis=0)
+        # prepend carried frames (true cross-tick history)
+        carry_n = 0
+        if self._carry_planes is not None:
+            carry_n = self._carry_planes[0].shape[0]
+            planes = tuple(jnp.concatenate([c, p], axis=0)
+                           for c, p in zip(self._carry_planes, planes))
+        NF = carry_n + B
+        n_fields = 2 * NF
+        parity0 = 0 if self.props["field-layout"] != "bff" else 1
 
-        prev_planes = tuple(roll_prev(p) for p in planes)
-        next_planes = tuple(roll_next(p) for p in planes)
+        # output field range: [first_unoutput, n_fields - 1 - latency]
+        start = 2 * carry_n - self._pending
+        limit = n_fields - 1 - need_new
+        J = list(range(start, limit + 1))
 
-        fields = self.props["fields"]
-        if fields == "all":
-            top = self._jit(planes, prev_planes, next_planes, 0)
-            bot = self._jit(planes, prev_planes, next_planes, 1)
-            # interleave per frame: top-field frame then bottom-field frame
-            data = tuple(
-                jnp.stack([t, b], axis=1).reshape((-1,) + t.shape[1:])
-                for t, b in zip(top, bot))
-            dur = (buf.duration // 2) if buf.duration else None
-            return buf.with_(data=data, batch=buf.batch * 2, duration=dur)
-        parity = 0 if fields == "top" else 1
-        out = self._jit(planes, prev_planes, next_planes, parity)
-        return buf.with_(data=out)
+        fields_sel = self.props["fields"]
+        if fields_sel == "top":
+            J = [j for j in J if (parity0 + j) % 2 == 0]
+        elif fields_sel == "bottom":
+            J = [j for j in J if (parity0 + j) % 2 == 1]
+
+        key = (tuple(p.shape for p in planes),
+               str(planes[0].dtype), tuple(J), parity0,
+               method, self.props["strange-bob"], self.props["max-comb"],
+               self.props["motion-threshold"], self.props["motion-sense"])
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            import jax
+
+            def run(ps):
+                return tuple(
+                    self._deint_fields(jnp, p, J, parity0, luma=(pi == 0))
+                    for pi, p in enumerate(ps))
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        out_planes = fn(planes)
+
+        # carry the last 2 frames; pending = fields after `limit`
+        keep = min(2, NF)
+        self._carry_planes = tuple(p[-keep:] for p in planes)
+        self._pending = (n_fields - 1) - limit
+        self._started = True
+
+        n_out = len(J)
+        dur = buf.duration
+        if fields_sel == "all" and dur:
+            dur = dur // 2
+        return buf.with_(data=tuple(out_planes), batch=n_out, duration=dur)
+
+
+def _interleave_fields(xp, first, second):
+    """(NF, F, W) x2 -> (2*NF, F, W), time-interleaved."""
+    st = xp.stack([first, second], axis=1)
+    return st.reshape((first.shape[0] * 2,) + first.shape[1:])
