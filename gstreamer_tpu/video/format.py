@@ -49,6 +49,13 @@ class VideoFormatInfo:
     plane_order: Tuple[int, ...] = (0, 1, 2)     # component idx per stored plane
     packed_order: Tuple[int, ...] = ()           # see above
     depth: Tuple[int, ...] = (8, 8, 8, 8)
+    endian: str = "le"               # byte order of >8-bit containers
+    justify: str = "low"             # "high": values left-justified (P010)
+    # "bitfield16"/"word32" layouts: per-component bit shift in the word
+    shifts: Tuple[int, ...] = ()
+    # "tiled" layouts: (mode, tile_w, tile_h, chroma_tile_h) — mode is
+    # "linear" | "zflipz" (GstVideoTileMode); tiles per video-format.c:7894
+    tile: Optional[Tuple[str, int, int, int]] = None
 
     @property
     def is_yuv(self) -> bool:
@@ -71,6 +78,14 @@ class VideoFormatInfo:
 
     def comp_height(self, comp: int, height: int) -> int:
         return -(-height >> self.h_sub[comp]) if self.h_sub[comp] else height
+
+    def replace_tile(self, tile) -> "VideoFormatInfo":
+        import dataclasses
+        return dataclasses.replace(self, tile=tile)
+
+    @property
+    def word_dtype(self):
+        return np.dtype("<u2" if self.endian == "le" else ">u2")
 
 
 def _yuv(name, w_sub, h_sub, layout, plane_order=(0, 1, 2), packed_order=(),
@@ -146,13 +161,15 @@ FORMATS: Dict[str, VideoFormatInfo] = {
 
 
 def _yuv16(name, depth, w_sub, h_sub, layout="planar", plane_order=(0, 1, 2),
-           justify="low", n_components=3, has_alpha=False):
+           justify="low", n_components=3, has_alpha=False, endian="le",
+           packed_order=None):
+    if packed_order is None:
+        packed_order = ("A", "Y", "U", "V") if layout == "packed" else ()
     return VideoFormatInfo(
         name, "yuv", bits=16, n_components=n_components, w_sub=w_sub,
         h_sub=h_sub, has_alpha=has_alpha, layout=layout,
-        plane_order=plane_order,
-        packed_order=("A", "Y", "U", "V") if layout == "packed" else (),
-        depth=(depth,) * 4)
+        plane_order=plane_order, packed_order=packed_order,
+        depth=(depth,) * 4, endian=endian, justify=justify)
 
 
 FORMATS.update({
@@ -183,8 +200,193 @@ FORMATS.update({
                                  packed_order=(0, 1, 2, 3), depth=(16,) * 4),
 })
 
+# Remaining reference families (video-format.h enum, ~165 formats):
+# endian variants, alpha planar families, planar RGB depths, 4:1:0,
+# packed specials, word-bitfield RGB, and tiled NV12.
+
+def _planar_hd_family(base, subs, alphas):
+    """10/12/16-bit LE+BE planar families (A)YUV."""
+    out = {}
+    w_sub, h_sub = subs
+    for d in (10, 12, 16):
+        for e in ("LE", "BE"):
+            out[f"{base}_{d}{e}"] = _yuv16(
+                f"{base}_{d}{e}", d, w_sub, h_sub, endian=e.lower(),
+                n_components=4 if alphas else 3, has_alpha=alphas,
+                plane_order=(0, 1, 2, 3) if alphas else (0, 1, 2))
+    return out
+
+
+def _rgb_planar_hd(base, depths, alphas):
+    out = {}
+    for d in depths:
+        for e in ("LE", "BE"):
+            out[f"{base}_{d}{e}"] = VideoFormatInfo(
+                f"{base}_{d}{e}", "rgb", bits=16,
+                n_components=4 if alphas else 3, has_alpha=alphas,
+                layout="planar",
+                plane_order=(1, 2, 0, 3) if alphas else (1, 2, 0),
+                depth=(d,) * 4, endian=e.lower())
+    return out
+
+
+FORMATS.update(_rgb_planar_hd("GBR", (10, 12, 16), False))
+FORMATS.update(_rgb_planar_hd("GBRA", (10, 12), True))
+FORMATS.update(_planar_hd_family("A420", ((0, 1, 1, 0), (0, 1, 1, 0)), True))
+FORMATS.update(_planar_hd_family("A422", ((0, 1, 1, 0), (0, 0, 0, 0)), True))
+FORMATS.update(_planar_hd_family("A444", ((0, 0, 0, 0), (0, 0, 0, 0)), True))
+FORMATS.update({
+    # BE twins of the existing LE planar entries
+    "I420_10BE": _yuv16("I420_10BE", 10, (0, 1, 1), (0, 1, 1), endian="be"),
+    "I420_12BE": _yuv16("I420_12BE", 12, (0, 1, 1), (0, 1, 1), endian="be"),
+    "I422_10BE": _yuv16("I422_10BE", 10, (0, 1, 1), (0, 0, 0), endian="be"),
+    "I422_12BE": _yuv16("I422_12BE", 12, (0, 1, 1), (0, 0, 0), endian="be"),
+    "Y444_10BE": _yuv16("Y444_10BE", 10, (0, 0, 0), (0, 0, 0), endian="be"),
+    "Y444_12BE": _yuv16("Y444_12BE", 12, (0, 0, 0), (0, 0, 0), endian="be"),
+    "Y444_16BE": _yuv16("Y444_16BE", 16, (0, 0, 0), (0, 0, 0), endian="be"),
+    # 8-bit alpha planar
+    "A422": _yuv("A422", (0, 1, 1, 0), (0, 0, 0, 0), "planar",
+                 (0, 1, 2, 3), n_components=4, has_alpha=True),
+    "A444": _yuv("A444", (0, 0, 0, 0), (0, 0, 0, 0), "planar",
+                 (0, 1, 2, 3), n_components=4, has_alpha=True),
+    # 4:1:0 planar
+    "YUV9": _yuv("YUV9", (0, 2, 2), (0, 2, 2), "planar", (0, 1, 2)),
+    "YVU9": _yuv("YVU9", (0, 2, 2), (0, 2, 2), "planar", (0, 2, 1)),
+    # planar RGB 8-bit
+    "RGBP": VideoFormatInfo("RGBP", "rgb", layout="planar",
+                            plane_order=(0, 1, 2)),
+    "BGRP": VideoFormatInfo("BGRP", "rgb", layout="planar",
+                            plane_order=(2, 1, 0)),
+    # semi-planar extras
+    "NV61": _yuv("NV61", (0, 1, 1), (0, 0, 0), "semi", (0, 2, 1)),
+    "P010_10BE": _yuv16("P010_10BE", 10, (0, 1, 1), (0, 1, 1),
+                        layout="semi", justify="high", endian="be"),
+    "P012_BE": _yuv16("P012_BE", 12, (0, 1, 1), (0, 1, 1), layout="semi",
+                      justify="high", endian="be"),
+    "P016_LE": _yuv16("P016_LE", 16, (0, 1, 1), (0, 1, 1), layout="semi"),
+    "P016_BE": _yuv16("P016_BE", 16, (0, 1, 1), (0, 1, 1), layout="semi",
+                      endian="be"),
+    # NV12 + separate alpha plane (video-format.c AV12)
+    "AV12": _yuv("AV12", (0, 1, 1, 0), (0, 1, 1, 0), "semi",
+                 (0, 1, 2, 3), n_components=4, has_alpha=True),
+    # gray
+    "GRAY16_BE": VideoFormatInfo("GRAY16_BE", "gray", bits=16,
+                                 n_components=1, layout="planar",
+                                 plane_order=(0,), depth=(16,) * 4,
+                                 endian="be"),
+    "GRAY10_LE16": VideoFormatInfo("GRAY10_LE16", "gray", bits=16,
+                                   n_components=1, layout="planar",
+                                   plane_order=(0,), depth=(10,) * 4),
+    # 16-bit packed RGB containers
+    "RGBA64_BE": VideoFormatInfo("RGBA64_BE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(0, 1, 2, 3),
+                                 depth=(16,) * 4, endian="be"),
+    "ARGB64_LE": VideoFormatInfo("ARGB64_LE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(3, 0, 1, 2),
+                                 depth=(16,) * 4),
+    "ARGB64_BE": VideoFormatInfo("ARGB64_BE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(3, 0, 1, 2),
+                                 depth=(16,) * 4, endian="be"),
+    "ABGR64_LE": VideoFormatInfo("ABGR64_LE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(3, 2, 1, 0),
+                                 depth=(16,) * 4),
+    "ABGR64_BE": VideoFormatInfo("ABGR64_BE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(3, 2, 1, 0),
+                                 depth=(16,) * 4, endian="be"),
+    "BGRA64_LE": VideoFormatInfo("BGRA64_LE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(2, 1, 0, 3),
+                                 depth=(16,) * 4),
+    "BGRA64_BE": VideoFormatInfo("BGRA64_BE", "rgb", bits=16,
+                                 n_components=4, has_alpha=True,
+                                 layout="packed", packed_order=(2, 1, 0, 3),
+                                 depth=(16,) * 4, endian="be"),
+    # RBGA (v4l2 oddity)
+    "RBGA": _rgb("RBGA", (0, 2, 1, 3), has_alpha=True),
+    # packed 4:4:4 YUV byte formats (unpack_v308 :460, unpack_IYU2 :497)
+    "v308": _yuv("v308", (0, 0, 0), (0, 0, 0), "packed",
+                 packed_order=("Y", "U", "V")),
+    "IYU2": _yuv("IYU2", (0, 0, 0), (0, 0, 0), "packed",
+                 packed_order=("U", "Y", "V")),
+    # packed 16-bit 4:2:2 (unpack_v216 :706, unpack_Y210 :759)
+    "v216": _yuv16("v216", 16, (0, 1, 1), (0, 0, 0), layout="packed",
+                   packed_order=("U", "Y0", "V", "Y1")),
+    "Y210": _yuv16("Y210", 10, (0, 1, 1), (0, 0, 0), layout="packed",
+                   justify="high", packed_order=("Y0", "U", "Y1", "V")),
+    "Y212_LE": _yuv16("Y212_LE", 12, (0, 1, 1), (0, 0, 0), layout="packed",
+                      justify="high", packed_order=("Y0", "U", "Y1", "V")),
+    "Y212_BE": _yuv16("Y212_BE", 12, (0, 1, 1), (0, 0, 0), layout="packed",
+                      justify="high", endian="be",
+                      packed_order=("Y0", "U", "Y1", "V")),
+    "Y216_LE": _yuv16("Y216_LE", 16, (0, 1, 1), (0, 0, 0), layout="packed",
+                      packed_order=("Y0", "U", "Y1", "V")),
+    "Y216_BE": _yuv16("Y216_BE", 16, (0, 1, 1), (0, 0, 0), layout="packed",
+                      endian="be", packed_order=("Y0", "U", "Y1", "V")),
+    # packed 16-bit 4:4:4:4 (unpack_Y412)
+    "Y412_LE": _yuv16("Y412_LE", 12, (0, 0, 0, 0), (0, 0, 0, 0),
+                      layout="packed", justify="high", n_components=4,
+                      has_alpha=True, packed_order=("U", "Y", "V", "A")),
+    "Y412_BE": _yuv16("Y412_BE", 12, (0, 0, 0, 0), (0, 0, 0, 0),
+                      layout="packed", justify="high", endian="be",
+                      n_components=4, has_alpha=True,
+                      packed_order=("U", "Y", "V", "A")),
+    "Y416_LE": _yuv16("Y416_LE", 16, (0, 0, 0, 0), (0, 0, 0, 0),
+                      layout="packed", n_components=4, has_alpha=True,
+                      packed_order=("U", "Y", "V", "A")),
+    "Y416_BE": _yuv16("Y416_BE", 16, (0, 0, 0, 0), (0, 0, 0, 0),
+                      layout="packed", endian="be", n_components=4,
+                      has_alpha=True, packed_order=("U", "Y", "V", "A")),
+    # packed 4:1:1 (unpack_IYU1: U Y0 Y1 V Y2 Y3 per 4 pixels)
+    "IYU1": _yuv("IYU1", (0, 2, 2), (0, 0, 0), "iyu1"),
+    # 15/16-bit bitfield RGB (unpack_RGB16 :1302 — components replicate
+    # low bits: r<<3|r>>2)
+    "RGB16": VideoFormatInfo("RGB16", "rgb", layout="bitfield16",
+                             depth=(5, 6, 5, 0), shifts=(11, 5, 0)),
+    "BGR16": VideoFormatInfo("BGR16", "rgb", layout="bitfield16",
+                             depth=(5, 6, 5, 0), shifts=(0, 5, 11)),
+    "RGB15": VideoFormatInfo("RGB15", "rgb", layout="bitfield16",
+                             depth=(5, 5, 5, 0), shifts=(10, 5, 0)),
+    "BGR15": VideoFormatInfo("BGR15", "rgb", layout="bitfield16",
+                             depth=(5, 5, 5, 0), shifts=(0, 5, 10)),
+    # 10-bit word32 RGB (unpack_rgb10a2_le/bgr10a2_le, unpack_r210:
+    # canonical ARGB64, 10-bit replication v<<6|v>>4; 2-bit alpha
+    # a<<14 | a<<4)
+    "RGB10A2_LE": VideoFormatInfo(
+        "RGB10A2_LE", "rgb", bits=16, n_components=4, has_alpha=True,
+        layout="word32", depth=(10, 10, 10, 2), shifts=(0, 10, 20, 30)),
+    "BGR10A2_LE": VideoFormatInfo(
+        "BGR10A2_LE", "rgb", bits=16, n_components=4, has_alpha=True,
+        layout="word32", depth=(10, 10, 10, 2), shifts=(20, 10, 0, 30)),
+    "r210": VideoFormatInfo(
+        "r210", "rgb", bits=16, n_components=3, layout="word32",
+        depth=(10, 10, 10, 0), shifts=(20, 10, 0), endian="be"),
+    # packed 10-bit 4:4:4 YUV word32 (unpack_Y410 :862)
+    "Y410": VideoFormatInfo(
+        "Y410", "yuv", bits=16, n_components=4, has_alpha=True,
+        layout="word32", w_sub=(0, 0, 0, 0), h_sub=(0, 0, 0, 0),
+        depth=(10, 10, 10, 2), shifts=(10, 0, 20, 30)),
+    # tiled NV12 variants (video-format.c:7894 tile tables;
+    # gst_video_tile_get_index video-tile.c:44)
+    "NV12_4L4": _yuv("NV12_4L4", (0, 1, 1), (0, 1, 1), "tiled",
+                     (0, 1, 2)).replace_tile(("linear", 4, 4, 4)),
+    "NV12_32L32": _yuv("NV12_32L32", (0, 1, 1), (0, 1, 1), "tiled",
+                       (0, 1, 2)).replace_tile(("linear", 32, 32, 32)),
+    "NV12_16L32S": _yuv("NV12_16L32S", (0, 1, 1), (0, 1, 1), "tiled",
+                        (0, 1, 2)).replace_tile(("linear", 16, 32, 16)),
+    "NV12_64Z32": _yuv("NV12_64Z32", (0, 1, 1), (0, 1, 1), "tiled",
+                       (0, 1, 2)).replace_tile(("zflipz", 64, 32, 32)),
+    "NV12_8L128": _yuv("NV12_8L128", (0, 1, 1), (0, 1, 1), "tiled",
+                       (0, 1, 2)).replace_tile(("linear", 8, 128, 128)),
+})
+
 # formats whose 16-bit container stores values left-justified (MSB)
-HIGH_JUSTIFIED = {"P010_10LE", "P012_LE"}
+HIGH_JUSTIFIED = {n for n, f in FORMATS.items() if f.justify == "high"}
+HIGH_JUSTIFIED |= {"P010_10LE", "P012_LE"}
 
 
 def format_info(name: str) -> VideoFormatInfo:
@@ -253,20 +455,31 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
     dt = dtype or xp.int32
     if fmt.bits == 16:
         dt = xp.int32
-    comps = []
-    n = fmt.n_components
-    d = fmt.depth[0]
-    for c in range(min(n, 3)):
-        p = planes[c].astype(dt)
+
+    def widen(p, c):
+        """Stored value -> canonical depth (8 or 16 bit) with the
+        reference's per-family replication rules."""
+        d = fmt.depth[c] if c < len(fmt.depth) else fmt.depth[0]
         if fmt.bits == 16 and d < 16:
-            # scale to 16-bit with low-bit replication
-            # (video-format.c unpack_I420_10LE: (v<<6) | (v<<6)>>10;
-            # P010: left-justified already: v | v>>10)
-            if fmt.name in HIGH_JUSTIFIED:
+            if fmt.layout == "word32":
+                # unpack_rgb10a2_le / Y410: left-justify then |= >>10
+                # (including the 2-bit alpha: a<<14 | a<<4)
+                p = p << (16 - d)
+                p = p | (p >> 10)
+            elif fmt.justify == "high":
                 p = p | (p >> d)
             else:
                 p = (p << (16 - d))
                 p = p | (p >> d)
+        elif fmt.bits == 8 and d < 8 and d > 0:
+            # RGB15/16 family: r<<3 | r>>2 (video_orc_unpack_RGB16)
+            p = (p << (8 - d)) | (p >> (2 * d - 8))
+        return p
+
+    comps = []
+    n = fmt.n_components
+    for c in range(min(n, 3)):
+        p = widen(planes[c].astype(dt), c)
         if not (subsampled_chroma and c in (1, 2)):
             if interlaced and c in (1, 2):
                 p = _dup_v_interlaced(xp, p, fmt.h_sub[c], height)
@@ -281,12 +494,9 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
         half = xp.full_like(comps[0], neutral)
         comps = [comps[0], half, half]
     if fmt.has_alpha:
-        a = planes[n - 1] if fmt.layout != "packed" else planes[3]
-        a = a.astype(dt)
-        if fmt.bits == 16 and d < 16:
-            a = (a << (16 - d))
-            a = a | (a >> d)
-        alpha = a
+        a = planes[n - 1] if fmt.layout not in ("packed", "word32") \
+            else planes[3]
+        alpha = widen(a.astype(dt), 3)
     else:
         alpha = xp.full_like(comps[0], opaque)
     return (alpha, comps[0], comps[1], comps[2])
@@ -300,16 +510,20 @@ def pack_planes(xp, fmt: VideoFormatInfo, chans, width: int, height: int):
     format stores alpha)."""
     out = []
     n = fmt.n_components
-    d = fmt.depth[0]
 
-    def store(p):
+    def store(p, c):
+        d = fmt.depth[c] if c < len(fmt.depth) else fmt.depth[0]
         if fmt.bits == 8:
+            if 0 < d < 8:
+                # pack_RGB16: component >> (8 - depth)
+                return (p.astype(xp.int32) >> (8 - d)).astype(xp.uint8)
             return p.astype(xp.uint8)
         # 16-bit containers: pack_I420_10LE truncates v >> (16-depth);
-        # P010 keeps left-justified with low bits cleared
+        # P010/Y210 keep left-justified with low bits cleared; word32
+        # stores the raw bitfield value (pack_Y410: a = A >> 14)
         p = p.astype(xp.int32)
         if d < 16:
-            if fmt.name in HIGH_JUSTIFIED:
+            if fmt.justify == "high":
                 p = p & (((1 << d) - 1) << (16 - d))
             else:
                 p = p >> (16 - d)
@@ -317,7 +531,7 @@ def pack_planes(xp, fmt: VideoFormatInfo, chans, width: int, height: int):
 
     for c in range(min(n, 3)):
         hs, ws = fmt.h_sub[c], fmt.w_sub[c]
-        out.append(store(chans[1 + c][..., ::(1 << hs), ::(1 << ws)]))
+        out.append(store(chans[1 + c][..., ::(1 << hs), ::(1 << ws)], c))
     if fmt.is_gray:
         out = out[:1]
     if fmt.has_alpha:
@@ -325,7 +539,7 @@ def pack_planes(xp, fmt: VideoFormatInfo, chans, width: int, height: int):
         if a is None:
             opaque = 255 if fmt.bits == 8 else 0xFFFF
             a = xp.full(out[0].shape, opaque, xp.int32)
-        out.append(store(a))
+        out.append(store(a, 3))
     return tuple(out)
 
 
@@ -370,10 +584,19 @@ def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
     bps = fmt.bits // 8
     if fmt.layout == "v210":
         return height * v210_stride(width)
+    if fmt.layout == "word32":
+        return height * width * 4
+    if fmt.layout == "bitfield16":
+        return height * width * 2
+    if fmt.layout == "iyu1":
+        return height * (-(-width // 4)) * 6
+    if fmt.layout == "tiled":
+        _, tw, th, cth, xt, yt, cyt = _tiled_geometry(fmt, width, height)
+        return xt * yt * tw * th + xt * cyt * tw * cth
     if fmt.layout == "packed":
-        if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
+        if fmt.is_rgb or _is_packed_letters(fmt):
             return height * width * len(fmt.packed_order) * bps
-        # 4:2:2 packed: 4 bytes / 2 pixels
+        # 4:2:2 packed: 4 samples / 2 pixels
         return height * (-(-width // 2)) * 4 * bps
     return sum(h * w for (h, w) in plane_shapes(fmt, width, height)) * bps
 
@@ -430,19 +653,192 @@ def _v210_to_bytes(planes, width: int, height: int) -> np.ndarray:
     return out.reshape(batch + (height * stride,))
 
 
+def _word32_from_bytes(fmt, data, width, height):
+    """32-bit word bitfields (RGB10A2_LE/BGR10A2_LE/r210/Y410): raw
+    per-component values at stored depth."""
+    wdt = np.dtype("<u4" if fmt.endian == "le" else ">u4")
+    words = np.ascontiguousarray(data).view(wdt).astype(np.uint32)
+    batch = data.shape[:-1]
+    img = words.reshape(batch + (height, width))
+    planes = []
+    for c in range(min(fmt.n_components, 3)):
+        mask = (1 << fmt.depth[c]) - 1
+        planes.append(((img >> fmt.shifts[c]) & mask).astype(np.uint16))
+    if fmt.has_alpha:
+        mask = (1 << fmt.depth[3]) - 1
+        planes.append(((img >> fmt.shifts[3]) & mask).astype(np.uint16))
+    return tuple(planes)
+
+
+def _word32_to_bytes(fmt, planes, width, height):
+    batch = np.asarray(planes[0]).shape[:-2]
+    img = np.zeros(batch + (height, width), np.uint32)
+    for c in range(min(fmt.n_components, 3)):
+        mask = (1 << fmt.depth[c]) - 1
+        img |= (np.asarray(planes[c], np.uint32) & mask) << fmt.shifts[c]
+    if fmt.has_alpha:
+        mask = (1 << fmt.depth[3]) - 1
+        img |= (np.asarray(planes[3], np.uint32) & mask) << fmt.shifts[3]
+    wdt = np.dtype("<u4" if fmt.endian == "le" else ">u4")
+    return np.ascontiguousarray(img.astype(wdt)).view(np.uint8).reshape(
+        batch + (-1,))
+
+
+def _bitfield16_from_bytes(fmt, data, width, height):
+    """RGB16/BGR16/RGB15/BGR15: raw components at stored depth."""
+    words = np.ascontiguousarray(data).view(fmt.word_dtype).astype(
+        np.uint16)
+    batch = data.shape[:-1]
+    img = words.reshape(batch + (height, width))
+    return tuple(((img >> fmt.shifts[c]) & ((1 << fmt.depth[c]) - 1)
+                  ).astype(np.uint8) for c in range(3))
+
+
+def _bitfield16_to_bytes(fmt, planes, width, height):
+    batch = np.asarray(planes[0]).shape[:-2]
+    img = np.zeros(batch + (height, width), np.uint16)
+    for c in range(3):
+        mask = (1 << fmt.depth[c]) - 1
+        img |= (np.asarray(planes[c], np.uint16) & mask) << fmt.shifts[c]
+    return np.ascontiguousarray(img.astype(fmt.word_dtype)).view(
+        np.uint8).reshape(batch + (-1,))
+
+
+def _iyu1_from_bytes(data, width, height):
+    """IYU1 (unpack_IYU1): U Y0 Y1 V Y2 Y3 per 4 pixels (6 bytes)."""
+    ng = -(-width // 4)
+    batch = data.shape[:-1]
+    g = data.reshape(batch + (height, ng, 6))
+    y = np.stack([g[..., 1], g[..., 2], g[..., 4], g[..., 5]], axis=-1)
+    y = y.reshape(batch + (height, ng * 4))[..., :width]
+    return (y, g[..., 0], g[..., 3])
+
+
+def _iyu1_to_bytes(planes, width, height):
+    y, u, v = (np.asarray(p, np.uint8) for p in planes[:3])
+    batch = y.shape[:-2]
+    ng = -(-width // 4)
+    pad = ng * 4 - width
+    if pad:
+        y = np.concatenate([y] + [y[..., -1:]] * pad, axis=-1)
+    y4 = y.reshape(batch + (height, ng, 4))
+    out = np.stack([u, y4[..., 0], y4[..., 1], v, y4[..., 2], y4[..., 3]],
+                   axis=-1)
+    return out.reshape(batch + (-1,))
+
+
+def _tile_index_grid(mode, x_tiles, y_tiles):
+    """Tile index per (ty, tx) — gst_video_tile_get_index
+    (video-tile.c:44): LINEAR row order or ZFLIPZ_2X2 zigzag."""
+    tx = np.arange(x_tiles)[None, :]
+    ty = np.arange(y_tiles)[:, None]
+    if mode == "linear":
+        return ty * x_tiles + tx
+    # ZFLIPZ_2X2
+    off = (ty & ~1) * x_tiles + tx
+    odd = (ty & 1).astype(bool)
+    last_even = ((y_tiles & 1) == 1) & (ty == y_tiles - 1)
+    off = np.where(odd, off + 2 + ((tx) & ~3),
+                   np.where(last_even, off, off + ((tx + 2) & ~3)))
+    return off
+
+
+def _tiled_geometry(fmt, width, height):
+    mode, tw, th, cth = fmt.tile
+    xt = -(-width // tw)
+    yt = -(-height // th)
+    ch = -(-height // 2)
+    # chroma plane: same byte width (UV interleaved), cth-row tiles;
+    # non-subtiled formats address it through the luma tile grid with
+    # ty/2 + half-tile offsets (get_tile_NV12, video-format.c:4824)
+    cyt = -(-ch // cth)
+    return mode, tw, th, cth, xt, yt, cyt
+
+
+def _tiled_from_bytes(fmt, data, width, height):
+    mode, tw, th, cth, xt, yt, cyt = _tiled_geometry(fmt, width, height)
+    batch = data.shape[:-1]
+    ysz = xt * yt * tw * th
+    grid = _tile_index_grid(mode, xt, yt)
+    tiles = data[..., :ysz].reshape(batch + (xt * yt, th, tw))
+    # scatter tiles back: padded plane (yt*th, xt*tw)
+    ypad = np.zeros(batch + (yt * th, xt * tw), np.uint8)
+    for tyi in range(yt):
+        for txi in range(xt):
+            ypad[..., tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw] = \
+                tiles[..., grid[tyi, txi], :, :]
+    y = ypad[..., :height, :width]
+
+    ch = -(-height // 2)
+    csz = xt * cyt * tw * cth
+    cgrid = _tile_index_grid(mode, xt, cyt)
+    ctiles = data[..., ysz:ysz + csz].reshape(batch + (xt * cyt, cth, tw))
+    cpad = np.zeros(batch + (cyt * cth, xt * tw), np.uint8)
+    for tyi in range(cyt):
+        for txi in range(xt):
+            cpad[..., tyi * cth:(tyi + 1) * cth, txi * tw:(txi + 1) * tw] = \
+                ctiles[..., cgrid[tyi, txi], :, :]
+    uvrows = cpad[..., :ch, :width]
+    uv = uvrows.reshape(batch + (ch, width // 2, 2))
+    return (y, uv[..., 0], uv[..., 1])
+
+
+def _tiled_to_bytes(fmt, planes, width, height):
+    mode, tw, th, cth, xt, yt, cyt = _tiled_geometry(fmt, width, height)
+    y, u, v = (np.asarray(p, np.uint8) for p in planes[:3])
+    batch = y.shape[:-2]
+    ypad = np.zeros(batch + (yt * th, xt * tw), np.uint8)
+    ypad[..., :height, :width] = y
+    grid = _tile_index_grid(mode, xt, yt)
+    tiles = np.zeros(batch + (xt * yt, th, tw), np.uint8)
+    for tyi in range(yt):
+        for txi in range(xt):
+            tiles[..., grid[tyi, txi], :, :] = \
+                ypad[..., tyi * th:(tyi + 1) * th, txi * tw:(txi + 1) * tw]
+    ybytes = tiles.reshape(batch + (-1,))
+
+    ch = -(-height // 2)
+    uv = np.stack([u, v], axis=-1).reshape(batch + (ch, width))
+    cpad = np.zeros(batch + (cyt * cth, xt * tw), np.uint8)
+    cpad[..., :ch, :width] = uv
+    cgrid = _tile_index_grid(mode, xt, cyt)
+    ctiles = np.zeros(batch + (xt * cyt, cth, tw), np.uint8)
+    for tyi in range(cyt):
+        for txi in range(xt):
+            ctiles[..., cgrid[tyi, txi], :, :] = \
+                cpad[..., tyi * cth:(tyi + 1) * cth, txi * tw:(txi + 1) * tw]
+    return np.concatenate([ybytes, ctiles.reshape(batch + (-1,))], axis=-1)
+
+
+def _is_packed_letters(fmt) -> bool:
+    """Single-plane per-pixel letter layouts (AYUV/VUYA/v308/IYU2/Y416…)."""
+    return (fmt.layout == "packed" and fmt.packed_order
+            and isinstance(fmt.packed_order[0], str)
+            and "Y0" not in fmt.packed_order)
+
+
 def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
                height: int):
     """Decode the format's memory layout into component planes (numpy)."""
     data = np.asarray(data, dtype=np.uint8)
     if fmt.layout == "v210":
         return _v210_from_bytes(data, width, height)
+    if fmt.layout == "word32":
+        return _word32_from_bytes(fmt, data, width, height)
+    if fmt.layout == "bitfield16":
+        return _bitfield16_from_bytes(fmt, data, width, height)
+    if fmt.layout == "iyu1":
+        return _iyu1_from_bytes(data, width, height)
+    if fmt.layout == "tiled":
+        return _tiled_from_bytes(fmt, data, width, height)
     if fmt.bits == 16:
-        data = np.ascontiguousarray(data).view("<u2")
+        data = np.ascontiguousarray(data).view(fmt.word_dtype)
+        if fmt.endian == "be":
+            data = data.astype(np.uint16)
     batch = data.shape[:-1]
     shapes = plane_shapes(fmt, width, height)
 
     if fmt.layout == "planar":
-        sizes = [h * w for (h, w) in shapes]
         comp_of_store = fmt.plane_order
         planes = [None] * len(shapes)
         off = 0
@@ -457,15 +853,20 @@ def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
         h0, w0 = shapes[0]
         hc, wc = shapes[1]
         y = data[..., : h0 * w0].reshape(batch + (h0, w0))
-        uv = data[..., h0 * w0:].reshape(batch + (hc, wc, 2))
+        uv = data[..., h0 * w0:h0 * w0 + hc * wc * 2].reshape(
+            batch + (hc, wc, 2))
         first, second = fmt.plane_order[1], fmt.plane_order[2]
         planes = [y, None, None]
         planes[first] = uv[..., 0]
         planes[second] = uv[..., 1]
+        if fmt.has_alpha:      # AV12: NV12 + full-res alpha plane
+            a = data[..., h0 * w0 + hc * wc * 2:].reshape(
+                batch + (height, width))
+            planes.append(a)
         return tuple(planes)
 
-    # packed
-    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
+    # packed, one letter per stored component
+    if fmt.is_rgb or _is_packed_letters(fmt):
         nb = len(fmt.packed_order)
         img = data.reshape(batch + (height, width, nb))
         if fmt.is_rgb:
@@ -477,12 +878,14 @@ def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
             if fmt.has_alpha:
                 planes.append(chans[3])
             return tuple(planes)
-        # AYUV/VUYA
         pos = {ch: i for i, ch in enumerate(fmt.packed_order)}
-        return (img[..., pos["Y"]], img[..., pos["U"]], img[..., pos["V"]],
-                img[..., pos["A"]])
+        planes = [img[..., pos["Y"]], img[..., pos["U"]],
+                  img[..., pos["V"]]]
+        if fmt.has_alpha:
+            planes.append(img[..., pos["A"]])
+        return tuple(planes)
 
-    # packed 4:2:2 ([Y0 U Y1 V] orderings)
+    # packed 4:2:2 ([Y0 U Y1 V] orderings, 8- or 16-bit samples)
     wmac = -(-width // 2)
     img = data.reshape(batch + (height, wmac, 4))
     pos = {ch: i for i, ch in enumerate(fmt.packed_order)}
@@ -505,19 +908,22 @@ def _assemble(fmt: VideoFormatInfo, planes, width: int, height: int,
     if fmt.layout == "semi":
         first, second = fmt.plane_order[1], fmt.plane_order[2]
         uv = np.stack([planes[first], planes[second]], axis=-1)
-        return np.concatenate(
-            [planes[0].reshape(batch + (-1,)), uv.reshape(batch + (-1,))],
-            axis=-1)
+        chunks = [planes[0].reshape(batch + (-1,)),
+                  uv.reshape(batch + (-1,))]
+        if fmt.has_alpha:      # AV12
+            chunks.append(planes[3].reshape(batch + (-1,)))
+        return np.concatenate(chunks, axis=-1)
 
-    if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64"):
+    if fmt.is_rgb or _is_packed_letters(fmt):
         nb = len(fmt.packed_order)
         out = np.empty(batch + (height, width, nb), sdt)
         if fmt.is_rgb:
             for posi, ch in enumerate(fmt.packed_order):
                 out[..., posi] = planes[ch] if ch >= 0 else opaque
         else:
-            named = {"Y": planes[0], "U": planes[1], "V": planes[2],
-                     "A": planes[3]}
+            named = {"Y": planes[0], "U": planes[1], "V": planes[2]}
+            if fmt.has_alpha:
+                named["A"] = planes[3]
             for posi, ch in enumerate(fmt.packed_order):
                 out[..., posi] = named[ch]
         return out.reshape(batch + (-1,))
@@ -539,9 +945,20 @@ def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarra
     returned as flat uint8 per frame."""
     if fmt.layout == "v210":
         return _v210_to_bytes(planes, width, height)
-    sdt = np.uint8 if fmt.bits == 8 else np.dtype("<u2")
-    out = _assemble(fmt, [np.asarray(p, sdt) for p in planes], width,
-                    height, sdt)
+    if fmt.layout == "word32":
+        return _word32_to_bytes(fmt, planes, width, height)
+    if fmt.layout == "bitfield16":
+        return _bitfield16_to_bytes(fmt, planes, width, height)
+    if fmt.layout == "iyu1":
+        return _iyu1_to_bytes(planes, width, height)
+    if fmt.layout == "tiled":
+        return _tiled_to_bytes(fmt, planes, width, height)
+    sdt = np.uint8 if fmt.bits == 8 else np.uint16
+    out = _assemble(fmt, [np.asarray(p).astype(sdt) for p in planes],
+                    width, height, sdt)
     if fmt.bits == 16:
-        return np.ascontiguousarray(out).view(np.uint8)
+        # byte-order conversion AFTER assembly (np.concatenate silently
+        # normalizes non-native dtypes back to native order)
+        return np.ascontiguousarray(out.astype(fmt.word_dtype)).view(
+            np.uint8)
     return out

@@ -110,11 +110,29 @@ def plane_rows(fmt_name: str, w: int, h: int):
     if fmt.layout == "v210":
         from gstreamer_tpu.video.format import v210_stride
         return [(h, v210_stride(w))]
+    if fmt.layout == "word32":
+        return [(h, w * 4)]
+    if fmt.layout == "bitfield16":
+        return [(h, w * 2)]
+    if fmt.layout == "iyu1":
+        return [(h, (-(-w // 4)) * 6)]
+    if fmt.layout == "tiled":
+        # tiles are the memory layout; strides are tile-encoded — treat
+        # each plane as one opaque "row"
+        from gstreamer_tpu.video.format import _tiled_geometry
+        _, tw, th, cth, xt, yt, cyt = _tiled_geometry(fmt, w, h)
+        return [(1, xt * yt * tw * th), (1, xt * cyt * tw * cth)]
     if fmt.layout == "semi":
-        return [(h, w * bps),
-                (fmt.comp_height(1, h), 2 * fmt.comp_width(1, w) * bps)]
+        out = [(h, w * bps),
+               (fmt.comp_height(1, h), 2 * fmt.comp_width(1, w) * bps)]
+        if fmt.has_alpha:           # AV12
+            out.append((h, w * bps))
+        return out
     # packed
     if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64", "ARGB64"):
+        return [(h, w * len(fmt.packed_order) * bps)]
+    from gstreamer_tpu.video.format import _is_packed_letters
+    if _is_packed_letters(fmt):
         return [(h, w * len(fmt.packed_order) * bps)]
     return [(h, (-(-w // 2)) * 4 * bps)]
 

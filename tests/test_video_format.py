@@ -13,16 +13,17 @@ RNG = np.random.default_rng(42)
 
 def random_planes(fmt, width, height):
     shapes = plane_shapes(fmt, width, height)
-    if fmt.bits == 16:
-        d = fmt.depth[0]
-        out = []
-        for s in shapes:
+    out = []
+    for c, s in enumerate(shapes):
+        d = fmt.depth[c] if c < len(fmt.depth) else fmt.depth[0]
+        if fmt.bits == 16:
             v = RNG.integers(0, 1 << d, size=s).astype(np.uint16)
-            if fmt.name.startswith("P0"):    # left-justified containers
+            if fmt.justify == "high":    # left-justified containers
                 v = (v << (16 - d)).astype(np.uint16)
-            out.append(v)
-        return tuple(out)
-    return tuple(RNG.integers(0, 256, size=s, dtype=np.uint8) for s in shapes)
+        else:
+            v = RNG.integers(0, 1 << min(d, 8), size=s).astype(np.uint8)
+        out.append(v)
+    return tuple(out)
 
 
 @pytest.mark.parametrize("name", sorted(FORMATS))
