@@ -147,13 +147,51 @@ def bench_deinterlace_chain(jax, jnp):
             "value": round(fps, 1), "unit": "frames/s/chip"}
 
 
+def bench_convert_dp(jax, jnp):
+    """Data-parallel headline: batch sharded over ALL devices (dp mesh).
+    On the 1-chip dev rig this equals bench_convert; on a pod slice it
+    scales with the dp axis."""
+    from gstreamer_tpu.parallel.sharding import make_mesh, \
+        shard_batched_pytree
+    from gstreamer_tpu.video.converter import VideoConverter
+    from gstreamer_tpu.video.info import VideoInfo
+
+    n = len(jax.devices())
+    mesh = make_mesh(n, axis_names=("dp",))
+    batch = 256 * n
+    ii = VideoInfo(format="I420", width=1920, height=1080)
+    oi = VideoInfo(format="RGB", width=224, height=224)
+    conv = VideoConverter(ii, oi, {"resampler-method": "linear",
+                                   "resampler-taps": 2})
+    fn = jax.jit(conv.trace_fn())
+    rng = np.random.default_rng(0)
+    planes = shard_batched_pytree(mesh, tuple(
+        rng.integers(0, 256, (batch,) + s, dtype=np.uint8)
+        for s in ii.plane_shapes()))
+    out = fn(planes)
+    _sync(out)
+    iters = 48
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(planes)
+    _sync(out)
+    fps = batch * iters / (time.perf_counter() - t0)
+    return {"metric": "1080p_convert_scale_dp_all_devices",
+            "value": round(fps, 1), "unit": f"frames/s ({n} devices)"}
+
+
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    for fn in (bench_convert, bench_audioresample, bench_compositor,
-               bench_deinterlace_chain):
+    benches = [bench_convert, bench_audioresample, bench_compositor,
+               bench_deinterlace_chain]
+    if "--dp" in sys.argv:
+        benches.append(bench_convert_dp)
+    for fn in benches:
         try:
             print(json.dumps(fn(jax, jnp)), flush=True)
         except Exception as e:     # pragma: no cover

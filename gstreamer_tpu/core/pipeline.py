@@ -160,6 +160,7 @@ class Pipeline(Bin):
         self._program_cache: Dict[tuple, dict] = {}
         self.compile_count = 0          # cache misses (observable in tests)
         self._position_ns = 0
+        self._mesh = None
 
     # -- graph helpers -----------------------------------------------------
     def _nodes(self) -> List[Element]:
@@ -300,7 +301,15 @@ class Pipeline(Bin):
         return tuple((e.name, p.name, str(p.caps))
                      for e in order for p in e.pads)
 
-    def compile(self, batch: Optional[int] = None) -> None:
+    def compile(self, batch: Optional[int] = None, mesh=None) -> None:
+        """Negotiate and build the fused device program.
+
+        mesh: optional jax.sharding.Mesh — the batch axis is sharded
+        over its first ("dp") axis and the fused program runs under
+        shard_map (each chip processes its batch shard; per-frame DSP
+        has no cross-batch dependence, so this is exact data
+        parallelism over ICI — SURVEY §2.8).  Batch must divide the dp
+        axis size."""
         import jax
 
         hooks.load_env()
@@ -310,8 +319,18 @@ class Pipeline(Bin):
         maybe_dump(self)
         order = self._topo_order()
         batch = batch or self.default_batch
+        if mesh is not None:
+            self._mesh = mesh
+            dp = mesh.shape[mesh.axis_names[0]]
+            if batch % dp:
+                raise ValueError(
+                    f"batch {batch} not divisible by dp axis {dp}")
+        else:
+            self._mesh = None
 
-        key = (self._caps_signature(order), batch)
+        key = (self._caps_signature(order), batch,
+               None if mesh is None else
+               (tuple(mesh.axis_names), tuple(mesh.devices.shape)))
         cached = self._program_cache.get(key)
         if cached is not None:
             # same caps configuration seen before: reuse the compiled
@@ -371,14 +390,16 @@ class Pipeline(Bin):
                             values[sp] = v
                 return outputs
 
-            self._device_step = jax.jit(device_step)
+            self._device_step = jax.jit(self._maybe_shard(device_step,
+                                                          mesh))
         else:
             # host elements present: per-element execution — each pure
             # element's fn is jitted on its own (still device compute,
             # less cross-element fusion)
             self._device_step = None
             self._elem_jit = {
-                e: jax.jit(f) for e, f in fns.items() if f is not None
+                e: jax.jit(self._maybe_shard(f, mesh))
+                for e, f in fns.items() if f is not None
                 and e not in host_elems}
 
         self._order = order
@@ -388,7 +409,7 @@ class Pipeline(Bin):
         self._program_cache[key] = {
             k: self.__dict__[k] for k in
             ("_fns", "_host_elems", "_fused", "_device_step", "_order",
-             "_batch")}
+             "_batch", "_mesh")}
         if not self._fused:
             self._program_cache[key]["_elem_jit"] = self._elem_jit
 
@@ -409,6 +430,35 @@ class Pipeline(Bin):
                     if sp.caps is not None:
                         sp.push_event(caps_event(sp.caps))
                     sp.push_event(segment_event(Segment()))
+
+    @staticmethod
+    def _maybe_shard(fn, mesh):
+        """Wrap a pure element/graph function in shard_map over the
+        mesh's first axis (batch data-parallelism)."""
+        if mesh is None or fn is None:
+            return fn
+        import jax
+        from jax.sharding import PartitionSpec as P
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:      # older jax
+            from jax.experimental.shard_map import shard_map
+
+        dp = mesh.axis_names[0]
+        spec = P(dp)
+        try:
+            return shard_map(fn, mesh=mesh, in_specs=spec,
+                             out_specs=spec, check_vma=False)
+        except TypeError:       # older jax spells it check_rep
+            return shard_map(fn, mesh=mesh, in_specs=spec,
+                             out_specs=spec, check_rep=False)
+
+    def _shard_inputs(self, tree):
+        if self._mesh is None:
+            return tree
+        from ..parallel.sharding import shard_batched_pytree
+        return shard_batched_pytree(self._mesh, tree,
+                                    axis=self._mesh.axis_names[0])
 
     # -- run loop ----------------------------------------------------------
     def set_state(self, state: str) -> None:
@@ -432,7 +482,7 @@ class Pipeline(Bin):
         replay sticky CAPS events.  The RECONFIGURE/CAPS-event path of the
         reference (gstbasetransform.c:1341 setcaps, gstevent.c:905)."""
         log.info("%s: reconfiguring (mid-stream caps change)", self.name)
-        self.compile(batch=self._batch)
+        self.compile(batch=self._batch, mesh=self._mesh)
         for e in self._order:
             e.start()
         self._distribute_sticky()
@@ -458,6 +508,8 @@ class Pipeline(Bin):
             if buf is None:
                 eos = True
                 break
+            if self._mesh is not None:
+                buf = buf.with_(data=self._shard_inputs(buf.data))
             inputs[s.name] = buf.data
             metas[s.name] = buf
         if eos:
