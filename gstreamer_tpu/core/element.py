@@ -285,6 +285,25 @@ class Element:
         Fused by the pipeline into one XLA program with its neighbors."""
         return None
 
+    def make_scan_fn(self):
+        """Optional (step, init_carry) for STATEFUL per-frame elements.
+
+        step(carry, x) -> (carry, out_frame) is lax.scan'ed over the
+        batch axis inside the fused program; `carry` (a pytree) is the
+        element's streaming state, kept in HBM by the pipeline across
+        ticks — the TPU-native analog of GstElement instance state for
+        frame-feedback effects (SURVEY §2.8; VERDICT round-1 item 7).
+        x is the per-frame input tree, or (frame, aux) when scan_aux is
+        defined.  Returns None for stateless elements."""
+        return None
+
+    def scan_aux(self, batch: int):
+        """Per-tick host-computed auxiliary scan inputs (leading axis =
+        batch).  Host-side sequential parameters (phase counters, PRNG
+        draws) that are awkward inside jit are precomputed here and fed
+        to make_scan_fn's step as x[1]."""
+        return None
+
     def process_meta(self, buf: Buffer) -> Buffer:
         """Host-side metadata transform applied per buffer (timestamps)."""
         return buf

@@ -336,11 +336,13 @@ class Pipeline(Bin):
             # same caps configuration seen before: reuse the compiled
             # program (elements' set_info just reconfigured identically)
             self.__dict__.update(cached)
+            self._elem_states = None      # streaming state never cached
             self._plan = True
             return
 
         # per-element pure fns
         fns: Dict[Element, Optional[Callable]] = {}
+        scan_fns: Dict[Element, tuple] = {}
         for e in order:
             if isinstance(e, SourceElement):
                 fns[e] = e.generator_fn()
@@ -349,19 +351,34 @@ class Pipeline(Bin):
             elif isinstance(e, SinkElement):
                 fns[e] = None
             else:
-                fns[e] = e.make_fn()
+                sf = e.make_scan_fn()
+                if sf is not None:
+                    scan_fns[e] = sf
+                    fns[e] = None
+                else:
+                    fns[e] = e.make_fn()
 
         host_elems = {e for e in order if getattr(e, "HOST_ELEMENT", False)}
+        if scan_fns and mesh is not None:
+            raise NotImplementedError(
+                "stateful scan elements are sequential over the batch "
+                "axis and cannot be dp-sharded")
         self._fns = fns
+        self._scan_fns = scan_fns
         self._host_elems = host_elems
         self._fused = not host_elems
+        self._elem_states = None
 
         if self._fused:
-            def device_step(inputs: Dict[str, Any]) -> Dict[str, Any]:
+            def device_step(inputs: Dict[str, Any], states: Dict[str, Any]):
                 """ONE fused XLA program: all pure element fns in topo
-                order; tee fan-out is value reuse inside the trace."""
+                order; tee fan-out is value reuse inside the trace;
+                stateful elements lax.scan over the batch axis with
+                their carry threaded through (states in -> states out,
+                kept in HBM between ticks)."""
                 values: Dict[Pad, Any] = {}
                 outputs: Dict[str, Any] = {}
+                new_states: Dict[str, Any] = {}
                 for e in order:
                     if isinstance(e, SourceElement):
                         v = inputs[e.name]
@@ -384,11 +401,18 @@ class Pipeline(Bin):
                         if not pads:
                             continue
                         v = values[pads[0].peer]
-                        if fns[e] is not None:
+                        if e in scan_fns:
+                            step, _ = scan_fns[e]
+                            aux = inputs.get(e.name + "__aux")
+                            xs = v if aux is None else (v, aux)
+                            carry, v = jax.lax.scan(step, states[e.name],
+                                                    xs)
+                            new_states[e.name] = carry
+                        elif fns[e] is not None:
                             v = fns[e](v)
                         for sp in e.src_pads():
                             values[sp] = v
-                return outputs
+                return outputs, new_states
 
             self._device_step = jax.jit(self._maybe_shard(device_step,
                                                           mesh))
@@ -402,16 +426,23 @@ class Pipeline(Bin):
                 for e, f in fns.items() if f is not None
                 and e not in host_elems}
 
+            def _scan_runner(step):
+                return jax.jit(lambda c, xs: jax.lax.scan(step, c, xs))
+
+            self._elem_scan_jit = {
+                e: _scan_runner(step) for e, (step, _) in scan_fns.items()}
+
         self._order = order
         self._batch = batch
         self._plan = True
         self.compile_count += 1
         self._program_cache[key] = {
             k: self.__dict__[k] for k in
-            ("_fns", "_host_elems", "_fused", "_device_step", "_order",
-             "_batch", "_mesh")}
+            ("_fns", "_scan_fns", "_host_elems", "_fused", "_device_step",
+             "_order", "_batch", "_mesh")}
         if not self._fused:
             self._program_cache[key]["_elem_jit"] = self._elem_jit
+            self._program_cache[key]["_elem_scan_jit"] = self._elem_scan_jit
 
     def _distribute_sticky(self) -> None:
         """Push STREAM_START + CAPS + SEGMENT through the graph via the
@@ -522,10 +553,32 @@ class Pipeline(Bin):
             return False
         hooks.fire("tick-pre", self)
 
+        # stateful scan elements: lazily init carries, compute per-tick
+        # host aux inputs (phase counters, PRNG draws)
+        if self._scan_fns:
+            import jax
+            import jax.numpy as jnp
+            if self._elem_states is None:
+                self._elem_states = {
+                    e.name: jax.tree_util.tree_map(jnp.asarray, init)
+                    for e, (_, init) in self._scan_fns.items()}
+            # aux length = the ACTUAL batch this tick (the leading axis
+            # of the flowing data, not the configured pull size)
+            lead = jax.tree_util.tree_leaves(inputs)[0]
+            nb = int(lead.shape[0])
+            for e in self._scan_fns:
+                aux = e.scan_aux(nb)
+                if aux is not None:
+                    inputs[e.name + "__aux"] = aux
+
         outputs: Dict[str, Any] = {}
         if self._fused:
             try:
-                outputs = self._device_step(inputs)
+                outputs, new_states = self._device_step(
+                    inputs, self._elem_states or {})
+                if self._scan_fns:
+                    self._elem_states = dict(self._elem_states or {},
+                                             **new_states)
             except Exception as e:
                 self.bus.post(Message("error", self.name, {"error": str(e)}))
                 raise
@@ -586,6 +639,15 @@ class Pipeline(Bin):
                 if not self._fused:
                     if e in self._host_elems:
                         buf = e.host_process(buf)
+                    elif e in self._scan_fns:
+                        xs = buf.data
+                        aux = inputs.get(e.name + "__aux")
+                        if aux is not None:
+                            xs = (xs, aux)
+                        carry, v = self._elem_scan_jit[e](
+                            self._elem_states[e.name], xs)
+                        self._elem_states[e.name] = carry
+                        buf = buf.with_(data=v)
                     elif self._fns.get(e) is not None:
                         buf = buf.with_(data=self._elem_jit[e](buf.data))
                 if buf is None:   # host element swallowed the buffer

@@ -52,7 +52,24 @@ def _unwords(w: np.ndarray, planes):
 
 
 class _EffectvBase(TransformElement):
+    """Base for the effectv family.
+
+    Two execution paths:
+
+    * `_frame(w)` — the numpy gold (exact line-by-line port of the
+      reference C), still used by unconverted effects as HOST elements
+      and by the parity tests;
+    * `_scan_step(xp, carry, w, aux)` — the TPU path: the pipeline
+      lax.scans it over the batch axis INSIDE the fused program, with
+      the feedback state (`carry`) living in HBM across ticks
+      (Element.make_scan_fn).  Host-sequential per-frame parameters
+      (phase counters, PRNG draws) are precomputed by `scan_aux`.
+      Converted effects set DEVICE_SCAN = True and HOST_ELEMENT = False.
+    """
+
     HOST_ELEMENT = True
+    DEVICE_SCAN = False
+    HAS_AUX = False
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, RGB_CAPS),
         PadTemplate("src", PadDirection.SRC, RGB_CAPS),
@@ -82,6 +99,37 @@ class _EffectvBase(TransformElement):
 
     def _frame(self, w: np.ndarray) -> np.ndarray:
         raise NotImplementedError
+
+    # -- device scan path ---------------------------------------------------
+    def _init_carry(self):
+        return np.int32(0)          # dummy for stateless effects
+
+    def _scan_step(self, xp, carry, w, aux):
+        raise NotImplementedError
+
+    def make_scan_fn(self):
+        if not self.DEVICE_SCAN or self._info is None:
+            return None
+        import jax.numpy as jnp
+
+        def step(carry, x):
+            if self.HAS_AUX:
+                planes, aux = x
+            else:
+                planes, aux = x, None
+            r = planes[0].astype(jnp.int32)
+            g = planes[1].astype(jnp.int32)
+            b = planes[2].astype(jnp.int32)
+            w = (r << 16) | (g << 8) | b
+            carry, out = self._scan_step(jnp, carry, w, aux)
+            outp = (((out >> 16) & 0xFF).astype(planes[0].dtype),
+                    ((out >> 8) & 0xFF).astype(planes[0].dtype),
+                    (out & 0xFF).astype(planes[0].dtype))
+            if len(planes) > 3:
+                outp = outp + (planes[3],)
+            return carry, outp
+
+        return step, self._init_carry()
 
 
 def _sat_add_words(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -149,6 +197,51 @@ class EdgeTV(_EffectvBase):
         # them unwritten in the fresh output buffer)
         return out & M32
 
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _init_carry(self):
+        mw = self._info.width // 4
+        mh = self._info.height // 4
+        return np.zeros((mh, mw, 2), np.int32)
+
+    def _scan_step(self, xp, carry, w, aux):
+        info = self._info
+        mw, mh = info.width // 4, info.height // 4
+        p = w[4:4 * (mh - 1):4, 4:4 * (mw - 1):4]
+        ql = w[4:4 * (mh - 1):4, 3:4 * (mw - 1) - 1:4]
+        qu = w[3:4 * (mh - 1) - 1:4, 4:4 * (mw - 1):4]
+
+        def diffmap(p, q):
+            r = ((p & 0xFF0000) - (q & 0xFF0000)) >> 16
+            g = ((p & 0xFF00) - (q & 0xFF00)) >> 8
+            b = (p & 0xFF) - (q & 0xFF)
+            r = xp.minimum((r * r) >> 5, 127)
+            g = xp.minimum((g * g) >> 5, 127)
+            b = xp.minimum((b * b) >> 4, 255)
+            return (r << 17) | (g << 9) | b
+
+        v2 = diffmap(p, ql)
+        v3 = diffmap(p, qu)
+        newmap = carry.at[1:mh - 1, 1:mw - 1, 0].set(v2)
+        newmap = newmap.at[1:mh - 1, 1:mw - 1, 1].set(v3)
+        v0 = newmap[0:mh - 2, 1:mw - 1, 0]
+        v1 = newmap[1:mh - 1, 0:mw - 2, 1]
+
+        def pad(a):
+            return xp.pad(a, ((1, 1), (1, 1)))
+
+        v0f, v1f, v2f, v3f = pad(v0), pad(v1), pad(v2), pad(v3)
+        z = xp.zeros_like(v3f)
+        blk = xp.stack([
+            _sat_add_words(v0f, v1f), _sat_add_words(v0f, v3f), v3f, v3f,
+            _sat_add_words(v2f, v1f), _sat_add_words(v2f, v3f), v3f, v3f,
+            z, z, z, z, z, z, z, z], axis=-1).reshape(mh, mw, 4, 4)
+        out = blk.transpose(0, 2, 1, 3).reshape(mh * 4, mw * 4)
+        H, W = w.shape
+        out = xp.pad(out, ((0, H - mh * 4), (0, W - mw * 4)))
+        return newmap, out & 0xFFFFFF
+
 
 @register_element
 class StreakTV(_EffectvBase):
@@ -178,6 +271,40 @@ class StreakTV(_EffectvBase):
             dest = sum(self._planes[cf + stride * k] for k in range(8))
         self._plane = (self._plane + 1) & 31
         return dest & M32
+
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _init_carry(self):
+        shape = (32, self._info.height, self._info.width)
+        return (np.zeros(shape, np.int32), np.int32(0))
+
+    def _scan_step(self, xp, carry, w, aux):
+        import jax
+
+        planes, plane = carry
+        fb = self.props["feedback"]
+        mask, stride, shift = ((0xFCFCFCFC & 0xFFFFFF, 8, 2) if fb
+                               else (0xF8F8F8F8 & 0xFFFFFF, 4, 3))
+        cur = ((w & mask) >> shift)[None]
+        planes = jax.lax.dynamic_update_slice_in_dim(planes, cur, plane, 0)
+        cf = plane & (stride - 1)
+
+        def take(i):
+            return jax.lax.dynamic_index_in_dim(planes, i, 0,
+                                                keepdims=False)
+
+        if fb:
+            dest = (take(cf) + take(cf + stride) + take(cf + stride * 2)
+                    + take(cf + stride * 3))
+            planes = jax.lax.dynamic_update_slice_in_dim(
+                planes, (((dest & mask) >> shift))[None], plane, 0)
+        else:
+            dest = take(cf)
+            for k in range(1, 8):
+                dest = dest + take(cf + stride * k)
+        plane = (plane + 1) & 31
+        return (planes, plane), dest & 0xFFFFFF
 
 
 @register_element
@@ -220,7 +347,7 @@ class ShagadelicTV(_EffectvBase):
         def chan(tab, off, mult):
             # ((gint8)(table + phase*mult)) >> 7 — arithmetic shift of the
             # byte reinterpreted signed: 0 or -1 (0xFF..)
-            t = (tab + self._phase * mult) & 0xFF
+            t = (tab.astype(np.int64) + self._phase * mult) & 0xFF
             return np.where(t >= 128, 0xFF, 0)
 
         r = chan(rip[self._ry:self._ry + hgt, self._rx:self._rx + wdt],
@@ -239,6 +366,53 @@ class ShagadelicTV(_EffectvBase):
                 setattr(self, va, vel)
             setattr(self, a, pos + vel)
         return out & M32
+
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _init_carry(self):
+        return (np.int32(self._phase),
+                np.int32(self._rx), np.int32(self._ry),
+                np.int32(self._bx), np.int32(self._by),
+                np.int32(self._rvx), np.int32(self._rvy),
+                np.int32(self._bvx), np.int32(self._bvy))
+
+    def _scan_step(self, xp, carry, w, aux):
+        import jax
+
+        phase, rx, ry, bx, by, rvx, rvy, bvx, bvy = carry
+        wdt, hgt = self._info.width, self._info.height
+        v = w | 0x1010100
+        v = (v - 0x707060) & 0x1010100
+        v = v - (v >> 8)
+        rip = xp.asarray(self._ripple.astype(np.int32))
+        spiral = xp.asarray(self._spiral.astype(np.int32))
+
+        def chan(tab, mult):
+            t = (tab + phase * mult) & 0xFF
+            return xp.where(t >= 128, 0xFF, 0)
+
+        rtab = jax.lax.dynamic_slice(rip, (ry, rx), (hgt, wdt))
+        btab = jax.lax.dynamic_slice(rip, (by, bx), (hgt, wdt))
+        r = chan(rtab, 2)
+        g = chan(spiral, 3)
+        b = chan(btab, -1)
+        out = v & ((r << 16) | (g << 8) | b)
+
+        phase = phase - 8
+
+        def bounce(pos, vel, lim):
+            nxt = pos + vel
+            flip = (nxt < 0) | (nxt >= lim)
+            vel = xp.where(flip, -vel, vel)
+            return pos + vel, vel
+
+        rx, rvx = bounce(rx, rvx, wdt)
+        ry, rvy = bounce(ry, rvy, hgt)
+        bx, bvx = bounce(bx, bvx, wdt)
+        by, bvy = bounce(by, bvy, hgt)
+        return ((phase, rx, ry, bx, by, rvx, rvy, bvx, bvy),
+                out & 0xFFFFFF)
 
 
 @register_element
@@ -302,6 +476,42 @@ class VertigoTV(_EffectvBase):
         self._alt[:area] = out.reshape(-1)
         self._cur, self._alt = self._alt, self._cur
         return out
+
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+    HAS_AUX = True
+
+    def _init_carry(self):
+        area = self._info.width * self._info.height
+        return np.zeros(area + 1, np.int32)
+
+    def scan_aux(self, batch: int):
+        """Per-frame warp parameters: the phase recurrence runs on the
+        host in float64 (exactly like the C doubles) and ships the
+        int32 fixed-point parms into the scan."""
+        parms = np.empty((batch, 4), np.int64)
+        for k in range(batch):
+            self._set_parms()
+            parms[k] = (self._dx, self._dy, self._sx, self._sy)
+        return parms.astype(np.int32)
+
+    def _scan_step(self, xp, carry, w, aux):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        area = wdt * hgt
+        dx, dy, sx, sy = aux[0], aux[1], aux[2], aux[3]
+        xs = xp.arange(wdt, dtype=xp.int32)
+        ys = xp.arange(hgt, dtype=xp.int32)
+        ox = (sx - ys[:, None] * dy) + xs[None, :] * dx
+        oy = (sy + ys[:, None] * dx) + xs[None, :] * dy
+        i = (oy >> 16) * wdt + (ox >> 16)
+        i = xp.clip(i, 0, area)
+        v = carry[i] & 0xFCFCFF
+        v = v * 3 + (w & 0xFCFCFF)
+        out = (v >> 2) & 0xFFFFFF
+        new_cur = xp.concatenate(
+            [out.reshape(-1), xp.zeros(1, carry.dtype)]).astype(carry.dtype)
+        return new_cur, out
 
 
 @register_element
@@ -367,6 +577,59 @@ class QuarkTV(_EffectvBase):
             self._current = n - 1
         return out.reshape(info.height, info.width) & M32
 
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _init_carry(self):
+        n = int(self.props["planes"])
+        area = self._info.width * self._info.height
+        # per-pixel LCG affine ladder is static: state after k draws
+        ks = np.arange(1, area, dtype=np.uint64)
+        mul = np.ones(area - 1, np.uint64)
+        add = np.zeros(area - 1, np.uint64)
+        k = (area - 1) - ks + 1
+        for bit, (m_, a_) in enumerate(zip(self._muls, self._adds)):
+            sel = ((k >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+            add = np.where(sel, (np.uint64(a_) + np.uint64(m_) * add)
+                           & np.uint64(M32), add)
+            mul = np.where(sel, (mul * np.uint64(m_)) & np.uint64(M32), mul)
+        self._mul_px = mul.astype(np.uint32)
+        self._add_px = add.astype(np.uint32)
+        m_f, a_f = lcg_affine(area - 1)
+        self._adv = (np.uint32(m_f), np.uint32(a_f))
+        return (np.zeros((n, area), np.int32),       # plane ring
+                np.zeros(n, np.int32),                # filled flags
+                np.int32(n - 1),                      # current
+                np.uint32(0))                         # fastrand state
+
+    def _scan_step(self, xp, carry, w, aux):
+        import jax
+
+        table, filled, current, rstate = carry
+        info = self._info
+        area = info.width * info.height
+        n = int(self.props["planes"])
+        flat = w.reshape(-1)
+        table = jax.lax.dynamic_update_slice_in_dim(
+            table, flat[None].astype(table.dtype), current, 0)
+        filled = filled.at[current].set(1)
+        # uint32 arithmetic wraps mod 2^32 — exactly the C fastrand
+        states = (xp.asarray(self._mul_px) * rstate
+                  + xp.asarray(self._add_px))
+        sel = ((current.astype(xp.uint32) + (states >> 24))
+               % xp.uint32(n)).astype(xp.int32)
+        gathered = xp.take_along_axis(
+            table, xp.concatenate([xp.zeros(1, xp.int32), sel])[None],
+            axis=0)[0]
+        ok = xp.concatenate([xp.zeros(1, xp.int32),
+                             filled[sel]]).astype(bool)
+        out = xp.where(ok, gathered, flat)
+        m_f, a_f = self._adv
+        rstate = xp.uint32(m_f) * rstate + xp.uint32(a_f)
+        current = xp.where(current - 1 < 0, n - 1, current - 1)
+        return ((table, filled, current, rstate),
+                out.reshape(info.height, info.width) & 0xFFFFFF)
+
 
 @register_element
 class RevTV(_EffectvBase):
@@ -394,6 +657,30 @@ class RevTV(_EffectvBase):
             out[yval[ok], np.arange(wdt)[ok]] = 0xFFFFFFFF
         return out
 
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _scan_step(self, xp, carry, w, aux):
+        info = self._info
+        wdt, hgt = info.width, info.height
+        linespace = int(self.props["linespace"])
+        vscale = int(self.props["gain"])
+        rows = np.arange(0, hgt, linespace)
+        row = w[rows]                               # (nr, W)
+        R = (row & 0xFF0000) >> 15
+        G = (row & 0xFF00) >> 6
+        B = row & 0xFF
+        yval = rows[:, None] - (R + G + B) // vscale
+        ok = yval > 0
+        # all writes store the same value -> scatter-max is
+        # order-independent and equals the sequential C writes
+        ys = xp.where(ok, yval, 0).reshape(-1)
+        xs = xp.asarray(np.tile(np.arange(wdt), len(rows)))
+        val = xp.where(ok, 0xFFFFFF, 0).reshape(-1)
+        out = xp.zeros_like(w)
+        out = out.at[ys, xs].max(val)
+        return carry, out
+
 
 @register_element
 class DiceTV(_EffectvBase):
@@ -417,6 +704,7 @@ class DiceTV(_EffectvBase):
             s = (s * 1103515245 + 12345) & M32
             vals[i] = (s >> 24) & 0x03
         self._map = vals.reshape(self._mh, self._mw)
+        self.__dict__.pop("_gather_idx", None)
 
     def _frame(self, w):
         cs, mw, mh = self._cs, self._mw, self._mh
@@ -431,6 +719,28 @@ class DiceTV(_EffectvBase):
         out[:mh * cs, :mw * cs] = ob.transpose(0, 2, 1, 3).reshape(
             mh * cs, mw * cs)
         return out
+
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+
+    def _scan_step(self, xp, carry, w, aux):
+        # the dice map is static -> the whole transform is one fixed
+        # permutation: precompute source index grids once
+        cs, mw, mh = self._cs, self._mw, self._mh
+        if not hasattr(self, "_gather_idx"):
+            yy, xx = np.mgrid[0:mh * cs, 0:mw * cs]
+            by, bx = yy // cs, xx // cs
+            ly, lx = yy % cs, xx % cs
+            rot = self._map[by, bx]
+            sy = np.select([rot == 1, rot == 2, rot == 3],
+                           [cs - 1 - lx, cs - 1 - ly, lx], ly)
+            sx = np.select([rot == 1, rot == 2, rot == 3],
+                           [ly, cs - 1 - lx, cs - 1 - ly], lx)
+            self._gather_idx = (by * cs + sy, bx * cs + sx)
+        iy, ix = self._gather_idx
+        body = w[iy, ix]
+        out = w.at[:mh * cs, :mw * cs].set(body)
+        return carry, out
 
 
 @register_element
@@ -483,6 +793,44 @@ class WarpTV(_EffectvBase):
         out[:hgt - 1] = w[dy, dx]
         self._tval = (t + 1) & 511
         return out
+
+    DEVICE_SCAN = True
+    HOST_ELEMENT = False
+    HAS_AUX = True
+
+    def scan_aux(self, batch: int):
+        """Per-frame (xw, yw, cw): the tval counter and its sin() math
+        run on the host exactly like the C."""
+        parms = np.empty((batch, 3), np.int32)
+        for k in range(batch):
+            t = self._tval
+            xw = int(math.sin((t + 100) * math.pi / 128) * 30)
+            yw = int(math.sin(t * math.pi / 256) * -35)
+            cw = int(math.sin((t - 70) * math.pi / 64) * 50)
+            xw += int(math.sin((t - 10) * math.pi / 512) * 40)
+            yw += int(math.sin((t + 30) * math.pi / 512) * 40)
+            parms[k] = (xw, yw, cw)
+            self._tval = (t + 1) & 511
+        return parms
+
+    def _scan_step(self, xp, carry, w, aux):
+        wdt, hgt = self._info.width, self._info.height
+        xw, yw, cw = aux[0], aux[1], aux[2]
+        sin = xp.asarray(WarpTV._SIN.astype(np.int32))
+        c = xp.arange(512, dtype=xp.int32) * cw
+        i = (c >> 3) & 0x3FE
+        ct_y = (sin[i] * yw) >> 15
+        ct_x = (sin[i + 256] * xw) >> 15
+        ctable = xp.stack([ct_y, ct_x], axis=-1).reshape(-1)
+
+        d = xp.asarray(self._dist[:hgt - 1].astype(np.int32))
+        xs = xp.arange(wdt, dtype=xp.int32)[None, :]
+        ys = xp.arange(hgt - 1, dtype=xp.int32)[:, None]
+        dx = xp.clip(ctable[d + 1] + xs, 0, wdt - 2)
+        dy = xp.clip(ctable[d] + ys, 0, hgt - 2)
+        body = w[dy, dx]
+        out = xp.zeros_like(w).at[:hgt - 1].set(body)
+        return carry, out
 
 
 @register_element
