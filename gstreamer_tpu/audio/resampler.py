@@ -312,17 +312,21 @@ class AudioResampler:
         return self.n_taps // 2
 
     # -- application ------------------------------------------------------
-    def resample_ref(self, samples: np.ndarray, dtype: str) -> np.ndarray:
+    def resample_ref(self, samples: np.ndarray, dtype: str,
+                     samp_phase: int = 0,
+                     n_out: Optional[int] = None) -> np.ndarray:
         """Numpy gold: sequential phase loop, exact integer rounding.
         samples: (frames, channels) int32 (s16/s32 full-scale canonical is
         NOT used here — the element resamples in the stream format) or
         float.  Returns (out_frames, channels)."""
         taps = self.taps_for(dtype)
-        n_out = self.out_frames_for(len(samples))
+        if n_out is None:
+            n_out = self.out_frames_for(len(samples),
+                                        samp_phase=samp_phase)
         channels = samples.shape[1]
         out = np.zeros((n_out, channels),
                        np.int64 if dtype in ("s16", "s32") else samples.dtype)
-        idx, ph = 0, 0
+        idx, ph = samp_phase // self.out_red, samp_phase % self.out_red
         prec = PRECISION.get(dtype)
         lim = 1 << (15 if dtype == "s16" else 31)
         for j in range(n_out):
@@ -404,6 +408,52 @@ class AudioResampler:
                 acc = jnp.clip(acc, -lim, lim - 1)
                 return acc.astype(jnp.int16 if dtype == "s16" else jnp.int32)
             win = x[..., gather_j, :]
+            return jnp.einsum("...otc,ot->...oc", win,
+                              phase_taps.astype(x.dtype),
+                              precision=jax.lax.Precision.HIGHEST)
+
+        return fn
+
+    def resample_fn_phased(self, dtype: str, in_frames: int, n_out: int):
+        """Like resample_fn but with the STARTING PHASE as a traced
+        argument: fn(x, ph0) — the per-output gather indices and phase
+        taps derive from ph0 in-trace, so one compiled program serves
+        every chunk phase (the cross-chunk phase-continuity path,
+        gst_audio_resampler_resample samp_phase state,
+        audio-resampler.c:1750)."""
+        import jax
+        import jax.numpy as jnp
+
+        taps = self.taps_for(dtype)
+        up, down = self.out_red, self.in_red
+        n_taps = self.n_taps
+        prec = PRECISION.get(dtype)
+        lim = 1 << (15 if dtype == "s16" else 31) if prec else None
+        taps_j = jnp.asarray(taps)
+
+        def fn(x, ph0):
+            j = jnp.arange(n_out)
+            tot = ph0 + j * down
+            idxs = tot // up
+            phases = tot % up
+            gather = idxs[:, None] + jnp.arange(n_taps)[None, :]
+            phase_taps = taps_j[phases]              # (n_out, n_taps)
+            win = x[..., gather, :]                  # (..., n_out, taps, ch)
+            if prec:
+                if dtype == "s16":
+                    acc = jnp.einsum(
+                        "...otc,ot->...oc", win.astype(jnp.float64),
+                        phase_taps.astype(jnp.float64),
+                        precision=jax.lax.Precision.HIGHEST).astype(
+                            jnp.int64)
+                else:
+                    acc = jnp.einsum("...otc,ot->...oc",
+                                     win.astype(jnp.int64),
+                                     phase_taps.astype(jnp.int64))
+                acc = (acc + (1 << (prec - 1))) >> prec
+                acc = jnp.clip(acc, -lim, lim - 1)
+                return acc.astype(jnp.int16 if dtype == "s16"
+                                  else jnp.int32)
             return jnp.einsum("...otc,ot->...oc", win,
                               phase_taps.astype(x.dtype),
                               precision=jax.lax.Precision.HIGHEST)

@@ -322,6 +322,10 @@ class AudioResample(TransformElement):
         self._res: Optional[AudioResampler] = None
         self._hist: Optional[np.ndarray] = None
         self._fn_cache = {}
+        self._phase = 0
+        self._base_out_pts = None
+        self._next_in_pts = None
+        self._out_count = 0
 
     def transform_caps(self, direction, caps, filter=None):
         out = []
@@ -359,36 +363,71 @@ class AudioResample(TransformElement):
 
     def start(self):
         self._hist = None
+        self._phase = 0
+        self._base_out_pts = None
+        self._next_in_pts = None
+        self._out_count = 0
+
+    # input-timestamp drift beyond this resyncs the output timeline
+    # (gstaudioresample.c drift tracking around :1146)
+    DRIFT_TOLERANCE_NS = 40_000_000
 
     def host_process(self, buf: Buffer) -> Optional[Buffer]:
         if self._passthrough:
             return buf
+        import jax
         import jax.numpy as jnp
+
+        in_rate = self._iinfo.rate
+        out_rate = self._oinfo.rate
+        hist_len = 0 if self._hist is None else len(self._hist)
+
+        # -- timestamp drift tracking --------------------------------------
+        if buf.pts is not None:
+            expected = (None if self._next_in_pts is None
+                        else self._next_in_pts)
+            if (expected is None
+                    or abs(buf.pts - expected) > self.DRIFT_TOLERANCE_NS):
+                # discont: re-anchor the output timeline at this input,
+                # accounting for queued history samples
+                self._base_out_pts = (buf.pts
+                                      - hist_len * 1_000_000_000 // in_rate)
+                self._out_count = 0
+            n_in = np.asarray(buf.data).shape[0]
+            self._next_in_pts = (buf.pts
+                                 + n_in * 1_000_000_000 // in_rate)
 
         x = np.asarray(buf.data)
         if self._hist is not None:
             x = np.concatenate([self._hist, x], axis=0)
         res = self._res
-        # process the largest prefix yielding a whole number of output
-        # frames; keep the tap tail + remainder as history
-        n_out = res.out_frames_for(len(x))
+        up, down = res.out_red, res.in_red
+        ph0 = self._phase
+        # fixed output count per chunk length (worst-case start phase) so
+        # one compiled program serves every phase; the remainder stays in
+        # history and is emitted next chunk — sample-exact continuity
+        n_out = ((len(x) - res.n_taps) * up - (up - 1)) // down + 1 \
+            if len(x) >= res.n_taps else 0
         if n_out <= 0:
             self._hist = x
             return None
-        # samples consumed by the last output's window start
-        consumed = ((n_out) * res.in_red) // res.out_red
-        key = len(x)
+        key = (len(x), n_out)
         if key not in self._fn_cache:
-            import jax
             self._fn_cache[key] = jax.jit(
-                res.resample_fn(self._dtype, len(x), self._iinfo.channels))
-        out = self._fn_cache[key](jnp.asarray(x))
+                res.resample_fn_phased(self._dtype, len(x), n_out))
+        out = self._fn_cache[key](jnp.asarray(x), ph0)
+        total = ph0 + n_out * down
+        consumed = total // up
+        self._phase = total % up
         self._hist = x[consumed:]
-        out_rate = self._oinfo.rate
-        pts = buf.pts  # timestamps follow input minus resampler latency
-        return buf.with_(data=out,
-                         duration=(np.asarray(out).shape[0]
-                                   * 1_000_000_000 // out_rate))
+
+        pts = None
+        if self._base_out_pts is not None:
+            pts = (self._base_out_pts
+                   + self._out_count * 1_000_000_000 // out_rate)
+        self._out_count += n_out
+        return buf.with_(data=out, pts=pts,
+                         duration=n_out * 1_000_000_000 // out_rate)
 
 
 @register_element
