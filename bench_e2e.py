@@ -115,6 +115,28 @@ def main():
                 f"(ceiling {h2d_gbs * 1e9 / FRAME:.0f} fps at "
                 f"{h2d_gbs:.3f} GB/s)"}))
 
+    # full pipeline path with the ingest seam: filesrc (native prefetch
+    # loader) -> fused convert, donated staging + double-buffered H2D
+    from gstreamer_tpu.core.parse import parse_launch
+    from gstreamer_tpu.core.pipeline import State
+
+    p = parse_launch(
+        f"filesrc location={Y4M} ! videoconvert ! videoscale ! "
+        "video/x-raw,format=RGB,width=224,height=224 ! fakesink")
+    p.compile(batch=batch, donate_inputs=True, prefetch=True)
+    p.set_state(State.PLAYING)
+    n_ticks = 0
+    t0 = time.perf_counter()
+    while p.tick():
+        n_ticks += 1
+    dt = time.perf_counter() - t0
+    fps2 = n_ticks * batch / dt
+    print(json.dumps({
+        "metric": "e2e_pipeline_filesrc_donated_prefetch",
+        "value": round(fps2, 1), "unit": "frames/s",
+        "note": "parse_launch pipeline, donated device staging + "
+                "double-buffered ingest (gstbufferpool/queue analogs)"}))
+
 
 if __name__ == "__main__":
     main()

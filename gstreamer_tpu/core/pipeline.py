@@ -161,6 +161,9 @@ class Pipeline(Bin):
         self.compile_count = 0          # cache misses (observable in tests)
         self._position_ns = 0
         self._mesh = None
+        self._staged = None
+        self._prefetch = False
+        self._pending_reconf = False
 
     # -- graph helpers -----------------------------------------------------
     def _nodes(self) -> List[Element]:
@@ -301,7 +304,9 @@ class Pipeline(Bin):
         return tuple((e.name, p.name, str(p.caps))
                      for e in order for p in e.pads)
 
-    def compile(self, batch: Optional[int] = None, mesh=None) -> None:
+    def compile(self, batch: Optional[int] = None, mesh=None,
+                donate_inputs: bool = False,
+                prefetch: bool = False) -> None:
         """Negotiate and build the fused device program.
 
         mesh: optional jax.sharding.Mesh — the batch axis is sharded
@@ -309,7 +314,18 @@ class Pipeline(Bin):
         shard_map (each chip processes its batch shard; per-frame DSP
         has no cross-batch dependence, so this is exact data
         parallelism over ICI — SURVEY §2.8).  Batch must divide the dp
-        axis size."""
+        axis size.
+
+        donate_inputs: donate the source staging buffers to the fused
+        program (jit donate_argnums) — XLA reuses their HBM for
+        intermediates/outputs instead of allocating fresh, the
+        GstBufferPool recycling analog (gstbufferpool.c:125) for
+        streaming ingest where every tick brings new host data.
+
+        prefetch: double-buffered ingest — the NEXT tick's source
+        buffers are pulled and device_put immediately after dispatching
+        the current tick's program, so H2D transfer overlaps device
+        compute (the queue-decoupling analog, gstqueue.c:211)."""
         import jax
 
         hooks.load_env()
@@ -327,8 +343,11 @@ class Pipeline(Bin):
                     f"batch {batch} not divisible by dp axis {dp}")
         else:
             self._mesh = None
+        self._prefetch = prefetch
+        self._donate = donate_inputs
+        self._staged = None
 
-        key = (self._caps_signature(order), batch,
+        key = (self._caps_signature(order), batch, donate_inputs,
                None if mesh is None else
                (tuple(mesh.axis_names), tuple(mesh.devices.shape)))
         cached = self._program_cache.get(key)
@@ -414,8 +433,9 @@ class Pipeline(Bin):
                             values[sp] = v
                 return outputs, new_states
 
-            self._device_step = jax.jit(self._maybe_shard(device_step,
-                                                          mesh))
+            self._device_step = jax.jit(
+                self._maybe_shard(device_step, mesh),
+                donate_argnums=(0,) if donate_inputs else ())
         else:
             # host elements present: per-element execution — each pure
             # element's fn is jitted on its own (still device compute,
@@ -519,6 +539,25 @@ class Pipeline(Bin):
         self._distribute_sticky()
         self.bus.post(Message("caps-changed", self.name))
 
+    def _pull_sources(self, sources):
+        """Pull one batch from every source, device-staging the data.
+        Returns (inputs, metas) or None at EOS."""
+        inputs: Dict[str, Any] = {}
+        metas: Dict[str, Buffer] = {}
+        for s in sources:
+            buf = s.create(self._batch)
+            if buf is None:
+                return None
+            if self._mesh is not None:
+                buf = buf.with_(data=self._shard_inputs(buf.data))
+            elif getattr(self, "_prefetch", False):
+                import jax
+                buf = buf.with_(data=jax.tree_util.tree_map(
+                    jax.device_put, buf.data))
+            inputs[s.name] = buf.data
+            metas[s.name] = buf
+        return inputs, metas
+
     def tick(self) -> bool:
         """Run one batch through the graph.  False on EOS."""
         if self.state != State.PLAYING:
@@ -527,22 +566,21 @@ class Pipeline(Bin):
         if not sources:
             raise RuntimeError("pipeline has no sources")
         # mid-stream caps change? (CAPS event / RECONFIGURE mark)
-        if any(s.check_reconfigure() for s in sources):
+        if getattr(self, "_pending_reconf", False) or (
+                self._staged is None
+                and any(s.check_reconfigure() for s in sources)):
+            self._pending_reconf = False
             self._reconfigure()
             sources = [e for e in self._order
                        if isinstance(e, SourceElement)]
-        inputs: Dict[str, Any] = {}
-        metas: Dict[str, Buffer] = {}
-        eos = False
-        for s in sources:
-            buf = s.create(self._batch)
-            if buf is None:
-                eos = True
-                break
-            if self._mesh is not None:
-                buf = buf.with_(data=self._shard_inputs(buf.data))
-            inputs[s.name] = buf.data
-            metas[s.name] = buf
+        if self._staged is not None:
+            pulled = self._staged
+            self._staged = None
+        else:
+            pulled = self._pull_sources(sources)
+        eos = pulled is None
+        if not eos:
+            inputs, metas = pulled
         if eos:
             from .events import eos_event
             for s in sources:
@@ -582,6 +620,13 @@ class Pipeline(Bin):
             except Exception as e:
                 self.bus.post(Message("error", self.name, {"error": str(e)}))
                 raise
+            # double-buffered ingest: stage the NEXT tick's inputs now so
+            # the H2D transfer overlaps the device execution just queued
+            if self._prefetch:
+                if any(s.check_reconfigure() for s in sources):
+                    self._pending_reconf = True
+                else:
+                    self._staged = self._pull_sources(sources)
 
         # buffer propagation (metadata always host-side; data host-side
         # only in the non-fused per-element path)
@@ -754,6 +799,16 @@ class Pipeline(Bin):
                 if isinstance(e, SourceElement):
                     return e.query(q)
             return False
+        if q.type == QueryType.ALLOCATION:
+            # the buffer-pool analog (gstbufferpool.c:125): staging is
+            # device arrays; donation recycles their HBM into outputs
+            q.result.update({
+                "device-staging": True,
+                "donate-inputs": getattr(self, "_donate", False),
+                "prefetch": self._prefetch,
+                "batch": self._batch,
+            })
+            return True
         # fall back to sink-side upstream walk
         for e in self._order:
             if isinstance(e, SinkElement) and e.query(q):
