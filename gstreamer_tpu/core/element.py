@@ -90,6 +90,12 @@ class Pad:
         if peer is None:
             return False
         if self.direction == PadDirection.SRC:
+            # the receiving pad's probes see the event before the element
+            # (gstpad.c do_probe_callbacks on the peer)
+            for probe in list(peer.event_probes):
+                event = probe(peer, event)
+                if event is None:
+                    return True
             if event.is_sticky:
                 peer.sticky[event.type] = event
             return peer.element.sink_event(peer, event)

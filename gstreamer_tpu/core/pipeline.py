@@ -651,6 +651,7 @@ class Pipeline(Bin):
                 ret = e.render(buf)
                 if hooks.active:
                     hooks.fire("buffer-post", e, buf)
+                    hooks.fire("flow-return", e, ret)
                 if buf.pts is not None:
                     end = buf.pts + (buf.duration or 0) * max(
                         getattr(buf, "batch", 1), 1)

@@ -33,14 +33,78 @@ class Violation:
         return f"<{self.kind} on {self.element}: {self.detail}>"
 
 
+class PadMonitor:
+    """Per-pad protocol monitor (gst-validate-pad-monitor.c): installs an
+    event probe on a SINK pad and checks the event protocol —
+    STREAM_START before CAPS before SEGMENT before data, fixed caps in
+    CAPS events, sane SEGMENT/GAP payloads, EOS at most once."""
+
+    ORDER = {"stream-start": 0, "caps": 1, "segment": 2}
+
+    def __init__(self, pad, violations: List[Violation]):
+        self.pad = pad
+        self.violations = violations
+        self._seen: List[str] = []
+        self._eos = 0
+        pad.event_probes.append(self._probe)
+
+    def _v(self, kind, detail):
+        self.violations.append(Violation(
+            kind, f"{self.pad.element.name}.{self.pad.name}", detail))
+
+    def _probe(self, pad, ev):
+        from ..core.events import EventType
+
+        t = ev.type
+        if t in self.ORDER:
+            for prev in self._seen:
+                if prev in self.ORDER and self.ORDER[prev] > self.ORDER[t]:
+                    self._v("event-order",
+                            f"{t} after {prev}")
+            self._seen.append(t)
+        if t == EventType.CAPS:
+            caps = ev.data.get("caps")
+            if caps is None or not caps.is_fixed():
+                self._v("caps-event-not-fixed", str(caps))
+        if t == EventType.SEGMENT:
+            seg = ev.data.get("segment")
+            if seg is not None and getattr(seg, "rate", 1.0) == 0:
+                self._v("segment-zero-rate", "")
+        if t == EventType.GAP:
+            if ev.data.get("duration", 0) < 0:
+                self._v("gap-negative-duration",
+                        str(ev.data.get("duration")))
+        if t == EventType.EOS:
+            self._eos += 1
+            if self._eos > 1:
+                self._v("eos-twice", "")
+        return ev
+
+    def check_buffer_allowed(self):
+        """Data may only flow after STREAM_START+CAPS+SEGMENT
+        (gst-validate-pad-monitor buffer-before-segment checks)."""
+        missing = [t for t in ("stream-start", "caps", "segment")
+                   if t not in self._seen]
+        if missing:
+            self._v("buffer-before-events", ",".join(missing))
+
+
 class PipelineMonitor(Tracer):
     name = "validate"
+
+    VALID_FLOW = {"ok", "eos", "flushing", "not-linked", "not-negotiated",
+                  "error"}
 
     def __init__(self, pipeline):
         self.pipeline = pipeline
         self.violations: List[Violation] = []
         self._last_pts: Dict[str, int] = {}
         self._eos_count = 0
+        self.pad_monitors: Dict[Any, PadMonitor] = {}
+        for e in pipeline.iterate_elements():
+            for p in e.pads:
+                if p.direction == "sink" and p.peer is not None:
+                    self.pad_monitors[p] = PadMonitor(p, self.violations)
         hooks.install(self)
         pipeline.bus.add_watch(self._on_message)
 
@@ -49,11 +113,29 @@ class PipelineMonitor(Tracer):
         return {
             "pipeline-negotiated": self._on_negotiated,
             "buffer-post": self._on_buffer,
+            "buffer-pre": self._on_buffer_pre,
+            "flow-return": self._on_flow,
         }
+
+    def _on_buffer_pre(self, element, buf):
+        # data reaching a sink pad before its sticky protocol events
+        for p in element.sink_pads():
+            pm = self.pad_monitors.get(p)
+            if pm is not None:
+                pm.check_buffer_allowed()
+
+    def _on_flow(self, element, ret):
+        if ret not in self.VALID_FLOW:
+            self.violations.append(Violation(
+                "invalid-flow-return", element.name, repr(ret)))
 
     def _on_negotiated(self, pipeline):
         if pipeline is not self.pipeline:
             return
+        # (re)negotiation replays the sticky set — reset per-pad event
+        # order tracking (the reference re-arms monitors on caps changes)
+        for pm in self.pad_monitors.values():
+            pm._seen.clear()
         for e in pipeline.iterate_elements():
             for p in e.pads:
                 if p.peer is not None and (p.caps is None
@@ -119,6 +201,36 @@ class Scenario:
             p.set_state("null")
             return "stop"
         return _stop
+
+    @staticmethod
+    def set_property(element_name: str, prop: str, value):
+        """gst-validate set-property action."""
+        def _set(p):
+            e = p.get_by_name(element_name)
+            if e is None:
+                raise ValueError(f"no element {element_name!r}")
+            e.set_property(prop, value)
+        return _set
+
+    @staticmethod
+    def eos_injection():
+        """gst-validate eos action: end every source's stream."""
+        def _eos(p):
+            from ..core.element import SourceElement
+            for e in p.iterate_elements():
+                if isinstance(e, SourceElement):
+                    if hasattr(e, "end_of_stream"):
+                        e.end_of_stream()
+                    elif "num-buffers" in e.props:
+                        e.props["num-buffers"] = 0
+        return _eos
+
+    @staticmethod
+    def set_caps(source_name: str, caps: str):
+        """Mid-stream caps switch on an appsrc (renegotiation action)."""
+        def _set(p):
+            p.get_by_name(source_name).set_caps(caps)
+        return _set
 
     def run(self, pipeline) -> None:
         pending = sorted(self.actions, key=lambda a: a[0])
