@@ -20,3 +20,4 @@ from . import smpte             # noqa: F401
 from . import rawparse          # noqa: F401
 from . import effectv           # noqa: F401
 from . import interlace         # noqa: F401
+from ..net import transport     # noqa: F401  (tcp/udp elements)

@@ -1,59 +1,279 @@
 """Typefinding — content sniffing.
 
 Reference: subprojects/gst-plugins-base/gst/typefind/
-gsttypefindfunctions.c (7363 LoC, ~100 formats).  This covers the
-formats the framework can ingest plus common signatures reported for
-diagnostics.
+gsttypefindfunctions.c (7363 LoC, ~100 formats).  Table-driven magic
+signatures plus the heuristic detectors that need real logic (MPEG
+TS/PS sync scans, MP3 framesync, AC3/DTS sync words, H.264/H.265
+byte-streams, QuickTime brand mapping, EBML doctype, text).
+
+Probabilities mirror GST_TYPE_FIND_* (gsttypefind.h).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+import struct
+from typing import Callable, List, Optional, Tuple
 
-# (caps-ish media type, probability)
 CERTAIN = 100
+ALMOST_CERTAIN = 95
+VERY_LIKELY = 90
 LIKELY = 80
 POSSIBLE = 50
+MINIMUM = 1
+
+
+def _magic(offset: int, sig: bytes, media: str, prob: int = CERTAIN):
+    def find(head: bytes):
+        if head[offset:offset + len(sig)] == sig:
+            return media, prob
+        return None
+    return find
+
+
+def _riff(fourcc: bytes, media: str):
+    def find(head: bytes):
+        if head[:4] == b"RIFF" and head[8:12] == fourcc:
+            return media, CERTAIN
+        return None
+    return find
+
+
+def _ebml(head: bytes):
+    """Matroska/WebM: EBML header, doctype string distinguishes."""
+    if not head.startswith(b"\x1a\x45\xdf\xa3"):
+        return None
+    window = head[:256]
+    if b"webm" in window:
+        return "video/webm", CERTAIN
+    return "video/x-matroska", CERTAIN
+
+
+def _qt(head: bytes):
+    """ISO BMFF: ftyp brand decides the concrete caps
+    (gsttypefindfunctions.c qt_type_find brand table)."""
+    if len(head) < 12 or head[4:8] != b"ftyp":
+        return None
+    brand = head[8:12]
+    if brand in (b"isom", b"iso2", b"mp41", b"mp42", b"mp4v", b"avc1",
+                 b"dash", b"cmfc", b"av01"):
+        return "video/quicktime, variant=(string)iso", CERTAIN
+    if brand == b"M4A ":
+        return "audio/x-m4a", CERTAIN
+    if brand == b"M4V ":
+        return "video/x-m4v", CERTAIN
+    if brand == b"3gp4" or brand[:3] == b"3gp":
+        return "video/quicktime, variant=(string)3gpp", CERTAIN
+    if brand == b"qt  ":
+        return "video/quicktime", CERTAIN
+    if brand == b"heic" or brand == b"mif1":
+        return "image/heif", CERTAIN
+    if brand == b"avif":
+        return "image/avif", CERTAIN
+    return "video/quicktime", LIKELY
+
+
+def _mpeg_ts(head: bytes):
+    """MPEG-TS: 0x47 sync byte every 188 (or 192/204/208) bytes."""
+    for pkt in (188, 192, 204, 208):
+        off = 4 if pkt == 192 else 0
+        n = min(5, (len(head) - off) // pkt)
+        if n >= 3 and all(head[off + i * pkt] == 0x47 for i in range(n)):
+            return (f"video/mpegts, systemstream=(boolean)true, "
+                    f"packetsize=(int){pkt}", VERY_LIKELY)
+    return None
+
+
+def _mpeg_ps(head: bytes):
+    if head.startswith(b"\x00\x00\x01\xba"):
+        return "video/mpeg, systemstream=(boolean)true", ALMOST_CERTAIN
+    return None
+
+
+def _mpeg_video(head: bytes):
+    if head.startswith(b"\x00\x00\x01\xb3"):
+        return ("video/mpeg, systemstream=(boolean)false, "
+                "mpegversion=(int)1"), ALMOST_CERTAIN
+    return None
+
+
+def _h26x(head: bytes):
+    """H.264/H.265 byte-stream: start code + NAL type."""
+    for sc in (b"\x00\x00\x00\x01", b"\x00\x00\x01"):
+        if head.startswith(sc) and len(head) > len(sc):
+            b0 = head[len(sc)]
+            if b0 >> 7:
+                return None                      # forbidden_zero_bit
+            h265_nal = (b0 >> 1) & 0x3F
+            if h265_nal in (32, 33, 34):         # VPS/SPS/PPS
+                return ("video/x-h265, stream-format=(string)"
+                        "byte-stream"), LIKELY
+            h264_nal = b0 & 0x1F
+            if h264_nal in (7, 8, 5, 1, 9):      # SPS/PPS/IDR/slice/AUD
+                return ("video/x-h264, stream-format=(string)"
+                        "byte-stream"), LIKELY
+    return None
+
+
+def _mp3(head: bytes):
+    if head.startswith(b"ID3"):
+        return "audio/mpeg, mpegversion=(int)1, layer=(int)3", CERTAIN
+    if len(head) >= 4 and head[0] == 0xFF and (head[1] & 0xE6) >= 0xE2:
+        layer = 4 - ((head[1] >> 1) & 0x3)
+        if layer in (1, 2, 3):
+            return (f"audio/mpeg, mpegversion=(int)1, layer=(int){layer}",
+                    POSSIBLE)
+    return None
+
+
+def _ac3(head: bytes):
+    if head[:2] == b"\x0b\x77":
+        return "audio/x-ac3", POSSIBLE
+    return None
+
+
+def _dts(head: bytes):
+    if head[:4] in (b"\x7f\xfe\x80\x01", b"\xfe\x7f\x01\x80"):
+        return "audio/x-dts", VERY_LIKELY
+    return None
+
+
+def _aac_adts(head: bytes):
+    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xF6) == 0xF0:
+        return "audio/mpeg, mpegversion=(int)4, framed=(boolean)false", \
+            POSSIBLE
+    return None
+
+
+def _wav_family(head: bytes):
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "audio/x-wav", CERTAIN
+    if head[:4] == b"RF64" and head[8:12] == b"WAVE":
+        return "audio/x-rf64", CERTAIN
+    return None
+
+
+def _text(head: bytes):
+    """UTF-8 plain text (utf8_type_find's spirit, simplified)."""
+    if not head:
+        return None
+    sample = head[:256]
+    try:
+        sample.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    printable = sum(1 for b in sample
+                    if 32 <= b < 127 or b in (9, 10, 13))
+    if printable / len(sample) > 0.95:
+        if sample.lstrip()[:5] == b"<?xml":
+            return "application/xml", LIKELY
+        if sample.startswith(b"#EXTM3U"):
+            return "application/x-hls", LIKELY
+        if sample.lstrip()[:1] in (b"{", b"["):
+            return "application/json", POSSIBLE
+        return "text/plain", POSSIBLE
+    return None
+
+
+_FINDERS: List[Callable] = [
+    # raw/ingest formats first
+    _magic(0, b"YUV4MPEG2 ", "application/x-yuv4mpeg"),
+    _wav_family,
+    _riff(b"AVI ", "video/x-msvideo"),
+    _riff(b"WEBP", "image/webp"),
+    _ebml,
+    _qt,
+    _magic(0, b"FLV", "video/x-flv"),
+    _magic(0, b"OggS", "application/ogg"),
+    _magic(0, b"fLaC", "audio/x-flac"),
+    _magic(0, b"MAC ", "audio/x-ape"),
+    _magic(0, b"wvpk", "audio/x-wavpack"),
+    _magic(0, b"MThd", "audio/midi"),
+    _magic(0, b"FORM", "application/x-aiff", LIKELY),
+    _magic(0, b".snd", "audio/x-au"),
+    _magic(0, b"MPCK", "audio/x-musepack"),
+    _magic(0, b"ADIF", "audio/mpeg, mpegversion=(int)4", LIKELY),
+    _magic(0, b"#!AMR\n", "audio/amr"),
+    _magic(0, b"#!AMR-WB\n", "audio/amr-wb"),
+    _magic(0, b"TTA1", "audio/x-tta"),
+    _magic(0, b"DSD ", "audio/x-dsf"),
+    # images
+    _magic(0, b"\x89PNG\r\n\x1a\n", "image/png"),
+    _magic(0, b"\xff\xd8\xff", "image/jpeg"),
+    _magic(0, b"GIF87a", "image/gif"),
+    _magic(0, b"GIF89a", "image/gif"),
+    _magic(0, b"BM", "image/bmp", LIKELY),
+    _magic(0, b"II*\x00", "image/tiff"),
+    _magic(0, b"MM\x00*", "image/tiff"),
+    _magic(0, b"\x00\x00\x01\x00", "image/x-icon", LIKELY),
+    _magic(0, b"8BPS", "image/x-psd"),
+    _magic(0, b"gimp xcf", "image/x-xcf"),
+    _magic(0, b"qoif", "image/qoi"),
+    _magic(128, b"DICM", "application/dicom"),
+    # video elementary / container
+    _mpeg_ps,
+    _mpeg_ts,
+    _mpeg_video,
+    _h26x,
+    _magic(0, b"DKIF", "video/x-ivf"),
+    _magic(0, b"\x06\x0e\x2b\x34", "application/mxf"),
+    _magic(0, b"RMF", "application/vnd.rn-realmedia", LIKELY),
+    _magic(0, b".RMF", "application/vnd.rn-realmedia"),
+    _magic(0, b"\x30\x26\xb2\x75\x8e\x66\xcf\x11", "video/x-ms-asf"),
+    _magic(0, b"BIK", "video/x-bink", LIKELY),
+    _magic(0, b"SMK2", "video/x-smoke", LIKELY),
+    _magic(0, b"FILM", "video/x-film-cpk", LIKELY),
+    _magic(0, b"4XMV", "video/x-4xm"),
+    # audio elementary
+    _mp3,
+    _ac3,
+    _dts,
+    _aac_adts,
+    _magic(0, b"MP+", "audio/x-musepack", LIKELY),
+    # subtitles / playlists / misc
+    _magic(0, b"WEBVTT", "application/x-subtitle-vtt"),
+    _magic(0, b"[Script Info]", "application/x-ssa", LIKELY),
+    _magic(0, b"%PDF-", "application/pdf"),
+    _magic(0, b"PK\x03\x04", "application/zip", LIKELY),
+    _magic(0, b"\x1f\x8b", "application/x-gzip"),
+    _magic(0, b"BZh", "application/x-bzip"),
+    _magic(0, b"\xfd7zXZ\x00", "application/x-xz"),
+    _magic(0, b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    _magic(0, b"\x28\xb5\x2f\xfd", "application/zstd"),
+    _magic(0, b"ustar", "application/x-tar", LIKELY),
+    _magic(257, b"ustar", "application/x-tar"),
+    _magic(0, b"\x7fELF", "application/x-executable", LIKELY),
+    _magic(0, b"CWS", "application/x-shockwave-flash"),
+    _magic(0, b"FWS", "application/x-shockwave-flash"),
+    _magic(0, b"d8:announce", "application/x-bittorrent", LIKELY),
+    _magic(0, b"\x00\x01\x00\x00\x00", "application/x-font-ttf", LIKELY),
+    _magic(0, b"OTTO", "application/x-font-otf"),
+    _magic(0, b"wOFF", "application/font-woff"),
+    _magic(0, b"wOF2", "application/font-woff2"),
+    # text family LAST (weak heuristic)
+    _text,
+]
 
 
 def type_find_data(head: bytes) -> Tuple[str, int]:
-    """Sniff a buffer's media type (gst_type_find_helper semantics)."""
-    if head.startswith(b"YUV4MPEG2 "):
-        return "application/x-yuv4mpeg", CERTAIN
-    if head.startswith(b"RIFF") and head[8:12] == b"WAVE":
-        return "audio/x-wav", CERTAIN
-    if head.startswith(b"RIFF") and head[8:12] == b"AVI ":
-        return "video/x-msvideo", CERTAIN
-    if head.startswith(b"\x89PNG\r\n\x1a\n"):
-        return "image/png", CERTAIN
-    if head.startswith(b"\xff\xd8\xff"):
-        return "image/jpeg", CERTAIN
-    if head.startswith(b"GIF8"):
-        return "image/gif", CERTAIN
-    if head.startswith(b"BM"):
-        return "image/bmp", LIKELY
-    if head.startswith(b"OggS"):
-        return "application/ogg", CERTAIN
-    if head.startswith(b"fLaC"):
-        return "audio/x-flac", CERTAIN
-    if head.startswith(b"ID3") or (len(head) > 1 and head[0] == 0xFF
-                                   and (head[1] & 0xE0) == 0xE0):
-        return "audio/mpeg", LIKELY
-    if len(head) >= 12 and head[4:8] == b"ftyp":
-        return "video/quicktime", CERTAIN
-    if head.startswith(b"\x1a\x45\xdf\xa3"):
-        return "video/x-matroska", CERTAIN
-    if head.startswith(b"FLV"):
-        return "video/x-flv", CERTAIN
-    if head.startswith(b"#EXTM3U"):
-        return "application/x-hls", LIKELY
-    return "application/octet-stream", POSSIBLE
+    """Sniff a buffer's media type (gst_type_find_helper semantics):
+    every finder runs, the highest-probability result wins."""
+    best: Tuple[str, int] = ("application/octet-stream", MINIMUM)
+    for find in _FINDERS:
+        try:
+            r = find(head)
+        except (IndexError, struct.error):
+            r = None
+        if r is not None and r[1] > best[1]:
+            best = r
+            if best[1] >= CERTAIN:
+                break
+    return best
 
 
 def type_find_file(path: str) -> Tuple[str, int]:
     with open(path, "rb") as f:
-        return type_find_data(f.read(64))
+        return type_find_data(f.read(512))
 
 
 # media types the framework can decode to raw today
