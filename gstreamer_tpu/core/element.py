@@ -104,20 +104,50 @@ class Pad:
     def get_sticky(self, event_type: str):
         return self.sticky.get(event_type)
 
+    def resolve(self) -> "Pad":
+        """Ghost-pad chain resolution (proxy semantics)."""
+        return self
+
     def link(self, sinkpad: "Pad") -> None:
         if self.direction != PadDirection.SRC or sinkpad.direction != PadDirection.SINK:
             raise ValueError("link must go src -> sink")
-        if self.peer is not None or sinkpad.peer is not None:
+        # ghost pads forward to their targets (proxy collapse)
+        src = self.resolve()
+        sink = sinkpad.resolve()
+        if src.peer is not None or sink.peer is not None:
             raise ValueError(f"pad already linked: {self} / {sinkpad}")
-        if not self.template_caps.can_intersect(sinkpad.template_caps):
+        if not src.template_caps.can_intersect(sink.template_caps):
             raise ValueError(
                 f"cannot link {self.element.name}.{self.name} ! "
                 f"{sinkpad.element.name}.{sinkpad.name}: caps do not intersect")
-        self.peer = sinkpad
-        sinkpad.peer = self
+        src.peer = sink
+        sink.peer = src
 
     def __repr__(self):
         return f"<Pad {self.element.name}.{self.name}>"
+
+
+class GhostPad(Pad):
+    """Bin-boundary proxy pad (gstghostpad.c): a pad on a Bin that
+    forwards to an internal element's pad.  Linking THROUGH a ghost pad
+    connects the real endpoints (the reference's proxy-pad pair
+    collapses to direct forwarding in the flat graph)."""
+
+    def __init__(self, name: str, target: Pad, owner=None):
+        self.target = target          # before super() touches self.caps
+        super().__init__(name, target.direction, owner or target.element,
+                         target.template)
+
+    def resolve(self) -> Pad:
+        return self.target.resolve()
+
+    @property
+    def caps(self):
+        return self.target.caps
+
+    @caps.setter
+    def caps(self, value):
+        self.target.caps = value
 
 
 class Element:

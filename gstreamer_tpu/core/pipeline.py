@@ -121,6 +121,14 @@ class Bin(Element):
                 out.append(e)
         return out
 
+    def add_ghost_pad(self, name: str, target) -> "Pad":
+        """Expose an internal element's pad on the bin boundary
+        (gst_ghost_pad_new + gst_element_add_pad)."""
+        from .element import GhostPad
+        gp = GhostPad(name, target, owner=self)
+        self.pads.append(gp)
+        return gp
+
 
 def link(src: Element, sink: Element,
          srcpad: Optional[str] = None, sinkpad: Optional[str] = None) -> None:

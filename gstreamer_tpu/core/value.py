@@ -229,6 +229,92 @@ def intersect(v1: Any, v2: Any) -> Optional[Any]:
     return None
 
 
+def subtract(minuend: Any, subtrahend: Any) -> Optional[Any]:
+    """gst_value_subtract (gstvalue.c:92 registered subtract funcs):
+    values of `minuend` NOT in `subtrahend`; None when empty."""
+    # list minuend: subtract each member
+    if isinstance(minuend, ValueList):
+        out = []
+        for a in minuend.values:
+            r = subtract(a, subtrahend)
+            if r is not None:
+                out.extend(_values_of(r))
+        if not out:
+            return None
+        return out[0] if len(out) == 1 else ValueList(out)
+    # list subtrahend: subtract each member in turn
+    if isinstance(subtrahend, ValueList):
+        cur = minuend
+        for b in subtrahend.values:
+            cur = subtract(cur, b)
+            if cur is None:
+                return None
+        return cur
+
+    if isinstance(minuend, IntRange):
+        step = minuend.step
+        if isinstance(subtrahend, int):
+            if not minuend.contains(subtrahend):
+                return minuend
+            pieces = []
+            if subtrahend - step >= minuend.low:
+                pieces.append(IntRange(minuend.low, subtrahend - step,
+                                       step) if subtrahend - step
+                              > minuend.low else minuend.low)
+            if subtrahend + step <= minuend.high:
+                pieces.append(IntRange(subtrahend + step, minuend.high,
+                                       step) if subtrahend + step
+                              < minuend.high else minuend.high)
+            if not pieces:
+                return None
+            return pieces[0] if len(pieces) == 1 else ValueList(pieces)
+        if isinstance(subtrahend, IntRange) and subtrahend.step == step:
+            lo, hi = subtrahend.low, subtrahend.high
+            if hi < minuend.low or lo > minuend.high:
+                return minuend
+            pieces = []
+            if lo - step >= minuend.low:
+                pieces.append(IntRange(minuend.low, lo - step, step)
+                              if lo - step > minuend.low else minuend.low)
+            if hi + step <= minuend.high:
+                pieces.append(IntRange(hi + step, minuend.high, step)
+                              if hi + step < minuend.high
+                              else minuend.high)
+            if not pieces:
+                return None
+            return pieces[0] if len(pieces) == 1 else ValueList(pieces)
+        return minuend if not isinstance(subtrahend, IntRange) else None
+
+    if isinstance(minuend, (DoubleRange, FractionRange)):
+        # continuous ranges: removing a point leaves the range
+        # (gst_value_subtract_double_range semantics); removing an
+        # overlapping range is unrepresentable without open intervals —
+        # the reference returns the non-overlapped parts as closed
+        # ranges; we approximate with the closed remainder
+        if is_fixed(subtrahend):
+            return minuend
+        if type(subtrahend) is not type(minuend):
+            return minuend
+        if (subtrahend.high < minuend.low
+                or subtrahend.low > minuend.high):
+            return minuend
+        pieces = []
+        if minuend.low < subtrahend.low:
+            pieces.append(type(minuend)(minuend.low, subtrahend.low))
+        if subtrahend.high < minuend.high:
+            pieces.append(type(minuend)(subtrahend.high, minuend.high))
+        if not pieces:
+            return None
+        return pieces[0] if len(pieces) == 1 else ValueList(pieces)
+
+    # fixed minuend
+    if is_fixed(minuend):
+        if isinstance(subtrahend, (IntRange, DoubleRange, FractionRange)):
+            return None if subtrahend.contains(minuend) else minuend
+        return None if minuend == subtrahend else minuend
+    return None
+
+
 def can_intersect(v1: Any, v2: Any) -> bool:
     return intersect(v1, v2) is not None
 

@@ -161,6 +161,20 @@ class _ConvertScaleBase(TransformElement):
             return None
         return self._converter.trace_fn()
 
+    def process_meta(self, buf):
+        # geometry changed: run registered meta transforms (crop meta
+        # scales with the frame, strided video meta drops —
+        # gstvideometa.c transform functions)
+        if self._converter is None:
+            return buf
+        from ..core.meta import transform_metas
+        ii, oi = self._converter.in_info, self._converter.out_info
+        if buf.meta and (ii.width, ii.height) != (oi.width, oi.height):
+            return transform_metas(buf, "scale",
+                                   in_size=(ii.width, ii.height),
+                                   out_size=(oi.width, oi.height))
+        return buf
+
 
 @register_element
 class VideoConvert(_ConvertScaleBase):
