@@ -21,7 +21,7 @@ import hashlib
 
 import numpy as np
 
-TILE_R = 192
+TILE_R = 544
 
 
 _STORE = {}
@@ -111,21 +111,24 @@ def _build(key):
         ce_re, ce_ro = rowph(ce_x, bot_e)
         co_re, co_ro = rowph(co_x, bot_o)
 
-        def hpass(e, o):
-            a = jax.lax.dot_general(
-                e.astype(jnp.float32).astype(jnp.bfloat16), me_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            b = jax.lax.dot_general(
-                o.astype(jnp.float32).astype(jnp.bfloat16), mo_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = (a[:, :ow_pad] + a[:, ow_pad:]
-                   + b[:, :ow_pad] + b[:, ow_pad:])
-            return jnp.clip((acc.astype(jnp.int32) + 4095) >> 12, 0, 255)
-
-        h_re = hpass(ce_re, co_re).astype(jnp.float32).astype(jnp.bfloat16)
-        h_ro = hpass(ce_ro, co_ro).astype(jnp.float32).astype(jnp.bfloat16)
+        # merged h-pass: both row phases stacked on M -> 2 dots of
+        # M=2*TILE_R instead of 4 of M=TILE_R (fewer dispatches, better
+        # MXU utilization); bit-identical — the parity split sums before
+        # the fixed-point rounding
+        tr = ce_re.shape[0]
+        ce_all = jnp.concatenate([ce_re, ce_ro], axis=0)
+        co_all = jnp.concatenate([co_re, co_ro], axis=0)
+        a = jax.lax.dot_general(
+            ce_all.astype(jnp.float32).astype(jnp.bfloat16), me_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        b = jax.lax.dot_general(
+            co_all.astype(jnp.float32).astype(jnp.bfloat16), mo_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = (a[:, :ow_pad] + a[:, ow_pad:]
+               + b[:, :ow_pad] + b[:, ow_pad:])
+        h = jnp.clip((acc.astype(jnp.int32) + 4095) >> 12, 0, 255)
+        h = h.astype(jnp.float32).astype(jnp.bfloat16)
+        h_re, h_ro = h[:tr], h[tr:]
 
         a2 = jax.lax.dot_general(
             tve_ref[...], h_re, (((0,), (0,)), ((), ())),

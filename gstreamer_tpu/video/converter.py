@@ -335,17 +335,27 @@ class VideoConverter:
         # up2-phases + split-tap h/v scale never leave VMEM — replaces the
         # XLA phase-split chroma path (4 materialized bf16 phase operands,
         # ~2/3 of the converter's HBM traffic).  Bit-identical.
-        ck_mode = self._chroma_kernel_mode(xp)
-        if (phase_split and ck_mode is not None
+        if (phase_split
                 and ifmt.h_sub[1] == 1 and plan["v_res"] is not None
                 and not plan["rect_active"]
                 and ii.width % 2 == 0 and ii.height % 2 == 0
                 and ifmt.layout == "planar" and not ifmt.has_alpha
                 and ifmt.bits == 8):
+            from ..ops import chroma420_gather as ckg
             from ..ops import chroma420_kernel as ck420
             cw = planes[1].shape[-1]
             chh = planes[1].shape[-2]
-            if ck420.applicable(plan["h_res"], plan["v_res"], cw, chh):
+            # 2-tap scalers: the static-gather formulation (pure XLA,
+            # any backend) — the fastest path measured on TPU
+            if (xp is not np
+                    and ckg.applicable(plan["h_res"], plan["v_res"],
+                                       cw, chh)):
+                return self._pipeline_chroma_kernel(xp, planes,
+                                                    use_gather=True)
+            ck_mode = self._chroma_kernel_mode(xp)
+            if (ck_mode is not None
+                    and ck420.applicable(plan["h_res"], plan["v_res"],
+                                         cw, chh)):
                 return self._pipeline_chroma_kernel(
                     xp, planes, interpret=(ck_mode == "interpret"))
         in_x, in_y, in_w, in_h = plan["rect"][:4]
@@ -619,15 +629,16 @@ class VideoConverter:
             return "tpu" if jax.default_backend() == "tpu" else None
         return None
 
-    def _pipeline_chroma_kernel(self, xp, planes, interpret: bool = False):
-        """4:2:0 fast path: chroma runs in the fused Pallas kernel
-        (phases + split-tap h/v scale in VMEM), luma scales straight from
-        the stored uint8 plane (no int16 staging copy).  Bit-identical to
+    def _pipeline_chroma_kernel(self, xp, planes, interpret: bool = False,
+                                use_gather: bool = False):
+        """4:2:0 fast path: chroma runs either in the 2-tap static-gather
+        formulation (ops/chroma420_gather.py, pure XLA) or in the fused
+        dense-tap Pallas kernel; luma scales straight from the stored
+        uint8 plane (no int16 staging copy).  Bit-identical to
         _pipeline_phase_split."""
         oi = self.out_info
         ofmt = oi.finfo
         plan = self._plan
-        from ..ops import chroma420_kernel as ck420
 
         h_res, v_res = plan["h_res"], plan["v_res"]
         y = scaler_mod.scale_axis_exact(
@@ -636,14 +647,24 @@ class VideoConverter:
         y = scaler_mod.scale_axis_exact(
             xp, y, -2, v_res, precision=scaler_mod.SCALE_U8, value_bits=8)
 
-        u = ck420.chroma420_scale(
-            planes[1], h_res, v_res, plan["up_h_cosited"],
-            plan["up_v_cosited"], self.in_info.width, self.in_info.height,
-            interpret=interpret)
-        v = ck420.chroma420_scale(
-            planes[2], h_res, v_res, plan["up_h_cosited"],
-            plan["up_v_cosited"], self.in_info.width, self.in_info.height,
-            interpret=interpret)
+        if use_gather:
+            from ..ops import chroma420_gather as ckg
+            u = ckg.chroma420_scale_2tap(
+                xp, planes[1], h_res, v_res, plan["up_h_cosited"],
+                plan["up_v_cosited"])
+            v = ckg.chroma420_scale_2tap(
+                xp, planes[2], h_res, v_res, plan["up_h_cosited"],
+                plan["up_v_cosited"])
+        else:
+            from ..ops import chroma420_kernel as ck420
+            u = ck420.chroma420_scale(
+                planes[1], h_res, v_res, plan["up_h_cosited"],
+                plan["up_v_cosited"], self.in_info.width,
+                self.in_info.height, interpret=interpret)
+            v = ck420.chroma420_scale(
+                planes[2], h_res, v_res, plan["up_h_cosited"],
+                plan["up_v_cosited"], self.in_info.width,
+                self.in_info.height, interpret=interpret)
         chans = (None, y, u, v)
 
         pm = plan["matrix"]
