@@ -98,6 +98,68 @@ class Queue2(Queue):
 
 
 @register_element
+class DownloadBuffer(TransformElement):
+    """downloadbuffer (gstdownloadbuffer.c): spools the upstream byte
+    stream to a temp file for seekable re-reads.  Host element: buffers
+    pass through unchanged while their bytes append to the spool; the
+    element exposes the spool path and byte-range reads."""
+    FACTORY = "downloadbuffer"
+    DESCRIPTION = "Download buffer (spools to a temp file)"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {
+        "temp-template": (str, "/tmp/gtpu-download-XXXXXX", ""),
+        "max-size-bytes": (int, 0, "0 = unlimited"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self.temp_location = None
+        self.downloaded_bytes = 0
+
+    def start(self):
+        import tempfile
+
+        tmpl = self.props["temp-template"]
+        prefix = tmpl.split("XXXXXX")[0]
+        fd, self.temp_location = tempfile.mkstemp(
+            prefix=prefix.rsplit("/", 1)[-1] or "gtpu-download-")
+        import os as _os
+        self._file = _os.fdopen(fd, "wb")
+        self.downloaded_bytes = 0
+
+    def stop(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def host_process(self, buf: Buffer):
+        import numpy as _np
+
+        data = buf.data
+        leaves = (data if isinstance(data, (tuple, list)) else (data,))
+        for leaf in leaves:
+            raw = _np.asarray(leaf).tobytes()
+            cap = self.props["max-size-bytes"]
+            if cap and self.downloaded_bytes + len(raw) > cap:
+                raw = raw[:max(0, cap - self.downloaded_bytes)]
+            self._file.write(raw)
+            self.downloaded_bytes += len(raw)
+        self._file.flush()
+        return buf
+
+    def read_range(self, offset: int, size: int) -> bytes:
+        """Seekable read from the spool (the element's purpose)."""
+        with open(self.temp_location, "rb") as f:
+            f.seek(offset)
+            return f.read(size)
+
+
+@register_element
 class Tee(TransformElement):
     """tee (gsttee.c): 1:N fan-out — value reuse inside the fused program."""
     FACTORY = "tee"

@@ -173,3 +173,146 @@ class NetClientClock:
 
     def close(self):
         self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# PTP (IEEE 1588) — gstptpclock.c equivalent
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+import threading as _threading
+
+
+class PtpProvider:
+    """Minimal two-step PTP master over UDP (the test/master side of the
+    IEEE1588 delay mechanism the reference's gstptpclock.c follows):
+    answers SYNC requests with (SYNC t1 origin) + FOLLOW_UP precise t1,
+    and DELAY_REQ with DELAY_RESP carrying t4."""
+
+    MSG_SYNC_REQ = 0       # slave asks for a sync round
+    MSG_SYNC = 1
+    MSG_FOLLOW_UP = 2
+    MSG_DELAY_REQ = 3
+    MSG_DELAY_RESP = 4
+
+    def __init__(self, clock: Optional[SystemClock] = None,
+                 address: str = "127.0.0.1", port: int = 0):
+        import socket
+
+        self.clock = clock or SystemClock()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((address, port))
+        self.port = self._sock.getsockname()[1]
+        self._sock.settimeout(0.1)
+        self._running = False
+        self._thread: Optional[_threading.Thread] = None
+
+    def start(self):
+        self._running = True
+        self._thread = _threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        import socket
+
+        while self._running:
+            try:
+                data, addr = self._sock.recvfrom(64)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if len(data) < 10:
+                continue
+            msg, seq = _struct.unpack("!BxQ", data[:10])
+            if msg == self.MSG_SYNC_REQ:
+                t1 = self.clock.get_time()
+                self._sock.sendto(
+                    _struct.pack("!BxQQ", self.MSG_SYNC, seq, t1), addr)
+                # two-step: precise origin timestamp in FOLLOW_UP
+                self._sock.sendto(
+                    _struct.pack("!BxQQ", self.MSG_FOLLOW_UP, seq, t1),
+                    addr)
+            elif msg == self.MSG_DELAY_REQ:
+                t4 = self.clock.get_time()
+                self._sock.sendto(
+                    _struct.pack("!BxQQ", self.MSG_DELAY_RESP, seq, t4),
+                    addr)
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(1.0)
+        self._sock.close()
+
+
+class PtpClock:
+    """PTP slave clock (gstptpclock.c): runs the delay mechanism —
+        offset = ((t2 - t1) - (t4 - t3)) / 2
+    and slaves the local monotonic clock through the same linear
+    regression as GstNetClientClock."""
+
+    def __init__(self, address: str, port: int, window: int = 32):
+        import socket
+        from collections import deque as _deque
+
+        self._addr = (address, port)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.settimeout(1.0)
+        self._seq = 0
+        self._obs = _deque(maxlen=window)
+        self._m, self._b = 1.0, 0.0
+        self._r2 = 0.0
+        self.synced = False
+
+    def _recv_msg(self, want_msg, want_seq):
+        while True:
+            data, _ = self._sock.recvfrom(64)
+            if len(data) >= 18:
+                msg, seq, t = _struct.unpack("!BxQQ", data[:18])
+                if msg == want_msg and seq == want_seq:
+                    return t
+
+    def observe(self) -> bool:
+        """One SYNC + DELAY_REQ round; records (local, master) sample."""
+        import socket
+
+        self._seq += 1
+        seq = self._seq
+        try:
+            self._sock.sendto(
+                _struct.pack("!BxQ", PtpProvider.MSG_SYNC_REQ, seq),
+                self._addr)
+            t2 = monotonic_ns()
+            self._recv_msg(PtpProvider.MSG_SYNC, seq)
+            t1 = self._recv_msg(PtpProvider.MSG_FOLLOW_UP, seq)
+            t3 = monotonic_ns()
+            self._sock.sendto(
+                _struct.pack("!BxQ", PtpProvider.MSG_DELAY_REQ, seq),
+                self._addr)
+            t4 = self._recv_msg(PtpProvider.MSG_DELAY_RESP, seq)
+        except (socket.timeout, OSError):
+            return False
+        # IEEE1588: offset from master = ((t2-t1) - (t4-t3)) / 2
+        offset = ((t2 - t1) - (t4 - t3)) // 2
+        local = (t2 + t3) // 2
+        self._obs.append((local, local - offset))
+        if len(self._obs) >= 4:
+            xs, ys = zip(*self._obs)
+            self._m, self._b, self._r2 = linear_regression(list(xs),
+                                                           list(ys))
+            self.synced = True
+        return True
+
+    def sync(self, n: int = 8) -> bool:
+        ok = 0
+        for _ in range(n):
+            if self.observe():
+                ok += 1
+        return self.synced and ok > 0
+
+    def get_time(self) -> int:
+        return int(self._m * monotonic_ns() + self._b)
+
+    def close(self):
+        self._sock.close()
