@@ -365,3 +365,77 @@ class AutoVideoSink(FakeSink):
 class AutoAudioSink(FakeSink):
     FACTORY = "autoaudiosink"
     DESCRIPTION = "Auto-plugged audio sink (offline: swallow + count)"
+
+
+@register_element
+class Watchdog(TransformElement):
+    """watchdog (gst-plugins-bad gst/debugutils/gstwatchdog.c): posts an
+    ERROR on the bus when no buffer passes for `timeout` ms — stall
+    detection for live pipelines."""
+    FACTORY = "watchdog"
+    DESCRIPTION = "Watches the pipeline for data flow stalls"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+    ]
+    PROPERTIES = {
+        "timeout": (int, 1000, "stall timeout (ms)"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._last = None
+        self._thread = None
+        self._running = False
+        self.triggered = False
+
+    def _bus(self):
+        p = self.parent
+        while p is not None and not hasattr(p, "bus"):
+            p = p.parent
+        return getattr(p, "bus", None)
+
+    def start(self):
+        # armed on the FIRST buffer (the reference arms on PLAYING; here
+        # the first tick includes jit compilation, which is not a stall)
+        self._running = False
+        self.triggered = False
+
+    def _arm(self):
+        import threading
+        import time as _time
+
+        self._last = _time.monotonic()
+        self._running = True
+        bus = self._bus()
+
+        def watch():
+            while self._running:
+                _time.sleep(self.props["timeout"] / 4000.0)
+                if not self._running:
+                    return
+                dt = _time.monotonic() - self._last
+                if dt * 1000.0 > self.props["timeout"]:
+                    self.triggered = True
+                    if bus is not None:
+                        from ..core.pipeline import Message
+                        bus.post(Message(
+                            "error", self.name,
+                            {"error": "Watchdog triggered", "domain":
+                             "stream", "ms-since-last": int(dt * 1000)}))
+                    return
+
+        self._thread = threading.Thread(target=watch, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(1.0)
+
+    def process_meta(self, buf):
+        import time as _time
+        self._last = _time.monotonic()
+        if not self._running and not self.triggered:
+            self._arm()
+        return buf
