@@ -21,3 +21,5 @@ from . import rawparse          # noqa: F401
 from . import effectv           # noqa: F401
 from . import interlace         # noqa: F401
 from ..net import transport     # noqa: F401  (tcp/udp elements)
+from . import subparse          # noqa: F401
+from ..net import rtp            # noqa: F401  (rtp elements)

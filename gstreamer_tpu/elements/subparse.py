@@ -1,0 +1,159 @@
+"""subparse — subtitle parsing (SRT / WebVTT) and wavenc.
+
+References: gst-plugins-base/gst/subparse/gstsubparse.c (format
+autodetection + per-format parsers -> timed text/x-raw buffers);
+gst-plugins-good/gst/wavenc/gstwavenc.c (RIFF/WAVE header writer).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.buffer import Buffer, FlowReturn
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, SinkElement,
+                            TransformElement, register_element)
+
+_SRT_TIME = re.compile(
+    r"(\d+):(\d\d):(\d\d)[,.](\d{1,3})\s*-->\s*"
+    r"(\d+):(\d\d):(\d\d)[,.](\d{1,3})")
+
+
+def _ts(h, m, s, ms) -> int:
+    return ((int(h) * 3600 + int(m) * 60 + int(s)) * 1000
+            + int(ms)) * 1_000_000
+
+
+def parse_srt(text: str) -> List[Tuple[int, int, str]]:
+    """(start_ns, end_ns, text) cues from SubRip text."""
+    cues = []
+    for block in re.split(r"\n\s*\n", text.strip()):
+        lines = block.strip().splitlines()
+        if not lines:
+            continue
+        # optional numeric index line
+        if lines and lines[0].strip().isdigit():
+            lines = lines[1:]
+        if not lines:
+            continue
+        m = _SRT_TIME.search(lines[0])
+        if not m:
+            continue
+        start = _ts(*m.groups()[:4])
+        end = _ts(*m.groups()[4:])
+        cues.append((start, end, "\n".join(lines[1:]).strip()))
+    return cues
+
+
+def parse_vtt(text: str) -> List[Tuple[int, int, str]]:
+    """WebVTT cues (header line stripped; same arrow syntax)."""
+    text = text.strip()
+    if text.startswith("WEBVTT"):
+        text = text.split("\n", 1)[1] if "\n" in text else ""
+    return parse_srt(text)
+
+
+@register_element
+class SubParse(TransformElement):
+    """subparse: byte stream -> timed text buffers (one per cue)."""
+    FACTORY = "subparse"
+    DESCRIPTION = "Parses subtitle (SRT/WebVTT) files into text buffers"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC,
+                    "text/x-raw, format=utf8"),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._acc = b""
+        self._emitted = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = (Caps.from_string("text/x-raw, format=utf8")
+               if direction == PadDirection.SINK else Caps.any())
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def start(self):
+        self._acc = b""
+        self._emitted = 0
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        data = buf.data
+        leaves = data if isinstance(data, (tuple, list)) else (data,)
+        for leaf in leaves:
+            self._acc += np.asarray(leaf).tobytes()
+        text = self._acc.decode("utf-8", errors="replace")
+        cues = (parse_vtt(text) if text.lstrip().startswith("WEBVTT")
+                else parse_srt(text))
+        new = cues[self._emitted:]
+        # hold back the final cue unless the block is clearly terminated
+        # (more bytes may extend it)
+        if new and not text.rstrip().endswith(("\n", ".")) \
+                and len(new) > 1:
+            new = new[:-1]
+        if not new:
+            return None
+        self._emitted += len(new)
+        start, end, _ = new[0]
+        return buf.with_(data=[t for (_, _, t) in new],
+                         pts=start, duration=end - start, batch=len(new),
+                         meta=dict(buf.meta, cues=new))
+
+
+@register_element
+class WavEnc(SinkElement):
+    """wavenc (gstwavenc.c): writes a RIFF/WAVE file from raw audio."""
+    FACTORY = "wavenc"
+    DESCRIPTION = "Encode raw audio into WAV"
+    PAD_TEMPLATES = [PadTemplate(
+        "sink", PadDirection.SINK,
+        "audio/x-raw, format={ S16LE, S24LE, S32LE, F32LE, U8 }")]
+    PROPERTIES = {"location": (str, "", "output path")}
+
+    _FMT = {"S16LE": (1, 16), "S24LE": (1, 24), "S32LE": (1, 32),
+            "F32LE": (3, 32), "U8": (1, 8)}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self._data_bytes = 0
+
+    def set_info(self, incaps, outcaps):
+        from ..audio.info import AudioInfo
+        self._ainfo = AudioInfo.from_caps_structure(incaps[0])
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        self._file.write(b"\x00" * 44)      # header backfilled on stop
+        self._data_bytes = 0
+
+    def render(self, buf: Buffer) -> str:
+        raw = np.asarray(buf.data).tobytes()
+        self._file.write(raw)
+        self._data_bytes += len(raw)
+        return FlowReturn.OK
+
+    def stop(self):
+        if self._file is None:
+            return
+        info = self._ainfo
+        tag, bits = self._FMT[info.finfo.name]
+        byte_rate = info.rate * info.channels * bits // 8
+        block = info.channels * bits // 8
+        hdr = (b"RIFF" + struct.pack("<I", 36 + self._data_bytes)
+               + b"WAVEfmt " + struct.pack(
+                   "<IHHIIHH", 16, tag, info.channels, info.rate,
+                   byte_rate, block, bits)
+               + b"data" + struct.pack("<I", self._data_bytes))
+        self._file.seek(0)
+        self._file.write(hdr)
+        self._file.close()
+        self._file = None

@@ -250,9 +250,17 @@ class UDPSink(SinkElement):
             self._sock = None
 
     def render(self, buf: Buffer) -> str:
+        addr = (self.props["host"], self.props["port"])
+        data = buf.data
+        if isinstance(data, list) and data and isinstance(
+                data[0], (bytes, bytearray)):
+            # packetized payload (RTP): one datagram per packet,
+            # boundaries preserved
+            for pkt in data:
+                self._sock.sendto(pkt, addr)
+            return FlowReturn.OK
         payload = _buffer_bytes(buf)
         mtu = self.props["mtu"]
-        addr = (self.props["host"], self.props["port"])
         for off in range(0, len(payload), mtu):
             self._sock.sendto(payload[off:off + mtu], addr)
         return FlowReturn.OK
