@@ -386,6 +386,19 @@ class Pipeline(Bin):
                     fns[e] = e.make_fn()
 
         host_elems = {e for e in order if getattr(e, "HOST_ELEMENT", False)}
+        # queue decoupling (gstqueue.c:211 thread decoupling analog):
+        # when host elements already split the program, a queue becomes a
+        # one-tick double buffer — downstream consumes tick N-1's data
+        # while tick N's device work runs asynchronously.  In fully
+        # fused pipelines queues stay structural (fusion beats any
+        # decoupling).
+        if host_elems:
+            for e in order:
+                if (e.FACTORY in ("queue", "queue2")
+                        and e.props.get("leaky", "no") == "no"):
+                    e._decouple = True
+                    e._pending_buf = None
+                    host_elems.add(e)
         if scan_fns and mesh is not None:
             raise NotImplementedError(
                 "stateful scan elements are sequential over the batch "
@@ -590,6 +603,13 @@ class Pipeline(Bin):
         if not eos:
             inputs, metas = pulled
         if eos:
+            # flush decoupling queues (each holds one pending tick)
+            if not self._fused:
+                for _ in range(len(self._order)):
+                    if not any(getattr(e, "_pending_buf", None) is not None
+                               for e in self._order):
+                        break
+                    self._propagate({}, {}, {}, drain=True)
             from .events import eos_event
             for s in sources:
                 for sp in s.src_pads():
@@ -636,11 +656,21 @@ class Pipeline(Bin):
                 else:
                     self._staged = self._pull_sources(sources)
 
-        # buffer propagation (metadata always host-side; data host-side
-        # only in the non-fused per-element path)
+        if not self._propagate(inputs, metas, outputs):
+            return False
+        hooks.fire("tick-post", self)
+        return True
+
+    def _propagate(self, inputs, metas, outputs, drain: bool = False):
+        """Buffer propagation through the graph (metadata always
+        host-side; data host-side only in the non-fused per-element
+        path).  drain=True: sources contribute nothing — decoupling
+        queues flush their pending buffers (EOS drain)."""
         buf_by_pad: Dict[Pad, Buffer] = {}
         for e in self._order:
             if isinstance(e, SourceElement):
+                if drain:
+                    continue
                 buf = metas[e.name]
                 if not self._fused and self._fns.get(e) is not None:
                     buf = buf.with_(data=self._elem_jit[e](buf.data))
@@ -688,22 +718,31 @@ class Pipeline(Bin):
                 pads = [p for p in e.sink_pads()
                         if p.peer is not None and p.peer in buf_by_pad]
                 if not pads:
-                    continue
-                buf = buf_by_pad[pads[0].peer]
-                if not self._fused:
-                    if e in self._host_elems:
-                        buf = e.host_process(buf)
-                    elif e in self._scan_fns:
-                        xs = buf.data
-                        aux = inputs.get(e.name + "__aux")
-                        if aux is not None:
-                            xs = (xs, aux)
-                        carry, v = self._elem_scan_jit[e](
-                            self._elem_states[e.name], xs)
-                        self._elem_states[e.name] = carry
-                        buf = buf.with_(data=v)
-                    elif self._fns.get(e) is not None:
-                        buf = buf.with_(data=self._elem_jit[e](buf.data))
+                    if (drain and not self._fused
+                            and e in self._host_elems
+                            and getattr(e, "_decouple", False)
+                            and getattr(e, "_pending_buf", None)
+                            is not None):
+                        buf = e.host_process(None)     # flush the queue
+                    else:
+                        continue
+                else:
+                    buf = buf_by_pad[pads[0].peer]
+                    if not self._fused:
+                        if e in self._host_elems:
+                            buf = e.host_process(buf)
+                        elif e in self._scan_fns:
+                            xs = buf.data
+                            aux = inputs.get(e.name + "__aux")
+                            if aux is not None:
+                                xs = (xs, aux)
+                            carry, v = self._elem_scan_jit[e](
+                                self._elem_states[e.name], xs)
+                            self._elem_states[e.name] = carry
+                            buf = buf.with_(data=v)
+                        elif self._fns.get(e) is not None:
+                            buf = buf.with_(
+                                data=self._elem_jit[e](buf.data))
                 if buf is None:   # host element swallowed the buffer
                     continue
                 buf = e.process_meta(buf)
@@ -711,7 +750,6 @@ class Pipeline(Bin):
                     hooks.fire("buffer-post", e, buf)
                 for sp in e.src_pads():
                     buf_by_pad[sp] = buf
-        hooks.fire("tick-post", self)
         return True
 
     def run(self, max_ticks: Optional[int] = None) -> None:

@@ -75,10 +75,15 @@ class Identity(TransformElement):
 @register_element
 class Queue(TransformElement):
     """queue (gstqueue.c:211-216): in the reference this decouples
-    streaming threads; here dataflow is batched so it is structural
-    passthrough (kept for launch-line compatibility)."""
+    streaming threads.  Inside fully fused pipelines it is structural
+    (fusion beats decoupling); in pipelines already split by host
+    elements the pipeline promotes it to a ONE-TICK DOUBLE BUFFER —
+    downstream consumes tick N-1's (already computed, device-resident)
+    data while tick N's device programs run asynchronously, so a slow
+    host stage no longer serializes fresh dispatches.  Pending data
+    flushes at EOS (Pipeline._propagate drain)."""
     FACTORY = "queue"
-    DESCRIPTION = "Simple data queue (structural in the TPU runtime)"
+    DESCRIPTION = "Simple data queue (decouples host-split pipelines)"
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, Caps.any()),
         PadTemplate("src", PadDirection.SRC, Caps.any()),
@@ -87,8 +92,25 @@ class Queue(TransformElement):
         "max-size-buffers": (int, 200, "max buffers"),
         "max-size-bytes": (int, 10485760, "max bytes"),
         "max-size-time": (int, 1000000000, "max time (ns)"),
-        "leaky": (str, "no", "leak mode"),
+        "leaky": (str, "no", "leak mode (leaky queues stay structural)"),
     }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._decouple = False
+        self._pending_buf = None
+
+    def start(self):
+        self._pending_buf = None
+
+    def flush(self):
+        self._pending_buf = None
+
+    def host_process(self, buf):
+        if not self._decouple:
+            return buf
+        out, self._pending_buf = self._pending_buf, buf
+        return out
 
 
 @register_element
