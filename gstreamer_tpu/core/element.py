@@ -99,6 +99,11 @@ class Pad:
             if event.is_sticky:
                 peer.sticky[event.type] = event
             return peer.element.sink_event(peer, event)
+        # upstream: the receiving (src) pad's probes see it too
+        for probe in list(peer.event_probes):
+            event = probe(peer, event)
+            if event is None:
+                return True
         return peer.element.src_event(peer, event)
 
     def get_sticky(self, event_type: str):
