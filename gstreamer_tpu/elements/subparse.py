@@ -157,3 +157,65 @@ class WavEnc(SinkElement):
         self._file.write(hdr)
         self._file.close()
         self._file = None
+
+
+@register_element
+class EncodeBin(SinkElement):
+    """encodebin (gst-plugins-base/gst/encoding/gstencodebin.c):
+    profile-driven output construction — the encoding profile picks the
+    muxer/encoder chain.  Covers the containers the framework writes
+    (WAV via wavenc, YUV4MPEG via y4menc)."""
+    FACTORY = "encodebin"
+    DESCRIPTION = "Convenience encoding/muxing element (profile-driven)"
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {
+        "profile": (object, None, "EncodingProfile or spec string"),
+        "location": (str, "out.bin", "output path"),
+    }
+
+    _SINKS = {
+        "audio/x-wav": "wavenc",
+        "application/x-yuv4mpeg": "y4menc",
+        "video/x-yuv4mpeg": "y4menc",
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._inner = None
+
+    def _profile_format(self):
+        from ..utils.pbutils import EncodingProfile, profile_from_string
+        p = self.props["profile"]
+        if isinstance(p, str):
+            p = profile_from_string(p)
+        if p is None:
+            raise ValueError("encodebin requires a profile")
+        return p.format[0].name
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = caps
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        from ..core.element import element_factory_make
+        fmt = self._profile_format()
+        factory = self._SINKS.get(fmt)
+        if factory is None:
+            raise ValueError(f"encodebin: unsupported profile format "
+                             f"{fmt!r} (supported: {list(self._SINKS)})")
+        self._inner = element_factory_make(
+            factory, location=self.props["location"])
+        self._inner.set_info(incaps, None)
+
+    def start(self):
+        if self._inner is not None:
+            self._inner.start()
+
+    def stop(self):
+        if self._inner is not None:
+            self._inner.stop()
+
+    def render(self, buf: Buffer) -> str:
+        return self._inner.render(buf)

@@ -66,3 +66,21 @@ def test_wavenc_roundtrip(tmp_path):
     while len(sink):
         total += np.asarray(sink.pull_sample().buffer.data).shape[0]
     assert total == 4 * 480
+
+
+def test_encodebin_wav_profile(tmp_path):
+    out = str(tmp_path / "enc.wav")
+    p = parse_launch(
+        "audiotestsrc num-buffers=2 samplesperbuffer=480 ! "
+        "audio/x-raw,format=S16LE,rate=48000,channels=1 ! "
+        f"encodebin profile=audio/x-wav location={out}")
+    p.set_state(State.PLAYING)
+    p.run()
+    q = parse_launch(f"wavparse location={out} ! appsink name=s")
+    q.set_state(State.PLAYING)
+    q.run()
+    sink = q.get_by_name("s")
+    total = 0
+    while len(sink):
+        total += np.asarray(sink.pull_sample().buffer.data).shape[0]
+    assert total == 960
