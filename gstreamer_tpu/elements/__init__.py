@@ -23,3 +23,4 @@ from . import interlace         # noqa: F401
 from ..net import transport     # noqa: F401  (tcp/udp elements)
 from . import subparse          # noqa: F401
 from ..net import rtp            # noqa: F401  (rtp elements)
+from . import bayer              # noqa: F401
