@@ -329,3 +329,130 @@ class RtpL16Depay(TransformElement):
         ch = self._ainfo.channels
         x = np.frombuffer(raw, ">i2").reshape(-1, ch).astype(np.int16)
         return buf.with_(data=x)
+
+
+@register_element
+class RtpJitterBuffer(TransformElement):
+    """rtpjitterbuffer (gst-plugins-good/gst/rtpmanager/
+    gstrtpjitterbuffer.c): reorders RTP packets by sequence number with
+    16-bit wraparound, drops duplicates and too-late packets, and
+    declares packets lost once the buffered span exceeds the configured
+    latency (latency property, default 200 ms; seqnum compare per
+    gstrtpbuffer.c gst_rtp_buffer_compare_seqnum: (int16)(s2-s1)).
+
+    Host element operating on list-of-packet buffers (the framework's
+    RTP wire convention).  Lost packets emit a GAP event downstream
+    when do-lost is set, like the reference's do-lost property.
+    `stats` mirrors the reference's num-pushed/num-lost/num-late/
+    num-duplicates structure."""
+    FACTORY = "rtpjitterbuffer"
+    DESCRIPTION = "Reorders and deduplicates RTP packets"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "latency": (int, 200, "buffering latency (ms)"),
+        "do-lost": (bool, False, "emit GAP events for lost packets"),
+        "drop-on-latency": (bool, False, "drop when over latency"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._store = {}            # seq -> packet bytes
+        self._next_seq = None
+        self._last_buf = None
+        self._decouple = True       # participate in the EOS drain pass
+        self._clock_rate = 90000
+        self.stats = {"num-pushed": 0, "num-lost": 0, "num-late": 0,
+                      "num-duplicates": 0}
+
+    def set_info(self, incaps, outcaps):
+        rate = incaps[0].get("clock-rate")
+        if isinstance(rate, int) and rate > 0:
+            self._clock_rate = rate
+
+    def start(self):
+        self._store.clear()
+        self._next_seq = None
+        self._last_buf = None
+
+    @staticmethod
+    def _seq_lt(a: int, b: int) -> bool:
+        """a before b with 16-bit wraparound (gstrtpbuffer.c)."""
+        return ((b - a) & 0xFFFF) < 0x8000 and a != b
+
+    def _latency_ts(self) -> int:
+        return self.props["latency"] * self._clock_rate // 1000
+
+    def _drain(self, flush: bool = False):
+        """Pop the in-order run at the head; on a gap, wait until the
+        buffered timestamp span exceeds latency (or flush), then skip
+        the missing seqnums as lost."""
+        out = []
+        lost = 0
+        while self._store:
+            if self._next_seq in self._store:
+                out.append(self._store.pop(self._next_seq))
+                self._next_seq = (self._next_seq + 1) & 0xFFFF
+                continue
+            # head gap: compare newest vs oldest buffered RTP time
+            seqs = sorted(self._store,
+                          key=lambda s: (s - self._next_seq) & 0xFFFF)
+            oldest = parse_rtp_header(self._store[seqs[0]])["timestamp"]
+            newest = parse_rtp_header(self._store[seqs[-1]])["timestamp"]
+            span = (newest - oldest) & 0xFFFFFFFF
+            if not flush and span <= self._latency_ts():
+                break
+            lost += (seqs[0] - self._next_seq) & 0xFFFF
+            self._next_seq = seqs[0]
+        return out, lost
+
+    # EOS-drain integration: the pipeline flushes any host element with
+    # _decouple set whose _pending_buf is non-None by calling
+    # host_process(None) (Pipeline._propagate drain path)
+    @property
+    def _pending_buf(self):
+        return self._last_buf if self._store else None
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:                 # EOS drain: flush whatever is left
+            out, lost = self._drain(flush=True)
+            self.stats["num-lost"] += lost
+            if not out:
+                return None
+            self.stats["num-pushed"] += len(out)
+            return self._last_buf.with_(data=out, batch=len(out))
+        self._last_buf = buf
+        pkts = buf.data if isinstance(buf.data, list) else [
+            np.asarray(buf.data).tobytes()]
+        for pkt in pkts:
+            if isinstance(pkt, np.ndarray):
+                pkt = pkt.tobytes()
+            seq = parse_rtp_header(pkt)["seq"]
+            if self._next_seq is None:
+                self._next_seq = seq
+            if seq in self._store:
+                self.stats["num-duplicates"] += 1
+                continue
+            if self._seq_lt(seq, self._next_seq):
+                # before first output the base may move backwards (a
+                # reordered head packet is not "late" yet)
+                if self.stats["num-pushed"] == 0:
+                    self._next_seq = seq
+                else:
+                    self.stats["num-late"] += 1
+                    continue
+            self._store[seq] = pkt
+        out, lost = self._drain()
+        if lost:
+            self.stats["num-lost"] += lost
+            if self.props["do-lost"]:
+                from ..core.events import gap_event
+                for p in self.src_pads():
+                    p.push_event(gap_event(buf.pts or 0, 0))
+        if not out:
+            return None
+        self.stats["num-pushed"] += len(out)
+        return buf.with_(data=out, batch=len(out))
