@@ -56,6 +56,10 @@ class VideoFormatInfo:
     # "tiled" layouts: (mode, tile_w, tile_h, chroma_tile_h) — mode is
     # "linear" | "zflipz" (GstVideoTileMode); tiles per video-format.c:7894
     tile: Optional[Tuple[str, int, int, int]] = None
+    # False for formats whose reference unpack does NOT replicate low bits
+    # into the canonical 16-bit value (unpack_MT2110T/unpack_NV12_10BE_8L128
+    # emit plain v<<6 — video-format.c:7536,7419)
+    replicate: bool = True
 
     @property
     def is_yuv(self) -> bool:
@@ -382,6 +386,59 @@ FORMATS.update({
                        (0, 1, 2)).replace_tile(("zflipz", 64, 32, 32)),
     "NV12_8L128": _yuv("NV12_8L128", (0, 1, 1), (0, 1, 1), "tiled",
                        (0, 1, 2)).replace_tile(("linear", 8, 128, 128)),
+    # ---- final 13 formats completing the reference enum (139 raw) ----
+    # UYVP: 10-bit packed 4:2:2, MSB-first bitstream U Y0 V Y1 per 40-bit
+    # group (unpack_UYVP video-format.c:2043)
+    "UYVP": _yuv16("UYVP", 10, (0, 1, 1), (0, 0, 0), layout="uyvp"),
+    # RGB8P: 8-bit palette indices + 256-entry ARGB palette plane
+    # (unpack_RGB8P :2188, std palette :2208, crude pack :2255)
+    "RGB8P": VideoFormatInfo("RGB8P", "rgb", n_components=4, has_alpha=True,
+                             layout="palette"),
+    # 10-bit-in-32-bit-word family: 3 samples per LE word, bits [0,10,20)
+    # (unpack_GRAY10_LE32 :5263, unpack_NV12_10LE32 :5338)
+    "GRAY10_LE32": VideoFormatInfo("GRAY10_LE32", "gray", bits=16,
+                                   n_components=1, layout="gray_le32",
+                                   plane_order=(0,), depth=(10,) * 4),
+    "NV12_10LE32": _yuv16("NV12_10LE32", 10, (0, 1, 1), (0, 1, 1),
+                          layout="semi_le32"),
+    "NV16_10LE32": _yuv16("NV16_10LE32", 10, (0, 1, 1), (0, 0, 0),
+                          layout="semi_le32"),
+    # 10-bit fully-packed LSB-first bitstream, 4 samples / 5 bytes
+    # (unpack_NV12_10LE40 :5795)
+    "NV12_10LE40": _yuv16("NV12_10LE40", 10, (0, 1, 1), (0, 1, 1),
+                          layout="semi_le40"),
+    "NV16_10LE40": _yuv16("NV16_10LE40", 10, (0, 1, 1), (0, 0, 0),
+                          layout="semi_le40"),
+    # tiled 10LE40: 4x4-pixel tiles, each tile row = one 5-byte group
+    # (unpack_NV12_10LE40_TILED :7450, TILE_10bit_4x4 :7902)
+    "NV12_10LE40_4L4": _yuv16("NV12_10LE40_4L4", 10, (0, 1, 1), (0, 1, 1),
+                              layout="tiled_le40").replace_tile(
+                                  ("linear", 4, 4, 4)),
+    # MSB-first 10-bit rows tiled as 8-byte x 128-row byte tiles, NO
+    # low-bit replication on unpack (unpack_NV12_10BE_8L128 :7346)
+    "NV12_10BE_8L128": VideoFormatInfo(
+        "NV12_10BE_8L128", "yuv", bits=16, w_sub=(0, 1, 1),
+        h_sub=(0, 1, 1), layout="tiled_be10", depth=(10,) * 4,
+        endian="be", tile=("linear", 8, 128, 128), replicate=False),
+    # MediaTek 16x32 two-part tiles: 8 partitions x (16 low-2bit bytes +
+    # 64 high bytes); T = column-packed low bits, R = row-packed
+    # (unpack_MT2110T :7473, unpack_MT2110R :7623); no replication
+    "MT2110T": VideoFormatInfo(
+        "MT2110T", "yuv", bits=16, w_sub=(0, 1, 1), h_sub=(0, 1, 1),
+        layout="mt2110", depth=(10,) * 4,
+        tile=("t", 16, 32, 16), replicate=False),
+    "MT2110R": VideoFormatInfo(
+        "MT2110R", "yuv", bits=16, w_sub=(0, 1, 1), h_sub=(0, 1, 1),
+        layout="mt2110", depth=(10,) * 4,
+        tile=("r", 16, 32, 16), replicate=False),
+    # 10-bit word32 RGB without alpha: same bit layout as the A2 twins,
+    # the 2 top bits are padding (shared pack/unpack — video-format.c:8268)
+    "RGB10x2_LE": VideoFormatInfo(
+        "RGB10x2_LE", "rgb", bits=16, n_components=3,
+        layout="word32", depth=(10, 10, 10, 2), shifts=(0, 10, 20, 30)),
+    "BGR10x2_LE": VideoFormatInfo(
+        "BGR10x2_LE", "rgb", bits=16, n_components=3,
+        layout="word32", depth=(10, 10, 10, 2), shifts=(20, 10, 0, 30)),
 })
 
 # formats whose 16-bit container stores values left-justified (MSB)
@@ -461,7 +518,10 @@ def unpack_planes(xp, fmt: VideoFormatInfo, planes, width: int, height: int,
         reference's per-family replication rules."""
         d = fmt.depth[c] if c < len(fmt.depth) else fmt.depth[0]
         if fmt.bits == 16 and d < 16:
-            if fmt.layout == "word32":
+            if not fmt.replicate:
+                # MT2110T/R, NV12_10BE_8L128: plain v<<6, no low-bit fill
+                p = p << (16 - d)
+            elif fmt.layout == "word32":
                 # unpack_rgb10a2_le / Y410: left-justify then |= >>10
                 # (including the 2-bit alpha: a<<14 | a<<4)
                 p = p << (16 - d)
@@ -593,6 +653,27 @@ def frame_size(fmt: VideoFormatInfo, width: int, height: int) -> int:
     if fmt.layout == "tiled":
         _, tw, th, cth, xt, yt, cyt = _tiled_geometry(fmt, width, height)
         return xt * yt * tw * th + xt * cyt * tw * cth
+    if fmt.layout == "uyvp":
+        return height * uyvp_rowbytes(width)
+    if fmt.layout == "palette":
+        return height * width + 1024
+    if fmt.layout in ("gray_le32", "semi_le32"):
+        nw = le32_rowwords(width)
+        rows = height if fmt.is_gray else height + fmt.comp_height(1, height)
+        return rows * nw * 4
+    if fmt.layout == "semi_le40":
+        cw = fmt.comp_width(1, width)
+        return height * le40_rowbytes(width) \
+            + fmt.comp_height(1, height) * le40_rowbytes(2 * cw)
+    if fmt.layout == "tiled_le40":
+        ntx, nty, cyt = _tiled_le40_geometry(width, height)
+        return ntx * (nty + cyt) * 20
+    if fmt.layout == "tiled_be10":
+        _, ntx, yt, uvyt = _tiled_be10_geometry(width, height)
+        return ntx * (yt + uvyt) * 1024
+    if fmt.layout == "mt2110":
+        ntx, nty = _mt2110_geometry(width, height)
+        return ntx * nty * (640 + 320)
     if fmt.layout == "packed":
         if fmt.is_rgb or _is_packed_letters(fmt):
             return height * width * len(fmt.packed_order) * bps
@@ -679,6 +760,10 @@ def _word32_to_bytes(fmt, planes, width, height):
     if fmt.has_alpha:
         mask = (1 << fmt.depth[3]) - 1
         img |= (np.asarray(planes[3], np.uint32) & mask) << fmt.shifts[3]
+    elif len(fmt.shifts) > 3:
+        # RGB10x2/BGR10x2: padding bits written as opaque (the shared
+        # reference pack_rgb10a2_le stores canonical-A>>14 = 3)
+        img |= ((1 << fmt.depth[3]) - 1) << fmt.shifts[3]
     wdt = np.dtype("<u4" if fmt.endian == "le" else ">u4")
     return np.ascontiguousarray(img.astype(wdt)).view(np.uint8).reshape(
         batch + (-1,))
@@ -810,6 +895,400 @@ def _tiled_to_bytes(fmt, planes, width, height):
     return np.concatenate([ybytes, ctiles.reshape(batch + (-1,))], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# 10-bit bitstream / word32x3 / palette / MediaTek-tile codecs for the last
+# 13 reference formats (UYVP, RGB8P, *_10LE32, *_10LE40(+4L4), 10BE_8L128,
+# MT2110T/R).  Host-boundary numpy only, like the other layout codecs.
+# ---------------------------------------------------------------------------
+
+def _u10_rows_unpack(rows: np.ndarray, nsamples: int, bitorder: str):
+    """Rows of a 10-bit-packed bitstream -> (..., nsamples) uint16.
+
+    bitorder 'little' = LSB-first stream (NV12_10LE40 family), 'big' =
+    MSB-first stream (UYVP, NV12_10BE_8L128)."""
+    bits = np.unpackbits(rows, axis=-1, bitorder=bitorder)
+    bits = bits[..., :nsamples * 10]
+    bits = bits.reshape(bits.shape[:-1] + (nsamples, 10))
+    if bitorder == "little":
+        w = (1 << np.arange(10)).astype(np.uint16)
+    else:
+        w = (1 << np.arange(9, -1, -1)).astype(np.uint16)
+    return (bits.astype(np.uint16) * w).sum(-1).astype(np.uint16)
+
+
+def _u10_rows_pack(samples: np.ndarray, rowbytes: int, bitorder: str):
+    """(..., n) uint16 10-bit samples -> (..., rowbytes) packed rows."""
+    n = samples.shape[-1]
+    if bitorder == "little":
+        sh = np.arange(10)
+    else:
+        sh = np.arange(9, -1, -1)
+    bits = ((samples[..., None].astype(np.uint16) >> sh) & 1).astype(np.uint8)
+    bits = bits.reshape(samples.shape[:-1] + (n * 10,))
+    pad = rowbytes * 8 - n * 10
+    if pad:
+        bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    return np.packbits(bits, axis=-1, bitorder=bitorder)
+
+
+def uyvp_rowbytes(width: int) -> int:
+    return (-(-width // 2)) * 5
+
+
+def _uyvp_from_bytes(data, width, height):
+    """unpack_UYVP (video-format.c:2043): per 2 pixels one 40-bit MSB-first
+    group U Y0 V Y1."""
+    ng = -(-width // 2)
+    batch = data.shape[:-1]
+    rows = data.reshape(batch + (height, ng * 5))
+    s = _u10_rows_unpack(rows, ng * 4, "big")
+    u, y0, v, y1 = s[..., 0::4], s[..., 1::4], s[..., 2::4], s[..., 3::4]
+    y = np.stack([y0, y1], -1).reshape(batch + (height, ng * 2))[..., :width]
+    return (y, u, v)
+
+
+def _uyvp_to_bytes(planes, width, height):
+    y, u, v = (np.asarray(p, np.uint16) for p in planes[:3])
+    batch = y.shape[:-2]
+    ng = -(-width // 2)
+    if width & 1:   # pack_UYVP: tail y1 = y0
+        y = np.concatenate([y, y[..., -1:]], axis=-1)
+    y2 = y.reshape(batch + (height, ng, 2))
+    s = np.stack([u, y2[..., 0], v, y2[..., 1]], axis=-1)
+    return _u10_rows_pack(s.reshape(batch + (height, ng * 4)),
+                          ng * 5, "big").reshape(batch + (-1,))
+
+
+# std_palette_RGB8P (video-format.c:2208): 216 web colors (B fastest),
+# entry 216 transparent black, rest opaque black.
+def _std_palette_rgb8p() -> np.ndarray:
+    pal = np.full(256, 0xFF000000, np.uint32)
+    i = np.arange(216)
+    steps = np.array([0x00, 0x33, 0x66, 0x99, 0xCC, 0xFF], np.uint32)
+    pal[:216] = (0xFF000000 | (steps[i // 36] << 16)
+                 | (steps[(i // 6) % 6] << 8) | steps[i % 6])
+    pal[216] = 0x00000000
+    return pal
+
+
+STD_PALETTE_RGB8P = _std_palette_rgb8p()
+
+
+def _rgb8p_from_bytes(data, width, height):
+    batch = data.shape[:-1]
+    idx = data[..., :height * width].reshape(batch + (height, width))
+    pal = np.ascontiguousarray(
+        data[..., height * width:height * width + 1024]).view("<u4")
+    pal = pal.reshape(batch + (256,)).astype(np.uint32)
+    # per-frame palette gather
+    if batch:
+        flat = pal.reshape((-1, 256))
+        fidx = idx.reshape((-1, height, width))
+        v = np.stack([flat[k][fidx[k]] for k in range(flat.shape[0])])
+        v = v.reshape(batch + (height, width))
+    else:
+        v = pal[idx]
+    a = (v >> 24).astype(np.uint8)
+    r = ((v >> 16) & 0xFF).astype(np.uint8)
+    g = ((v >> 8) & 0xFF).astype(np.uint8)
+    b = (v & 0xFF).astype(np.uint8)
+    return (r, g, b, a)
+
+
+def _rgb8p_to_bytes(planes, width, height):
+    """pack_RGB8P (video-format.c:2255): crude web-palette quantization;
+    the palette plane is written as the standard palette."""
+    r, g, b, a = (np.asarray(p) for p in planes[:4])
+    batch = r.shape[:-2]
+    idx = ((r.astype(np.int32) // 47) % 6) * 36 \
+        + ((g.astype(np.int32) // 47) % 6) * 6 \
+        + ((b.astype(np.int32) // 47) % 6)
+    idx = np.where(a < 0x80, 216, idx).astype(np.uint8)
+    palbytes = np.ascontiguousarray(
+        STD_PALETTE_RGB8P.astype("<u4")).view(np.uint8)
+    pal = np.broadcast_to(palbytes, batch + (1024,))
+    return np.concatenate([idx.reshape(batch + (-1,)), pal], axis=-1)
+
+
+def le32_rowwords(width: int) -> int:
+    return (width + 2) // 3
+
+
+def _u10_le32_rows_unpack(rows: np.ndarray, nsamples: int):
+    """LE 32-bit words, 3 samples per word at bits 0/10/20
+    (unpack_GRAY10_LE32 video-format.c:5263)."""
+    words = np.ascontiguousarray(rows).view("<u4").astype(np.uint32)
+    s = np.stack([(words >> (10 * k)) & 0x3FF for k in range(3)], axis=-1)
+    return s.reshape(s.shape[:-2] + (-1,))[..., :nsamples].astype(np.uint16)
+
+
+def _u10_le32_rows_pack(samples: np.ndarray, nwords: int):
+    n = samples.shape[-1]
+    pad = nwords * 3 - n
+    if pad:
+        samples = np.pad(samples, [(0, 0)] * (samples.ndim - 1) + [(0, pad)])
+    s = samples.reshape(samples.shape[:-1] + (nwords, 3)).astype(np.uint32)
+    words = (s[..., 0] & 0x3FF) | ((s[..., 1] & 0x3FF) << 10) \
+        | ((s[..., 2] & 0x3FF) << 20)
+    return np.ascontiguousarray(words.astype("<u4")).view(np.uint8)
+
+
+def _le32_from_bytes(fmt, data, width, height):
+    nw = le32_rowwords(width)
+    batch = data.shape[:-1]
+    ysz = height * nw * 4
+    y = _u10_le32_rows_unpack(
+        data[..., :ysz].reshape(batch + (height, nw * 4)), width)
+    if fmt.is_gray:
+        return (y,)
+    ch = fmt.comp_height(1, height)
+    cw = fmt.comp_width(1, width)
+    uv = _u10_le32_rows_unpack(
+        data[..., ysz:ysz + ch * nw * 4].reshape(batch + (ch, nw * 4)),
+        min(2 * cw, 3 * nw))
+    return (y, uv[..., 0::2], uv[..., 1::2])
+
+
+def _le32_to_bytes(fmt, planes, width, height):
+    nw = le32_rowwords(width)
+    y = np.asarray(planes[0], np.uint16)
+    batch = y.shape[:-2]
+    chunks = [_u10_le32_rows_pack(y, nw).reshape(batch + (-1,))]
+    if not fmt.is_gray:
+        u, v = (np.asarray(p, np.uint16) for p in planes[1:3])
+        uv = np.stack([u, v], -1).reshape(batch + (u.shape[-2], -1))
+        uv = uv[..., :3 * nw]
+        chunks.append(_u10_le32_rows_pack(uv, nw).reshape(batch + (-1,)))
+    return np.concatenate(chunks, axis=-1)
+
+
+def le40_rowbytes(width: int) -> int:
+    return (width * 10 + 7) // 8
+
+
+def _le40_from_bytes(fmt, data, width, height):
+    rb = le40_rowbytes(width)
+    batch = data.shape[:-1]
+    ysz = height * rb
+    y = _u10_rows_unpack(
+        data[..., :ysz].reshape(batch + (height, rb)), width, "little")
+    ch = fmt.comp_height(1, height)
+    cw = fmt.comp_width(1, width)
+    crb = le40_rowbytes(2 * cw)
+    uv = _u10_rows_unpack(
+        data[..., ysz:ysz + ch * crb].reshape(batch + (ch, crb)),
+        2 * cw, "little")
+    return (y, uv[..., 0::2], uv[..., 1::2])
+
+
+def _le40_to_bytes(fmt, planes, width, height):
+    rb = le40_rowbytes(width)
+    y = np.asarray(planes[0], np.uint16)
+    batch = y.shape[:-2]
+    u, v = (np.asarray(p, np.uint16) for p in planes[1:3])
+    uv = np.stack([u, v], -1).reshape(batch + (u.shape[-2], -1))
+    crb = le40_rowbytes(uv.shape[-1])
+    return np.concatenate(
+        [_u10_rows_pack(y, rb, "little").reshape(batch + (-1,)),
+         _u10_rows_pack(uv, crb, "little").reshape(batch + (-1,))], axis=-1)
+
+
+def _tiled_le40_geometry(width, height):
+    ntx = -(-width // 4)
+    nty = -(-height // 4)
+    cyt = (nty + 1) // 2          # GST_ROUND_UP_2(nty)/2 (video-info.c:1192)
+    return ntx, nty, cyt
+
+
+def _tile_rows_scatter(rows, nty, ntx, trh, trw):
+    """(..., nty*trh, ntx*trw) byte rows -> linear row-major tiles, each
+    tile trh x trw bytes, flattened."""
+    batch = rows.shape[:-2]
+    t = rows.reshape(batch + (nty, trh, ntx, trw))
+    t = np.moveaxis(t, -2, -3)    # (nty, ntx, trh, trw)
+    return np.ascontiguousarray(t).reshape(batch + (-1,))
+
+
+def _tile_rows_gather(data, nty, ntx, trh, trw):
+    batch = data.shape[:-1]
+    t = data.reshape(batch + (nty, ntx, trh, trw))
+    t = np.moveaxis(t, -3, -2)
+    return np.ascontiguousarray(t).reshape(batch + (nty * trh, ntx * trw))
+
+
+def _pad_to(a, h, w):
+    pad = [(0, 0)] * (a.ndim - 2) + [(0, h - a.shape[-2]),
+                                     (0, w - a.shape[-1])]
+    return np.pad(a, pad)
+
+
+def _tiled_le40_from_bytes(data, width, height):
+    ntx, nty, cyt = _tiled_le40_geometry(width, height)
+    batch = data.shape[:-1]
+    ysz = ntx * nty * 20
+    yrows = _tile_rows_gather(data[..., :ysz], nty, ntx, 4, 5)
+    y = _u10_rows_unpack(
+        yrows.reshape(batch + (nty * 4, ntx, 5)), 4, "little")
+    y = y.reshape(batch + (nty * 4, ntx * 4))[..., :height, :width]
+    ch = -(-height // 2)
+    csz = ntx * cyt * 20
+    crows = _tile_rows_gather(data[..., ysz:ysz + csz], cyt, ntx, 4, 5)
+    uv = _u10_rows_unpack(
+        crows.reshape(batch + (cyt * 4, ntx, 5)), 4, "little")
+    uv = uv.reshape(batch + (cyt * 4, ntx * 4))[..., :ch, :]
+    cw = -(-width // 2)
+    return (y, uv[..., 0:2 * cw:2], uv[..., 1:2 * cw:2])
+
+
+def _tiled_le40_to_bytes(planes, width, height):
+    ntx, nty, cyt = _tiled_le40_geometry(width, height)
+    y, u, v = (np.asarray(p, np.uint16) for p in planes[:3])
+    batch = y.shape[:-2]
+    ypad = _pad_to(y, nty * 4, ntx * 4)
+    ybytes = _u10_rows_pack(
+        ypad.reshape(batch + (nty * 4, ntx, 4)), 5, "little")
+    ybytes = _tile_rows_scatter(
+        ybytes.reshape(batch + (nty * 4, ntx * 5)), nty, ntx, 4, 5)
+    ch = -(-height // 2)
+    uv = np.stack([u, v], -1).reshape(batch + (ch, -1))
+    uvpad = _pad_to(uv, cyt * 4, ntx * 4)
+    cbytes = _u10_rows_pack(
+        uvpad.reshape(batch + (cyt * 4, ntx, 4)), 5, "little")
+    cbytes = _tile_rows_scatter(
+        cbytes.reshape(batch + (cyt * 4, ntx * 5)), cyt, ntx, 4, 5)
+    return np.concatenate([ybytes, cbytes], axis=-1)
+
+
+def _tiled_be10_geometry(width, height):
+    rb = (width * 10 + 7) // 8    # GST_ROUND_UP_8(w*10)>>3
+    ntx = -(-rb // 8)
+    yt = -(-height // 128)
+    uvyt = (yt + 1) // 2
+    return rb, ntx, yt, uvyt
+
+
+def _tiled_be10_from_bytes(data, width, height):
+    rb, ntx, yt, uvyt = _tiled_be10_geometry(width, height)
+    batch = data.shape[:-1]
+    ysz = ntx * yt * 1024
+    yrows = _tile_rows_gather(data[..., :ysz], yt, ntx, 128, 8)
+    y = _u10_rows_unpack(yrows[..., :height, :rb], width, "big")
+    ch = -(-height // 2)
+    cw = -(-width // 2)
+    csz = ntx * uvyt * 1024
+    crows = _tile_rows_gather(data[..., ysz:ysz + csz], uvyt, ntx, 128, 8)
+    uv = _u10_rows_unpack(crows[..., :ch, :rb], 2 * cw, "big")
+    return (y, uv[..., 0::2], uv[..., 1::2])
+
+
+def _tiled_be10_to_bytes(planes, width, height):
+    rb, ntx, yt, uvyt = _tiled_be10_geometry(width, height)
+    y, u, v = (np.asarray(p, np.uint16) for p in planes[:3])
+    batch = y.shape[:-2]
+    ybytes = _u10_rows_pack(y, rb, "big")
+    ybytes = _pad_to(ybytes, yt * 128, ntx * 8)
+    ch = -(-height // 2)
+    uv = np.stack([u, v], -1).reshape(batch + (ch, -1))
+    cbytes = _u10_rows_pack(uv, rb, "big")
+    cbytes = _pad_to(cbytes, uvyt * 128, ntx * 8)
+    return np.concatenate(
+        [_tile_rows_scatter(ybytes, yt, ntx, 128, 8),
+         _tile_rows_scatter(cbytes, uvyt, ntx, 128, 8)], axis=-1)
+
+
+def _mt2110_geometry(width, height):
+    ntx = -(-width // 16)
+    nty = -(-height // 32)
+    return ntx, nty
+
+
+def _mt2110_low_luma_decode(lowb, variant):
+    """lowb: (..., nty, ntx, 8, 16) partition low-bit bytes ->
+    (..., nty, ntx, 8, 4, 16) 2-bit values per (partition, line, x)."""
+    if variant == "t":
+        # byte x holds the 4 lines' 2-bit values at shift l*2
+        sh = (np.arange(4) * 2)[None, :, None]
+        return (lowb[..., None, :] >> sh) & 3
+    # R: byte l*4 + x//4, shift (x%4)*2
+    b = lowb.reshape(lowb.shape[:-1] + (4, 4))      # (.., 8, l, x//4)
+    f = (b[..., None] >> (np.arange(4) * 2)) & 3    # (.., 8, l, x//4, x%4)
+    return f.reshape(f.shape[:-2] + (16,))
+
+
+def _mt2110_low_luma_encode(low, variant):
+    """inverse: low (..., nty, ntx, 8, 4, 16) -> bytes (..., 8, 16)."""
+    if variant == "t":
+        sh = (np.arange(4) * 2)[None, :, None]
+        return (low.astype(np.uint16) << sh).sum(-2).astype(np.uint8)
+    g = low.reshape(low.shape[:-1] + (4, 4))        # (.., 8, l, x//4, x%4)
+    b = (g.astype(np.uint16) << (np.arange(4) * 2)).sum(-1).astype(np.uint8)
+    return b.reshape(b.shape[:-2] + (16,))
+
+
+def _mt2110_from_bytes(data, width, height, variant):
+    ntx, nty = _mt2110_geometry(width, height)
+    batch = data.shape[:-1]
+    ysz = ntx * nty * 640
+    t = data[..., :ysz].reshape(batch + (nty, ntx, 8, 80))
+    high = t[..., 16:].reshape(batch + (nty, ntx, 8, 4, 16))
+    low = _mt2110_low_luma_decode(t[..., :16], variant)
+    yv = (high.astype(np.uint16) << 2) | low
+    yv = np.moveaxis(yv.reshape(batch + (nty, ntx, 32, 16)), -3, -2)
+    y = yv.reshape(batch + (nty * 32, ntx * 16))[..., :height, :width]
+
+    csz = ntx * nty * 320
+    c = data[..., ysz:ysz + csz].reshape(batch + (nty, ntx, 4, 80))
+    chigh = c[..., 16:].reshape(batch + (nty, ntx, 4, 4, 16))
+    # low bytes: interleaved UV pairs; both variants keep U/V adjacent
+    if variant == "t":
+        sh = (np.arange(4) * 2)[None, :, None]
+        clow = (c[..., :16][..., None, :] >> sh) & 3
+    else:
+        # R: byte l*4 + tx//4; per byte fields [U,V,U,V] of 2 chroma px
+        b = c[..., :16].reshape(batch + (nty, ntx, 4, 4, 4))
+        f = (b[..., None] >> (np.arange(4) * 2)) & 3
+        clow = f.reshape(batch + (nty, ntx, 4, 4, 16))
+    cv = (chigh.astype(np.uint16) << 2) | clow
+    cv = np.moveaxis(cv.reshape(batch + (nty, ntx, 16, 16)), -3, -2)
+    cv = cv.reshape(batch + (nty * 16, ntx * 16))
+    ch = -(-height // 2)
+    cw = -(-width // 2)
+    u = cv[..., :ch, 0:2 * cw:2]
+    v = cv[..., :ch, 1:2 * cw:2]
+    return (y, u, v)
+
+
+def _mt2110_to_bytes(planes, width, height, variant):
+    ntx, nty = _mt2110_geometry(width, height)
+    y, u, v = (np.asarray(p, np.uint16) for p in planes[:3])
+    batch = y.shape[:-2]
+    ypad = _pad_to(y, nty * 32, ntx * 16)
+    yv = np.moveaxis(ypad.reshape(batch + (nty, 32, ntx, 16)), -2, -3)
+    yv = yv.reshape(batch + (nty, ntx, 8, 4, 16))
+    high = (yv >> 2).astype(np.uint8)
+    low = _mt2110_low_luma_encode(yv & 3, variant)
+    yt = np.concatenate(
+        [low, high.reshape(batch + (nty, ntx, 8, 64))], axis=-1)
+    ybytes = yt.reshape(batch + (-1,))
+
+    ch = -(-height // 2)
+    uv = np.stack([u, v], -1).reshape(batch + (ch, -1))
+    uvpad = _pad_to(uv, nty * 16, ntx * 16)
+    cv = np.moveaxis(uvpad.reshape(batch + (nty, 16, ntx, 16)), -2, -3)
+    cv = cv.reshape(batch + (nty, ntx, 4, 4, 16))
+    chigh = (cv >> 2).astype(np.uint8)
+    if variant == "t":
+        sh = (np.arange(4) * 2)[None, :, None]
+        clow = ((cv & 3).astype(np.uint16) << sh).sum(-2).astype(np.uint8)
+    else:
+        g = (cv & 3).reshape(batch + (nty, ntx, 4, 4, 4, 4))
+        clow = (g.astype(np.uint16) << (np.arange(4) * 2)).sum(-1)
+        clow = clow.astype(np.uint8).reshape(batch + (nty, ntx, 4, 16))
+    ct = np.concatenate(
+        [clow, chigh.reshape(batch + (nty, ntx, 4, 64))], axis=-1)
+    return np.concatenate([ybytes, ct.reshape(batch + (-1,))], axis=-1)
+
+
 def _is_packed_letters(fmt) -> bool:
     """Single-plane per-pixel letter layouts (AYUV/VUYA/v308/IYU2/Y416…)."""
     return (fmt.layout == "packed" and fmt.packed_order
@@ -831,6 +1310,20 @@ def from_bytes(fmt: VideoFormatInfo, data: np.ndarray, width: int,
         return _iyu1_from_bytes(data, width, height)
     if fmt.layout == "tiled":
         return _tiled_from_bytes(fmt, data, width, height)
+    if fmt.layout == "uyvp":
+        return _uyvp_from_bytes(data, width, height)
+    if fmt.layout == "palette":
+        return _rgb8p_from_bytes(data, width, height)
+    if fmt.layout in ("gray_le32", "semi_le32"):
+        return _le32_from_bytes(fmt, data, width, height)
+    if fmt.layout == "semi_le40":
+        return _le40_from_bytes(fmt, data, width, height)
+    if fmt.layout == "tiled_le40":
+        return _tiled_le40_from_bytes(data, width, height)
+    if fmt.layout == "tiled_be10":
+        return _tiled_be10_from_bytes(data, width, height)
+    if fmt.layout == "mt2110":
+        return _mt2110_from_bytes(data, width, height, fmt.tile[0])
     if fmt.bits == 16:
         data = np.ascontiguousarray(data).view(fmt.word_dtype)
         if fmt.endian == "be":
@@ -953,6 +1446,20 @@ def to_bytes(fmt: VideoFormatInfo, planes, width: int, height: int) -> np.ndarra
         return _iyu1_to_bytes(planes, width, height)
     if fmt.layout == "tiled":
         return _tiled_to_bytes(fmt, planes, width, height)
+    if fmt.layout == "uyvp":
+        return _uyvp_to_bytes(planes, width, height)
+    if fmt.layout == "palette":
+        return _rgb8p_to_bytes(planes, width, height)
+    if fmt.layout in ("gray_le32", "semi_le32"):
+        return _le32_to_bytes(fmt, planes, width, height)
+    if fmt.layout == "semi_le40":
+        return _le40_to_bytes(fmt, planes, width, height)
+    if fmt.layout == "tiled_le40":
+        return _tiled_le40_to_bytes(planes, width, height)
+    if fmt.layout == "tiled_be10":
+        return _tiled_be10_to_bytes(planes, width, height)
+    if fmt.layout == "mt2110":
+        return _mt2110_to_bytes(planes, width, height, fmt.tile[0])
     sdt = np.uint8 if fmt.bits == 8 else np.uint16
     out = _assemble(fmt, [np.asarray(p).astype(sdt) for p in planes],
                     width, height, sdt)

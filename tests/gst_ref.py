@@ -128,6 +128,33 @@ def plane_rows(fmt_name: str, w: int, h: int):
         if fmt.has_alpha:           # AV12
             out.append((h, w * bps))
         return out
+    if fmt.layout == "uyvp":
+        from gstreamer_tpu.video.format import uyvp_rowbytes
+        return [(h, uyvp_rowbytes(w))]
+    if fmt.layout == "palette":
+        return [(h, w), (1, 1024)]
+    if fmt.layout in ("gray_le32", "semi_le32"):
+        from gstreamer_tpu.video.format import le32_rowwords
+        rb = le32_rowwords(w) * 4
+        if fmt.is_gray:
+            return [(h, rb)]
+        return [(h, rb), (fmt.comp_height(1, h), rb)]
+    if fmt.layout == "semi_le40":
+        from gstreamer_tpu.video.format import le40_rowbytes
+        return [(h, le40_rowbytes(w)),
+                (fmt.comp_height(1, h), le40_rowbytes(2 * fmt.comp_width(1, w)))]
+    if fmt.layout == "tiled_le40":
+        from gstreamer_tpu.video.format import _tiled_le40_geometry
+        ntx, nty, cyt = _tiled_le40_geometry(w, h)
+        return [(1, ntx * nty * 20), (1, ntx * cyt * 20)]
+    if fmt.layout == "tiled_be10":
+        from gstreamer_tpu.video.format import _tiled_be10_geometry
+        _, ntx, yt, uvyt = _tiled_be10_geometry(w, h)
+        return [(1, ntx * yt * 1024), (1, ntx * uvyt * 1024)]
+    if fmt.layout == "mt2110":
+        from gstreamer_tpu.video.format import _mt2110_geometry
+        ntx, nty = _mt2110_geometry(w, h)
+        return [(1, ntx * nty * 640), (1, ntx * nty * 320)]
     # packed
     if fmt.is_rgb or fmt.name in ("AYUV", "VUYA", "AYUV64", "ARGB64"):
         return [(h, w * len(fmt.packed_order) * bps)]

@@ -115,6 +115,15 @@ LAYOUT_CASES = [
     ("NV12_4L4", "NV12"), ("NV12_32L32", "NV12"),
     ("NV12_16L32S", "NV12"), ("NV12_8L128", "NV12"),
     ("AV12", "A420"),
+    # 10-bit packed/word/tiled family (skipped where 1.22 lacks them)
+    ("UYVP", "v216"),
+    ("GRAY10_LE32", "GRAY16_LE"),
+    ("NV12_10LE32", "P016_LE"), ("NV16_10LE32", "v216"),
+    ("NV12_10LE40", "P016_LE"), ("NV16_10LE40", "v216"),
+    ("NV12_10LE40_4L4", "P016_LE"),
+    ("NV12_10BE_8L128", "P016_LE"),
+    ("MT2110T", "P016_LE"), ("MT2110R", "P016_LE"),
+    ("RGB10x2_LE", "ARGB64"), ("BGR10x2_LE", "ARGB64"),
 ]
 
 
@@ -127,3 +136,28 @@ def test_layout_parity(case):
 def test_zflipz_tiling_parity():
     # ZFLIPZ_2X2 zigzag needs >=4 tile columns to exercise the pattern
     _run_case("NV12_64Z32", "NV12", 256, 64)
+
+
+def test_rgb8p_parity():
+    """RGB8P: random indices + random palette through the oracle; our
+    converter gets the palette-resolved planes (unpack_RGB8P
+    video-format.c:2188)."""
+    if not (_ref_knows("RGB8P") and _ref_knows("ARGB")):
+        pytest.skip("oracle lacks RGB8P")
+    from gstreamer_tpu.video.format import from_bytes
+    w, h = 32, 16
+    fmt = format_info("RGB8P")
+    tight = RNG.integers(0, 256, size=frame_size(fmt, w, h)).astype(np.uint8)
+    ii = VideoInfo(format="RGB8P", width=w, height=h)
+    oi = VideoInfo(format="ARGB", width=w, height=h)
+    cfg = (gst_ref.GENERIC_CONFIG
+           + ", dither-method=(GstVideoDitherMethod)none")
+    ref = gst_ref.convert_frame(
+        f"video/x-raw,format=RGB8P,width={w},height={h}",
+        f"video/x-raw,format=ARGB,width={w},height={h}",
+        tight, config=cfg)
+    planes = from_bytes(fmt, tight, w, h)
+    mine = VideoConverter(ii, oi, {"dither-method": "none"}).convert_ref(
+        planes)
+    mine_tight = to_bytes(oi.finfo, mine, w, h).reshape(-1)
+    np.testing.assert_array_equal(ref, mine_tight)

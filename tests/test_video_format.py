@@ -30,6 +30,18 @@ def random_planes(fmt, width, height):
 def test_bytes_roundtrip(name):
     fmt = format_info(name)
     w, h = 32, 16
+    if name == "RGB8P":
+        # palette pack is quantizing (video-format.c:2255 "poor man's
+        # palette"); roundtrip is only stable through index space
+        data = RNG.integers(0, 256, size=frame_size(fmt, w, h)).astype(
+            np.uint8)
+        planes = from_bytes(fmt, data, w, h)
+        again = from_bytes(fmt, to_bytes(fmt, planes, w, h).reshape(-1),
+                           w, h)
+        idx = to_bytes(fmt, planes, w, h)[..., :h * w]
+        np.testing.assert_array_equal(
+            to_bytes(fmt, again, w, h)[..., :h * w], idx)
+        return
     planes = random_planes(fmt, w, h)
     data = to_bytes(fmt, planes, w, h)
     assert data.shape[-1] == frame_size(fmt, w, h) or fmt.layout == "packed"
