@@ -24,3 +24,4 @@ from ..net import transport     # noqa: F401  (tcp/udp elements)
 from . import subparse          # noqa: F401
 from ..net import rtp            # noqa: F401  (rtp elements)
 from . import bayer              # noqa: F401
+from . import visualizers        # noqa: F401

@@ -22,7 +22,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..audio.fft import FFT, WINDOW_HANN, magnitude_db
+from ..audio.fft import FFT
 from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
 from ..core.caps import Caps
@@ -230,77 +230,260 @@ class AudioDynamic(_AudioFxBase):
 
 @register_element
 class Spectrum(_AudioFxBase):
-    """spectrum: passthrough + magnitude messages on the bus."""
+    """spectrum: passthrough + per-interval magnitude/phase messages.
+
+    Exact port of gstspectrum.c: nfft = 2*bands-2, Hamming window,
+    non-overlapping FFT blocks in a sample ring, magnitude per band
+    10*log10((re^2+im^2)/nfft^2) clamped at `threshold` and averaged
+    over the interval's FFTs (run_fft :713, block loop :862); the
+    interval's frame count carries the ns rounding error forward
+    (accumulated_error :905)."""
     FACTORY = "spectrum"
-    DESCRIPTION = "FFT spectrum analyzer (posts magnitude messages)"
+    DESCRIPTION = "Run an FFT on the audio signal, output spectrum data"
     HOST_ELEMENT = True
     PROPERTIES = {
-        "bands": (int, 129, "number of frequency bands"),
+        "bands": (int, 128, "number of frequency bands"),
+        "interval": (int, 100_000_000, "message interval in ns"),
+        "threshold": (int, -60, "dB threshold; lower values clamped"),
         "post-messages": (bool, True, ""),
+        "message-magnitude": (bool, True, ""),
+        "message-phase": (bool, False, ""),
+        "multi-channel": (bool, False, "analyze channels separately"),
     }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self.last_magnitudes = None
+        self.last_phases = None
+        self._reset_done = False
 
-    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+    def _reset(self):
         bands = self.props["bands"]
-        nfft = 2 * (bands - 1)
-        x = np.asarray(buf.data).astype(np.float64)
+        nch = self._nch()
+        self._nfft = 2 * bands - 2
+        self._ring = np.zeros((nch, self._nfft), np.float32)
+        self._input_pos = 0
+        self._num_frames = 0
+        self._num_fft = 0
+        self._mag = np.zeros((nch, bands), np.float32)
+        self._phase = np.zeros((nch, bands), np.float32)
+        rate = self._info.rate
+        interval = self.props["interval"]
+        self._fpi = max(1, interval * rate // 1_000_000_000)
+        self._frames_todo = self._fpi
+        self._err_per_interval = (interval * rate) % 1_000_000_000
+        self._acc_err = 0
+        self._message_ts = 0
+        self._fft = FFT(self._nfft)
+        self._reset_done = True
+
+    def _nch(self):
+        return self._info.channels if self.props["multi-channel"] else 1
+
+    def start(self):
+        self._reset_done = False
+
+    def flush(self):
+        self._reset_done = False
+
+    def _post(self, duration):
+        root = self.parent
+        while getattr(root, "parent", None) is not None:
+            root = root.parent
+        if hasattr(root, "bus"):
+            from ..core.pipeline import Message
+            fields = {"name": "spectrum",
+                      "endtime": self._message_ts + duration,
+                      "timestamp": self._message_ts,
+                      "stream-time": self._message_ts,
+                      "running-time": self._message_ts,
+                      "duration": duration}
+            if self.props["message-magnitude"]:
+                m = self.last_magnitudes
+                fields["magnitude"] = (m[0].tolist()
+                                       if not self.props["multi-channel"]
+                                       else [c.tolist() for c in m])
+            if self.props["message-phase"]:
+                p = self.last_phases
+                fields["phase"] = (p[0].tolist()
+                                   if not self.props["multi-channel"]
+                                   else [c.tolist() for c in p])
+            root.bus.post(Message("element", self.name, fields))
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        if not self._reset_done:
+            self._reset()
+        x = np.asarray(buf.data).astype(np.float32)
+        if x.ndim == 1:
+            x = x[:, None]
         f = self._info.finfo
         if not f.is_float:
-            x = x / (1 << (f.width - 1))
-        mono = x.mean(axis=-1)
-        n = (len(mono) // nfft) * nfft
-        if n:
-            fft = FFT(nfft)
-            spec = fft.fft(np, mono[:n].reshape(-1, nfft), win=WINDOW_HANN)
-            self.last_magnitudes = np.asarray(
-                magnitude_db(np, spec, nfft)).mean(axis=0)
-            if self.props["post-messages"] and self.parent is not None:
-                root = self.parent
-                while getattr(root, "parent", None) is not None:
-                    root = root.parent
-                if hasattr(root, "bus"):
-                    from ..core.pipeline import Message
-                    root.bus.post(Message(
-                        "element", self.name,
-                        {"magnitude": self.last_magnitudes.tolist()}))
+            x = x / np.float32((1 << (f.width - 1)) - 1)
+        if not self.props["multi-channel"]:
+            x = (x.sum(axis=1) / self._info.channels)[:, None]
+        bands = self.props["bands"]
+        nfft = self._nfft
+        threshold = self.props["threshold"]
+        pos = 0
+        size = x.shape[0]
+        while size > 0:
+            fft_todo = nfft - (self._num_frames % nfft)
+            msg_todo = self._frames_todo - self._num_frames
+            block = min(msg_todo, size, fft_todo)
+            idx = (self._input_pos + np.arange(block)) % nfft
+            self._ring[:, idx] = x[pos:pos + block].T
+            pos += block
+            size -= block
+            self._input_pos = (self._input_pos + block) % nfft
+            self._num_frames += block
+            full = self._num_frames == self._frames_todo
+            if (self._num_frames % nfft == 0) or (full and not self._num_fft):
+                order = (self._input_pos + np.arange(nfft)) % nfft
+                data = self._ring[:, order].astype(np.float32)
+                spec = self._fft.fft(np, data, win="hamming")
+                if self.props["message-magnitude"]:
+                    val = (spec.real ** 2 + spec.imag ** 2) / (nfft * nfft)
+                    db = 10.0 * np.log10(np.maximum(val, 1e-38))
+                    self._mag += np.maximum(db, threshold)[:, :bands]
+                if self.props["message-phase"]:
+                    self._phase += np.arctan2(spec.imag,
+                                              spec.real)[:, :bands]
+                self._num_fft += 1
+            if full:
+                self._frames_todo = self._fpi
+                if self._acc_err >= 1_000_000_000:
+                    self._acc_err -= 1_000_000_000
+                    self._frames_todo += 1
+                self._acc_err += self._err_per_interval
+                self.last_magnitudes = self._mag / max(1, self._num_fft)
+                self.last_phases = self._phase / max(1, self._num_fft)
+                if self.props["post-messages"] and self.parent is not None:
+                    self._post(self.props["interval"])
+                self._message_ts += self.props["interval"]
+                self._mag[:] = 0
+                self._phase[:] = 0
+                self._num_frames = 0
+                self._num_fft = 0
         return buf
 
 
 @register_element
 class Level(_AudioFxBase):
-    """level: RMS/peak measurement messages."""
+    """level: RMS/peak/decaying-peak messages per interval.
+
+    Exact port of gstlevel.c: normalized cumulative/peak squares per
+    channel (DEFINE_INT_LEVEL_CALCULATOR :342), decay peak with TTL +
+    dB/sec falloff (transform_ip :614-672), message values
+    RMSdB = 20*log10(sqrt(CS/frames)+eps), peak/decay in power dB
+    (post_message :700-720)."""
     FACTORY = "level"
-    DESCRIPTION = "RMS/Peak level messages"
+    DESCRIPTION = "RMS/Peak/Decaying Peak Level messager for audio/raw"
     HOST_ELEMENT = True
-    PROPERTIES = {"post-messages": (bool, True, "")}
+    PROPERTIES = {
+        "post-messages": (bool, True, ""),
+        "interval": (int, 100_000_000, "message interval in ns"),
+        "peak-ttl": (int, 300_000_000, "decay peak time-to-live in ns"),
+        "peak-falloff": (float, 10.0, "decay rate after TTL in dB/sec"),
+    }
+    EPSILON = 1e-35
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self.last_rms = None
         self.last_peak = None
+        self.last_decay = None
+        self._state = None
 
-    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+    def start(self):
+        self._state = None
+
+    def flush(self):
+        self._state = None
+
+    def _post(self, duration):
+        root = self.parent
+        while getattr(root, "parent", None) is not None:
+            root = root.parent
+        if hasattr(root, "bus"):
+            from ..core.pipeline import Message
+            root.bus.post(Message(
+                "element", self.name,
+                {"name": "level",
+                 "timestamp": self._msg_ts, "duration": duration,
+                 "rms": list(self.last_rms), "peak": list(self.last_peak),
+                 "decay": list(self.last_decay)}))
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        ch = self._info.channels
+        rate = self._info.rate
+        if self._state is None:
+            self._state = {
+                "CS": np.zeros(ch), "peak": np.zeros(ch),
+                "last_peak": np.zeros(ch), "decay_peak": np.zeros(ch),
+                "decay_base": np.zeros(ch),
+                "decay_age": np.zeros(ch, np.int64),
+                "num_frames": 0, "msg_ts": buf.pts or 0,
+            }
+        st = self._state
         x = np.asarray(buf.data).astype(np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
         f = self._info.finfo
         if not f.is_float:
-            x = x / (1 << (f.width - 1))
-        rms = np.sqrt((x ** 2).mean(axis=0))
-        peak = np.abs(x).max(axis=0)
-        self.last_rms = 20 * np.log10(np.maximum(rms, 1e-20))
-        self.last_peak = 20 * np.log10(np.maximum(peak, 1e-20))
-        if self.props["post-messages"] and self.parent is not None:
-            root = self.parent
-            while getattr(root, "parent", None) is not None:
-                root = root.parent
-            if hasattr(root, "bus"):
-                from ..core.pipeline import Message
-                root.bus.post(Message(
-                    "element", self.name,
-                    {"rms": self.last_rms.tolist(),
-                     "peak": self.last_peak.tolist()}))
+            x = x / float(1 << (f.width - 1))
+        interval_frames = max(
+            1, self.props["interval"] * rate // 1_000_000_000)
+        num_frames = x.shape[0]
+        pos = 0
+        while num_frames > 0:
+            block = min(interval_frames - st["num_frames"], num_frames)
+            seg = x[pos:pos + block]
+            sq = seg * seg
+            st["CS"] += sq.sum(axis=0)
+            st["peak"] = sq.max(axis=0) if block else st["peak"]
+            # age advances by the REMAINING frame count, as the C does
+            # (gstlevel.c:621 uses num_frames, not block_size)
+            st["decay_age"] += num_frames * 1_000_000_000 // rate
+            st["last_peak"] = np.maximum(st["last_peak"], st["peak"])
+            falloff_t = st["decay_age"] - self.props["peak-ttl"]
+            fall = falloff_t > 0
+            if fall.any():
+                length = falloff_t / 1e9
+                factor = 10.0 ** (self.props["peak-falloff"]
+                                  * length / -20.0)
+                st["decay_peak"] = np.where(
+                    fall, st["decay_base"] * factor, st["decay_peak"])
+            newpeak = st["peak"] >= st["decay_peak"]
+            st["decay_peak"] = np.where(newpeak, st["peak"],
+                                        st["decay_peak"])
+            st["decay_base"] = np.where(newpeak, st["peak"],
+                                        st["decay_base"])
+            st["decay_age"] = np.where(newpeak, 0, st["decay_age"])
+            pos += block
+            st["num_frames"] += block
+            num_frames -= block
+            if st["num_frames"] >= interval_frames:
+                frames = st["num_frames"]
+                dur = frames * 1_000_000_000 // rate
+                rms = np.sqrt(st["CS"] / frames)
+                self.last_rms = 20 * np.log10(rms + self.EPSILON)
+                self.last_peak = 10 * np.log10(st["last_peak"]
+                                               + self.EPSILON)
+                st["decay_peak"] = np.maximum(st["decay_peak"],
+                                              st["last_peak"])
+                self.last_decay = 10 * np.log10(st["decay_peak"]
+                                                + self.EPSILON)
+                self._msg_ts = st["msg_ts"]
+                if self.props["post-messages"] and self.parent is not None:
+                    self._post(dur)
+                st["msg_ts"] += dur
+                st["CS"][:] = 0
+                st["last_peak"][:] = 0
+                st["num_frames"] = 0
         return buf
 
 

@@ -337,8 +337,8 @@ class TestWavAndFx:
 
     def test_level_messages(self):
         p = parse_launch(
-            "audiotestsrc num-buffers=1 volume=0.5 ! level name=l ! "
-            "fakesink")
+            "audiotestsrc num-buffers=5 samplesperbuffer=1024 volume=0.5 "
+            "! level name=l ! fakesink")
         p.run()
         lvl = p.get_by_name("l")
         # sine at 0.5 amplitude: rms = 0.5/sqrt(2) -> about -9 dB
@@ -348,11 +348,11 @@ class TestWavAndFx:
 
     def test_spectrum_peak(self):
         p = parse_launch(
-            "audiotestsrc num-buffers=1 samplesperbuffer=4096 freq=4306.64 ! "
+            "audiotestsrc num-buffers=2 samplesperbuffer=4410 freq=4306.64 ! "
             "spectrum name=s bands=129 ! fakesink")
         p.run()
         s = p.get_by_name("s")
-        mags = np.asarray(s.last_magnitudes)
+        mags = np.asarray(s.last_magnitudes)[0]
         # 4306.64 Hz at 44.1k with nfft 256: bin = 4306.64*256/44100 = 25
         assert mags.argmax() == 25
 
