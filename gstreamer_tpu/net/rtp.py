@@ -170,8 +170,18 @@ class RtpVRawDepay(TransformElement):
 
     def transform_caps(self, direction, caps, filter=None):
         if direction == PadDirection.SINK:
-            res = (self.props["caps"]
-                   or self.src_pads()[0].template_caps)
+            res = self.props["caps"]
+            if res is None and caps is not None and len(caps.structures):
+                # out-of-band format from the x-rtp caps (the reference
+                # reads these SDP-derived fields in gstrtpvrawdepay.c
+                # gst_rtp_vraw_depay_setcaps)
+                f = caps.structures[0].fields
+                if "width" in f and "format" in f:
+                    res = Caps.from_string(
+                        f"video/x-raw, format={f['format']}, "
+                        f"width={f['width']}, height={f['height']}")
+            if res is None:
+                res = self.src_pads()[0].template_caps
         else:
             res = Caps.from_string("application/x-rtp")
         if filter is not None:

@@ -1,0 +1,483 @@
+"""RTSP server — gst-rtsp-server equivalent (reduced).
+
+Reference: subprojects/gst-rtsp-server/gst/rtsp-server/ —
+rtsp-server.c (TCP accept loop), rtsp-client.c (per-client request
+dispatch OPTIONS/DESCRIBE/SETUP/PLAY/PAUSE/TEARDOWN), rtsp-mount-points.c
+(path -> factory), rtsp-media-factory.c (launch-string factories with
+pay0 convention, gst_rtsp_media_factory_set_launch), rtsp-session.c
+(session ids + per-session transports), rtsp-sdp.c (SDP from the
+payloader caps), rtsp-stream.c (RTP over UDP to the client ports).
+
+TPU-native reduction: media pipelines are this framework's pipelines
+whose payloader (`pay0`) output is tapped with an appsink and forwarded
+as UDP datagrams; one thread per client connection, one per playing
+media.  RTCP is not implemented (sessions are closed by TEARDOWN or
+pipeline EOS).
+
+The client side lives here too: `rtspsrc` performs
+OPTIONS/DESCRIBE/SETUP/PLAY over TCP and pulls the RTP datagrams from
+its bound UDP port (gst-plugins-good/gst/rtsp/gstrtspsrc.c reduced to
+the RTP/AVP;unicast;UDP profile).
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+import uuid
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, SourceElement,
+                            register_element)
+from .rtsp import (RTSPMessage, RTSPTransport, RTSPUrl, parse_message)
+from .sdp import SDPMedia, SDPMessage
+
+# RFC 4175 sampling names per our raw formats (gstrtpvrawpay.c:214)
+_SAMPLING = {"RGB": "RGB", "BGR": "BGR", "RGBA": "RGBA", "BGRA": "BGRA",
+             "UYVY": "YCbCr-4:2:2"}
+_SAMPLING_REV = {v: k for k, v in _SAMPLING.items()}
+
+
+class RTSPMediaFactory:
+    """gst_rtsp_media_factory_set_launch: a launch description whose
+    payloader is named pay0 (optionally wrapped in parentheses)."""
+
+    def __init__(self, launch: str, rate_control: bool = True):
+        launch = launch.strip()
+        if launch.startswith("(") and launch.endswith(")"):
+            launch = launch[1:-1].strip()
+        self.launch = launch
+        self.rate_control = rate_control
+
+    def build(self):
+        from ..core.parse import parse_launch
+        p = parse_launch(self.launch + " ! appsink name=__rtpsink__")
+        p.negotiate()
+        pay = p.get_by_name("pay0")
+        if pay is None:
+            raise ValueError("factory launch must name its payloader pay0")
+        return p, pay
+
+    def describe(self, pay) -> SDPMedia:
+        """rtsp-sdp.c gst_rtsp_sdp_from_media: one m= section from the
+        payloader's negotiated input."""
+        pt = pay.props.get("pt", 96)
+        media = SDPMedia(media="video", port=0, proto="RTP/AVP",
+                         formats=[str(pt)])
+        info = pay._info
+        if hasattr(info, "width"):          # raw video (RFC 4175)
+            sampling = _SAMPLING.get(info.finfo.name, info.finfo.name)
+            media.attributes.append(("rtpmap", f"{pt} RAW/90000"))
+            media.attributes.append(
+                ("fmtp", f"{pt} sampling={sampling}; depth=8; "
+                         f"width={info.width}; height={info.height}"))
+        else:                               # L16 audio (RFC 3551)
+            media.media = "audio"
+            rate = getattr(info, "rate", 44100)
+            ch = getattr(info, "channels", 2)
+            media.attributes.append(("rtpmap", f"{pt} L16/{rate}/{ch}"))
+        media.attributes.append(("control", "stream=0"))
+        return media
+
+
+class RTSPMountPoints:
+    """rtsp-mount-points.c: path -> media factory."""
+
+    def __init__(self):
+        self._factories: Dict[str, RTSPMediaFactory] = {}
+
+    def add_factory(self, path: str, factory: RTSPMediaFactory) -> None:
+        self._factories[path] = factory
+
+    def match(self, path: str) -> Optional[RTSPMediaFactory]:
+        return self._factories.get(path.split("?", 1)[0])
+
+
+class _Session:
+    def __init__(self, factory: RTSPMediaFactory, dest_host: str):
+        self.id = uuid.uuid4().hex[:16]
+        self.factory = factory
+        self.dest_host = dest_host
+        self.transport: Optional[RTSPTransport] = None
+        self.sock: Optional[socket.socket] = None
+        self.thread: Optional[threading.Thread] = None
+        self.playing = threading.Event()
+
+
+class RTSPServer:
+    """rtsp-server.c: TCP accept loop + per-client dispatch."""
+
+    def __init__(self, address: str = "127.0.0.1", service: int = 0):
+        self.address = address
+        self.service = service
+        self.mount_points = RTSPMountPoints()
+        self.bound_port: Optional[int] = None
+        self._srv: Optional[socket.socket] = None
+        self._accept_thread: Optional[threading.Thread] = None
+        self._running = threading.Event()
+        self._sessions: Dict[str, _Session] = {}
+
+    # -- lifecycle ----------------------------------------------------------
+    def attach(self) -> int:
+        """Bind + start serving; returns the bound port."""
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.address, self.service))
+        self.bound_port = self._srv.getsockname()[1]
+        self._srv.listen(8)
+        self._srv.settimeout(0.25)
+        self._running.set()
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+        return self.bound_port
+
+    def shutdown(self) -> None:
+        self._running.clear()
+        for s in list(self._sessions.values()):
+            self._teardown(s)
+        if self._srv is not None:
+            self._srv.close()
+            self._srv = None
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=2.0)
+            self._accept_thread = None
+
+    # -- accept/dispatch ------------------------------------------------------
+    def _accept_loop(self):
+        while self._running.is_set():
+            try:
+                conn, addr = self._srv.accept()
+            except (socket.timeout, OSError):
+                continue
+            t = threading.Thread(target=self._client_loop,
+                                 args=(conn, addr), daemon=True)
+            t.start()
+
+    def _client_loop(self, conn: socket.socket, addr):
+        conn.settimeout(0.25)
+        pending = b""
+        try:
+            while self._running.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue
+                if not chunk:
+                    break
+                pending += chunk
+                while True:
+                    msg, used = parse_message(pending)
+                    if msg is None:
+                        break
+                    pending = pending[used:]
+                    resp = self._handle(msg, addr)
+                    conn.sendall(resp.serialize())
+        finally:
+            conn.close()
+
+    # -- methods (rtsp-client.c handle_request) ------------------------------
+    def _handle(self, req: RTSPMessage, addr) -> RTSPMessage:
+        try:
+            handler = getattr(self, "_do_" + req.method.lower(), None)
+            if handler is None:
+                return RTSPMessage.response(501, req)
+            return handler(req, addr)
+        except Exception as e:     # noqa: BLE001 — map to 500 like the C
+            resp = RTSPMessage.response(500, req)
+            resp.headers.set("X-Error", str(e))
+            return resp
+
+    def _do_options(self, req, addr):
+        resp = RTSPMessage.response(200, req)
+        resp.headers.set("Public", "OPTIONS, DESCRIBE, SETUP, PLAY, "
+                                   "PAUSE, TEARDOWN")
+        return resp
+
+    def _do_describe(self, req, addr):
+        url = RTSPUrl.parse(req.uri)
+        factory = self.mount_points.match(url.abspath)
+        if factory is None:
+            return RTSPMessage.response(404, req)
+        pipeline, pay = factory.build()
+        sdp = SDPMessage(
+            origin=f"- 0 0 IN IP4 {self.address}",
+            session_name="gstreamer_tpu RTSP stream",
+            connection=f"IN IP4 {self.address}",
+            times=["0 0"])
+        sdp.medias.append(factory.describe(pay))
+        resp = RTSPMessage.response(200, req)
+        resp.body = sdp.as_text().encode()
+        resp.headers.set("Content-Type", "application/sdp")
+        resp.headers.set("Content-Base", req.uri.rstrip("/") + "/")
+        return resp
+
+    def _do_setup(self, req, addr):
+        url = RTSPUrl.parse(req.uri)
+        path = url.abspath
+        if path.endswith("/stream=0"):
+            path = path[: -len("/stream=0")]
+        factory = self.mount_points.match(path)
+        if factory is None:
+            return RTSPMessage.response(404, req)
+        theader = req.headers.get("Transport")
+        if not theader:
+            return RTSPMessage.response(461, req)
+        transport = RTSPTransport.parse(theader)
+        if transport.client_port == (0, 0):
+            return RTSPMessage.response(461, req)
+        sess = _Session(factory, addr[0])
+        sess.transport = transport
+        sess.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sess.sock.bind((self.address, 0))
+        sport = sess.sock.getsockname()[1]
+        transport.server_port = (sport, sport + 1)
+        transport.destination = addr[0]
+        self._sessions[sess.id] = sess
+        resp = RTSPMessage.response(200, req)
+        resp.headers.set("Session", sess.id + ";timeout=60")
+        resp.headers.set("Transport", transport.to_string())
+        return resp
+
+    def _session_of(self, req) -> Optional[_Session]:
+        sid = (req.headers.get("Session") or "").split(";")[0].strip()
+        return self._sessions.get(sid)
+
+    def _do_play(self, req, addr):
+        sess = self._session_of(req)
+        if sess is None:
+            return RTSPMessage.response(454, req)
+        if sess.thread is None or not sess.thread.is_alive():
+            sess.playing.set()
+            sess.thread = threading.Thread(
+                target=self._stream_loop, args=(sess,), daemon=True)
+            sess.thread.start()
+        else:
+            sess.playing.set()
+        resp = RTSPMessage.response(200, req)
+        resp.headers.set("Range", "npt=0-")
+        resp.headers.set("RTP-Info",
+                         f"url={req.uri};seq=0;rtptime=0")
+        return resp
+
+    def _do_pause(self, req, addr):
+        sess = self._session_of(req)
+        if sess is None:
+            return RTSPMessage.response(454, req)
+        sess.playing.clear()
+        return RTSPMessage.response(200, req)
+
+    def _do_teardown(self, req, addr):
+        sess = self._session_of(req)
+        if sess is None:
+            return RTSPMessage.response(454, req)
+        self._teardown(sess)
+        resp = RTSPMessage.response(200, req)
+        resp.headers.set("Connection", "close")
+        return resp
+
+    def _teardown(self, sess: _Session) -> None:
+        self._sessions.pop(sess.id, None)
+        sess.playing.clear()
+        if sess.thread is not None:
+            sess.thread.join(timeout=2.0)
+            sess.thread = None
+        if sess.sock is not None:
+            sess.sock.close()
+            sess.sock = None
+
+    # -- media streaming (rtsp-stream.c, reduced) -----------------------------
+    def _stream_loop(self, sess: _Session) -> None:
+        pipeline, pay = sess.factory.build()
+        sink = pipeline.get_by_name("__rtpsink__")
+        dest = (sess.dest_host, sess.transport.client_port[0])
+        pipeline.set_state("PLAYING")
+        try:
+            while sess.id in self._sessions:
+                if not sess.playing.is_set():
+                    time.sleep(0.05)
+                    continue
+                if not pipeline.tick():
+                    break
+                while True:
+                    sample = sink.pull_sample()
+                    if sample is None:
+                        break
+                    pkts = sample.buffer.data
+                    if not isinstance(pkts, list):
+                        continue
+                    for pkt in pkts:
+                        if isinstance(pkt, np.ndarray):
+                            pkt = pkt.tobytes()
+                        sess.sock.sendto(pkt, dest)
+                    if sess.factory.rate_control and sample.buffer.duration:
+                        time.sleep(min(sample.buffer.duration / 1e9, 0.5))
+        finally:
+            pipeline.set_state("NULL")
+
+
+# ---------------------------------------------------------------------------
+# rtspsrc (client element)
+# ---------------------------------------------------------------------------
+
+@register_element
+class RTSPSrc(SourceElement):
+    """rtspsrc (reduced): OPTIONS/DESCRIBE/SETUP/PLAY over TCP, RTP
+    datagrams over UDP; emits application/x-rtp buffers whose caps carry
+    the decoded SDP fields so a depayloader can negotiate directly."""
+    FACTORY = "rtspsrc"
+    DESCRIPTION = "Receive data over the network via RTSP (RFC 2326)"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
+                                 "application/x-rtp")]
+    PROPERTIES = {
+        "location": (str, "", "rtsp:// URL"),
+        "timeout": (float, 1.0, "UDP receive timeout (s)"),
+        "eos-timeouts": (int, 2, "consecutive timeouts before EOS"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._caps: Optional[Caps] = None
+        self._conn = None
+        self._udp = None
+        self._cseq = 0
+        self._session = None
+        self._content_base = None
+        self._timeouts = 0
+
+    # -- RTSP client calls ---------------------------------------------------
+    def _call(self, method: str, uri: str, headers=()) -> RTSPMessage:
+        self._cseq += 1
+        req = RTSPMessage.request(method, uri)
+        req.headers.set("CSeq", str(self._cseq))
+        if self._session:
+            req.headers.set("Session", self._session)
+        for k, v in headers:
+            req.headers.set(k, v)
+        self._conn.sendall(req.serialize())
+        data = b""
+        while True:
+            chunk = self._conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("RTSP connection closed")
+            data += chunk
+            msg, used = parse_message(data)
+            if msg is not None:
+                return msg
+
+    def start(self):
+        # negotiation queries caps before start(): the session may
+        # already be up (gstrtspsrc similarly connects on READY->PAUSED,
+        # before the first buffer)
+        if self._conn is not None:
+            return
+        url = RTSPUrl.parse(self.props["location"])
+        self._conn = socket.create_connection((url.host, url.port),
+                                              timeout=5.0)
+        uri = self.props["location"]
+        self._call("OPTIONS", uri)
+        desc = self._call("DESCRIBE", uri,
+                          [("Accept", "application/sdp")])
+        if desc.status != 200:
+            raise ConnectionError(f"DESCRIBE failed: {desc.status}")
+        self._content_base = desc.headers.get("Content-Base", uri)
+        sdp = SDPMessage.parse(desc.body.decode())
+        media = sdp.medias[0]
+        pt = int(media.formats[0])
+        self._caps = self._caps_from_sdp(media, pt)
+        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._udp.bind(("0.0.0.0", 0))
+        self._udp.settimeout(self.props["timeout"])
+        port = self._udp.getsockname()[1]
+        control = media.get_attribute_val("control") or ""
+        setup_uri = (self._content_base.rstrip("/") + "/" + control
+                     if control else self._content_base)
+        t = RTSPTransport(client_port=(port, port + 1))
+        resp = self._call("SETUP", setup_uri,
+                          [("Transport", t.to_string())])
+        if resp.status != 200:
+            raise ConnectionError(f"SETUP failed: {resp.status}")
+        self._session = (resp.headers.get("Session") or "").split(";")[0]
+        resp = self._call("PLAY", self._content_base,
+                          [("Range", "npt=0-")])
+        if resp.status != 200:
+            raise ConnectionError(f"PLAY failed: {resp.status}")
+        self._timeouts = 0
+
+    def stop(self):
+        try:
+            if self._conn is not None and self._session:
+                self._call("TEARDOWN", self._content_base)
+        except OSError:
+            pass
+        for s in (self._udp, self._conn):
+            if s is not None:
+                s.close()
+        self._udp = self._conn = None
+        self._session = None
+
+    @staticmethod
+    def _caps_from_sdp(media: SDPMedia, pt: int) -> Caps:
+        enc, rate, ch = media.rtpmaps().get(pt, ("", 90000, 1))
+        fields = [f"media=(string){media.media}", f"payload=(int){pt}",
+                  f"encoding-name=(string){enc}",
+                  f"clock-rate=(int){rate}"]
+        fmtp = media.get_attribute_val("fmtp") or ""
+        params = {}
+        if fmtp:
+            _, _, rest = fmtp.partition(" ")
+            for kv in rest.split(";"):
+                k, _, v = kv.strip().partition("=")
+                if k:
+                    params[k.lower()] = v
+        if enc == "RAW":
+            fmt = _SAMPLING_REV.get(params.get("sampling", ""),
+                                    params.get("sampling", "RGB"))
+            fields += [f"format=(string){fmt}",
+                       f"width=(int){params.get('width', 0)}",
+                       f"height=(int){params.get('height', 0)}"]
+        if enc == "L16":
+            fields += [f"rate=(int){rate}", f"channels=(int){ch}"]
+        return Caps.from_string("application/x-rtp, " + ", ".join(fields))
+
+    # -- source behavior -------------------------------------------------------
+    def get_caps(self, filter=None):
+        if self._caps is None and self.props["location"]:
+            self.start()          # connect lazily: caps come from DESCRIBE
+        caps = self._caps or self.src_pads()[0].template_caps
+        if filter is not None:
+            caps = caps.intersect(filter)
+        return caps
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        pkts = []
+        deadline_pkts = 512
+        while len(pkts) < deadline_pkts:
+            try:
+                data, _ = self._udp.recvfrom(65536)
+                pkts.append(data)
+                self._timeouts = 0
+                # drain whatever else is queued without blocking
+                self._udp.settimeout(0.0)
+                try:
+                    while len(pkts) < deadline_pkts:
+                        data, _ = self._udp.recvfrom(65536)
+                        pkts.append(data)
+                except (BlockingIOError, socket.error):
+                    pass
+                finally:
+                    self._udp.settimeout(self.props["timeout"])
+                break
+            except socket.timeout:
+                self._timeouts += 1
+                if self._timeouts >= self.props["eos-timeouts"]:
+                    return None                  # EOS
+        if not pkts:
+            return None
+        return Buffer(data=pkts, batch=1)
