@@ -26,3 +26,4 @@ from ..net import rtp            # noqa: F401  (rtp elements)
 from . import bayer              # noqa: F401
 from . import visualizers        # noqa: F401
 from ..net import rtsp_server    # noqa: F401  (rtspsrc element)
+from . import container_elements  # noqa: F401

@@ -1,0 +1,748 @@
+"""Container elements: avimux/avidemux and matroskamux/matroskademux
+for raw video + PCM audio.
+
+Reference: subprojects/gst-plugins-good/gst/avi/gstavimux.c (hdrl/strl/
+movi/idx1 writing), gstavidemux.c (RIFF walking, stream setup),
+gst-plugins-good/gst/matroska/matroska-mux.c (EBML writer, TrackEntry,
+SimpleBlock lacing) and matroska-demux.c / ebml-read.c (EBML walking).
+
+TPU-native reduction: the demuxers are source-style elements (location
++ stream-selection properties, like wavparse) so each instance feeds one
+branch of the batch graph; the muxers are collapsed aggregator sinks
+(request video_%u/audio_%u pads + location) that interleave per tick.
+Codec coverage is the raw family the framework processes natively:
+fourcc video (I420/YUY2/UYVY), BI_RGB, V_UNCOMPRESSED, and PCM
+(A_PCM/INT/LIT / WAVEFORMATEX tag 1)."""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..audio import format as afmt
+from ..audio.info import AudioInfo
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (AggregatorElement, PadDirection, PadPresence,
+                            PadTemplate, SourceElement, register_element)
+from ..core.value import Fraction
+from ..video.format import format_info, frame_size, from_bytes, to_bytes
+from ..video.info import VideoInfo
+
+VIDEO_FOURCC = {"I420": b"I420", "YUY2": b"YUY2", "UYVY": b"UYVY"}
+FOURCC_VIDEO = {v: k for k, v in VIDEO_FOURCC.items()}
+
+
+def _video_bytes(info: VideoInfo, planes) -> np.ndarray:
+    """(batch) component planes -> per-frame container payloads."""
+    return to_bytes(info.finfo, tuple(np.asarray(p) for p in planes),
+                    info.width, info.height)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF)
+# ---------------------------------------------------------------------------
+
+@register_element
+class AviMux(AggregatorElement):
+    """avimux: raw video (+ optional PCM audio) into an .avi file.
+
+    Writes avih/strh/strf headers, interleaved 00db/01wb movi chunks and
+    an idx1 index, finalized at EOS (gstavimux.c gst_avi_mux_start_file /
+    _stop_file)."""
+    FACTORY = "avimux"
+    DESCRIPTION = "Muxes audio and video into an avi stream"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("video_%u", PadDirection.SINK,
+                    "video/x-raw, format={ I420, YUY2, UYVY, RGB }",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("audio_%u", PadDirection.SINK,
+                    "audio/x-raw, format=S16LE, layout=interleaved",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("src", PadDirection.SRC, "video/x-msvideo"),
+    ]
+    PROPERTIES = {"location": (str, "out.avi", "output path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._vinfo: Optional[VideoInfo] = None
+        self._ainfo: Optional[AudioInfo] = None
+        self._file = None
+        self._index: List[Tuple[bytes, int, int]] = []
+        self._vframes = 0
+        self._asamples = 0
+
+    def negotiate_output(self, in_caps: Dict[str, Caps], allowed: Caps):
+        for pad_name, caps in in_caps.items():
+            s = caps.fixate()[0]
+            if pad_name.startswith("video"):
+                self._vinfo = VideoInfo.from_caps_structure(s)
+            else:
+                self._ainfo = AudioInfo.from_caps_structure(s)
+        return Caps.from_string("video/x-msvideo")
+
+    # -- header pieces -------------------------------------------------------
+    def _strl_video(self) -> bytes:
+        vi = self._vinfo
+        fps = vi.fps
+        fmt = vi.finfo.name
+        fourcc = VIDEO_FOURCC.get(fmt, b"DIB ")
+        bitcount = {"I420": 12, "YUY2": 16, "UYVY": 16, "RGB": 24}[fmt]
+        compression = fourcc if fmt != "RGB" else b"\0\0\0\0"
+        fsz = frame_size(vi.finfo, vi.width, vi.height)
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0, 0,
+            fps.denom, fps.num, 0, self._vframes, fsz, 0xFFFFFF, 0,
+            0, 0, vi.width, vi.height)
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, vi.width, vi.height, 1, bitcount,
+            compression, fsz, 0, 0, 0, 0)
+        return (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8
+                                      + len(strf))
+                + b"strl"
+                + b"strh" + struct.pack("<I", len(strh)) + strh
+                + b"strf" + struct.pack("<I", len(strf)) + strf)
+
+    def _strl_audio(self) -> bytes:
+        ai = self._ainfo
+        bpf = ai.channels * 2
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\0\0\0\0", 0, 0, 0, 0,
+            1, ai.rate, 0, self._asamples, bpf * ai.rate, 0xFFFFFF, bpf,
+            0, 0, 0, 0)
+        strf = struct.pack("<HHIIHH", 1, ai.channels, ai.rate,
+                           ai.rate * bpf, bpf, 16)
+        return (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8
+                                      + len(strf))
+                + b"strl"
+                + b"strh" + struct.pack("<I", len(strh)) + strh
+                + b"strf" + struct.pack("<I", len(strf)) + strf)
+
+    def _write_headers(self) -> None:
+        vi = self._vinfo
+        fps = vi.fps if vi else Fraction(25, 1)
+        streams = (1 if self._vinfo else 0) + (1 if self._ainfo else 0)
+        uspf = 1_000_000 * fps.denom // fps.num if vi else 0
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", uspf, 0, 0, 0x10, self._vframes, 0,
+            streams, 0x100000,
+            vi.width if vi else 0, vi.height if vi else 0, 0, 0, 0, 0)
+        strls = b""
+        if self._vinfo is not None:
+            strls += self._strl_video()
+        if self._ainfo is not None:
+            strls += self._strl_audio()
+        hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                + strls)
+        self._file.write(b"RIFF\0\0\0\0AVI ")
+        self._file.write(b"LIST" + struct.pack("<I", len(hdrl)) + hdrl)
+        self._movi_start = self._file.tell()
+        self._file.write(b"LIST\0\0\0\0movi")
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        self._index = []
+        self._vframes = 0
+        self._asamples = 0
+        self._headers_done = False
+
+    def _chunk(self, ckid: bytes, payload: bytes) -> None:
+        off = self._file.tell() - self._movi_start - 8
+        self._index.append((ckid, off, len(payload)))
+        self._file.write(ckid + struct.pack("<I", len(payload)) + payload)
+        if len(payload) & 1:
+            self._file.write(b"\0")
+
+    def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        if not self._headers_done:
+            self._write_headers()
+            self._headers_done = True
+        vid_sid = 0
+        aud_sid = 1 if self._vinfo is not None else 0
+        for pad_name in sorted(ins):
+            buf = ins[pad_name]
+            if pad_name.startswith("video"):
+                raw = _video_bytes(self._vinfo, buf.data)
+                raw = raw.reshape(buf.batch, -1)
+                for k in range(buf.batch):
+                    self._chunk(b"%02ddb" % vid_sid, raw[k].tobytes())
+                    self._vframes += 1
+            else:
+                samples = np.asarray(buf.data)
+                raw = afmt.to_bytes(self._ainfo.finfo, samples)
+                self._chunk(b"%02dwb" % aud_sid, raw.tobytes())
+                self._asamples += samples.shape[0]
+        first = next(iter(ins.values()))
+        return first.with_(data=np.zeros(1, np.uint8))
+
+    def stop(self):
+        if self._file is None:
+            return
+        if not getattr(self, "_headers_done", False):
+            self._write_headers()
+        # idx1
+        idx = b"".join(ckid + struct.pack("<III", 0x10, off, size)
+                       for ckid, off, size in self._index)
+        movi_end = self._file.tell()
+        self._file.write(b"idx1" + struct.pack("<I", len(idx)) + idx)
+        total = self._file.tell()
+        # patch sizes + counts
+        self._file.seek(4)
+        self._file.write(struct.pack("<I", total - 8))
+        self._file.seek(self._movi_start + 4)
+        self._file.write(struct.pack("<I", movi_end - self._movi_start - 8))
+        # re-write headers with final frame counts (fixed-size region)
+        self._file.seek(12)
+        vi = self._vinfo
+        fps = vi.fps if vi else Fraction(25, 1)
+        streams = (1 if self._vinfo else 0) + (1 if self._ainfo else 0)
+        uspf = 1_000_000 * fps.denom // fps.num if vi else 0
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", uspf, 0, 0, 0x10, self._vframes, 0,
+            streams, 0x100000,
+            vi.width if vi else 0, vi.height if vi else 0, 0, 0, 0, 0)
+        strls = b""
+        if self._vinfo is not None:
+            strls += self._strl_video()
+        if self._ainfo is not None:
+            strls += self._strl_audio()
+        hdrl = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                + strls)
+        self._file.write(b"LIST" + struct.pack("<I", len(hdrl)) + hdrl)
+        self._file.close()
+        self._file = None
+
+
+def _parse_avi(path: str):
+    """Walk RIFF: returns (streams, movi_chunks) where streams is a list
+    of dicts and movi_chunks [(stream_id, payload_offset, size)]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    streams = []
+    chunks = []
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            ckid = data[pos:pos + 4]
+            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            body = pos + 8
+            if ckid == b"LIST":
+                ltype = data[body:body + 4]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    walk(body + 4, body + size)
+            elif ckid == b"strh":
+                fcc_type = data[body:body + 4]
+                fcc = data[body + 4:body + 8]
+                scale, rate = struct.unpack("<II", data[body + 20:body + 28])
+                length = struct.unpack("<I",
+                                       data[body + 32:body + 36])[0]
+                streams.append({"type": fcc_type, "fourcc": fcc,
+                                "scale": scale, "rate": rate,
+                                "length": length})
+            elif ckid == b"strf":
+                st = streams[-1]
+                if st["type"] == b"vids":
+                    (_, w, h, _, bits, comp) = struct.unpack(
+                        "<IiiHH4s", data[body:body + 20])
+                    st.update(width=w, height=abs(h), bits=bits,
+                              compression=comp)
+                else:
+                    tag, ch, rate2 = struct.unpack(
+                        "<HHI", data[body:body + 8])
+                    bits = struct.unpack("<H", data[body + 14:body + 16])[0]
+                    st.update(tag=tag, channels=ch, arate=rate2, bits=bits)
+            elif len(ckid) == 4 and ckid[:2].isdigit():
+                chunks.append((int(ckid[:2]), body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, len(data))
+    return streams, chunks, data
+
+
+@register_element
+class AviDemux(SourceElement):
+    """avidemux (source-style): demux ONE stream of an .avi file per
+    element instance (`stream` property selects video/audio or index),
+    mirroring wavparse's pull-mode collapse."""
+    FACTORY = "avidemux"
+    DESCRIPTION = "Demultiplex an avi file into audio and video"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "avi file path"),
+        "stream": (str, "video", "video | audio | stream index"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._loaded = False
+        self._pos = 0
+
+    def _load(self):
+        if self._loaded:
+            return
+        streams, chunks, data = _parse_avi(self.props["location"])
+        sel = self.props["stream"]
+        want = None
+        for idx, st in enumerate(streams):
+            if sel == str(idx) or \
+               (sel == "video" and st["type"] == b"vids") or \
+               (sel == "audio" and st["type"] == b"auds"):
+                want = idx
+                break
+        if want is None:
+            raise ValueError(f"avidemux: no stream {sel!r}")
+        self._stream = streams[want]
+        self._chunks = [(off, size) for sid, off, size in chunks
+                        if sid == want]
+        self._data = data
+        st = self._stream
+        if st["type"] == b"vids":
+            if st["compression"] in FOURCC_VIDEO:
+                fmt = FOURCC_VIDEO[st["compression"]]
+            elif st["compression"] == b"\0\0\0\0" and st["bits"] == 24:
+                fmt = "RGB"
+            else:
+                raise ValueError("avidemux: unsupported video codec "
+                                 f"{st['compression']!r}")
+            self._info = VideoInfo(
+                format=fmt, width=st["width"], height=st["height"],
+                fps=Fraction(st["rate"], st["scale"]))
+        else:
+            self._info = AudioInfo(format="S16LE", rate=st["arate"],
+                                   channels=st["channels"])
+        self._loaded = True
+
+    def get_caps(self, filter=None):
+        if self.props["location"]:
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return Caps.any()
+        caps = Caps([self._info.to_caps_structure()]) if self._loaded \
+            else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._pos >= len(self._chunks):
+            return None
+        info = self._info
+        if isinstance(info, VideoInfo):
+            take = self._chunks[self._pos:self._pos + max(1, n_frames)]
+            raws = np.stack([np.frombuffer(
+                self._data[off:off + size], np.uint8) for off, size in take])
+            planes = from_bytes(info.finfo, raws, info.width, info.height)
+            fps = info.fps
+            pts = self._pos * 1_000_000_000 * fps.denom // fps.num
+            dur = 1_000_000_000 * fps.denom // fps.num
+            self._pos += len(take)
+            return Buffer(data=planes, pts=pts, duration=dur,
+                          batch=len(take))
+        off, size = self._chunks[self._pos]
+        self._pos += 1
+        raw = np.frombuffer(self._data[off:off + size], np.uint8)
+        samples = afmt.from_bytes(info.finfo, raw, info.channels)
+        return Buffer(data=samples, batch=1,
+                      duration=samples.shape[0] * 1_000_000_000
+                      // info.rate)
+
+
+# ---------------------------------------------------------------------------
+# Matroska (EBML)
+# ---------------------------------------------------------------------------
+
+def ebml_id(num: int) -> bytes:
+    """IDs are stored with their marker bits included."""
+    out = []
+    while num:
+        out.append(num & 0xFF)
+        num >>= 8
+    return bytes(reversed(out))
+
+
+def ebml_size(value: int, length: Optional[int] = None) -> bytes:
+    """EBML variable-size integer (width marker in the first byte)."""
+    if length is None:
+        length = 1
+        while value >= (1 << (7 * length)) - 1 and length < 8:
+            length += 1
+    out = value | (1 << (7 * length))
+    return out.to_bytes(length, "big")
+
+
+def ebml_elem(eid: int, payload: bytes) -> bytes:
+    return ebml_id(eid) + ebml_size(len(payload)) + payload
+
+
+def ebml_uint(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return ebml_elem(eid, v.to_bytes(n, "big"))
+
+
+def ebml_float(eid: int, v: float) -> bytes:
+    return ebml_elem(eid, struct.pack(">d", v))
+
+
+def ebml_str(eid: int, s: str) -> bytes:
+    return ebml_elem(eid, s.encode())
+
+
+# element IDs (matroska-ids.h)
+EBML_HEADER = 0x1A45DFA3
+SEGMENT = 0x18538067
+SEG_INFO = 0x1549A966
+TIMESTAMP_SCALE = 0x2AD7B1
+MUXING_APP = 0x4D80
+WRITING_APP = 0x5741
+DURATION = 0x4489
+TRACKS = 0x1654AE6B
+TRACK_ENTRY = 0xAE
+TRACK_NUMBER = 0xD7
+TRACK_UID = 0x73C5
+TRACK_TYPE = 0x83
+CODEC_ID = 0x86
+DEFAULT_DURATION = 0x23E383
+VIDEO = 0xE0
+PIXEL_WIDTH = 0xB0
+PIXEL_HEIGHT = 0xBA
+COLOUR_SPACE = 0x2EB524
+AUDIO = 0xE1
+SAMPLING_FREQ = 0xB5
+CHANNELS = 0x9F
+BIT_DEPTH = 0x6264
+CLUSTER = 0x1F43B675
+CLUSTER_TS = 0xE7
+SIMPLE_BLOCK = 0xA3
+
+
+@register_element
+class MatroskaMux(AggregatorElement):
+    """matroskamux: V_UNCOMPRESSED video + A_PCM/INT/LIT audio in an
+    EBML Segment with per-tick Clusters of SimpleBlocks
+    (matroska-mux.c)."""
+    FACTORY = "matroskamux"
+    DESCRIPTION = "Muxes video/audio streams into a matroska stream"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("video_%u", PadDirection.SINK,
+                    "video/x-raw, format={ I420, YUY2, UYVY }",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("audio_%u", PadDirection.SINK,
+                    "audio/x-raw, format=S16LE, layout=interleaved",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("src", PadDirection.SRC, "video/x-matroska"),
+    ]
+    PROPERTIES = {"location": (str, "out.mkv", "output path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._vinfo = None
+        self._ainfo = None
+        self._file = None
+
+    def negotiate_output(self, in_caps, allowed):
+        for pad_name, caps in in_caps.items():
+            s = caps.fixate()[0]
+            if pad_name.startswith("video"):
+                self._vinfo = VideoInfo.from_caps_structure(s)
+            else:
+                self._ainfo = AudioInfo.from_caps_structure(s)
+        return Caps.from_string("video/x-matroska")
+
+    def _tracks(self) -> bytes:
+        entries = b""
+        if self._vinfo is not None:
+            vi = self._vinfo
+            fps = vi.fps
+            video = (ebml_uint(PIXEL_WIDTH, vi.width)
+                     + ebml_uint(PIXEL_HEIGHT, vi.height)
+                     + ebml_elem(COLOUR_SPACE,
+                                 VIDEO_FOURCC[vi.finfo.name]))
+            entries += ebml_elem(
+                TRACK_ENTRY,
+                ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
+                + ebml_uint(TRACK_TYPE, 1)
+                + ebml_str(CODEC_ID, "V_UNCOMPRESSED")
+                + ebml_uint(DEFAULT_DURATION,
+                            1_000_000_000 * fps.denom // fps.num)
+                + ebml_elem(VIDEO, video))
+        if self._ainfo is not None:
+            ai = self._ainfo
+            audio = (ebml_float(SAMPLING_FREQ, float(ai.rate))
+                     + ebml_uint(CHANNELS, ai.channels)
+                     + ebml_uint(BIT_DEPTH, 16))
+            entries += ebml_elem(
+                TRACK_ENTRY,
+                ebml_uint(TRACK_NUMBER, 2) + ebml_uint(TRACK_UID, 2)
+                + ebml_uint(TRACK_TYPE, 2)
+                + ebml_str(CODEC_ID, "A_PCM/INT/LIT")
+                + ebml_elem(AUDIO, audio))
+        return ebml_elem(TRACKS, entries)
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        self._headers_done = False
+        self._vframes = 0
+        self._apts_ms = 0
+
+    def _write_headers(self):
+        header = (ebml_uint(0x4286, 1) + ebml_uint(0x42F7, 1)
+                  + ebml_uint(0x42F2, 4) + ebml_uint(0x42F3, 8)
+                  + ebml_str(0x4282, "matroska")
+                  + ebml_uint(0x4287, 2) + ebml_uint(0x4285, 2))
+        self._file.write(ebml_elem(EBML_HEADER, header))
+        # unknown-size segment (streamed writing, matroska-mux.c default
+        # before finalization)
+        self._file.write(ebml_id(SEGMENT) + b"\xFF")
+        info = (ebml_uint(TIMESTAMP_SCALE, 1_000_000)
+                + ebml_str(MUXING_APP, "gstreamer_tpu")
+                + ebml_str(WRITING_APP, "gstreamer_tpu matroskamux"))
+        self._file.write(ebml_elem(SEG_INFO, info))
+        self._file.write(self._tracks())
+
+    def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        if not self._headers_done:
+            self._write_headers()
+            self._headers_done = True
+        blocks = b""
+        cluster_ts = None
+        for pad_name in sorted(ins):
+            buf = ins[pad_name]
+            if pad_name.startswith("video"):
+                vi = self._vinfo
+                fps = vi.fps
+                raw = _video_bytes(vi, buf.data).reshape(buf.batch, -1)
+                for k in range(buf.batch):
+                    ts_ms = ((self._vframes * 1000 * fps.denom)
+                             // fps.num)
+                    if cluster_ts is None:
+                        cluster_ts = ts_ms
+                    rel = ts_ms - cluster_ts
+                    blocks += ebml_elem(
+                        SIMPLE_BLOCK,
+                        ebml_size(1) + struct.pack(">h", rel) + b"\x80"
+                        + raw[k].tobytes())
+                    self._vframes += 1
+            else:
+                ai = self._ainfo
+                samples = np.asarray(buf.data)
+                raw = afmt.to_bytes(ai.finfo, samples)
+                ts_ms = self._apts_ms
+                if cluster_ts is None:
+                    cluster_ts = ts_ms
+                rel = ts_ms - cluster_ts
+                blocks += ebml_elem(
+                    SIMPLE_BLOCK,
+                    ebml_size(2) + struct.pack(">h", rel) + b"\x80"
+                    + raw.tobytes())
+                self._apts_ms += samples.shape[0] * 1000 // ai.rate
+        if blocks and cluster_ts is not None:
+            self._file.write(ebml_elem(
+                CLUSTER, ebml_uint(CLUSTER_TS, cluster_ts) + blocks))
+        first = next(iter(ins.values()))
+        return first.with_(data=np.zeros(1, np.uint8))
+
+    def stop(self):
+        if self._file is None:
+            return
+        if not getattr(self, "_headers_done", False):
+            self._write_headers()
+        self._file.close()
+        self._file = None
+
+
+def _ebml_read_id(data: bytes, pos: int) -> Tuple[int, int]:
+    first = data[pos]
+    length = 1
+    for k in range(4):
+        if first & (0x80 >> k):
+            length = k + 1
+            break
+    return int.from_bytes(data[pos:pos + length], "big"), pos + length
+
+
+def _ebml_read_size(data: bytes, pos: int) -> Tuple[Optional[int], int]:
+    first = data[pos]
+    length = 1
+    for k in range(8):
+        if first & (0x80 >> k):
+            length = k + 1
+            break
+    raw = int.from_bytes(data[pos:pos + length], "big")
+    val = raw - (1 << (7 * length))
+    if val == (1 << (7 * length)) - 1:      # all ones: unknown size
+        return None, pos + length
+    return val, pos + length
+
+
+def _parse_matroska(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    tracks = []
+    blocks = []         # (track_number, abs_ts_ms, offset, size)
+
+    def walk(pos, end, cluster_ts=0):
+        while pos < end and pos + 2 <= len(data):
+            eid, pos = _ebml_read_id(data, pos)
+            size, pos = _ebml_read_size(data, pos)
+            if size is None:                # unknown size: descend
+                continue
+            body = pos
+            if eid in (SEGMENT, TRACKS, SEG_INFO):
+                walk(body, body + size, cluster_ts)
+            elif eid == TRACK_ENTRY:
+                tracks.append(_parse_track(data, body, body + size))
+            elif eid == CLUSTER:
+                walk(body, body + size, cluster_ts)
+            elif eid == CLUSTER_TS:
+                cluster_ts = int.from_bytes(data[body:body + size], "big")
+            elif eid == SIMPLE_BLOCK:
+                tno, p2 = _ebml_read_size(data, body)
+                rel = struct.unpack(">h", data[p2:p2 + 2])[0]
+                payload = p2 + 3
+                blocks.append((tno, cluster_ts + rel, payload,
+                               body + size - payload))
+            pos = body + size
+
+    walk(0, len(data))
+    return tracks, blocks, data
+
+
+def _parse_track(data: bytes, pos: int, end: int) -> dict:
+    tr = {}
+    while pos < end:
+        eid, pos = _ebml_read_id(data, pos)
+        size, pos = _ebml_read_size(data, pos)
+        body = data[pos:pos + size]
+        if eid == TRACK_NUMBER:
+            tr["number"] = int.from_bytes(body, "big")
+        elif eid == TRACK_TYPE:
+            tr["type"] = int.from_bytes(body, "big")
+        elif eid == CODEC_ID:
+            tr["codec"] = body.decode()
+        elif eid == DEFAULT_DURATION:
+            tr["frame_dur"] = int.from_bytes(body, "big")
+        elif eid in (VIDEO, AUDIO):
+            p2 = pos
+            while p2 < pos + size:
+                sid, p2 = _ebml_read_id(data, p2)
+                ssz, p2 = _ebml_read_size(data, p2)
+                sb = data[p2:p2 + ssz]
+                if sid == PIXEL_WIDTH:
+                    tr["width"] = int.from_bytes(sb, "big")
+                elif sid == PIXEL_HEIGHT:
+                    tr["height"] = int.from_bytes(sb, "big")
+                elif sid == COLOUR_SPACE:
+                    tr["fourcc"] = sb
+                elif sid == SAMPLING_FREQ:
+                    tr["rate"] = int(struct.unpack(
+                        ">d" if ssz == 8 else ">f", sb)[0])
+                elif sid == CHANNELS:
+                    tr["channels"] = int.from_bytes(sb, "big")
+                elif sid == BIT_DEPTH:
+                    tr["bits"] = int.from_bytes(sb, "big")
+                p2 += ssz
+        pos += size
+    return tr
+
+
+@register_element
+class MatroskaDemux(SourceElement):
+    """matroskademux (source-style, one stream per instance)."""
+    FACTORY = "matroskademux"
+    DESCRIPTION = "Demuxes Matroska/WebM streams into video/audio"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "mkv file path"),
+        "stream": (str, "video", "video | audio | track number"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._loaded = False
+        self._pos = 0
+
+    def _load(self):
+        if self._loaded:
+            return
+        tracks, blocks, data = _parse_matroska(self.props["location"])
+        sel = self.props["stream"]
+        track = None
+        for tr in tracks:
+            if sel == str(tr.get("number")) or \
+               (sel == "video" and tr.get("type") == 1) or \
+               (sel == "audio" and tr.get("type") == 2):
+                track = tr
+                break
+        if track is None:
+            raise ValueError(f"matroskademux: no stream {sel!r}")
+        self._track = track
+        self._blocks = [(ts, off, size) for tno, ts, off, size in blocks
+                        if tno == track["number"]]
+        self._data = data
+        if track.get("type") == 1:
+            if track.get("codec") != "V_UNCOMPRESSED":
+                raise ValueError("matroskademux: unsupported codec "
+                                 f"{track.get('codec')!r}")
+            fmt = FOURCC_VIDEO.get(track.get("fourcc", b""), "I420")
+            fd = track.get("frame_dur", 40_000_000)
+            self._info = VideoInfo(
+                format=fmt, width=track["width"], height=track["height"],
+                fps=Fraction(1_000_000_000, fd))
+        else:
+            if track.get("codec") != "A_PCM/INT/LIT":
+                raise ValueError("matroskademux: unsupported codec "
+                                 f"{track.get('codec')!r}")
+            self._info = AudioInfo(format="S16LE", rate=track["rate"],
+                                   channels=track.get("channels", 2))
+        self._loaded = True
+
+    def get_caps(self, filter=None):
+        if self.props["location"]:
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return Caps.any()
+        caps = Caps([self._info.to_caps_structure()]) if self._loaded \
+            else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._pos >= len(self._blocks):
+            return None
+        info = self._info
+        if isinstance(info, VideoInfo):
+            take = self._blocks[self._pos:self._pos + max(1, n_frames)]
+            raws = np.stack([np.frombuffer(
+                self._data[off:off + size], np.uint8)
+                for _, off, size in take])
+            planes = from_bytes(info.finfo, raws, info.width, info.height)
+            fps = info.fps
+            pts = take[0][0] * 1_000_000
+            dur = 1_000_000_000 * fps.denom // fps.num
+            self._pos += len(take)
+            return Buffer(data=planes, pts=pts, duration=dur,
+                          batch=len(take))
+        ts, off, size = self._blocks[self._pos]
+        self._pos += 1
+        raw = np.frombuffer(self._data[off:off + size], np.uint8)
+        samples = afmt.from_bytes(info.finfo, raw, info.channels)
+        return Buffer(data=samples, pts=ts * 1_000_000, batch=1,
+                      duration=samples.shape[0] * 1_000_000_000
+                      // info.rate)
