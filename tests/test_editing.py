@@ -1,0 +1,178 @@
+"""Editing services (GES equivalent): timeline/layers/clips/tracks,
+auto-transitions, effects, rendering through normal pipelines."""
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.core.element import element_factory_make
+from gstreamer_tpu.core.pipeline import Pipeline, link
+from gstreamer_tpu.core.value import Fraction
+from gstreamer_tpu.editing import (AudioTrack, Effect, TestClip, Timeline,
+                                   VideoTrack)
+
+NS = 1_000_000_000
+
+
+def small_tracks():
+    return (VideoTrack(width=32, height=24, fps=Fraction(10, 1)),
+            AudioTrack(rate=8000, channels=1))
+
+
+def render_video(tl, batch=4):
+    src = element_factory_make("timelinevideosrc", timeline=tl)
+    sink = element_factory_make("appsink", name="out")
+    p = Pipeline()
+    p.add(src, sink)
+    link(src, sink)
+    p.run()
+    frames = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = [np.asarray(x) for x in s.buffer.data]
+        for k in range(d[0].shape[0]):
+            frames.append(tuple(x[k] for x in d))
+    return frames
+
+
+def render_audio(tl):
+    src = element_factory_make("timelineaudiosrc", timeline=tl)
+    sink = element_factory_make("appsink", name="out")
+    p = Pipeline()
+    p.add(src, sink)
+    link(src, sink)
+    p.run()
+    chunks = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        chunks.append(np.asarray(s.buffer.data))
+    return np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 1))
+
+
+class TestTimelineModel:
+    def test_stack_and_priority(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        l0 = tl.append_layer()
+        l1 = tl.append_layer()
+        top = l0.add_clip(TestClip(start=0, duration=NS, pattern="white"))
+        bot = l1.add_clip(TestClip(start=0, duration=2 * NS,
+                                   pattern="black"))
+        stack = tl.stack_at(NS // 2)
+        assert stack[0][1] is top and stack[1][1] is bot
+        assert tl.stack_at(NS + 1)[0][1] is bot
+        assert tl.duration == 2 * NS
+
+    def test_auto_transition_detection(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        c1 = layer.add_clip(TestClip(start=0, duration=NS))
+        c2 = layer.add_clip(TestClip(start=NS // 2, duration=NS))
+        trans = tl.transition_at(3 * NS // 4)
+        assert trans is not None
+        a_, b_, prog = trans
+        assert a_ is c1 and b_ is c2
+        assert abs(prog - 0.5) < 1e-6
+        assert tl.transition_at(NS // 4) is None
+        tl.auto_transition = False
+        assert tl.transition_at(3 * NS // 4) is None
+
+
+class TestVideoRender:
+    def test_solid_clips_and_gap(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        layer.add_clip(TestClip(start=0, duration=NS // 2,
+                                pattern="white"))
+        # gap from 0.5s to 1.0s, then black clip
+        layer.add_clip(TestClip(start=NS, duration=NS // 2,
+                                pattern="black"))
+        frames = render_video(tl)
+        assert len(frames) == 15            # 1.5s at 10 fps
+        # white: Y=235 (video range); gap: Y=0; black: Y=16
+        assert frames[0][0].mean() > 200
+        assert frames[7][0].max() == 0      # the gap renders black
+        assert abs(int(frames[12][0][0, 0]) - 16) <= 1
+
+    def test_crossfade_midpoint(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        layer.add_clip(TestClip(start=0, duration=NS, pattern="white"))
+        layer.add_clip(TestClip(start=NS // 2, duration=NS,
+                                pattern="black"))
+        frames = render_video(tl)
+        assert len(frames) == 15
+        # frame at t=0.7s: prog=0.4 -> Y = white*(0.6)+black*0.4
+        y = int(frames[7][0][0, 0])
+        expect = (235 * (256 - int(0.4 * 256))
+                  + 16 * int(0.4 * 256)) >> 8
+        assert abs(y - expect) <= 2
+        # after the overlap, pure black clip
+        assert abs(int(frames[12][0][0, 0]) - 16) <= 1
+
+    def test_effect_applied(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        clip = layer.add_clip(TestClip(start=0, duration=NS // 2,
+                                       pattern="smpte"))
+        clip.add_effect(Effect("videobalance saturation=0.0"))
+        frames = render_video(tl)
+        # desaturated: chroma planes neutral
+        u = frames[0][1].astype(int)
+        vpl = frames[0][2].astype(int)
+        assert np.abs(u - 128).max() <= 1
+        assert np.abs(vpl - 128).max() <= 1
+
+    def test_inpoint_skips_media(self):
+        v, a = small_tracks()
+        v2, _ = small_tracks()
+        # snow advances per frame (LCG), so frame 0 with inpoint=0.5s
+        # differs from inpoint=0
+        tl1 = Timeline(video=v, audio=a)
+        tl1.append_layer().add_clip(
+            TestClip(start=0, duration=NS // 2, pattern="snow"))
+        f_no_inpoint = render_video(tl1)[0]
+        tl2 = Timeline(video=v2, audio=a)
+        tl2.append_layer().add_clip(
+            TestClip(start=0, duration=NS // 2, inpoint=NS // 2,
+                     pattern="snow"))
+        f_inpoint = render_video(tl2)[0]
+        assert not np.array_equal(f_no_inpoint[0], f_inpoint[0])
+
+
+class TestAudioRender:
+    def test_sine_then_silence_gap(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        layer.add_clip(TestClip(start=0, duration=NS // 2, wave="sine",
+                                volume=1.0))
+        layer.add_clip(TestClip(start=NS, duration=NS // 2,
+                                wave="silence"))
+        audio = render_audio(tl)
+        assert audio.shape[0] == 8000 * 3 // 2
+        first = audio[:4000].astype(np.float64) / 32768
+        gap = audio[4100:7900]
+        assert np.sqrt((first ** 2).mean()) > 0.5     # sine playing
+        assert np.abs(gap).max() == 0                 # gap silent
+
+    def test_audio_crossfade_ramps(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        layer.add_clip(TestClip(start=0, duration=NS, wave="sine",
+                                volume=1.0))
+        layer.add_clip(TestClip(start=NS // 2, duration=NS,
+                                wave="silence"))
+        audio = render_audio(tl).astype(np.float64) / 32768
+        # RMS over the overlap decays towards zero
+        seg = lambda t0, t1: audio[int(t0 * 8000):int(t1 * 8000)]
+        rms = lambda x: float(np.sqrt((x ** 2).mean()))
+        assert rms(seg(0.5, 0.6)) > rms(seg(0.8, 0.9)) > rms(seg(1.2, 1.3))
