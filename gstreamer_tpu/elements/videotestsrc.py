@@ -165,6 +165,8 @@ class VideoTestSrc(SourceElement):
         "background-color": (int, 0xFF000000, "ARGB background"),
         "is-live": (bool, False, ""),
         "animation-mode": (str, "frames", "frames|wall-time|running-time"),
+        "motion": (str, "wavy", "ball motion: wavy|sweep|hsweep"),
+        "flip": (bool, False, "invert ball colors every 0.5 revolutions"),
         "horizontal-speed": (int, 0, "scroll pixels per frame"),
         "k0": (int, 0, "zoneplate zero-order phase"),
         "kx": (int, 0, "zoneplate x phase"), "ky": (int, 0, ""),
@@ -298,22 +300,116 @@ class VideoTestSrc(SourceElement):
         self._canon_static = canon.astype(np.uint8)
         self._noise_mask = noise_mask
         self._noise_count = int(noise_mask.sum())
+        # time-dependent patterns regenerate per frame on the host
+        # (ball/blink always; zoneplate/pinwheel families when their
+        # t-coefficients are set; any pattern under horizontal-speed)
+        pp = self.props
+        self._animated = (
+            pat in ("ball", "blink")
+            or (pat in ("zone-plate", "chroma-zone-plate")
+                and (pp["kt"] or pp["kt2"] or pp["kxt"] or pp["kyt"]))
+            or (pat in ("pinwheel", "spokes") and pp["kt"])
+            or pp["horizontal-speed"] != 0)
         self._pack_static()
         if self._noise_count:
             self._setup_noise()
 
-    def _draw_geometric(self, pat, w, h, fg, bg):
+    def _draw_ball(self, w, h, fg, bg, n):
+        """Exact port of gst_video_test_src_ball (videotestsrc.c): the
+        animation phase comes from the frame counter / running time /
+        wall clock, position from the wavy or (h)sweep motion, coverage
+        from the per-pixel distance ramp."""
+        pp = self.props
+        mode = pp["animation-mode"]
+        fps = self._info.fps
+        if mode == "running-time" and fps.num:
+            t_s = n * fps.denom / fps.num
+            rad = t_s
+            flipit = int(t_s) % 2
+        elif mode == "wall-time":
+            import time as _time
+            wall = _time.time()
+            rad = wall
+            flipit = int(wall) % 2
+        else:                       # frames
+            rad = n / 200.0
+            flipit = (n // 50) % 2
+        motion = pp["motion"]
+        if motion == "hsweep":
+            rad /= 2
+            rad -= math.floor(2 * rad) / 2
+        rad = 2 * math.pi * rad
+        radius = 20
+        if motion == "wavy":
+            x = radius + (0.5 + 0.5 * math.sin(rad)) * (w - 2 * radius)
+            y = radius + (0.5 + 0.5 * math.sin(rad * math.sqrt(2))) \
+                * (h - 2 * radius)
+        else:
+            radius = min(h, w) // 4
+            x = w / 2 + math.sin(rad) * radius
+            y = h / 2 - math.cos(rad) * radius
+        if pp["flip"] and flipit:
+            fg, bg = bg, fg
+        ii = np.arange(h, dtype=np.float64)[:, None]
+        jj = np.arange(w, dtype=np.float64)[None, :]
+        rowok = ~((ii < y - radius) | (ii > y + radius))
+        o = np.maximum(0.0, radius * radius - (ii - y) ** 2)
+        r = np.rint(np.sqrt(o))
+        x1 = np.trunc(np.maximum(0.0, x - r))
+        x2 = np.trunc(np.minimum(float(w), x + r + 1))
+        colok = (jj >= x1) & (jj < x2)
+        rr = (radius - np.sqrt((jj - x) ** 2 + (ii - y) ** 2)) * 0.5
+        t = np.clip(np.floor(256 * rr), 0, 255).astype(np.int64)
+        t = np.where(rowok & colok, t, 0)
+        if motion in ("sweep", "hsweep"):
+            t[:, w // 2] = 255
+            t[:, int(x)] = 255
+        out = np.zeros((h, w, 4), np.int32)
+        for c in range(4):
+            out[..., c] = _blend(fg[c], bg[c], t)
+        if motion in ("sweep", "hsweep"):
+            line = np.stack([np.full((w,), _blend(fg[c], bg[c], 255),
+                             np.int32) for c in range(4)], axis=-1)
+            out[h // 2] = line
+            yi = int(y)
+            if 0 <= yi < h:
+                out[yi] = line
+        return out
+
+    def _draw_frame_canon(self, n: int) -> np.ndarray:
+        """Canonical (h, w, 4) image of frame n for animated patterns."""
+        info = self._info
+        w, h = info.width, info.height
+        pat = self.props["pattern"]
+        fg = self._canon_color(self._prop_color("foreground-color"))
+        bg = self._canon_color(self._prop_color("background-color"))
+        if pat == "ball":
+            canon = self._draw_ball(w, h, fg, bg, n)
+        elif pat == "blink":
+            # gst_video_test_src_blink: fg on odd frames, bg on even
+            color = fg if (n & 1) else bg
+            canon = np.broadcast_to(
+                np.asarray(color, np.int32), (h, w, 4)).copy()
+        elif pat in ("zone-plate", "chroma-zone-plate", "pinwheel",
+                     "spokes"):
+            canon = self._draw_geometric(pat, w, h, fg, bg, t=n)
+        else:
+            canon = self._canon_static.astype(np.int32)
+        speed = self.props["horizontal-speed"]
+        if speed:
+            x_off = (speed * n) % w
+            if x_off < 0:
+                x_off += w
+            canon = np.roll(canon, -x_off, axis=1)
+        return canon.astype(np.uint8)
+
+    def _draw_geometric(self, pat, w, h, fg, bg, t=0):
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-        cx, cy = w / 2, h / 2
         out = np.zeros((h, w, 4), np.int32)
         if pat == "ball":
-            radius = 20
-            d = np.hypot(xx - cx, yy - cy)
-            t = np.clip((radius - d) * 255 / 4 + 128, 0, 255).astype(np.int64)
-            for c in range(4):
-                out[..., c] = _blend(fg[c], bg[c], t)
+            return self._draw_ball(w, h, fg, bg, t)
         elif pat in ("zone-plate", "chroma-zone-plate"):
-            s = SINE_TABLE[self._zoneplate_phase(w, h, 0) & 0xFF]
+            s = SINE_TABLE[self._zoneplate_phase(w, h, t) & 0xFF]
             if pat == "zone-plate":
                 out[..., 0] = 255
                 out[..., 1] = s
@@ -329,7 +425,6 @@ class VideoTestSrc(SourceElement):
         elif pat in ("pinwheel", "spokes"):
             # exact port of gst_video_test_src_pinwheel/spokes: 19 ray
             # projections summed, then blended fg/bg
-            t = 0
             theta = np.pi / 19 * np.arange(19) + 0.001 * self.props["kt"] * t
             cth, sth = np.cos(theta), np.sin(theta)
             xi = (xx - 0.5 * w)
@@ -494,7 +589,15 @@ class VideoTestSrc(SourceElement):
         n = n_frames if num < 0 else min(n_frames, num - self._frame)
         info = self._info
         fps = info.fps
-        if self._noise_count:
+        if getattr(self, "_animated", False):
+            # time-dependent patterns draw per frame on the host (exact
+            # double-precision reference math), then pack
+            canon = np.stack([self._draw_frame_canon(self._frame + k)
+                              for k in range(n)]).astype(np.int32)
+            if info.finfo.bits == 16:
+                canon = canon * 257
+            data = pack(np, info.finfo, canon, info.width, info.height)
+        elif self._noise_count:
             starts = np.empty(n, np.uint32)
             s = self._lcg_state
             mul_f, add_f = lcg_affine(self._noise_count)
