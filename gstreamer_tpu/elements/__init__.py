@@ -27,3 +27,4 @@ from . import bayer              # noqa: F401
 from . import visualizers        # noqa: F401
 from ..net import rtsp_server    # noqa: F401  (rtspsrc element)
 from . import container_elements  # noqa: F401
+from . import image_codecs       # noqa: F401

@@ -394,6 +394,14 @@ class MultiFileSink(SinkElement):
                 with open(self.props["location"] % self._index, "wb") as f:
                     f.write(raw[i].tobytes())
                 self._index += 1
+        elif isinstance(buf.data, list):
+            # packetized payloads (encoded images): one file per item
+            for item in buf.data:
+                blob = item if isinstance(item, (bytes, bytearray)) \
+                    else np.asarray(item).tobytes()
+                with open(self.props["location"] % self._index, "wb") as f:
+                    f.write(blob)
+                self._index += 1
         else:
             with open(self.props["location"] % self._index, "wb") as f:
                 f.write(np.asarray(buf.data).tobytes())
