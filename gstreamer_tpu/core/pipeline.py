@@ -505,9 +505,21 @@ class Pipeline(Bin):
 
     @staticmethod
     def _maybe_shard(fn, mesh):
-        """Wrap a pure element/graph function in shard_map over the
-        mesh's first axis (batch data-parallelism)."""
+        """Multi-chip wrapping of a pure element/graph function.
+
+        1-D mesh ("dp"): shard_map over the batch axis — exact data
+        parallelism, no cross-shard traffic (per-frame DSP has no
+        cross-batch dependence).
+
+        2-D mesh ("dp", "sp"): the spatial axis shards frame ROWS across
+        chips (the sequence-parallel analog for frames larger than one
+        chip's working set, SURVEY §2.8/§5).  Vertical filter taps read
+        across shard boundaries, so the function is left unwrapped and
+        jitted with GSPMD-sharded inputs — XLA inserts the halo
+        exchange collectives for the tap overlap automatically."""
         if mesh is None or fn is None:
+            return fn
+        if len(mesh.axis_names) > 1:          # dp x sp: GSPMD partitioning
             return fn
         import jax
         from jax.sharding import PartitionSpec as P
@@ -528,9 +540,28 @@ class Pipeline(Bin):
     def _shard_inputs(self, tree):
         if self._mesh is None:
             return tree
+        mesh = self._mesh
+        if len(mesh.axis_names) > 1:
+            # dp x sp: batch over dp, frame rows over sp (rank-3+ video
+            # planes); lower-rank leaves (audio chunks) stay dp-only
+            import jax
+            import numpy as np
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp, sp = mesh.axis_names[0], mesh.axis_names[1]
+
+            def place(x):
+                if np.ndim(x) >= 3:
+                    spec = [None] * np.ndim(x)
+                    spec[0], spec[1] = dp, sp
+                else:
+                    spec = [None] * max(1, np.ndim(x))
+                    spec[0] = dp
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+            return jax.tree_util.tree_map(place, tree)
         from ..parallel.sharding import shard_batched_pytree
         return shard_batched_pytree(self._mesh, tree,
-                                    axis=self._mesh.axis_names[0])
+                                    axis=mesh.axis_names[0])
 
     # -- run loop ----------------------------------------------------------
     def set_state(self, state: str) -> None:

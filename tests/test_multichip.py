@@ -118,3 +118,58 @@ def test_batch_not_divisible_raises():
     p = parse_launch("videotestsrc num-buffers=6 ! fakesink")
     with pytest.raises(ValueError):
         p.compile(batch=6, mesh=mesh)
+
+
+def _mesh_2d(dp, sp):
+    if len(jax.devices()) < dp * sp:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(dp * sp, axis_names=("dp", "sp"), shape=(dp, sp))
+
+
+class TestSpatialSharding:
+    """dp x sp meshes: frame ROWS shard over the sp axis (the
+    sequence-parallel analog for >VMEM frames, SURVEY §2.8/§5); XLA
+    inserts the halo exchanges for the vertical scaler taps from the
+    GSPMD sharding annotations.  Results must stay bit-equal."""
+
+    @pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2), (1, 8)])
+    def test_convert_scale_rows_sharded_bit_equal(self, dp, sp):
+        gold = _run_convert(None, batch=8)
+        sharded = _run_convert(_mesh_2d(dp, sp), batch=8)
+        for g, x in zip(gold, sharded):
+            np.testing.assert_array_equal(g, x)
+
+    def test_tall_frame_rows_sharded(self):
+        # a tall frame whose vertical 4-tap scaling spans shard
+        # boundaries many times
+        mesh = _mesh_2d(1, 8)
+        p = parse_launch(
+            "appsrc name=in caps=video/x-raw,format=I420,width=32,"
+            "height=512,framerate=30/1 ! videoconvert ! videoscale ! "
+            "video/x-raw,format=RGB,width=32,height=100 ! appsink name=s")
+        rng = np.random.default_rng(9)
+        batch = 2
+        data = (rng.integers(0, 256, (batch, 512, 32), np.uint8),
+                rng.integers(0, 256, (batch, 256, 16), np.uint8),
+                rng.integers(0, 256, (batch, 256, 16), np.uint8))
+        p.get_by_name("in").push_buffer(
+            Buffer(data=data, pts=0, batch=batch))
+        p.compile(batch=batch, mesh=mesh)
+        p.set_state(State.PLAYING)
+        assert p.tick()
+        sharded = tuple(np.asarray(x) for x in
+                        p.get_by_name("s").pull_sample().buffer.data)
+
+        p2 = parse_launch(
+            "appsrc name=in caps=video/x-raw,format=I420,width=32,"
+            "height=512,framerate=30/1 ! videoconvert ! videoscale ! "
+            "video/x-raw,format=RGB,width=32,height=100 ! appsink name=s")
+        p2.get_by_name("in").push_buffer(
+            Buffer(data=data, pts=0, batch=batch))
+        p2.compile(batch=batch)
+        p2.set_state(State.PLAYING)
+        assert p2.tick()
+        gold = tuple(np.asarray(x) for x in
+                     p2.get_by_name("s").pull_sample().buffer.data)
+        for g, x in zip(gold, sharded):
+            np.testing.assert_array_equal(g, x)
