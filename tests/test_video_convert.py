@@ -638,3 +638,32 @@ class TestInterlacedChroma:
                                                             np.int64)
         out = chroma_mod.up2_interlaced(np, p, -2, cosited=True)
         assert np.array_equal(out, p)
+
+
+class TestBlockPolyphase:
+    """Opt-in block-polyphase scaler (scale_axis_block_exact): bit-equal
+    to the dense path across methods, ratios, and boundary fold-ins
+    (kept for toolchains where lane relayout beats the HBM-bound dense
+    matmul; see the docstring measurements)."""
+
+    def test_bit_equal_to_gold(self):
+        import jax.numpy as jnp
+        from gstreamer_tpu.video import scaler as S
+        rng = np.random.default_rng(0)
+        cases = [("linear", 1920, 224, 2), ("cubic", 1920, 224, 0),
+                 ("lanczos", 1280, 720, 0), ("cubic", 224, 1920, 0),
+                 ("sinc", 640, 112, 0)]
+        for method, i, o, t in cases:
+            res = S.make_resampler(method, i, o, n_taps=t)
+            blk = S._block_pattern(res, S.SCALE_U8)
+            assert blk is not None, (method, i, o)
+            img = rng.integers(0, 256, (2, 8, i), np.uint8)
+            gold = S.scale_axis_ref(img, -1, res)
+            got = np.asarray(S.scale_axis_block_exact(
+                jnp, jnp.asarray(img), res, blk))
+            np.testing.assert_array_equal(gold, got, err_msg=method)
+
+    def test_no_pattern_for_coprime_sizes(self):
+        from gstreamer_tpu.video import scaler as S
+        res = S.make_resampler("cubic", 1921, 224)
+        assert S._block_pattern(res, S.SCALE_U8) is None
