@@ -29,4 +29,5 @@ from ..net import rtsp_server    # noqa: F401  (rtspsrc element)
 from . import container_elements  # noqa: F401
 from . import image_codecs       # noqa: F401
 from . import audio_sinks        # noqa: F401
+from . import debug_elements     # noqa: F401
 from ..net import rtpmanager     # noqa: F401  (rtpsession/rtpbin)
