@@ -546,3 +546,33 @@ class FdSink(SinkElement):
         for leaf in leaves:
             os.write(self.props["fd"], np.asarray(leaf).tobytes())
         return FlowReturn.OK
+
+
+@register_element
+class GioSrc(FileSrc):
+    """giosrc (gst-plugins-base/gst/gio/gstgiosrc.c capability): reads
+    from a GIO-style URI.  Reduced to the local schemes that exist in
+    this environment (file://, data:)."""
+    FACTORY = "giosrc"
+    DESCRIPTION = "Read from any GIO-supported location"
+
+    def __init__(self, name=None, **props):
+        loc = props.get("location", "")
+        if loc.startswith("file://"):
+            props["location"] = loc[len("file://"):]
+        elif loc.startswith("data:"):
+            raise ValueError("giosrc: use dataurisrc for data: URIs")
+        super().__init__(name=name, **props)
+
+
+@register_element
+class GioSink(FileSink):
+    """giosink (gstgiosink.c capability, file:// scheme)."""
+    FACTORY = "giosink"
+    DESCRIPTION = "Write to any GIO-supported location"
+
+    def __init__(self, name=None, **props):
+        loc = props.get("location", "")
+        if loc.startswith("file://"):
+            props["location"] = loc[len("file://"):]
+        super().__init__(name=name, **props)

@@ -108,6 +108,36 @@ class RtpSession:
         return {"num-sources": len(self.sources),
                 "sources": [s.stats() for s in self.sources.values()]}
 
+    # -- RTCP (rtp_session_create_rtcp / _process_rtcp, reduced) -------------
+    def create_rtcp(self, sender_ssrc: int,
+                    cname: str = "gstreamer-tpu") -> bytes:
+        """Compound RR + SDES(CNAME) from the current receive stats;
+        fraction lost is computed over the interval since the previous
+        report."""
+        from .rtcp import RtcpPacket, TYPE_SDES, build_rr
+        prev_e = getattr(self, "_prev_expected", {})
+        prev_r = getattr(self, "_prev_received", {})
+        rr = build_rr(sender_ssrc, list(self.sources.values()),
+                      prev_e, prev_r)
+        self._prev_expected = {s.ssrc: s.expected
+                               for s in self.sources.values()}
+        self._prev_received = {s.ssrc: s.packets
+                               for s in self.sources.values()}
+        sdes = RtcpPacket(ptype=TYPE_SDES,
+                          sdes=[(sender_ssrc, cname)]).pack()
+        return rr + sdes
+
+    def process_rtcp(self, data: bytes):
+        """Handle incoming RTCP: BYE removes the source; returns the
+        parsed packets for the caller (SR timestamps etc.)."""
+        from .rtcp import TYPE_BYE, parse_compound
+        pkts = parse_compound(data)
+        for p in pkts:
+            if p.ptype == TYPE_BYE:
+                for ssrc in p.bye_ssrcs:
+                    self.sources.pop(ssrc, None)
+        return pkts
+
 
 @register_element
 class RtpSessionElement(TransformElement):

@@ -163,3 +163,55 @@ class TestRtpSession:
         assert got == [pkts[k] for k in range(6)]
         assert el.get_session_stats()["sources"][0][
             "packets-received"] == 6
+
+
+class TestRtcp:
+    def test_rr_sdes_roundtrip(self):
+        from gstreamer_tpu.net.rtcp import (TYPE_RR, TYPE_SDES,
+                                            parse_compound)
+        s = RtpSession(clock_rate=90000)
+        for k in [0, 1, 3, 4, 5]:          # one lost (seq 2)
+            s.process_packet(_pkt(k, k * 3000), arrival_ns=k * 33_000_000)
+        data = s.create_rtcp(sender_ssrc=0xABCD, cname="tpu@test")
+        pkts = parse_compound(data)
+        assert [p.ptype for p in pkts] == [TYPE_RR, TYPE_SDES]
+        rr = pkts[0]
+        assert rr.ssrc == 0xABCD
+        rb = rr.reports[0]
+        assert rb.ssrc == 0x1234
+        assert rb.cumulative_lost == 1
+        assert rb.extended_seq == 5
+        # 1 lost of 6 expected -> fraction = 256/6
+        assert rb.fraction_lost == (1 << 8) // 6
+        assert pkts[1].sdes == [(0xABCD, "tpu@test")]
+
+    def test_interval_fraction_resets(self):
+        from gstreamer_tpu.net.rtcp import parse_compound
+        s = RtpSession()
+        for k in [0, 1, 3]:
+            s.process_packet(_pkt(k, 0), arrival_ns=k)
+        s.create_rtcp(1)                    # snapshot taken
+        for k in [4, 5, 6]:                 # clean interval
+            s.process_packet(_pkt(k, 0), arrival_ns=k)
+        pkts = parse_compound(s.create_rtcp(1))
+        assert pkts[0].reports[0].fraction_lost == 0
+        assert pkts[0].reports[0].cumulative_lost == 1
+
+    def test_sr_pack_parse(self):
+        from gstreamer_tpu.net.rtcp import (RtcpPacket, TYPE_SR,
+                                            ntp_time, parse_compound)
+        sr = RtcpPacket(ptype=TYPE_SR, ssrc=7, ntp=ntp_time(1000.5),
+                        rtp_ts=90000, packet_count=10, octet_count=1000)
+        pkts = parse_compound(sr.pack())
+        assert pkts[0].ptype == TYPE_SR
+        assert pkts[0].packet_count == 10
+        assert pkts[0].ntp >> 32 == 1000 + 2208988800
+
+    def test_bye_removes_source(self):
+        from gstreamer_tpu.net.rtcp import RtcpPacket, TYPE_BYE
+        s = RtpSession()
+        s.process_packet(_pkt(0, 0), arrival_ns=0)
+        assert 0x1234 in s.sources
+        s.process_rtcp(RtcpPacket(ptype=TYPE_BYE,
+                                  bye_ssrcs=[0x1234]).pack())
+        assert 0x1234 not in s.sources
