@@ -254,6 +254,56 @@ def _dht_payload(tc: int, th: int, spec) -> bytes:
     return bytes([(tc << 4) | th] + bits + list(vals))
 
 
+def _huff_code_arrays():
+    """(codes uint16 (4,256), lens uint8 (4,256)) for the standard
+    tables, order [dc_luma, ac_luma, dc_chroma, ac_chroma]."""
+    codes = np.zeros((4, 256), np.uint16)
+    lens = np.zeros((4, 256), np.uint8)
+    for t, spec in enumerate((DC_LUMA_SPEC, AC_LUMA_SPEC,
+                              DC_CHROMA_SPEC, AC_CHROMA_SPEC)):
+        for sym, (code, ln) in _huff_codes(spec).items():
+            codes[t, sym] = code
+            lens[t, sym] = ln
+    return codes, lens
+
+
+def _native_encode_scan(gray: bool, subsampling: str, comps, zz):
+    """Entropy-encode the scan with the native codec
+    (native/gtpu_jpeg.cpp); None -> fall back to the Python coder."""
+    try:
+        from ..native import jpeg as njpeg
+    except Exception:       # pragma: no cover
+        return None
+    if not njpeg.available():
+        return None
+    hy, wy = comps[0][1].shape
+    if gray:
+        cs = [{"h": 1, "v": 1, "bw": wy // 8, "bh": hy // 8,
+               "dc_idx": 0, "ac_idx": 1}]
+        coef = [zz["y"]]
+        mcux, mcuy = wy // 8, hy // 8
+    elif subsampling == "420":
+        cs = [{"h": 2, "v": 2, "bw": wy // 8, "bh": hy // 8,
+               "dc_idx": 0, "ac_idx": 1},
+              {"h": 1, "v": 1, "bw": wy // 16, "bh": hy // 16,
+               "dc_idx": 2, "ac_idx": 3},
+              {"h": 1, "v": 1, "bw": wy // 16, "bh": hy // 16,
+               "dc_idx": 2, "ac_idx": 3}]
+        coef = [zz["y"], zz["u"], zz["v"]]
+        mcux, mcuy = wy // 16, hy // 16
+    else:
+        cs = [{"h": 1, "v": 1, "bw": wy // 8, "bh": hy // 8,
+               "dc_idx": 0, "ac_idx": 1},
+              {"h": 1, "v": 1, "bw": wy // 8, "bh": hy // 8,
+               "dc_idx": 2, "ac_idx": 3},
+              {"h": 1, "v": 1, "bw": wy // 8, "bh": hy // 8,
+               "dc_idx": 2, "ac_idx": 3}]
+        coef = [zz["y"], zz["u"], zz["v"]]
+        mcux, mcuy = wy // 8, hy // 8
+    codes, lens = _huff_code_arrays()
+    return njpeg.encode_scan(mcux, mcuy, cs, codes, lens, coef)
+
+
 def jpeg_encode(planes, width: int, height: int, quality: int = 85,
                 subsampling: str = "420") -> bytes:
     """planes: (Y, U, V) uint8 full-range (Y full res; U/V subsampled for
@@ -296,8 +346,12 @@ def jpeg_encode(planes, width: int, height: int, quality: int = 85,
     ac_c = _huff_codes(AC_CHROMA_SPEC)
 
     bw = _BitWriter()
-    if gray:
+    scan = _native_encode_scan(gray, subsampling, comps, zz)
+    if scan is not None:
+        bw.out = bytearray(scan)     # native output is already flushed
+    elif gray:
         _encode_blocks(bw, zz["y"], dc_l, ac_l, 0)
+        bw.flush()
     elif subsampling == "420":
         hy, wy = comps[0][1].shape
         mby, mbx = hy // 16, wy // 16
@@ -313,6 +367,7 @@ def jpeg_encode(planes, width: int, height: int, quality: int = 85,
                 preds[1] = _encode_blocks(bw, cu, dc_c, ac_c, preds[1])
                 cv = zz["v"].reshape(hy // 16, wy // 16, 64)[my, mx][None]
                 preds[2] = _encode_blocks(bw, cv, dc_c, ac_c, preds[2])
+        bw.flush()
     else:
         hy, wy = comps[0][1].shape
         nby, nbx = hy // 8, wy // 8
@@ -325,7 +380,7 @@ def jpeg_encode(planes, width: int, height: int, quality: int = 85,
                     blk = zz[name].reshape(nby, nbx, 64)[by, bx][None]
                     preds[ci] = _encode_blocks(bw, blk, dct_, act_,
                                                preds[ci])
-    bw.flush()
+        bw.flush()
 
     # -- markers ------------------------------------------------------------
     def seg(marker, payload):
@@ -533,6 +588,33 @@ def jpeg_decode(data: bytes):
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
         c["pred"] = 0
 
+    # native entropy decode (bit-identical; Python loop is the fallback)
+    try:
+        from ..native import jpeg as njpeg
+    except Exception:       # pragma: no cover
+        njpeg = None
+    if njpeg is not None and njpeg.available():
+        tabs: List = []
+        tab_of: Dict[int, int] = {}
+
+        def _idx(dec) -> int:
+            if id(dec) not in tab_of:
+                tab_of[id(dec)] = len(tabs)
+                tabs.append(dec)
+            return tab_of[id(dec)]
+
+        cs = [{"h": c["h"], "v": c["v"], "bw": c["bw"], "bh": c["bh"],
+               "dc_idx": _idx(c["dc"]), "ac_idx": _idx(c["ac"])}
+              for c in scan_comps]
+        lut_val = np.stack([t.lut_val for t in tabs])
+        lut_len = np.stack([t.lut_len for t in tabs])
+        res = njpeg.decode_scan(data[pos:], mcux, mcuy, restart, cs,
+                                (lut_val, lut_len))
+        if res is not None:
+            for c, coefs in zip(scan_comps, res):
+                c["coef"] = coefs
+            return _finish_decode(comps, qtabs, width, height)
+
     br = _BitReader(data[pos:])
     mcu_count = 0
     for my in range(mcuy):
@@ -570,6 +652,14 @@ def jpeg_decode(data: bytes):
                         c["coef"][row * c["bw"] + col] = blk
             mcu_count += 1
 
+    return _finish_decode(comps, qtabs, width, height)
+
+
+def _finish_decode(comps, qtabs, width: int, height: int):
+    """Dequant + device IDCT + crop (shared by the native and Python
+    entropy-decode paths)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     idct = _device_idct()
     planes = []
     for c in comps:

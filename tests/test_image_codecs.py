@@ -164,3 +164,47 @@ class TestElements:
         # smpte75 bars: leftmost bar is white-ish, distinct from the
         # rightmost (blue) bar
         assert r[:, :5].mean() > 150 > r[:, -5:].mean()
+
+
+class TestNativeEntropyCodec:
+    """native/gtpu_jpeg.cpp Huffman coder must be bit-identical to the
+    Python gold path (both directions, all subsamplings)."""
+
+    def _image(self, h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (128 + 100 * np.sin(xx / 6) * np.cos(yy / 7)).astype(np.uint8)
+        u = ((xx[::2, ::2] * 2) % 200 + 28).astype(np.uint8)
+        v = ((yy[::2, ::2] * 3) % 200 + 28).astype(np.uint8)
+        return y, u, v
+
+    @pytest.mark.parametrize("sub", ["420", "444", "gray"])
+    def test_bit_identical(self, sub):
+        import gstreamer_tpu.native.jpeg as njm
+        if not njm.available():
+            pytest.skip("native toolchain unavailable")
+        h, w = 64, 80
+        y, u, v = self._image(h, w)
+        if sub == "gray":
+            planes = (y,)
+        elif sub == "444":
+            uu = ((np.mgrid[0:h, 0:w][1]) % 256).astype(np.uint8)
+            planes = (y, uu, 255 - uu)
+        else:
+            planes = (y, u, v)
+        data_native = jpeg_encode(planes, w, h, quality=90,
+                                  subsampling="420" if sub == "gray"
+                                  else sub)
+        dec_native = jpeg_decode(data_native)
+        # force the Python fallback
+        saved = (njm._lib, njm._tried)
+        njm._lib, njm._tried = None, True
+        try:
+            data_py = jpeg_encode(planes, w, h, quality=90,
+                                  subsampling="420" if sub == "gray"
+                                  else sub)
+            dec_py = jpeg_decode(data_native)
+        finally:
+            njm._lib, njm._tried = saved
+        assert data_native == data_py
+        for a, b in zip(dec_native[0], dec_py[0]):
+            np.testing.assert_array_equal(a, b)
