@@ -377,16 +377,27 @@ class FakeSrc(SourceElement):
 @register_element
 class AutoVideoSink(FakeSink):
     """autovideosink: in the offline/batched runtime there is no display
-    server — resolves to a measuring sink (the reference auto-plugs the
-    highest-rank video sink)."""
+    server — resolves to the fake video renderer (the reference
+    auto-plugs the highest-rank video sink; fakevideosink is the
+    highest-rank one that exists here)."""
     FACTORY = "autovideosink"
-    DESCRIPTION = "Auto-plugged video sink (offline: swallow + count)"
+    DESCRIPTION = "Auto-plugged video sink (offline: fakevideosink)"
+
+    def __new__(cls, name=None, **props):
+        from .debug_elements import FakeVideoSink
+        return FakeVideoSink(name=name, **props)
 
 
 @register_element
 class AutoAudioSink(FakeSink):
+    """autoaudiosink: resolves to the ring-buffer-backed fake audio
+    sink, keeping real audio-sink timing semantics."""
     FACTORY = "autoaudiosink"
-    DESCRIPTION = "Auto-plugged audio sink (offline: swallow + count)"
+    DESCRIPTION = "Auto-plugged audio sink (offline: fakeaudiosink)"
+
+    def __new__(cls, name=None, **props):
+        from .audio_sinks import FakeAudioSink
+        return FakeAudioSink(name=name, **props)
 
 
 @register_element

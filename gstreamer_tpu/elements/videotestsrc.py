@@ -281,11 +281,14 @@ class VideoTestSrc(SourceElement):
             line = np.stack([_blend(fg[c], bg[c], yv) for c in range(4)], -1)
             canon[:] = line[:, None, :]
         elif pat == "colors":
-            # 8x8 grid over all colors (approximation of the colors pattern)
-            yy, xx = np.mgrid[0:h, 0:w]
-            idx = ((yy * 8 // max(h, 1)) * 8 + (xx * 8 // max(w, 1))) % len(colors)
-            tab = np.stack([self._canon_color(i) for i in range(len(colors))])
-            canon[:] = tab[idx]
+            # exact port of gst_video_test_src_colors (videotestsrc.c):
+            # A=255, Y=(i*4096/w)%256, U=((j*16/h)<<4)|(i*16/w),
+            # V=(j*4096/h)%256
+            jj, ii = np.mgrid[0:h, 0:w].astype(np.int64)
+            canon[..., 0] = 255
+            canon[..., 1] = (ii * 4096 // w) % 256
+            canon[..., 2] = ((jj * 16 // h) << 4) | (ii * 16 // w)
+            canon[..., 3] = (jj * 4096 // h) % 256
         elif pat == "bar":
             canon[:] = bg
             canon[:, : w // 7] = fg

@@ -152,3 +152,18 @@ class TestZonePlateMotion:
             "! video/x-raw,format=I420,width=32,height=32 ! "
             "appsink name=out", 2)
         np.testing.assert_array_equal(frames[0][0], frames[1][0])
+
+
+def test_colors_pattern_exact():
+    """gst_video_test_src_colors exact port: A=255, Y=(i*4096/w)%256,
+    U=((j*16/h)<<4)|(i*16/w), V=(j*4096/h)%256."""
+    frames = _run_frames(
+        "videotestsrc num-buffers=1 pattern=colors ! "
+        "video/x-raw,format=AYUV,width=32,height=24 ! appsink name=out", 1)
+    y, u, v, a = frames[0]
+    jj, ii = np.mgrid[0:24, 0:32]
+    np.testing.assert_array_equal(y, (ii * 4096 // 32) % 256)
+    np.testing.assert_array_equal(u, ((jj * 16 // 24) << 4)
+                                  | (ii * 16 // 32))
+    np.testing.assert_array_equal(v, (jj * 4096 // 24) % 256)
+    assert (a == 255).all()
