@@ -31,3 +31,4 @@ from . import image_codecs       # noqa: F401
 from . import audio_sinks        # noqa: F401
 from . import debug_elements     # noqa: F401
 from ..net import rtpmanager     # noqa: F401  (rtpsession/rtpbin)
+from . import law_elements       # noqa: F401
