@@ -802,15 +802,17 @@ class AudioFirFilter(_FirBase):
 
 @register_element
 class AudioIirFilter(_AudioFxBase):
-    """audioiirfilter: user-supplied IIR coefficients
-    (gstaudioiirfilter.c: y = (sum a[j] x[n-j] - sum b[j>=1] y[n-j]) / b[0]
-    in the gst naming where `a` feeds forward and `b` feeds back)."""
+    """audioiirfilter: user-supplied IIR coefficients.
+
+    gst naming (audioiirfilter.c:109-120, audiofxbaseiirfilter.c:301-317):
+    `b` is the NUMERATOR (feed-forward), `a` the DENOMINATOR (feed-back):
+    y[n] = (sum b[j] x[n-j] - sum a[j>=1] y[n-j]) / a[0]."""
     FACTORY = "audioiirfilter"
     DESCRIPTION = "Generic IIR filter with custom coefficients"
     HOST_ELEMENT = True
     PROPERTIES = {
-        "a": (object, None, "feed-forward coefficients"),
-        "b": (object, None, "feed-back coefficients (b[0] != 0)"),
+        "a": (object, None, "denominator (feed-back) coefficients"),
+        "b": (object, None, "numerator (feed-forward) coefficients"),
     }
 
     def __init__(self, name=None, **props):
@@ -823,8 +825,8 @@ class AudioIirFilter(_AudioFxBase):
     def host_process(self, buf: Buffer) -> Optional[Buffer]:
         from scipy.signal import lfilter
 
-        ff = self.props["a"]
-        fb = self.props["b"]
+        ff = self.props["b"]
+        fb = self.props["a"]
         if ff is None:
             return buf
         ff = np.asarray(ff, np.float64)
@@ -840,3 +842,81 @@ class AudioIirFilter(_AudioFxBase):
         out = (y.astype(x.dtype) if lim is None
                else np.clip(y, lim[0], lim[1]).astype(x.dtype))
         return buf.with_(data=out)
+
+
+class _ChebBase(_AudioFxBase):
+    """Shared IIR streaming core for the Chebyshev elements
+    (audiofxbaseiirfilter.c process: y[n] = sum b x - sum a[j>=1] y)."""
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, FLOAT_CAPS),
+        PadTemplate("src", PadDirection.SRC, FLOAT_CAPS),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._zi = None
+
+    def start(self):
+        self._zi = None
+
+    def _coefficients(self, rate):
+        raise NotImplementedError
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        from scipy.signal import lfilter
+
+        a, b = self._coefficients(self._info.rate)
+        x = np.asarray(buf.data)
+        xf = x.astype(np.float64)
+        n = max(len(a), len(b))
+        if n == 1:
+            return buf.with_(data=(xf * b[0] / a[0]).astype(x.dtype))
+        if self._zi is None or self._zi.shape != (n - 1, xf.shape[-1]):
+            self._zi = np.zeros((n - 1, xf.shape[-1]))
+        y, self._zi = lfilter(b, a, xf, axis=0, zi=self._zi)
+        return buf.with_(data=y.astype(x.dtype))
+
+
+@register_element
+class AudioChebLimit(_ChebBase):
+    """audiocheblimit (audiocheblimit.c): Chebyshev low/high-pass."""
+    FACTORY = "audiocheblimit"
+    DESCRIPTION = "Chebyshev low pass and high pass filter"
+    PROPERTIES = {
+        "mode": (str, "low-pass", "low-pass|high-pass"),
+        "type": (int, 1, "1|2 (Chebyshev type)"),
+        "cutoff": (float, 0.0, "cutoff frequency (Hz)"),
+        "ripple": (float, 0.25, "passband ripple / stopband atten (dB)"),
+        "poles": (int, 4, "number of poles (even, 2-32)"),
+    }
+
+    def _coefficients(self, rate):
+        from ..audio.chebyshev import cheb_limit_coefficients
+        poles = max(2, min(32, self.props["poles"])) & ~1
+        return cheb_limit_coefficients(
+            self.props["mode"], self.props["type"], poles,
+            self.props["cutoff"], self.props["ripple"], rate)
+
+
+@register_element
+class AudioChebBand(_ChebBase):
+    """audiochebband (audiochebband.c): Chebyshev band pass/reject."""
+    FACTORY = "audiochebband"
+    DESCRIPTION = "Chebyshev band pass and band reject filter"
+    PROPERTIES = {
+        "mode": (str, "band-pass", "band-pass|band-reject"),
+        "type": (int, 1, "1|2 (Chebyshev type)"),
+        "lower-frequency": (float, 0.0, "band start (Hz)"),
+        "upper-frequency": (float, 0.0, "band stop (Hz)"),
+        "ripple": (float, 0.25, "passband ripple / stopband atten (dB)"),
+        "poles": (int, 4, "number of poles (multiple of 4, 4-32)"),
+    }
+
+    def _coefficients(self, rate):
+        from ..audio.chebyshev import cheb_band_coefficients
+        poles = max(4, min(32, self.props["poles"])) & ~3
+        return cheb_band_coefficients(
+            self.props["mode"], self.props["type"], poles,
+            self.props["lower-frequency"], self.props["upper-frequency"],
+            self.props["ripple"], rate)
