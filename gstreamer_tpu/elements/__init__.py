@@ -32,3 +32,4 @@ from . import audio_sinks        # noqa: F401
 from . import debug_elements     # noqa: F401
 from ..net import rtpmanager     # noqa: F401  (rtpsession/rtpbin)
 from . import law_elements       # noqa: F401
+from . import scaletempo         # noqa: F401

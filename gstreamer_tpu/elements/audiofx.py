@@ -920,3 +920,56 @@ class AudioChebBand(_ChebBase):
             self.props["mode"], self.props["type"], poles,
             self.props["lower-frequency"], self.props["upper-frequency"],
             self.props["ripple"], rate)
+
+
+@register_element
+class Stereo(_AudioFxBase):
+    """stereo (gststereo.c): widen/narrow the stereo image.
+
+    Faithful port including the reference's half-buffer quirk: the C
+    loop runs `for (i = 0; i < samples / 2; i += 2)` over the flat s16
+    sample array (gststereo.c:140), so only the FIRST HALF of each
+    buffer's frames are processed; the rest pass through untouched.
+    avg uses C truncating integer division; the final double->int16
+    store truncates toward zero.
+
+    Host element: XLA's CPU/TPU codegen contracts mul+add into an FMA
+    (skipping the product's rounding step) even across
+    optimization_barrier, which flips 1-LSB edge cases vs the C
+    separate-rounding semantics; numpy rounds per-op like C does."""
+    FACTORY = "stereo"
+    DESCRIPTION = "Muck with the stereo signal to enhance its stereo-ness"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "audio/x-raw, format=S16LE, rate=[1,2147483647], "
+                    "channels=2, layout=interleaved"),
+        PadTemplate("src", PadDirection.SRC,
+                    "audio/x-raw, format=S16LE, rate=[1,2147483647], "
+                    "channels=2, layout=interleaved"),
+    ]
+    PROPERTIES = {
+        "active": (bool, True, "process or passthrough"),
+        "stereo": (float, 0.1, "stereo separation factor 0..1"),
+    }
+
+    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+        if not self.props["active"]:
+            return buf
+        mul = self.props["stereo"]
+        x = np.asarray(buf.data)
+        n = x.shape[-2]
+        # flat-index limit samples/2 with i += 2 => ceil(n/2) frames
+        half = (n + 1) // 2
+        l = x[..., :half, 0].astype(np.int64)
+        r = x[..., :half, 1].astype(np.int64)
+        s = l + r
+        avg = (np.sign(s) * (np.abs(s) // 2)).astype(np.float64)
+        lo = avg + (l - avg) * mul
+        ro = avg + (r - avg) * mul
+        out = x.copy()
+        out[..., :half, 0] = \
+            np.trunc(np.clip(lo, -32768, 32767)).astype(x.dtype)
+        out[..., :half, 1] = \
+            np.trunc(np.clip(ro, -32768, 32767)).astype(x.dtype)
+        return buf.with_(data=out)

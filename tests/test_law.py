@@ -188,3 +188,35 @@ class TestLawElements:
             p.get_by_name("coded").pull_sample().buffer.data)
         np.testing.assert_array_equal(
             coded, law.alaw_encode(raw.astype(np.int16)))
+
+
+class TestStereoElement:
+    """stereo (gststereo.c): scalar gold incl. the half-buffer quirk."""
+
+    def _gold(self, x, mul):
+        data = x.reshape(-1).astype(np.int64).copy()
+        samples = len(data)
+        i = 0
+        while i < samples // 2:
+            avg = int((int(data[i]) + int(data[i + 1])) / 2)  # trunc div
+            ldiff = data[i] - avg
+            rdiff = data[i + 1] - avg
+            for j, diff in ((i, ldiff), (i + 1, rdiff)):
+                tmp = avg + diff * mul
+                tmp = min(max(tmp, -32768), 32767)
+                data[j] = int(tmp)   # trunc toward zero
+            i += 2
+        return data.reshape(x.shape).astype(np.int16)
+
+    def test_gold_parity(self):
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((101, 2)) * 12000).astype(np.int16)
+        p = parse_launch(
+            "appsrc name=in ! audio/x-raw,format=S16LE,rate=8000,"
+            "channels=2 ! stereo stereo=0.6 ! appsink name=out")
+        from gstreamer_tpu.core.buffer import Buffer
+        p.get_by_name("in").push_buffer(Buffer(data=x))
+        p.get_by_name("in").end_of_stream()
+        p.run()
+        got = np.asarray(p.get_by_name("out").pull_sample().buffer.data)
+        np.testing.assert_array_equal(got, self._gold(x, 0.6))
