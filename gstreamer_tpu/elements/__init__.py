@@ -33,3 +33,5 @@ from . import debug_elements     # noqa: F401
 from ..net import rtpmanager     # noqa: F401  (rtpsession/rtpbin)
 from . import law_elements       # noqa: F401
 from . import scaletempo         # noqa: F401
+from . import replaygain         # noqa: F401
+from . import cutter             # noqa: F401
