@@ -35,3 +35,5 @@ from . import law_elements       # noqa: F401
 from . import scaletempo         # noqa: F401
 from . import replaygain         # noqa: F401
 from . import cutter             # noqa: F401
+from . import imagefreeze        # noqa: F401
+from . import shapewipe          # noqa: F401
