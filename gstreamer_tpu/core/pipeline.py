@@ -132,7 +132,9 @@ class Bin(Element):
 
 def link(src: Element, sink: Element,
          srcpad: Optional[str] = None, sinkpad: Optional[str] = None) -> None:
-    """gst_element_link_pads equivalent: first compatible pads."""
+    """gst_element_link_pads equivalent: first CAPS-COMPATIBLE pads
+    (gst_pad_can_link: template caps must intersect when picking among
+    several sink templates, e.g. a muxer's video_%u vs audio_%u)."""
     spads = [src.get_pad(srcpad)] if srcpad else [
         p for p in src.src_pads() if p.peer is None]
     if not spads:
@@ -141,13 +143,40 @@ def link(src: Element, sink: Element,
             if t.direction == PadDirection.SRC and t.presence == "request":
                 spads = [src.request_pad(t.name)]
                 break
+
+    src_caps = None
+    if spads:
+        src_caps = spads[0].template_caps
+        # a capsfilter's configured caps are more precise than its
+        # ANY templates (the common `... ! audio/x-raw,... ! mux` case)
+        cf = getattr(src, "props", {}).get("caps")
+        if cf is not None:
+            src_caps = cf
+
+    def _compatible(sink_caps) -> bool:
+        if src_caps is None:
+            return True
+        try:
+            return not src_caps.intersect(sink_caps).is_empty
+        except Exception:
+            return True
+
     kpads = [sink.get_pad(sinkpad)] if sinkpad else [
         p for p in sink.sink_pads() if p.peer is None]
+    if not sinkpad and kpads:
+        ranked = [p for p in kpads if _compatible(p.template_caps)]
+        kpads = ranked or kpads
     if not kpads:
-        for t in sink.PAD_TEMPLATES:
-            if t.direction == PadDirection.SINK and t.presence == "request":
-                kpads = [sink.request_pad(t.name)]
-                break
+        tmpls = [t for t in sink.PAD_TEMPLATES
+                 if t.direction == PadDirection.SINK
+                 and t.presence == "request"]
+        from .caps import Caps as _Caps
+        ranked = [t for t in tmpls
+                  if _compatible(_Caps.from_string(t.caps)
+                                 if isinstance(t.caps, str) else t.caps)]
+        for t in (ranked or tmpls):
+            kpads = [sink.request_pad(t.name)]
+            break
     if not spads or not kpads:
         raise ValueError(f"cannot link {src.name} ! {sink.name}: no free pads")
     spads[0].link(kpads[0])

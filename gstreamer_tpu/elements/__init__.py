@@ -37,3 +37,5 @@ from . import replaygain         # noqa: F401
 from . import cutter             # noqa: F401
 from . import imagefreeze        # noqa: F401
 from . import shapewipe          # noqa: F401
+from . import isomp4             # noqa: F401
+from . import textoverlay        # noqa: F401

@@ -73,6 +73,11 @@ def _peek_upstream(elem) -> Optional[bytes]:
     if not pads or pads[0].peer is None:
         return None
     up = pads[0].peer.element
+    peek = getattr(up, "preview_blob", None)
+    if peek is not None:            # demuxers expose the first sample
+        blob = peek()
+        if blob:
+            return blob
     loc = getattr(up, "props", {}).get("location", "")
     if not loc:
         return None

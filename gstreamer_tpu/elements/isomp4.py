@@ -1,0 +1,579 @@
+"""qtmux / qtdemux — ISO base-media (QuickTime .mov/.mp4) container.
+
+Raw-codec family port of gst-plugins-good/gst/isomp4/ (the reference's
+atoms.c/gstqtmux.c writer and qtdemux.c reader), scoped like the
+avi/matroska modules: uncompressed video, PCM/G.711 audio, and MJPEG
+('jpeg' sample entries carrying our native JPEG codec's frames).
+
+Box layout written (gstqtmux.c gst_qt_mux_start_file/_stop_file):
+  ftyp('qt  ') | mdat(samples) | moov(mvhd, trak*)
+  trak = tkhd, mdia(mdhd, hdlr, minf(vmhd|smhd, dinf(dref url),
+         stbl(stsd, stts, stsc, stsz, stco)))
+Video track timescale = fps numerator with stts delta = denominator
+(sample-exact timing); audio timescale = sample rate.
+
+fourcc mapping follows qtdemux.c:19280-19310 ('2vuy'=UYVY,
+'v308'/'v210'/'v216'/'r210' 1:1, 'raw ' depth 24 = RGB) and
+:9368-9385 ('sowt'=S16LE, 'twos'=S16BE, 'raw '=U8, 'ulaw'/'alaw' =
+audio/x-mulaw|x-alaw), 'jpeg' = image/jpeg.
+
+qtdemux mirrors avidemux's pull-mode collapse: one element demuxes one
+stream selected by the `stream` property; the full
+stts/stsc/stsz/stco(co64) sample-table walk recovers per-sample
+offsets/sizes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..audio import format as afmt
+from ..audio.info import AudioInfo
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (AggregatorElement, PadDirection, PadPresence,
+                            PadTemplate, SourceElement, register_element)
+from ..core.value import Fraction
+from ..video.format import from_bytes, to_bytes
+from ..video.info import VideoInfo
+
+VIDEO_FOURCC = {"UYVY": b"2vuy", "v308": b"v308", "v210": b"v210",
+                "v216": b"v216", "r210": b"r210", "RGB": b"raw "}
+FOURCC_VIDEO = {v: k for k, v in VIDEO_FOURCC.items()}
+AUDIO_FOURCC = {"S16LE": b"sowt", "S16BE": b"twos", "U8": b"raw "}
+FOURCC_AUDIO = {v: k for k, v in AUDIO_FOURCC.items()}
+
+_MUX_VIDEO_CAPS = ("video/x-raw, format={ UYVY, v308, v210, v216, r210, "
+                   "RGB }; image/jpeg")
+_MUX_AUDIO_CAPS = ("audio/x-raw, format={ S16LE, S16BE, U8 }, "
+                   "layout=interleaved; audio/x-mulaw; audio/x-alaw")
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">B3s", version,
+                                 flags.to_bytes(3, "big")) + payload)
+
+
+def _matrix() -> bytes:
+    """Identity transformation matrix (16.16 / 2.30 fixed)."""
+    return struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                       0x40000000)
+
+
+class _Track:
+    def __init__(self, kind: str):
+        self.kind = kind            # "video" | "audio" | "jpeg"
+        self.vinfo: Optional[VideoInfo] = None
+        self.ainfo: Optional[AudioInfo] = None
+        self.coded_audio: Optional[str] = None    # "ulaw"/"alaw"
+        self.samples: List[bytes] = []            # video/jpeg frames
+        self.audio_blob: List[bytes] = []
+        self.audio_frames = 0
+        self.jpeg_wh = (0, 0)
+
+
+@register_element
+class QtMux(AggregatorElement):
+    FACTORY = "qtmux"
+    DESCRIPTION = "Multiplex audio and video into a QuickTime file"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("video_%u", PadDirection.SINK, _MUX_VIDEO_CAPS,
+                    presence=PadPresence.REQUEST),
+        PadTemplate("audio_%u", PadDirection.SINK, _MUX_AUDIO_CAPS,
+                    presence=PadPresence.REQUEST),
+        PadTemplate("src", PadDirection.SRC, "video/quicktime"),
+    ]
+    PROPERTIES = {"location": (str, "out.mov", "output path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._tracks: Dict[str, _Track] = {}
+
+    def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
+        self._tracks = {}
+        for pad_name, caps in in_caps.items():
+            s = caps.fixate()[0]
+            if pad_name.startswith("video"):
+                if s.name == "image/jpeg":
+                    t = _Track("jpeg")
+                    t.vinfo = VideoInfo(
+                        format="I420",
+                        width=s.get("width") or 0,
+                        height=s.get("height") or 0,
+                        fps=s.get("framerate") or Fraction(30, 1))
+                    # remember real dims from caps
+                    t.jpeg_wh = (s.get("width") or 0,
+                                 s.get("height") or 0)
+                else:
+                    t = _Track("video")
+                    t.vinfo = VideoInfo.from_caps_structure(s)
+            else:
+                t = _Track("audio")
+                if s.name == "audio/x-mulaw":
+                    t.coded_audio = "ulaw"
+                    t.ainfo = AudioInfo(format="U8", rate=s["rate"],
+                                        channels=s["channels"])
+                elif s.name == "audio/x-alaw":
+                    t.coded_audio = "alaw"
+                    t.ainfo = AudioInfo(format="U8", rate=s["rate"],
+                                        channels=s["channels"])
+                else:
+                    t.ainfo = AudioInfo.from_caps_structure(s)
+            self._tracks[pad_name] = t
+        return Caps.from_string("video/quicktime")
+
+    def start(self):
+        for t in self._tracks.values():
+            t.samples = []
+            t.audio_blob = []
+            t.audio_frames = 0
+
+    def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        for pad_name, buf in ins.items():
+            t = self._tracks[pad_name]
+            if t.kind == "video":
+                raw = to_bytes(t.vinfo.finfo,
+                               tuple(np.asarray(p) for p in buf.data),
+                               t.vinfo.width, t.vinfo.height)
+                raw = raw.reshape(buf.batch, -1)
+                for k in range(buf.batch):
+                    t.samples.append(raw[k].tobytes())
+            elif t.kind == "jpeg":
+                blobs = buf.data if isinstance(buf.data, list) \
+                    else [buf.data]
+                for b in blobs:
+                    t.samples.append(
+                        b if isinstance(b, (bytes, bytearray))
+                        else np.asarray(b).tobytes())
+            else:
+                x = np.asarray(buf.data)
+                if t.coded_audio is not None:
+                    t.audio_blob.append(
+                        x.astype(np.uint8).tobytes())
+                else:
+                    t.audio_blob.append(
+                        afmt.to_bytes(t.ainfo.finfo, x).tobytes())
+                t.audio_frames += x.shape[0]
+        first = next(iter(ins.values()))
+        return first.with_(data=np.zeros(1, np.uint8))
+
+    # -- moov writer -------------------------------------------------------
+    def _stsd_video(self, t: _Track, fourcc: bytes) -> bytes:
+        vi = t.vinfo
+        w, h = (t.jpeg_wh if t.kind == "jpeg" and t.jpeg_wh[0]
+                else (vi.width, vi.height))
+        depth = 24
+        entry = (b"\0" * 6 + struct.pack(">H", 1)      # data ref index
+                 + struct.pack(">HH4sIIHH", 0, 0, b"\0\0\0\0", 0, 0,
+                               w, h)
+                 + struct.pack(">IIIHB", 0x00480000, 0x00480000, 0, 1,
+                               0)
+                 + b"\0" * 31                           # compressor name
+                 + struct.pack(">Hh", depth, -1))
+        return _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(fourcc, entry))
+
+    def _stsd_audio(self, t: _Track) -> bytes:
+        ai = t.ainfo
+        if t.coded_audio:
+            fourcc = t.coded_audio.encode()
+            bits = 8
+        else:
+            fourcc = AUDIO_FOURCC[ai.format]
+            bits = 8 if ai.format == "U8" else 16
+        entry = (b"\0" * 6 + struct.pack(">H", 1)
+                 + struct.pack(">HH4sHHHHI", 0, 0, b"\0\0\0\0",
+                               ai.channels, bits, 0, 0,
+                               ai.rate << 16))
+        return _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(fourcc, entry))
+
+    def _stbl(self, t: _Track, offsets: List[int],
+              sizes: List[int]) -> bytes:
+        if t.kind in ("video", "jpeg"):
+            fps = t.vinfo.fps
+            n = len(t.samples)
+            stts = _full(b"stts", 0, 0,
+                         struct.pack(">III", 1, n, fps.denom))
+            stsc = _full(b"stsc", 0, 0,
+                         struct.pack(">IIII", 1, 1, 1, 1))
+            if len(set(sizes)) == 1:
+                stsz = _full(b"stsz", 0, 0,
+                             struct.pack(">II", sizes[0], n))
+            else:
+                stsz = _full(b"stsz", 0, 0,
+                             struct.pack(">II", 0, n)
+                             + b"".join(struct.pack(">I", s)
+                                        for s in sizes))
+            stco = _full(b"stco", 0, 0,
+                         struct.pack(">I", len(offsets))
+                         + b"".join(struct.pack(">I", o)
+                                    for o in offsets))
+            fourcc = (b"jpeg" if t.kind == "jpeg"
+                      else VIDEO_FOURCC[t.vinfo.format])
+            stsd = self._stsd_video(t, fourcc)
+        else:
+            bpf = sizes[0]
+            n = t.audio_frames
+            stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+            stsc = _full(b"stsc", 0, 0,
+                         struct.pack(">IIII", 1, 1, n, 1))
+            stsz = _full(b"stsz", 0, 0, struct.pack(">II", bpf, n))
+            stco = _full(b"stco", 0, 0,
+                         struct.pack(">II", 1, offsets[0]))
+            stsd = self._stsd_audio(t)
+        return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    def _trak(self, t: _Track, tid: int, offsets: List[int],
+              sizes: List[int], movie_dur: int) -> bytes:
+        if t.kind in ("video", "jpeg"):
+            fps = t.vinfo.fps
+            timescale = fps.num
+            dur = len(t.samples) * fps.denom
+            w, h = (t.jpeg_wh if t.kind == "jpeg" and t.jpeg_wh[0]
+                    else (t.vinfo.width, t.vinfo.height))
+            tkhd = _full(b"tkhd", 0, 3, struct.pack(
+                ">IIII", 0, 0, tid, 0)
+                + struct.pack(">IQHHHH", dur * 600 // timescale, 0,
+                              0, 0, 0, 0)
+                + _matrix()
+                + struct.pack(">II", w << 16, h << 16))
+            hdlr = _full(b"hdlr", 0, 0,
+                         b"mhlr" + b"vide" + b"\0" * 12 + b"\0")
+            mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        else:
+            timescale = t.ainfo.rate
+            dur = t.audio_frames
+            tkhd = _full(b"tkhd", 0, 3, struct.pack(
+                ">IIII", 0, 0, tid, 0)
+                + struct.pack(">IQHHHH", dur * 600 // timescale, 0,
+                              0, 0, 0x0100, 0)
+                + _matrix()
+                + struct.pack(">II", 0, 0))
+            hdlr = _full(b"hdlr", 0, 0,
+                         b"mhlr" + b"soun" + b"\0" * 12 + b"\0")
+            mhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+        dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full(b"url ", 0, 1, b""))
+        dinf = _box(b"dinf", dref)
+        minf = _box(b"minf", mhd + dinf
+                    + self._stbl(t, offsets, sizes))
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    def stop(self):
+        if not self._tracks:
+            return
+        ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0x200)
+                    + b"qt  ")
+        # mdat layout: per-track runs; video sample-per-chunk, audio
+        # one contiguous chunk
+        mdat_payload = b""
+        offsets: Dict[str, List[int]] = {}
+        sizes: Dict[str, List[int]] = {}
+        base = len(ftyp) + 8
+        for pad_name in sorted(self._tracks):
+            t = self._tracks[pad_name]
+            offs, szs = [], []
+            if t.kind in ("video", "jpeg"):
+                for s in t.samples:
+                    offs.append(base + len(mdat_payload))
+                    szs.append(len(s))
+                    mdat_payload += s
+            else:
+                blob = b"".join(t.audio_blob)
+                offs.append(base + len(mdat_payload))
+                bpf = (len(blob) // t.audio_frames
+                       if t.audio_frames else 1)
+                szs.append(bpf)
+                mdat_payload += blob
+            offsets[pad_name] = offs
+            sizes[pad_name] = szs
+        mdat = _box(b"mdat", mdat_payload)
+        movie_dur = 0
+        traks = b""
+        for tid, pad_name in enumerate(sorted(self._tracks), start=1):
+            t = self._tracks[pad_name]
+            if t.kind in ("video", "jpeg"):
+                fps = t.vinfo.fps
+                movie_dur = max(movie_dur,
+                                len(t.samples) * 600 * fps.denom
+                                // max(fps.num, 1))
+            else:
+                movie_dur = max(movie_dur, t.audio_frames * 600
+                                // t.ainfo.rate)
+            traks += self._trak(t, tid, offsets[pad_name],
+                                sizes[pad_name], movie_dur)
+        mvhd = _full(b"mvhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, 600, movie_dur)
+            + struct.pack(">IH", 0x00010000, 0x0100) + b"\0" * 10
+            + _matrix() + b"\0" * 24
+            + struct.pack(">I", len(self._tracks) + 1))
+        moov = _box(b"moov", mvhd + traks)
+        with open(self.props["location"], "wb") as f:
+            f.write(ftyp + mdat + moov)
+
+
+# ---------------------------------------------------------------------------
+# Demux
+# ---------------------------------------------------------------------------
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        yield tag, pos + hdr, pos + size
+        pos += max(size, 8)
+
+
+def _find(data, pos, end, *path):
+    for tag, a, b in _walk_boxes(data, pos, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return a, b
+            return _find(data, a, b, *path[1:])
+    return None
+
+
+def _parse_sample_table(data, stbl_a, stbl_b):
+    """Full stts/stsc/stsz/stco walk -> (fourcc, entry_bytes,
+    [(offset, size)], stts_entries)."""
+    r = _find(data, stbl_a, stbl_b, b"stsd")
+    a, b = r
+    n_entries = struct.unpack(">I", data[a + 4:a + 8])[0]
+    entry_pos = a + 8
+    esize = struct.unpack(">I", data[entry_pos:entry_pos + 4])[0]
+    fourcc = data[entry_pos + 4:entry_pos + 8]
+    entry = data[entry_pos + 8:entry_pos + esize]
+
+    a, b = _find(data, stbl_a, stbl_b, b"stsz")
+    fixed, count = struct.unpack(">II", data[a + 4:a + 12])
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack(f">{count}I",
+                                   data[a + 12:a + 12 + 4 * count]))
+
+    co = _find(data, stbl_a, stbl_b, b"stco")
+    if co is not None:
+        a, b = co
+        n = struct.unpack(">I", data[a + 4:a + 8])[0]
+        chunk_offs = list(struct.unpack(f">{n}I",
+                                        data[a + 8:a + 8 + 4 * n]))
+    else:
+        a, b = _find(data, stbl_a, stbl_b, b"co64")
+        n = struct.unpack(">I", data[a + 4:a + 8])[0]
+        chunk_offs = list(struct.unpack(f">{n}Q",
+                                        data[a + 8:a + 8 + 8 * n]))
+
+    a, b = _find(data, stbl_a, stbl_b, b"stsc")
+    n = struct.unpack(">I", data[a + 4:a + 8])[0]
+    stsc = [struct.unpack(">III", data[a + 8 + i * 12:a + 20 + i * 12])
+            for i in range(n)]
+
+    a, b = _find(data, stbl_a, stbl_b, b"stts")
+    n = struct.unpack(">I", data[a + 4:a + 8])[0]
+    stts = [struct.unpack(">II", data[a + 8 + i * 8:a + 16 + i * 8])
+            for i in range(n)]
+
+    # expand chunk map -> per-sample (offset, size)
+    samples: List[Tuple[int, int]] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offs):
+        per = 1
+        for first, spc, _ in stsc:
+            if ci + 1 >= first:
+                per = spc
+        off = coff
+        for _ in range(per):
+            if si >= len(sizes):
+                break
+            samples.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    return fourcc, entry, samples, stts
+
+
+def _parse_qt(path: str):
+    """-> list of track dicts."""
+    with open(path, "rb") as f:
+        data = f.read()
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("qtdemux: no moov box")
+    tracks = []
+    for tag, a, b in _walk_boxes(data, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _find(data, a, b, b"mdia")
+        mh = _find(data, *mdia, b"mdhd")
+        timescale, duration = struct.unpack(
+            ">II", data[mh[0] + 12:mh[0] + 20])
+        hd = _find(data, *mdia, b"hdlr")
+        handler = data[hd[0] + 8:hd[0] + 12]
+        stbl = _find(data, *mdia, b"minf", b"stbl")
+        fourcc, entry, samples, stts = _parse_sample_table(
+            data, *stbl)
+        tracks.append({
+            "handler": handler, "fourcc": fourcc, "entry": entry,
+            "samples": samples, "stts": stts,
+            "timescale": timescale, "duration": duration,
+        })
+    return tracks, data
+
+
+@register_element
+class QtDemux(SourceElement):
+    FACTORY = "qtdemux"
+    DESCRIPTION = "Demultiplex a QuickTime file into audio and video"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "mov/mp4 file path"),
+        "stream": (str, "video", "video | audio | stream index"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._loaded = False
+        self._pos = 0
+
+    def _load(self):
+        if self._loaded:
+            return
+        tracks, data = _parse_qt(self.props["location"])
+        sel = self.props["stream"]
+        want = None
+        for idx, t in enumerate(tracks):
+            if sel == str(idx) or \
+               (sel == "video" and t["handler"] == b"vide") or \
+               (sel == "audio" and t["handler"] == b"soun"):
+                want = idx
+                break
+        if want is None:
+            raise ValueError(f"qtdemux: no stream {sel!r}")
+        t = tracks[want]
+        self._track = t
+        self._data = data
+        fourcc = t["fourcc"]
+        entry = t["entry"]
+        if t["handler"] == b"vide":
+            w, h = struct.unpack(">HH", entry[24:28])
+            count, delta = t["stts"][0]
+            fps = Fraction(t["timescale"], max(delta, 1))
+            if fourcc == b"jpeg":
+                self._mode = "jpeg"
+                self._caps = Caps.from_string(
+                    f"image/jpeg, width={w}, height={h}, "
+                    f"framerate={fps.num}/{fps.denom}")
+            else:
+                fmt = FOURCC_VIDEO.get(fourcc)
+                if fmt is None:
+                    raise ValueError(
+                        f"qtdemux: unsupported video {fourcc!r}")
+                self._mode = "video"
+                self._info = VideoInfo(format=fmt, width=w, height=h,
+                                       fps=fps)
+                self._caps = Caps([self._info.to_caps_structure()])
+        else:
+            channels, bits = struct.unpack(">HH", entry[16:20])
+            rate = struct.unpack(">I", entry[24:28])[0] >> 16
+            if fourcc in (b"ulaw", b"alaw"):
+                self._mode = fourcc.decode()
+                self._channels = channels
+                self._rate = rate
+                mt = ("audio/x-mulaw" if fourcc == b"ulaw"
+                      else "audio/x-alaw")
+                self._caps = Caps.from_string(
+                    f"{mt}, rate={rate}, channels={channels}")
+            else:
+                fmt = FOURCC_AUDIO.get(fourcc)
+                if fmt is None:
+                    raise ValueError(
+                        f"qtdemux: unsupported audio {fourcc!r}")
+                if fmt == "raw " or bits == 8:
+                    fmt = "U8" if fourcc == b"raw " else fmt
+                self._mode = "audio"
+                self._info = AudioInfo(format=fmt, rate=rate,
+                                       channels=channels)
+                self._caps = Caps([self._info.to_caps_structure()])
+        self._loaded = True
+
+    def preview_blob(self) -> Optional[bytes]:
+        """First sample bytes (jpegdec caps-peek hook)."""
+        try:
+            self._load()
+        except (OSError, ValueError):
+            return None
+        off, size = self._track["samples"][0]
+        return self._data[off:off + size]
+
+    def get_caps(self, filter=None):
+        if self.props["location"]:
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return Caps.any()
+        caps = self._caps if self._loaded else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        samples = self._track["samples"]
+        if self._pos >= len(samples):
+            return None
+        if self._mode == "video":
+            info = self._info
+            take = samples[self._pos:self._pos + max(1, n_frames)]
+            raws = np.stack([np.frombuffer(
+                self._data[o:o + s], np.uint8) for o, s in take])
+            planes = from_bytes(info.finfo, raws, info.width,
+                                info.height)
+            fps = info.fps
+            pts = self._pos * 1_000_000_000 * fps.denom // fps.num
+            dur = 1_000_000_000 * fps.denom // fps.num
+            self._pos += len(take)
+            return Buffer(data=planes, pts=pts, duration=dur,
+                          batch=len(take))
+        if self._mode == "jpeg":
+            take = samples[self._pos:self._pos + max(1, n_frames)]
+            blobs = [self._data[o:o + s] for o, s in take]
+            self._pos += len(take)
+            return Buffer(data=blobs, batch=len(take))
+        # audio: one buffer with everything (contiguous chunk run)
+        blob = b"".join(self._data[o:o + s] for o, s in samples)
+        self._pos = len(samples)
+        if self._mode in ("ulaw", "alaw"):
+            arr = np.frombuffer(blob, np.uint8).reshape(
+                -1, self._channels)
+            return Buffer(data=arr, batch=1,
+                          duration=len(arr) * 1_000_000_000
+                          // self._rate)
+        info = self._info
+        raw = np.frombuffer(blob, np.uint8)
+        arr = afmt.from_bytes(info.finfo, raw, info.channels)
+        if arr.dtype.byteorder == ">":      # device arrays are native
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return Buffer(data=arr, batch=1,
+                      duration=arr.shape[0] * 1_000_000_000
+                      // info.rate)
