@@ -39,3 +39,4 @@ from . import imagefreeze        # noqa: F401
 from . import shapewipe          # noqa: F401
 from . import isomp4             # noqa: F401
 from . import textoverlay        # noqa: F401
+from . import misc_elements      # noqa: F401
