@@ -40,3 +40,4 @@ from . import shapewipe          # noqa: F401
 from . import isomp4             # noqa: F401
 from . import textoverlay        # noqa: F401
 from . import misc_elements      # noqa: F401
+from . import splitmux           # noqa: F401
