@@ -41,3 +41,4 @@ from . import isomp4             # noqa: F401
 from . import textoverlay        # noqa: F401
 from . import misc_elements      # noqa: F401
 from . import splitmux           # noqa: F401
+from . import multipart          # noqa: F401
