@@ -808,8 +808,17 @@ class Pipeline(Bin):
                 buf = e.process_meta(buf)
                 if hooks.active:
                     hooks.fire("buffer-post", e, buf)
-                for sp in e.src_pads():
-                    buf_by_pad[sp] = buf
+                route = getattr(e, "route_outputs", None)
+                if route is not None:
+                    # one-to-N elements with DIFFERENT data per src pad
+                    # (deinterleave): element splits the buffer itself
+                    routed = route(buf)
+                    for sp in e.src_pads():
+                        if sp.name in routed:
+                            buf_by_pad[sp] = routed[sp.name]
+                else:
+                    for sp in e.src_pads():
+                        buf_by_pad[sp] = buf
         return True
 
     def run(self, max_ticks: Optional[int] = None) -> None:

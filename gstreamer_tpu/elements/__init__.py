@@ -42,3 +42,6 @@ from . import textoverlay        # noqa: F401
 from . import misc_elements      # noqa: F401
 from . import splitmux           # noqa: F401
 from . import multipart          # noqa: F401
+from . import interleave         # noqa: F401
+from . import removesilence      # noqa: F401
+from . import monoscope          # noqa: F401
