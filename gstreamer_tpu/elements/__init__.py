@@ -45,3 +45,4 @@ from . import multipart          # noqa: F401
 from . import interleave         # noqa: F401
 from . import removesilence      # noqa: F401
 from . import monoscope          # noqa: F401
+from . import flac_elements      # noqa: F401
