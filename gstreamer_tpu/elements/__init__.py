@@ -46,3 +46,4 @@ from . import interleave         # noqa: F401
 from . import removesilence      # noqa: F401
 from . import monoscope          # noqa: F401
 from . import flac_elements      # noqa: F401
+from . import videosignal        # noqa: F401
