@@ -549,6 +549,58 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int):
     _write_rice(bw, res, k)
 
 
+def encode_streaminfo(n: int, sample_rate: int, nch: int, bps: int,
+                      blocksize: int, md5_digest: bytes) -> bytes:
+    """'fLaC' + a last STREAMINFO metadata block (n=0, md5=zeros is
+    the legal unseekable-stream form)."""
+    head = _BitWriter()
+    head.write(0x664C6143, 32)                 # fLaC
+    head.write(1, 1)                           # last metadata block
+    head.write(0, 7)                           # STREAMINFO
+    head.write(34, 24)
+    head.write(blocksize, 16)
+    head.write(blocksize, 16)
+    head.write(0, 24)
+    head.write(0, 24)
+    head.write(sample_rate, 20)
+    head.write(nch - 1, 3)
+    head.write(bps - 1, 5)
+    head.write(n, 36)
+    return head.get_bytes() + md5_digest
+
+
+def encode_frame(block: np.ndarray, fi: int, sample_rate: int,
+                 bps: int, blocksize: int) -> bytes:
+    """One complete FLAC frame (header+subframes+CRC16) for block
+    number fi of a fixed-blocksize stream."""
+    bs, nch = block.shape
+    bw = _BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)                          # fixed blocksize stream
+    bs_code = _BLOCKSIZE_CODES.get(bs)
+    if bs_code is None:
+        bs_code = 0b0111                    # 16-bit blocksize-1
+    bw.write(bs_code, 4)
+    sr_code = {v: k for k, v in _SAMPLE_RATES.items()}.get(
+        sample_rate, 0)
+    bw.write(sr_code, 4)
+    bw.write(nch - 1, 4)                    # independent channels
+    bw.write(_BPS_CODES.get(bps, 0), 3)
+    bw.write(0, 1)
+    _write_utf8(bw, fi)
+    if bs_code == 0b0111:
+        bw.write(bs - 1, 16)
+    hdr = bw.get_bytes()                    # byte-aligned here
+    bw2 = _BitWriter()
+    bw2._out = bytearray(hdr)
+    bw2.write(crc8(hdr), 8)
+    for c in range(nch):
+        _encode_subframe(bw2, block[:, c], bps)
+    body = bw2.get_bytes()                  # align to byte
+    return body + struct.pack(">H", crc16(body))
+
+
 def encode(samples: np.ndarray, sample_rate: int, bps: int = 16,
            blocksize: int = 4096) -> bytes:
     """(n, channels) ints -> FLAC stream bytes."""
@@ -564,49 +616,9 @@ def encode(samples: np.ndarray, sample_rate: int, bps: int = 16,
     md5 = hashlib.md5()
     md5.update(_md5_raw_bytes(samples, nbytes))
 
-    head = _BitWriter()
-    head.write(0x664C6143, 32)                 # fLaC
-    head.write(1, 1)                           # last metadata block
-    head.write(0, 7)                           # STREAMINFO
-    head.write(34, 24)
-    head.write(blocksize, 16)
-    head.write(blocksize, 16)
-    head.write(0, 24)
-    head.write(0, 24)
-    head.write(sample_rate, 20)
-    head.write(nch - 1, 3)
-    head.write(bps - 1, 5)
-    head.write(n, 36)
-    out = bytearray(head.get_bytes())
-    out += md5.digest()
-
+    out = bytearray(encode_streaminfo(n, sample_rate, nch, bps,
+                                      blocksize, md5.digest()))
     for fi, lo in enumerate(range(0, n, blocksize)):
-        block = samples[lo:lo + blocksize]
-        bs = len(block)
-        bw = _BitWriter()
-        bw.write(0x3FFE, 14)
-        bw.write(0, 1)
-        bw.write(0, 1)                          # fixed blocksize stream
-        bs_code = _BLOCKSIZE_CODES.get(bs)
-        if bs_code is None:
-            bs_code = 0b0111                    # 16-bit blocksize-1
-        bw.write(bs_code, 4)
-        sr_code = {v: k for k, v in _SAMPLE_RATES.items()}.get(
-            sample_rate, 0)
-        bw.write(sr_code, 4)
-        bw.write(nch - 1, 4)                    # independent channels
-        bw.write(_BPS_CODES.get(bps, 0), 3)
-        bw.write(0, 1)
-        _write_utf8(bw, fi)
-        if bs_code == 0b0111:
-            bw.write(bs - 1, 16)
-        hdr = bw.get_bytes()                    # byte-aligned here
-        bw2 = _BitWriter()
-        bw2._out = bytearray(hdr)
-        bw2.write(crc8(hdr), 8)
-        for c in range(nch):
-            _encode_subframe(bw2, block[:, c], bps)
-        body = bw2.get_bytes()                  # align to byte
-        full = body + struct.pack(">H", crc16(body))
-        out += full
+        out += encode_frame(samples[lo:lo + blocksize].astype(np.int64),
+                            fi, sample_rate, bps, blocksize)
     return bytes(out)
