@@ -48,3 +48,4 @@ from . import monoscope          # noqa: F401
 from . import flac_elements      # noqa: F401
 from . import videosignal        # noqa: F401
 from . import ogg                # noqa: F401
+from . import flv                # noqa: F401
