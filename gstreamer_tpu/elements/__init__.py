@@ -49,3 +49,4 @@ from . import flac_elements      # noqa: F401
 from . import videosignal        # noqa: F401
 from . import ogg                # noqa: F401
 from . import flv                # noqa: F401
+from . import adpcm_elements     # noqa: F401
