@@ -73,7 +73,23 @@ class BaseParse(TransformElement):
     def flush(self):
         self.start()
 
-    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+    # EOS drain: the pipeline flushes decoupling host elements with
+    # host_process(None); subclasses see self.draining to relax their
+    # next-header lookahead (gstbaseparse.c drain mode)
+    _decouple = True
+    draining = False
+
+    @property
+    def _pending_buf(self):
+        return True if self._adapter.available() else None
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            if not self._adapter.available():
+                return None
+            self.draining = True
+            buf = Buffer(data=np.zeros(0, np.uint8), batch=1,
+                         pts=self._next_pts)
         data = np.asarray(buf.data, np.uint8).ravel()
         self._adapter.push(data, buf.pts)
         if self._next_pts is None and buf.pts is not None:

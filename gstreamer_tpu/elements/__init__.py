@@ -50,3 +50,4 @@ from . import videosignal        # noqa: F401
 from . import ogg                # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401
+from . import audioparsers       # noqa: F401
