@@ -52,3 +52,4 @@ from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401
 from . import audioparsers       # noqa: F401
 from . import coloreffects       # noqa: F401
+from . import gaudieffects       # noqa: F401
