@@ -53,3 +53,4 @@ from . import adpcm_elements     # noqa: F401
 from . import audioparsers       # noqa: F401
 from . import coloreffects       # noqa: F401
 from . import gaudieffects       # noqa: F401
+from . import geometrictransform # noqa: F401
