@@ -12,9 +12,10 @@ the host (numpy, like the reference's precalc_map), and the per-frame
 work is a single device gather over the whole batch — the ideal XLA
 formulation of a warp.
 
-Elements: bulge, circle, fisheye, kaleidoscope, mirror, perspective,
-pinch, rotate, sphere, square, stretch, tunnel, twirl, waterripple
-(diffuse/marble need the GLib RNG / Perlin noise ports — later round).
+Elements: bulge, circle, diffuse, fisheye, kaleidoscope, marble,
+mirror, perspective, pinch, rotate, sphere, square, stretch, tunnel,
+twirl, waterripple — the complete family (marble/diffuse use a seeded
+RNG where the reference draws from GLib's globally-seeded one).
 Map formulas are transliterated per element from the corresponding
 gst*.c map_func; geometricmath.c helpers (mod_float, triangle,
 smoothstep) are reproduced exactly.
@@ -455,3 +456,103 @@ class WaterRipple(GeometricTransform):
         in_x = np.where(inside, xx + dx * amount, xx)
         in_y = np.where(inside, yy + dy * amount, yy)
         return in_x, in_y
+
+
+# ---------------------------------------------------------------------------
+# Noise-driven members (geometricmath.c Perlin noise).  The reference
+# seeds its tables from GLib's global RNG (nondeterministic per run);
+# here a `seed` property (default 0) makes runs reproducible.
+# ---------------------------------------------------------------------------
+
+class _GMNoise:
+    """gst_gm_noise_new/gst_gm_noise_2 (geometricmath.c:1-166)."""
+
+    B = 0x100
+    N = 0x1000
+
+    def __init__(self, rng: np.random.Generator):
+        B = self.B
+        self.p = np.zeros(2 * B + 2, np.int64)
+        self.g2 = np.zeros((2 * B + 2, 2), np.float64)
+        for i in range(B):
+            self.p[i] = i
+            v = (rng.integers(0, 2 ** 32, 2) % (2 * B) - B) / B
+            n = math.sqrt(v[0] * v[0] + v[1] * v[1]) or 1.0
+            self.g2[i] = v / n
+        for i in range(B - 1, -1, -1):
+            j = int(rng.integers(0, 2 ** 32) % B)
+            self.p[i], self.p[j] = self.p[j], self.p[i]
+        for i in range(B + 2):
+            self.p[B + i] = self.p[i]
+            self.g2[B + i] = self.g2[i]
+
+    def noise_2(self, x, y):
+        """Vectorized gst_gm_noise_2."""
+        B, N = self.B, self.N
+        BM = B - 1
+
+        def split(t):
+            t = t + N
+            b0 = np.trunc(t).astype(np.int64) & BM
+            r0 = t - np.trunc(t)
+            return b0, (b0 + 1) & BM, r0, r0 - 1.0
+
+        bx0, bx1, rx0, rx1 = split(np.asarray(x, np.float64))
+        by0, by1, ry0, ry1 = split(np.asarray(y, np.float64))
+        i = self.p[bx0]
+        j = self.p[bx1]
+        b00 = self.p[i + by0]
+        b10 = self.p[j + by0]
+        b01 = self.p[i + by1]
+        b11 = self.p[j + by1]
+        sx = rx0 * rx0 * (3.0 - 2.0 * rx0)
+        sy = ry0 * ry0 * (3.0 - 2.0 * ry0)
+        u = rx0 * self.g2[b00, 0] + ry0 * self.g2[b00, 1]
+        v = rx1 * self.g2[b10, 0] + ry0 * self.g2[b10, 1]
+        a = u + sx * (v - u)
+        u = rx0 * self.g2[b01, 0] + ry1 * self.g2[b01, 1]
+        v = rx1 * self.g2[b11, 0] + ry1 * self.g2[b11, 1]
+        b = u + sx * (v - u)
+        return 1.5 * (a + sy * (b - a))
+
+
+@register_element
+class Marble(GeometricTransform):
+    FACTORY = "marble"
+    DESCRIPTION = "Applies a marbling effect to the image"
+    PROPERTIES = {"x-scale": (float, 4.0, "texture x scale"),
+                  "y-scale": (float, 4.0, "displacement amount"),
+                  "amount": (float, 1.0, ""),
+                  "turbulence": (float, 1.0, ""),
+                  "seed": (int, 0, "noise seed (reference: global RNG)")}
+
+    def map_xy(self, xx, yy, w, h):
+        noise = _GMNoise(np.random.default_rng(self.props["seed"]))
+        i = np.arange(256)
+        angle = (math.pi * 2 * i) / 256.0 * self.props["turbulence"]
+        sin_t = -self.props["y-scale"] * np.sin(angle)
+        cos_t = self.props["y-scale"] * np.cos(angle)
+        xs = self.props["x-scale"]
+        # the reference divides BOTH axes by x-scale (gstmarble.c:217)
+        disp = 127 * (1 + noise.noise_2(xx / xs, yy / xs))
+        disp = np.clip(np.trunc(disp), 0, 255).astype(np.int64)
+        return xx + sin_t[disp], yy + cos_t[disp]
+
+
+@register_element
+class Diffuse(GeometricTransform):
+    FACTORY = "diffuse"
+    DESCRIPTION = "Diffuses the image by moving its pixels in random " \
+                  "directions"
+    PROPERTIES = {"scale": (float, 4.0, "displacement scale"),
+                  "seed": (int, 0, "noise seed (reference: global RNG)")}
+
+    def map_xy(self, xx, yy, w, h):
+        rng = np.random.default_rng(self.props["seed"])
+        i = np.arange(256)
+        angle = (math.pi * 2 * i) / 256.0
+        sin_t = self.props["scale"] * np.sin(angle)
+        cos_t = self.props["scale"] * np.cos(angle)
+        ang = rng.integers(0, 256, xx.shape)
+        dist = rng.random(xx.shape)
+        return xx + dist * sin_t[ang], yy + dist * cos_t[ang]

@@ -107,3 +107,20 @@ class TestSmoke:
         # clamp never leaves black holes: every output pixel comes
         # from the source (A stays 255 everywhere)
         assert (fx[3] == 255).all()
+
+
+class TestNoiseMembers:
+    def test_marble_deterministic_per_seed(self):
+        a1, f1 = _run("marble seed=7")
+        a2, f2 = _run("marble seed=7")
+        for x, y in zip(f1, f2):
+            np.testing.assert_array_equal(x, y)
+        _, f3 = _run("marble seed=8")
+        assert any(not np.array_equal(x, y)
+                   for x, y in zip(f1, f3))
+
+    def test_diffuse_scale_bounds_displacement(self):
+        # scale=0: identity (zero displacement tables)
+        raw, fx = _run("diffuse scale=0")
+        for c in range(4):
+            np.testing.assert_array_equal(fx[c], raw[c])
