@@ -55,3 +55,4 @@ from . import coloreffects       # noqa: F401
 from . import gaudieffects       # noqa: F401
 from . import geometrictransform # noqa: F401
 from . import smooth_speed       # noqa: F401
+from . import freeverb           # noqa: F401
