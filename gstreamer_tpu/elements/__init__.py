@@ -57,3 +57,4 @@ from . import geometrictransform # noqa: F401
 from . import smooth_speed       # noqa: F401
 from . import freeverb           # noqa: F401
 from . import simple_formats     # noqa: F401
+from . import gdp                # noqa: F401
