@@ -58,3 +58,4 @@ from . import smooth_speed       # noqa: F401
 from . import freeverb           # noqa: F401
 from . import simple_formats     # noqa: F401
 from . import gdp                # noqa: F401
+from . import videofilters_bad   # noqa: F401
