@@ -59,3 +59,4 @@ from . import freeverb           # noqa: F401
 from . import simple_formats     # noqa: F401
 from . import gdp                # noqa: F401
 from . import videofilters_bad   # noqa: F401
+from . import mpegts             # noqa: F401

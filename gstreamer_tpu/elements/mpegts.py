@@ -1,0 +1,346 @@
+"""mpegtsmux / tsdemux — MPEG transport stream container.
+
+Reduced-scope port of gst-plugins-bad/gst/mpegtsmux + mpegtsdemux for
+the elementary streams this framework produces (framed MPEG-1 audio,
+AC-3, and private data):
+* 188-byte packets with sync 0x47, PUSI, 13-bit PIDs, continuity
+  counters, adaptation-field stuffing (ISO 13818-1 2.4.3);
+* PSI: PAT (PID 0) + PMT with per-stream stream_type (0x03 MPEG-1
+  audio, 0x81 ATSC AC-3, 0x06 private PES), MPEG-CRC32
+  (poly 0x04C11DB7, init ~0, non-reflected) section checksums;
+* PES with 33-bit 90 kHz PTS ('0010' marker framing) per access unit;
+* PCR carried in the adaptation field of the first stream's PID.
+
+tsdemux collapses to the location-source convention and emits each
+stream's PES payloads as byte blobs with the PMT-derived caps —
+`tsdemux ! mpegaudioparse`/`ac3parse` reframes downstream exactly like
+the reference chain.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (AggregatorElement, PadDirection, PadPresence,
+                            PadTemplate, SourceElement, register_element)
+
+PKT = 188
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i << 24
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if _c & 0x80000000 \
+            else (_c << 1) & 0xFFFFFFFF
+    _CRC_TABLE.append(_c)
+
+
+def mpeg_crc32(data: bytes) -> int:
+    c = 0xFFFFFFFF
+    for b in data:
+        c = ((c << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((c >> 24) ^ b)
+                                                 & 0xFF]
+    return c
+
+
+def _psi_section(table_id: int, id_ext: int, body: bytes) -> bytes:
+    """table header + body + CRC32, pointer_field included."""
+    # section_length covers everything after it incl. CRC
+    sec = (bytes([table_id])
+           + struct.pack(">H", 0xB000 | (len(body) + 9))
+           + struct.pack(">H", id_ext)
+           + bytes([0xC1, 0x00, 0x00])       # version 0, current
+           + body)
+    crc = mpeg_crc32(sec)
+    return b"\0" + sec + struct.pack(">I", crc)
+
+
+def _ts_packet(pid: int, payload: bytes, pusi: bool, cc: int,
+               pcr: Optional[int] = None) -> bytes:
+    """One 188-byte packet; short payloads pad with an adaptation
+    field (ISO 13818-1 2.4.3.4 stuffing)."""
+    if len(payload) > PKT - 4:
+        raise ValueError("ts: payload too large for one packet")
+    hdr = bytes([0x47, (0x40 if pusi else 0) | ((pid >> 8) & 0x1F),
+                 pid & 0xFF])
+    if pcr is None and len(payload) == PKT - 4:
+        return hdr + bytes([0x10 | (cc & 0xF)]) + payload
+    af_len = PKT - 4 - 1 - len(payload)
+    if af_len == 0:
+        af = bytes([0])
+    else:
+        content = bytearray([0x10 if pcr is not None else 0x00])
+        if pcr is not None:
+            base, ext = pcr // 300, pcr % 300
+            content += bytes([
+                (base >> 25) & 0xFF, (base >> 17) & 0xFF,
+                (base >> 9) & 0xFF, (base >> 1) & 0xFF,
+                ((base & 1) << 7) | 0x7E | ((ext >> 8) & 1),
+                ext & 0xFF])
+        if len(content) > af_len:
+            raise ValueError("ts: no room for the PCR field")
+        content += b"\xff" * (af_len - len(content))
+        af = bytes([af_len]) + bytes(content)
+    return hdr + bytes([0x30 | (cc & 0xF)]) + af + payload
+
+
+def _pes(stream_id: int, payload: bytes, pts_90k: Optional[int]
+         ) -> bytes:
+    if pts_90k is not None:
+        p = pts_90k & ((1 << 33) - 1)
+        pts_bytes = bytes([
+            0x21 | ((p >> 29) & 0x0E),
+            (p >> 22) & 0xFF, 0x01 | ((p >> 14) & 0xFE),
+            (p >> 7) & 0xFF, 0x01 | ((p << 1) & 0xFE)])
+        hdr = bytes([0x80, 0x80, 5]) + pts_bytes
+    else:
+        hdr = bytes([0x80, 0x00, 0])
+    total = len(hdr) + len(payload)
+    plen = total if total <= 0xFFFF else 0
+    return (b"\x00\x00\x01" + bytes([stream_id])
+            + struct.pack(">H", plen) + hdr + payload)
+
+
+_TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81}
+_CAPS_FOR_TYPE = {0x03: "audio/mpeg, mpegversion=1, parsed=true",
+                  0x04: "audio/mpeg, mpegversion=1, parsed=true",
+                  0x81: "audio/x-ac3",
+                  0x06: "application/octet-stream"}
+_SID_FOR_TYPE = {0x03: 0xC0, 0x81: 0xBD, 0x06: 0xBD}
+
+
+@register_element
+class MpegTsMux(AggregatorElement):
+    FACTORY = "mpegtsmux"
+    DESCRIPTION = "Multiplexes media streams into an MPEG Transport " \
+                  "Stream"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink_%u", PadDirection.SINK,
+                    "audio/mpeg; audio/x-ac3; "
+                    "application/octet-stream",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("src", PadDirection.SRC, "video/mpegts"),
+    ]
+    PROPERTIES = {
+        "location": (str, "out.ts", "output path"),
+        "pmt-pid": (int, 0x1000, ""),
+        "start-pid": (int, 0x41, "first elementary PID"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self._cc: Dict[int, int] = {}
+        self._pids: Dict[str, int] = {}
+        self._types: Dict[str, int] = {}
+        self._packets = 0
+
+    def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
+        pid = self.props["start-pid"]
+        for pad_name in sorted(in_caps):
+            s = in_caps[pad_name].fixate()[0]
+            stype = _TYPE_FOR_CAPS.get(s.name, 0x06)
+            self._types[pad_name] = stype
+            self._pids[pad_name] = pid
+            pid += 1
+        return Caps.from_string("video/mpegts, systemstream=true, "
+                                "packetsize=188")
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        self._cc = {}
+        self._packets = 0
+        self._write_psi()
+
+    def _next_cc(self, pid):
+        cc = self._cc.get(pid, 0)
+        self._cc[pid] = (cc + 1) & 0xF
+        return cc
+
+    def _write_psi(self):
+        pmt_pid = self.props["pmt-pid"]
+        pat_body = struct.pack(">HH", 1, 0xE000 | pmt_pid)
+        self._file.write(_ts_packet(
+            0, _psi_section(0x00, 1, pat_body), True,
+            self._next_cc(0)))
+        first_pid = min(self._pids.values()) if self._pids else 0x41
+        streams = b""
+        for pad_name in sorted(self._pids):
+            streams += bytes([self._types[pad_name]]) \
+                + struct.pack(">HH", 0xE000 | self._pids[pad_name],
+                              0xF000)
+        pmt_body = (struct.pack(">HH", 0xE000 | first_pid, 0xF000)
+                    + streams)
+        self._file.write(_ts_packet(
+            pmt_pid, _psi_section(0x02, 1, pmt_body), True,
+            self._next_cc(pmt_pid)))
+
+    def _write_pes(self, pid: int, stype: int, payload: bytes,
+                   pts_ns: Optional[int]):
+        pts = None if pts_ns is None else pts_ns * 90000 \
+            // 1_000_000_000
+        pes = _pes(_SID_FOR_TYPE.get(stype, 0xBD), payload, pts)
+        first = True
+        pos = 0
+        while pos < len(pes):
+            pcr = None
+            if first and self._packets % 16 == 0 and pts is not None:
+                pcr = pts * 300
+            chunk = pes[pos:pos + (PKT - 4 - (8 if pcr is not None
+                                              else 0))]
+            self._file.write(_ts_packet(pid, chunk, first,
+                                        self._next_cc(pid), pcr=pcr))
+            self._packets += 1
+            pos += len(chunk)
+            first = False
+
+    def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        for pad_name, buf in ins.items():
+            pid = self._pids[pad_name]
+            stype = self._types[pad_name]
+            blobs = buf.data if isinstance(buf.data, list) \
+                else [buf.data]
+            n = len(blobs)
+            for k, b in enumerate(blobs):
+                raw = (bytes(b) if isinstance(b, (bytes, bytearray))
+                       else np.asarray(b).tobytes())
+                pts = buf.pts
+                if pts is not None and buf.duration and n:
+                    pts = pts + k * buf.duration // n
+                self._write_pes(pid, stype, raw, pts)
+        first = next(iter(ins.values()))
+        return first.with_(data=np.zeros(1, np.uint8))
+
+    def stop(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+@register_element
+class TsDemux(SourceElement):
+    FACTORY = "tsdemux"
+    DESCRIPTION = "Demuxes MPEG2 transport streams"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "location": (str, "", "transport stream path"),
+        "stream": (str, "0", "elementary stream index"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._units = None
+        self._pos = 0
+
+    def _load(self):
+        if self._units is not None:
+            return
+        with open(self.props["location"], "rb") as f:
+            data = f.read()
+        # PID -> raw PES bytes, in PUSI-delimited units
+        pmt_pid = None
+        streams: Dict[int, int] = {}      # pid -> stream_type
+        pes_units: Dict[int, List[bytes]] = {}
+        open_unit: Dict[int, bytearray] = {}
+        for pos in range(0, len(data) - PKT + 1, PKT):
+            pkt = data[pos:pos + PKT]
+            if pkt[0] != 0x47:
+                raise ValueError("tsdemux: lost packet sync")
+            pusi = bool(pkt[1] & 0x40)
+            pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+            afc = (pkt[3] >> 4) & 0x3
+            off = 4
+            if afc & 0x2:
+                off += 1 + pkt[4]
+            if not (afc & 0x1):
+                continue
+            payload = pkt[off:]
+            if pid == 0 and pusi:                    # PAT
+                sec = payload[1 + payload[0]:]
+                slen = ((sec[1] & 0x0F) << 8) | sec[2]
+                body = sec[8:3 + slen - 4]
+                for i in range(0, len(body), 4):
+                    prog, pp = struct.unpack(">HH", body[i:i + 4])
+                    if prog != 0:
+                        pmt_pid = pp & 0x1FFF
+            elif pid == pmt_pid and pusi:            # PMT
+                sec = payload[1 + payload[0]:]
+                slen = ((sec[1] & 0x0F) << 8) | sec[2]
+                pinfo = ((sec[10] & 0x0F) << 8) | sec[11]
+                body = sec[12 + pinfo:3 + slen - 4]
+                i = 0
+                while i + 5 <= len(body):
+                    stype = body[i]
+                    spid = ((body[i + 1] & 0x1F) << 8) | body[i + 2]
+                    eslen = ((body[i + 3] & 0x0F) << 8) | body[i + 4]
+                    streams[spid] = stype
+                    pes_units.setdefault(spid, [])
+                    i += 5 + eslen
+            elif pid in streams:
+                if pusi:
+                    if pid in open_unit and open_unit[pid]:
+                        pes_units[pid].append(bytes(open_unit[pid]))
+                    open_unit[pid] = bytearray(payload)
+                elif pid in open_unit:
+                    open_unit[pid] += payload
+        for pid, acc in open_unit.items():
+            if acc:
+                pes_units[pid].append(bytes(acc))
+
+        pids = sorted(streams)
+        sel = int(self.props["stream"])
+        if sel >= len(pids):
+            raise ValueError(f"tsdemux: no stream {sel}")
+        pid = pids[sel]
+        self._caps = Caps.from_string(
+            _CAPS_FOR_TYPE.get(streams[pid],
+                               "application/octet-stream"))
+        units = []
+        for pes in pes_units[pid]:
+            if pes[:3] != b"\x00\x00\x01":
+                continue
+            hdr_len = pes[8]
+            pts = None
+            if pes[7] & 0x80:
+                p = pes[9:14]
+                pts = (((p[0] >> 1) & 0x7) << 30 | p[1] << 22
+                       | (p[2] >> 1) << 15 | p[3] << 7 | p[4] >> 1)
+            units.append((pes[9 + hdr_len:], pts))
+        self._units = units
+
+    def preview_blob(self) -> Optional[bytes]:
+        try:
+            self._load()
+        except (OSError, ValueError):
+            return None
+        return self._units[0][0] if self._units else None
+
+    def get_caps(self, filter=None):
+        if self.props["location"]:
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return Caps.any()
+        caps = self._caps if self._units is not None else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._pos >= len(self._units):
+            return None
+        payload, pts = self._units[self._pos]
+        self._pos += 1
+        return Buffer(
+            data=np.frombuffer(payload, np.uint8), batch=1,
+            pts=None if pts is None else pts * 1_000_000_000 // 90000)
