@@ -60,3 +60,4 @@ from . import simple_formats     # noqa: F401
 from . import gdp                # noqa: F401
 from . import videofilters_bad   # noqa: F401
 from . import mpegts             # noqa: F401
+from . import xingmux            # noqa: F401

@@ -230,3 +230,102 @@ class Id3Demux(SourceElement):
         self._done = True
         return Buffer(data=np.frombuffer(self._payload, np.uint8),
                       batch=1)
+
+
+@register_element
+class ApeDemux(SourceElement):
+    """apedemux (gst-plugins-good/gst/apetag/gstapedemux.c,
+    pull-mode collapse): strip APEv1/v2 tags from the file start or
+    end, post the parsed TagList, expose the remaining bytes."""
+    FACTORY = "apedemux"
+    DESCRIPTION = "Read and output APE tags"
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {"location": (str, "", "tagged file path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._payload = None
+        self._tags = None
+        self._done = False
+
+    @staticmethod
+    def _parse_ape(data: bytes, count: int):
+        """APE tag items region -> dict."""
+        import struct as _s
+        tags = {}
+        pos = 0
+        for _ in range(count):
+            if pos + 8 > len(data):
+                break
+            vsize, iflags = _s.unpack("<II", data[pos:pos + 8])
+            pos += 8
+            end = data.find(b"\0", pos)
+            if end < 0:
+                break
+            key = data[pos:end].decode("latin1").lower()
+            pos = end + 1
+            val = data[pos:pos + vsize]
+            pos += vsize
+            if not iflags & 0x6:             # UTF-8 text item
+                tags[key] = val.decode("utf-8", "replace")
+        return tags
+
+    def _load(self):
+        if self._payload is not None:
+            return
+        with open(self.props["location"], "rb") as f:
+            data = f.read()
+        tags = {}
+        if data[:8] == b"APETAGEX":
+            # header at start: size covers items + footer
+            size = int.from_bytes(data[12:16], "little")
+            count = int.from_bytes(data[16:20], "little")
+            tags = self._parse_ape(data[32:32 + size], count)
+            data = data[32 + size:]
+        elif len(data) >= 32 and data[-32:-24] == b"APETAGEX":
+            size = int.from_bytes(data[-20:-16], "little")
+            flags = int.from_bytes(data[-12:-8], "little")
+            # size covers items + footer; +32 only when a header
+            # precedes the items (flag bit 31)
+            count = int.from_bytes(data[-16:-12], "little")
+            total = size + (32 if flags & (1 << 31) else 0)
+            items = data[len(data) - size:len(data) - 32]
+            tags = self._parse_ape(items, count)
+            data = data[:len(data) - total]
+        self._payload = data
+        self._tags = tags
+
+    def get_caps(self, filter=None):
+        try:
+            self._load()
+        except OSError:
+            return Caps.any()
+        from ..utils.typefind import type_find_data
+        try:
+            res = type_find_data(self._payload[:4096])
+            mime = res[0] if isinstance(res, tuple) else res
+            caps = Caps.from_string(mime) if mime else Caps.any()
+        except Exception:
+            caps = Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._done = False
+        if self._tags:
+            root = self
+            while getattr(root, "parent", None) is not None:
+                root = root.parent
+            if hasattr(root, "bus"):
+                from ..core.pipeline import Message
+                root.bus.post(Message("tag", self.name,
+                                      dict(self._tags)))
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._done:
+            return None
+        self._done = True
+        return Buffer(data=np.frombuffer(self._payload, np.uint8),
+                      batch=1)
