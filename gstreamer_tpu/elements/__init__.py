@@ -61,3 +61,4 @@ from . import gdp                # noqa: F401
 from . import videofilters_bad   # noqa: F401
 from . import mpegts             # noqa: F401
 from . import xingmux            # noqa: F401
+from . import inter_netsim       # noqa: F401
