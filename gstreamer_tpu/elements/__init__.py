@@ -62,3 +62,4 @@ from . import videofilters_bad   # noqa: F401
 from . import mpegts             # noqa: F401
 from . import xingmux            # noqa: F401
 from . import inter_netsim       # noqa: F401
+from . import flxdec             # noqa: F401
