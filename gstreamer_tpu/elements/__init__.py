@@ -64,3 +64,4 @@ from . import xingmux            # noqa: F401
 from . import inter_netsim       # noqa: F401
 from . import flxdec             # noqa: F401
 from . import dtmf_icy           # noqa: F401
+from . import videoparsers       # noqa: F401
