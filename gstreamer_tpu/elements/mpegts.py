@@ -106,12 +106,18 @@ def _pes(stream_id: int, payload: bytes, pts_90k: Optional[int]
             + struct.pack(">H", plen) + hdr + payload)
 
 
-_TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81}
+_TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81,
+                  "video/x-h264": 0x1B, "video/mpeg": 0x02}
 _CAPS_FOR_TYPE = {0x03: "audio/mpeg, mpegversion=1, parsed=true",
                   0x04: "audio/mpeg, mpegversion=1, parsed=true",
                   0x81: "audio/x-ac3",
+                  0x1B: "video/x-h264, stream-format=byte-stream, "
+                        "alignment=au",
+                  0x02: "video/mpeg, mpegversion=2, "
+                        "systemstream=false, parsed=true",
                   0x06: "application/octet-stream"}
-_SID_FOR_TYPE = {0x03: 0xC0, 0x81: 0xBD, 0x06: 0xBD}
+_SID_FOR_TYPE = {0x03: 0xC0, 0x81: 0xBD, 0x1B: 0xE0, 0x02: 0xE0,
+                 0x06: 0xBD}
 
 
 @register_element
@@ -122,8 +128,8 @@ class MpegTsMux(AggregatorElement):
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("sink_%u", PadDirection.SINK,
-                    "audio/mpeg; audio/x-ac3; "
-                    "application/octet-stream",
+                    "audio/mpeg; audio/x-ac3; video/x-h264; "
+                    "video/mpeg; application/octet-stream",
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/mpegts"),
     ]

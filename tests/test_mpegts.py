@@ -79,3 +79,32 @@ class TestTsLayer:
         assert ptss[0] == 0
         assert all(b > a for a, b in zip(ptss, ptss[1:])
                    if a is not None and b is not None)
+
+
+class TestTsVideo:
+    def test_h264_over_ts(self, tmp_path):
+        from tests.test_videoparsers import SC, make_slice, make_sps
+        path = tmp_path / "v.ts"
+        aus = [SC + make_sps() + SC + make_slice(0, idr=(k == 0))
+               for k in range(6)]
+        p = parse_launch(
+            f"appsrc name=in ! application/octet-stream ! h264parse "
+            f"! mpegtsmux location={path}")
+        p.get_by_name("in").push_buffer(Buffer(
+            data=np.frombuffer(b"".join(aus), np.uint8), pts=0))
+        p.get_by_name("in").end_of_stream()
+        p.run()
+        p.set_state("null")
+
+        d = parse_launch(
+            f"tsdemux location={path} ! h264parse ! appsink name=out")
+        d.run()
+        got = []
+        while (s := d.get_by_name("out").pull_sample()) is not None:
+            blobs = s.buffer.data if isinstance(s.buffer.data, list) \
+                else [np.asarray(s.buffer.data)[k]
+                      for k in range(s.buffer.batch)]
+            got.extend(
+                bytes(b) if isinstance(b, (bytes, bytearray))
+                else np.asarray(b).tobytes() for b in blobs)
+        assert b"".join(got) == b"".join(aus)
