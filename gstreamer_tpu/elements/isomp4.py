@@ -47,7 +47,9 @@ AUDIO_FOURCC = {"S16LE": b"sowt", "S16BE": b"twos", "U8": b"raw "}
 FOURCC_AUDIO = {v: k for k, v in AUDIO_FOURCC.items()}
 
 _MUX_VIDEO_CAPS = ("video/x-raw, format={ UYVY, v308, v210, v216, r210, "
-                   "RGB }; image/jpeg")
+                   "RGB }; image/jpeg; "
+                   "video/x-h264, stream-format=byte-stream, "
+                   "alignment=au")
 _MUX_AUDIO_CAPS = ("audio/x-raw, format={ S16LE, S16BE, U8 }, "
                    "layout=interleaved; audio/x-mulaw; audio/x-alaw")
 
@@ -77,6 +79,7 @@ class _Track:
         self.audio_blob: List[bytes] = []
         self.audio_frames = 0
         self.jpeg_wh = (0, 0)
+        self.sps = self.pps = None
 
 
 @register_element
@@ -102,7 +105,17 @@ class QtMux(AggregatorElement):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                if s.name == "image/jpeg":
+                if s.name == "video/x-h264":
+                    t = _Track("h264")
+                    t.vinfo = VideoInfo(
+                        format="I420",
+                        width=s.get("width") or 0,
+                        height=s.get("height") or 0,
+                        fps=s.get("framerate") or Fraction(30, 1))
+                    t.jpeg_wh = (s.get("width") or 0,
+                                 s.get("height") or 0)
+                    t.sps = t.pps = None
+                elif s.name == "image/jpeg":
                     t = _Track("jpeg")
                     t.vinfo = VideoInfo(
                         format="I420",
@@ -153,6 +166,20 @@ class QtMux(AggregatorElement):
                     t.samples.append(
                         b if isinstance(b, (bytes, bytearray))
                         else np.asarray(b).tobytes())
+            elif t.kind == "h264":
+                if isinstance(buf.data, list):
+                    blobs = buf.data
+                else:
+                    arr = np.asarray(buf.data)
+                    blobs = ([arr[k] for k in range(arr.shape[0])]
+                             if arr.ndim == 2
+                             and buf.batch == arr.shape[0]
+                             else [arr])
+                for b in blobs:
+                    raw = (bytes(b)
+                           if isinstance(b, (bytes, bytearray))
+                           else np.asarray(b).tobytes())
+                    t.samples.append(self._annexb_to_avcc(t, raw))
             else:
                 x = np.asarray(buf.data)
                 if t.coded_audio is not None:
@@ -168,7 +195,7 @@ class QtMux(AggregatorElement):
     # -- moov writer -------------------------------------------------------
     def _stsd_video(self, t: _Track, fourcc: bytes) -> bytes:
         vi = t.vinfo
-        w, h = (t.jpeg_wh if t.kind == "jpeg" and t.jpeg_wh[0]
+        w, h = (t.jpeg_wh if t.kind in ("jpeg", "h264") and t.jpeg_wh[0]
                 else (vi.width, vi.height))
         depth = 24
         entry = (b"\0" * 6 + struct.pack(">H", 1)      # data ref index
@@ -178,8 +205,52 @@ class QtMux(AggregatorElement):
                                0)
                  + b"\0" * 31                           # compressor name
                  + struct.pack(">Hh", depth, -1))
+        if t.kind == "h264" and t.sps:
+            avcc = (bytes([1, t.sps[1], t.sps[2], t.sps[3], 0xFF])
+                    + bytes([0xE1]) + struct.pack(">H", len(t.sps))
+                    + t.sps)
+            if t.pps:
+                avcc += (bytes([1]) + struct.pack(">H", len(t.pps))
+                         + t.pps)
+            else:
+                avcc += bytes([0])
+            entry += _box(b"avcC", avcc)
         return _full(b"stsd", 0, 0, struct.pack(">I", 1)
                      + _box(fourcc, entry))
+
+    @staticmethod
+    def _split_nals(raw: bytes):
+        out = []
+        pos = 0
+        while True:
+            i = raw.find(b"\x00\x00\x01", pos)
+            if i < 0:
+                break
+            start = i + 3
+            j = raw.find(b"\x00\x00\x01", start)
+            end = j - (1 if j > 0 and raw[j - 1] == 0 else 0) \
+                if j >= 0 else len(raw)
+            out.append(raw[start:end])
+            pos = start
+        return out
+
+    def _annexb_to_avcc(self, t: _Track, raw: bytes) -> bytes:
+        """AnnexB AU -> 4-byte length-prefixed sample; harvests
+        SPS/PPS into the avcC config (parameter sets are not repeated
+        in samples, matching gstqtmux)."""
+        sample = bytearray()
+        for nal in self._split_nals(raw):
+            if not nal:
+                continue
+            ntype = nal[0] & 0x1F
+            if ntype == 7:
+                t.sps = nal
+                continue
+            if ntype == 8:
+                t.pps = nal
+                continue
+            sample += struct.pack(">I", len(nal)) + nal
+        return bytes(sample)
 
     def _stsd_audio(self, t: _Track) -> bytes:
         ai = t.ainfo
@@ -198,7 +269,7 @@ class QtMux(AggregatorElement):
 
     def _stbl(self, t: _Track, offsets: List[int],
               sizes: List[int]) -> bytes:
-        if t.kind in ("video", "jpeg"):
+        if t.kind in ("video", "jpeg", "h264"):
             fps = t.vinfo.fps
             n = len(t.samples)
             stts = _full(b"stts", 0, 0,
@@ -217,8 +288,12 @@ class QtMux(AggregatorElement):
                          struct.pack(">I", len(offsets))
                          + b"".join(struct.pack(">I", o)
                                     for o in offsets))
-            fourcc = (b"jpeg" if t.kind == "jpeg"
-                      else VIDEO_FOURCC[t.vinfo.format])
+            if t.kind == "h264":
+                fourcc = b"avc1"
+            elif t.kind == "jpeg":
+                fourcc = b"jpeg"
+            else:
+                fourcc = VIDEO_FOURCC[t.vinfo.format]
             stsd = self._stsd_video(t, fourcc)
         else:
             bpf = sizes[0]
@@ -234,11 +309,11 @@ class QtMux(AggregatorElement):
 
     def _trak(self, t: _Track, tid: int, offsets: List[int],
               sizes: List[int], movie_dur: int) -> bytes:
-        if t.kind in ("video", "jpeg"):
+        if t.kind in ("video", "jpeg", "h264"):
             fps = t.vinfo.fps
             timescale = fps.num
             dur = len(t.samples) * fps.denom
-            w, h = (t.jpeg_wh if t.kind == "jpeg" and t.jpeg_wh[0]
+            w, h = (t.jpeg_wh if t.kind in ("jpeg", "h264") and t.jpeg_wh[0]
                     else (t.vinfo.width, t.vinfo.height))
             tkhd = _full(b"tkhd", 0, 3, struct.pack(
                 ">IIII", 0, 0, tid, 0)
@@ -285,7 +360,7 @@ class QtMux(AggregatorElement):
         for pad_name in sorted(self._tracks):
             t = self._tracks[pad_name]
             offs, szs = [], []
-            if t.kind in ("video", "jpeg"):
+            if t.kind in ("video", "jpeg", "h264"):
                 for s in t.samples:
                     offs.append(base + len(mdat_payload))
                     szs.append(len(s))
@@ -304,7 +379,7 @@ class QtMux(AggregatorElement):
         traks = b""
         for tid, pad_name in enumerate(sorted(self._tracks), start=1):
             t = self._tracks[pad_name]
-            if t.kind in ("video", "jpeg"):
+            if t.kind in ("video", "jpeg", "h264"):
                 fps = t.vinfo.fps
                 movie_dur = max(movie_dur,
                                 len(t.samples) * 600 * fps.denom
@@ -476,7 +551,32 @@ class QtDemux(SourceElement):
             w, h = struct.unpack(">HH", entry[24:28])
             count, delta = t["stts"][0]
             fps = Fraction(t["timescale"], max(delta, 1))
-            if fourcc == b"jpeg":
+            if fourcc == b"avc1":
+                self._mode = "h264"
+                self._sps = self._pps = b""
+                # extension boxes follow the 70-byte entry remainder
+                ext = entry[70:]
+                pos2 = 0
+                while pos2 + 8 <= len(ext):
+                    bsize = struct.unpack(">I", ext[pos2:pos2 + 4])[0]
+                    if ext[pos2 + 4:pos2 + 8] == b"avcC":
+                        cfg = ext[pos2 + 8:pos2 + bsize]
+                        nsps_len = struct.unpack(
+                            ">H", cfg[6:8])[0]
+                        self._sps = cfg[8:8 + nsps_len]
+                        off2 = 8 + nsps_len
+                        n_pps = cfg[off2] if off2 < len(cfg) else 0
+                        if n_pps:
+                            npps_len = struct.unpack(
+                                ">H", cfg[off2 + 1:off2 + 3])[0]
+                            self._pps = cfg[off2 + 3:
+                                            off2 + 3 + npps_len]
+                    pos2 += max(bsize, 8)
+                self._caps = Caps.from_string(
+                    f"video/x-h264, stream-format=byte-stream, "
+                    f"alignment=au, width={w}, height={h}, "
+                    f"framerate={fps.num}/{fps.denom}")
+            elif fourcc == b"jpeg":
                 self._mode = "jpeg"
                 self._caps = Caps.from_string(
                     f"image/jpeg, width={w}, height={h}, "
@@ -558,6 +658,24 @@ class QtDemux(SourceElement):
         if self._mode == "jpeg":
             take = samples[self._pos:self._pos + max(1, n_frames)]
             blobs = [self._data[o:o + s] for o, s in take]
+            self._pos += len(take)
+            return Buffer(data=blobs, batch=len(take))
+        if self._mode == "h264":
+            take = samples[self._pos:self._pos + max(1, n_frames)]
+            blobs = []
+            for o, sz in take:
+                raw = self._data[o:o + sz]
+                au = bytearray()
+                if self._pos == 0 and not blobs and self._sps:
+                    au += b"\x00\x00\x00\x01" + self._sps
+                    au += b"\x00\x00\x00\x01" + self._pps
+                p2 = 0
+                while p2 + 4 <= len(raw):
+                    ln = struct.unpack(">I", raw[p2:p2 + 4])[0]
+                    au += b"\x00\x00\x00\x01" \
+                        + raw[p2 + 4:p2 + 4 + ln]
+                    p2 += 4 + ln
+                blobs.append(np.frombuffer(bytes(au), np.uint8))
             self._pos += len(take)
             return Buffer(data=blobs, batch=len(take))
         # audio: one buffer with everything (contiguous chunk run)

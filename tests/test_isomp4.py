@@ -171,3 +171,49 @@ class TestMjpeg:
         total = sum(f[0].shape[0] for f in frames)
         assert total == 3
         assert frames[0][0].shape[-2:] == (48, 64)
+
+
+class TestH264Track:
+    def test_avc1_roundtrip(self, tmp_path):
+        from tests.test_videoparsers import SC, make_slice, make_sps
+        path = tmp_path / "h.mov"
+        sps = make_sps(8, 6)
+        slices = [make_slice(0, idr=(k == 0)) for k in range(6)]
+        aus = [SC + sps + SC + s for s in slices]
+        p = parse_launch(
+            f"appsrc name=in ! application/octet-stream ! h264parse "
+            f"! qtmux location={path}")
+        p.get_by_name("in").push_buffer(Buffer(
+            data=np.frombuffer(b"".join(aus), np.uint8), pts=0,
+            duration=200_000_000))
+        p.get_by_name("in").end_of_stream()
+        p.run()
+        p.set_state("null")
+        blob = open(path, "rb").read()
+        assert b"avc1" in blob and b"avcC" in blob
+
+        d = parse_launch(
+            f"qtdemux location={path} stream=video ! appsink name=out")
+        d.run()
+        nals = []
+        while (s := d.get_by_name("out").pull_sample()) is not None:
+            assert s.caps[0].name == "video/x-h264"
+            blobs = s.buffer.data if isinstance(s.buffer.data, list) \
+                else [s.buffer.data]
+            for b in blobs:
+                raw = (bytes(b) if isinstance(b, (bytes, bytearray))
+                       else np.asarray(b).tobytes())
+                pos = 0
+                while True:
+                    i = raw.find(b"\x00\x00\x01", pos)
+                    if i < 0:
+                        break
+                    j = raw.find(b"\x00\x00\x01", i + 3)
+                    end = (j - (1 if raw[j - 1] == 0 else 0)
+                           if j >= 0 else len(raw))
+                    nals.append(raw[i + 3:end])
+                    pos = i + 3
+        # every slice NAL survives; SPS/PPS carried via avcC
+        assert sps in nals
+        for sl in slices:
+            assert sl in nals
