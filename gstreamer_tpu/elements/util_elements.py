@@ -255,7 +255,11 @@ class AppSink(SinkElement):
             if self.props["drop"]:
                 self._queue.popleft()
             # without drop the reference would block; batched model just grows
-        self._queue.append(Sample(buf, self.sink_pads()[0].caps))
+        # per-buffer caps (parsers attach refined caps in meta) win
+        # over the negotiated pad caps — samples carry their own caps
+        # (gstappsink.c: gst_sample_new with the buffer's caps)
+        caps = (buf.meta or {}).get("caps") or self.sink_pads()[0].caps
+        self._queue.append(Sample(buf, caps))
         if self.new_sample_cb:
             self.new_sample_cb(self)
         return FlowReturn.OK

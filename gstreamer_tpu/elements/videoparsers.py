@@ -11,6 +11,11 @@ byte-stream inputs:
 * mpegvideoparse (gstmpegvideoparse.c): MPEG-1/2 video elementary
   streams — frames delimited at sequence/GOP/picture start codes,
   sequence header (0x000001B3) width/height/fps parsing.
+* ivfparse (gst-plugins-bad/gst/ivfparse/gstivfparse.c): the 32-byte
+  DKIF header (fourcc VP80/VP90/AV01 -> video/x-vp8|vp9|av1 caps with
+  width/height/framerate, :250-300), 12-byte LE frame headers with
+  pts scaled by fps (:300-380), and VP8 keyframe resolution updates
+  from the 10-byte uncompressed chunk (:347-356).
 """
 
 from __future__ import annotations
@@ -292,3 +297,99 @@ class MpegVideoParse(_ParserBase):
         if self.draining and saw_pic:
             return len(raw), 0
         return 0, 0
+
+
+@register_element
+class IvfParse(_ParserBase):
+    FACTORY = "ivfparse"
+    DESCRIPTION = "IVF parser"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-ivf"),
+        PadTemplate("src", PadDirection.SRC,
+                    "video/x-vp8; video/x-vp9; video/x-av1"),
+    ]
+    _SRC_CAPS = "video/x-vp8"
+
+    _MEDIA = {b"VP80": "video/x-vp8", b"VP90": "video/x-vp9",
+              b"AV01": "video/x-av1"}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(32)
+        self.hdr = None
+
+    def start(self):
+        super().start()
+        self.hdr = None
+
+    def handle_frame(self, view):
+        import struct as _s
+        raw = bytes(view)
+        if self.hdr is None:
+            if len(raw) < 32:
+                return 0, 0
+            magic, version, hsize = raw[0:4], *_s.unpack("<HH", raw[4:8])
+            fourcc = raw[8:12]
+            if magic != b"DKIF" or version != 0 or hsize != 32 \
+                    or fourcc not in self._MEDIA:
+                raise ValueError("ivfparse: not an IVF stream")
+            w, h = _s.unpack("<HH", raw[12:16])
+            fps_n, fps_d = _s.unpack("<II", raw[16:24])
+            self.hdr = {"media": self._MEDIA[fourcc], "width": w,
+                        "height": h, "fps_n": fps_n, "fps_d": fps_d,
+                        "fourcc": fourcc}
+            if fps_n and fps_d:
+                self.set_frame_rate(fps_n, fps_d)
+            self.set_min_frame_size(12)      # IVF_FRAME_HEADER_SIZE
+            return 0, 32                     # skip the file header
+        if len(raw) < 12:
+            return 0, 0
+        fsize, = _s.unpack("<I", raw[0:4])
+        if len(raw) < 12 + fsize:
+            return 0, 0
+        # VP8 keyframe resolution update (gstivfparse.c:347-356)
+        if self.hdr["fourcc"] == b"VP80" and fsize >= 10:
+            tag = int.from_bytes(raw[12:15], "little")
+            if not (tag & 0x01):
+                self.hdr["width"] = _s.unpack("<H", raw[18:20])[0] & 0x3FFF
+                self.hdr["height"] = _s.unpack("<H", raw[20:22])[0] & 0x3FFF
+        return 12 + fsize, 0
+
+    def take_frame(self, raw: bytes):
+        """Strip the 12-byte frame header; pts from the header."""
+        import struct as _s
+        fsize, fpts = _s.unpack("<IQ", raw[0:12])
+        pts = None
+        if self.hdr["fps_n"]:
+            pts = (1_000_000_000 * fpts * self.hdr["fps_d"]
+                   // self.hdr["fps_n"])
+        return raw[12:12 + fsize], pts
+
+    def pre_push_frame(self, buf):
+        from ..core.structure import Structure as _St
+        from ..core.value import Fraction as _Fr
+        d = buf.data
+        if isinstance(d, np.ndarray) and d.ndim > 1:
+            raws = [bytes(row.tobytes()) for row in d]
+        elif isinstance(d, (list, tuple)):
+            raws = [bytes(np.asarray(x).tobytes()) for x in d]
+        else:
+            raws = [bytes(np.asarray(d).tobytes())]
+        payloads = []
+        pts0 = None
+        for raw in raws:
+            payload, pts = self.take_frame(raw)
+            payloads.append(np.frombuffer(payload, np.uint8))
+            if pts0 is None:
+                pts0 = pts
+        f = {"width": self.hdr["width"], "height": self.hdr["height"]}
+        if self.hdr["fps_n"] and self.hdr["fps_d"]:
+            f["framerate"] = _Fr(self.hdr["fps_n"], self.hdr["fps_d"])
+        if self.hdr["media"] == "video/x-av1":
+            f["alignment"] = "tu"
+        caps = Caps([_St(self.hdr["media"], f)])
+        data = payloads[0] if len(payloads) == 1 else payloads
+        buf = buf.with_(data=data, meta=dict(buf.meta or {}, caps=caps))
+        if pts0 is not None:
+            buf = buf.with_(pts=pts0)
+        return buf
