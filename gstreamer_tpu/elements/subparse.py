@@ -109,57 +109,6 @@ class SubParse(TransformElement):
 
 
 @register_element
-class WavEnc(SinkElement):
-    """wavenc (gstwavenc.c): writes a RIFF/WAVE file from raw audio."""
-    FACTORY = "wavenc"
-    DESCRIPTION = "Encode raw audio into WAV"
-    PAD_TEMPLATES = [PadTemplate(
-        "sink", PadDirection.SINK,
-        "audio/x-raw, format={ S16LE, S24LE, S32LE, F32LE, U8 }")]
-    PROPERTIES = {"location": (str, "", "output path")}
-
-    _FMT = {"S16LE": (1, 16), "S24LE": (1, 24), "S32LE": (1, 32),
-            "F32LE": (3, 32), "U8": (1, 8)}
-
-    def __init__(self, name=None, **props):
-        super().__init__(name=name, **props)
-        self._file = None
-        self._data_bytes = 0
-
-    def set_info(self, incaps, outcaps):
-        from ..audio.info import AudioInfo
-        self._ainfo = AudioInfo.from_caps_structure(incaps[0])
-
-    def start(self):
-        self._file = open(self.props["location"], "wb")
-        self._file.write(b"\x00" * 44)      # header backfilled on stop
-        self._data_bytes = 0
-
-    def render(self, buf: Buffer) -> str:
-        raw = np.asarray(buf.data).tobytes()
-        self._file.write(raw)
-        self._data_bytes += len(raw)
-        return FlowReturn.OK
-
-    def stop(self):
-        if self._file is None:
-            return
-        info = self._ainfo
-        tag, bits = self._FMT[info.finfo.name]
-        byte_rate = info.rate * info.channels * bits // 8
-        block = info.channels * bits // 8
-        hdr = (b"RIFF" + struct.pack("<I", 36 + self._data_bytes)
-               + b"WAVEfmt " + struct.pack(
-                   "<IHHIIHH", 16, tag, info.channels, info.rate,
-                   byte_rate, block, bits)
-               + b"data" + struct.pack("<I", self._data_bytes))
-        self._file.seek(0)
-        self._file.write(hdr)
-        self._file.close()
-        self._file = None
-
-
-@register_element
 class EncodeBin(SinkElement):
     """encodebin (gst-plugins-base/gst/encoding/gstencodebin.c):
     profile-driven output construction — the encoding profile picks the
