@@ -16,6 +16,7 @@ of gst-plugins-good/gst/audioparsers/:
 
 from __future__ import annotations
 
+import struct
 from typing import Optional, Tuple
 
 import numpy as np
@@ -273,3 +274,237 @@ class FlacParse(_ParserBase):
             if self._is_frame_header(raw[idx:idx + 24]):
                 return idx, 0
             pos = idx + 1
+
+
+# ---------------------------------------------------------------------------
+# sbcparse (gstsbcparse.c)
+# ---------------------------------------------------------------------------
+
+def _sbc_crc_table():
+    """CRC-8 poly 0x1D (gstsbcparse.c crc_table, generated)."""
+    tab = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x1D if crc & 0x80 else crc << 1) & 0xFF
+        tab.append(crc)
+    return tab
+
+
+_SBC_CRC_TABLE = _sbc_crc_table()
+
+
+def sbc_crc8(data: bytes, crc_bits: int) -> int:
+    """gst_sbc_calculate_crc8: init 0x0F, bitwise tail."""
+    crc = 0x0F
+    pos = 0
+    while crc_bits >= 8:
+        crc = _SBC_CRC_TABLE[crc ^ data[pos]]
+        crc_bits -= 8
+        pos += 1
+    octet = data[pos] if crc_bits > 0 else 0
+    while crc_bits > 0:
+        bit = ((octet ^ crc) & 0x80) >> 7
+        crc = ((crc & 0x7F) << 1) ^ (0x1D if bit else 0)
+        octet = (octet << 1) & 0xFF
+        crc_bits -= 1
+    return crc
+
+
+_SBC_RATES = (16000, 32000, 44100, 48000)
+_SBC_BLOCKS = (4, 8, 12, 16)
+_SBC_MODES = ("mono", "dual", "stereo", "joint")
+_SBC_ALLOC = ("loudness", "snr")
+
+
+def sbc_calc_framelen(subbands: int, mode: int, blocks: int,
+                      bitpool: int) -> int:
+    """gst_sbc_calc_framelen (per channel mode)."""
+    if mode == 0:                                    # mono
+        return 4 + (subbands * 1) // 2 + (blocks * 1 * bitpool + 7) // 8
+    if mode == 1:                                    # dual
+        return 4 + (subbands * 2) // 2 + (blocks * 2 * bitpool + 7) // 8
+    if mode == 2:                                    # stereo
+        return 4 + (subbands * 2) // 2 + (blocks * bitpool + 7) // 8
+    return 4 + (subbands * 2) // 2 \
+        + (subbands + blocks * bitpool + 7) // 8     # joint
+
+
+def sbc_parse_header(data: bytes) -> Optional[dict]:
+    """Syncbyte + field decode + header CRC check
+    (gst_sbc_parse_header).  Returns None on any mismatch."""
+    if len(data) < 7 or data[0] != 0x9C:
+        return None
+    rate = _SBC_RATES[(data[1] >> 6) & 0x03]
+    blocks = _SBC_BLOCKS[(data[1] >> 4) & 0x03]
+    mode = (data[1] >> 2) & 0x03
+    alloc = (data[1] >> 1) & 0x01
+    subbands = 8 if data[1] & 0x01 else 4
+    bitpool = data[2]
+    if bitpool < 2:
+        return None
+    crc_bits = 16
+    if mode == 3:                                    # joint: join flags
+        crc_bits += subbands
+    crc_bits += subbands * (1 if mode == 0 else 2) * 4
+    need = 1 + (crc_bits + 7) // 8 + 1
+    if len(data) < need:
+        return None
+    crc_data = bytearray(11)
+    crc_data[0] = data[1]
+    crc_data[1] = data[2]
+    i = 16
+    while i < crc_bits:
+        crc_data[i // 8] = data[1 + (i // 8) + 1]
+        i += 8
+    if i > crc_bits:
+        crc_data[(i // 8) - 1] &= 0xF0
+    if sbc_crc8(bytes(crc_data), crc_bits) != data[3]:
+        return None
+    return {"rate": rate, "blocks": blocks, "mode": mode,
+            "alloc": alloc, "subbands": subbands, "bitpool": bitpool,
+            "frame_len": sbc_calc_framelen(subbands, mode, blocks,
+                                           bitpool)}
+
+
+@register_element
+class SbcParse(_ParserBase):
+    FACTORY = "sbcparse"
+    DESCRIPTION = "Parses an SBC bluetooth audio stream"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "audio/x-sbc"),
+        PadTemplate("src", PadDirection.SRC,
+                    "audio/x-sbc, parsed=true"),
+    ]
+    _SRC_CAPS = "audio/x-sbc, parsed=true"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(
+            sbc_calc_framelen(4, 0, 4, 2))           # minimal mono frame
+        self.hdr: Optional[dict] = None
+
+    def start(self):
+        super().start()
+        self.hdr = None
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        hdr = sbc_parse_header(raw)
+        if hdr is None:
+            # resync: scan for the next plausible syncbyte
+            nxt = raw.find(b"\x9c", 1)
+            return 0, (nxt if nxt > 0 else max(1, len(raw) - 3))
+        if hdr["frame_len"] > len(raw):
+            return 0, 0
+        if self.hdr is None or self.hdr != hdr:
+            self.hdr = hdr
+            self.set_frame_rate(hdr["rate"],
+                                hdr["subbands"] * hdr["blocks"])
+        return hdr["frame_len"], 0
+
+    def pre_push_frame(self, buf):
+        if self.hdr:
+            from ..core.structure import Structure
+            h = self.hdr
+            s = Structure("audio/x-sbc", {
+                "rate": h["rate"],
+                "channels": 1 if h["mode"] == 0 else 2,
+                "channel-mode": _SBC_MODES[h["mode"]],
+                "blocks": h["blocks"], "subbands": h["subbands"],
+                "allocation-method": _SBC_ALLOC[h["alloc"]],
+                "bitpool": h["bitpool"], "parsed": True})
+            buf = buf.with_(meta=dict(buf.meta or {},
+                                      caps=Caps([s])))
+        return buf
+
+
+# ---------------------------------------------------------------------------
+# wavpackparse (gstwavpackparse.c)
+# ---------------------------------------------------------------------------
+
+_WVPK_RATES = (6000, 8000, 9600, 11025, 12000, 16000, 22050,
+               24000, 32000, 44100, 48000, 64000, 88200, 96000, 192000)
+_WVPK_FLAG_MONO = 4
+_WVPK_FLAG_FLOAT = 0x80
+_WVPK_FLAG_FINAL = 0x1000
+
+
+def wvpk_header(data: bytes) -> Optional[dict]:
+    """32-byte WavPack block header (gstwavpackparse.c:425-470)."""
+    if len(data) < 32 or data[:4] != b"wvpk":
+        return None
+    (ck_size, version, _track, _index, total, block_index,
+     block_samples, flags, crc) = struct.unpack(
+         "<IHBBIIIII", data[4:32])
+    srate_i = (flags >> 23) & 0x0F
+    return {
+        "ck_size": ck_size, "version": version,
+        "total_samples": total, "block_index": block_index,
+        "block_samples": block_samples, "flags": flags, "crc": crc,
+        "rate": (_WVPK_RATES[srate_i] if srate_i < 15 else 44100),
+        "width": ((flags & 3) + 1) * 8,
+        "channels": 1 if flags & _WVPK_FLAG_MONO else 2,
+        "final": bool(flags & _WVPK_FLAG_FINAL),
+    }
+
+
+@register_element
+class WavpackParse(_ParserBase):
+    FACTORY = "wavpackparse"
+    DESCRIPTION = "Wavpack parser"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "audio/x-wavpack; audio/x-wavpack-correction"),
+        PadTemplate("src", PadDirection.SRC,
+                    "audio/x-wavpack, framed=true"),
+    ]
+    _SRC_CAPS = "audio/x-wavpack, framed=true"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(32)
+        self.hdr: Optional[dict] = None
+
+    def start(self):
+        super().start()
+        self.hdr = None
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        off = raw.find(b"wvpk")
+        if off < 0:
+            return 0, max(1, len(raw) - 3)
+        if off > 0:
+            return 0, off
+        hdr = wvpk_header(raw)
+        if hdr is None:
+            return 0, 0
+        # a frame spans blocks until FLAG_FINAL_BLOCK
+        # (multichannel segments, gstwavpackparse.c:540-560)
+        frmsize = hdr["ck_size"] + 8
+        h = hdr
+        while not h["final"]:
+            if len(raw) < frmsize + 32:
+                return 0, 0
+            h = wvpk_header(raw[frmsize:])
+            if h is None:
+                return 0, 2                      # bad chain: resync
+            frmsize += h["ck_size"] + 8
+        if len(raw) < frmsize:
+            return 0, 0
+        self.hdr = hdr
+        if hdr["rate"] and hdr["block_samples"]:
+            self.set_frame_rate(hdr["rate"], hdr["block_samples"])
+        return frmsize, 0
+
+    def pre_push_frame(self, buf):
+        if self.hdr:
+            from ..core.structure import Structure
+            h = self.hdr
+            s = Structure("audio/x-wavpack", {
+                "rate": h["rate"], "channels": h["channels"],
+                "depth": h["width"], "framed": True})
+            buf = buf.with_(meta=dict(buf.meta or {},
+                                      caps=Caps([s])))
+        return buf

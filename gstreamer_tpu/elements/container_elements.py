@@ -12,7 +12,10 @@ branch of the batch graph; the muxers are collapsed aggregator sinks
 (request video_%u/audio_%u pads + location) that interleave per tick.
 Codec coverage is the raw family the framework processes natively:
 fourcc video (I420/YUY2/UYVY), BI_RGB, V_UNCOMPRESSED, and PCM
-(A_PCM/INT/LIT / WAVEFORMATEX tag 1)."""
+(A_PCM/INT/LIT / WAVEFORMATEX tag 1) — plus coded tracks: H.264
+(AVI fourcc 'H264' with byte-stream payload, gstavimux.c:566;
+Matroska V_MPEG4/ISO/AVC with avcC CodecPrivate and length-prefixed
+blocks, matroska-mux.c) and MJPEG ('MJPG' / V_MJPEG)."""
 
 from __future__ import annotations
 
@@ -33,6 +36,90 @@ from ..video.info import VideoInfo
 
 VIDEO_FOURCC = {"I420": b"I420", "YUY2": b"YUY2", "UYVY": b"UYVY"}
 FOURCC_VIDEO = {v: k for k, v in VIDEO_FOURCC.items()}
+
+_CODED_VIDEO_CAPS = ("; video/x-h264, stream-format=byte-stream, "
+                     "alignment=au; image/jpeg")
+
+
+def _split_annexb(raw: bytes) -> List[bytes]:
+    """Annex-B byte stream -> NAL payloads (without start codes)."""
+    out = []
+    pos = 0
+    while True:
+        i = raw.find(b"\x00\x00\x01", pos)
+        if i < 0:
+            break
+        j = raw.find(b"\x00\x00\x01", i + 3)
+        end = len(raw) if j < 0 else j - (1 if raw[j - 1] == 0 else 0)
+        if end > i + 3:
+            out.append(raw[i + 3:end])
+        pos = i + 3
+    return out
+
+
+def _harvest_params(raw: bytes, cfg: dict) -> None:
+    """Collect SPS/PPS NALs from an Annex-B AU into cfg."""
+    for nal in _split_annexb(raw):
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            cfg["sps"] = nal
+        elif ntype == 8:
+            cfg["pps"] = nal
+
+
+def _annexb_to_lenpref(raw: bytes) -> bytes:
+    """Annex-B AU -> 4-byte length-prefixed AVC sample (parameter
+    sets stripped; they live in the avcC config)."""
+    sample = bytearray()
+    for nal in _split_annexb(raw):
+        if (nal[0] & 0x1F) in (7, 8):
+            continue
+        sample += struct.pack(">I", len(nal)) + nal
+    return bytes(sample)
+
+
+def _make_avcc(sps: bytes, pps: Optional[bytes]) -> bytes:
+    """ISO 14496-15 AVCDecoderConfigurationRecord."""
+    out = bytearray([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+    out += struct.pack(">H", len(sps)) + sps
+    if pps:
+        out += bytes([1]) + struct.pack(">H", len(pps)) + pps
+    else:
+        out += bytes([0])
+    return bytes(out)
+
+
+def _parse_avcc(blob: bytes) -> Tuple[List[bytes], List[bytes]]:
+    sps_list, pps_list = [], []
+    pos = 5
+    nsps = blob[pos] & 0x1F
+    pos += 1
+    for _ in range(nsps):
+        ln = struct.unpack(">H", blob[pos:pos + 2])[0]
+        sps_list.append(blob[pos + 2:pos + 2 + ln])
+        pos += 2 + ln
+    npps = blob[pos]
+    pos += 1
+    for _ in range(npps):
+        ln = struct.unpack(">H", blob[pos:pos + 2])[0]
+        pps_list.append(blob[pos + 2:pos + 2 + ln])
+        pos += 2 + ln
+    return sps_list, pps_list
+
+
+def _blob_bytes(b) -> bytes:
+    return (bytes(b) if isinstance(b, (bytes, bytearray))
+            else np.asarray(b).tobytes())
+
+
+def _video_blobs(buf: Buffer) -> List[bytes]:
+    d = buf.data
+    if isinstance(d, (list, tuple)):
+        return [_blob_bytes(x) for x in d]
+    arr = np.asarray(d)
+    if arr.ndim > 1:
+        return [bytes(r.tobytes()) for r in arr]
+    return [_blob_bytes(arr)]
 
 
 def _video_bytes(info: VideoInfo, planes) -> np.ndarray:
@@ -57,7 +144,8 @@ class AviMux(AggregatorElement):
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
-                    "video/x-raw, format={ I420, YUY2, UYVY, RGB }",
+                    "video/x-raw, format={ I420, YUY2, UYVY, RGB }"
+                    + _CODED_VIDEO_CAPS,
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved",
@@ -70,6 +158,8 @@ class AviMux(AggregatorElement):
         super().__init__(name=name, **props)
         self._vinfo: Optional[VideoInfo] = None
         self._ainfo: Optional[AudioInfo] = None
+        self._vcodec: Optional[str] = None   # None=raw, h264, mjpeg
+        self._vdims = (0, 0, Fraction(25, 1))
         self._file = None
         self._index: List[Tuple[bytes, int, int]] = []
         self._vframes = 0
@@ -79,26 +169,52 @@ class AviMux(AggregatorElement):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                self._vinfo = VideoInfo.from_caps_structure(s)
+                if s.name == "video/x-h264":
+                    self._vcodec = "h264"
+                elif s.name == "image/jpeg":
+                    self._vcodec = "mjpeg"
+                if self._vcodec:
+                    fps = s.get("framerate") or Fraction(25, 1)
+                    if isinstance(fps, tuple):
+                        fps = Fraction(*fps)
+                    self._vdims = (s.get("width") or 0,
+                                   s.get("height") or 0, fps)
+                    self._vinfo = True       # marks a video stream
+                else:
+                    self._vinfo = VideoInfo.from_caps_structure(s)
             else:
                 self._ainfo = AudioInfo.from_caps_structure(s)
         return Caps.from_string("video/x-msvideo")
 
+    def _vgeom(self):
+        """(width, height, fps) for raw or coded video."""
+        if self._vcodec:
+            return self._vdims
+        vi = self._vinfo
+        return vi.width, vi.height, vi.fps
+
     # -- header pieces -------------------------------------------------------
     def _strl_video(self) -> bytes:
-        vi = self._vinfo
-        fps = vi.fps
-        fmt = vi.finfo.name
-        fourcc = VIDEO_FOURCC.get(fmt, b"DIB ")
-        bitcount = {"I420": 12, "YUY2": 16, "UYVY": 16, "RGB": 24}[fmt]
-        compression = fourcc if fmt != "RGB" else b"\0\0\0\0"
-        fsz = frame_size(vi.finfo, vi.width, vi.height)
+        w, h, fps = self._vgeom()
+        if self._vcodec:
+            fourcc = b"H264" if self._vcodec == "h264" else b"MJPG"
+            compression = fourcc
+            bitcount = 24
+            fsz = 0
+        else:
+            vi = self._vinfo
+            fmt = vi.finfo.name
+            fourcc = VIDEO_FOURCC.get(fmt, b"DIB ")
+            bitcount = {"I420": 12, "YUY2": 16, "UYVY": 16,
+                        "RGB": 24}[fmt]
+            compression = fourcc if fmt != "RGB" else b"\0\0\0\0"
+            fsz = frame_size(vi.finfo, vi.width, vi.height)
         strh = struct.pack(
             "<4s4sIHHIIIIIIIIhhhh", b"vids", fourcc, 0, 0, 0, 0,
             fps.denom, fps.num, 0, self._vframes, fsz, 0xFFFFFF, 0,
-            0, 0, vi.width, vi.height)
+            0, 0, w, h)
         strf = struct.pack(
-            "<IiiHH4sIiiII", 40, vi.width, vi.height, 1, bitcount,
+            "<IiiHH4sIiiII", 40, w, h, 1, bitcount,
             compression, fsz, 0, 0, 0, 0)
         return (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8
                                       + len(strf))
@@ -122,14 +238,13 @@ class AviMux(AggregatorElement):
                 + b"strf" + struct.pack("<I", len(strf)) + strf)
 
     def _write_headers(self) -> None:
-        vi = self._vinfo
-        fps = vi.fps if vi else Fraction(25, 1)
-        streams = (1 if self._vinfo else 0) + (1 if self._ainfo else 0)
-        uspf = 1_000_000 * fps.denom // fps.num if vi else 0
+        has_v = self._vinfo is not None
+        w, h, fps = self._vgeom() if has_v else (0, 0, Fraction(25, 1))
+        streams = (1 if has_v else 0) + (1 if self._ainfo else 0)
+        uspf = 1_000_000 * fps.denom // fps.num if has_v else 0
         avih = struct.pack(
             "<IIIIIIIIIIIIII", uspf, 0, 0, 0x10, self._vframes, 0,
-            streams, 0x100000,
-            vi.width if vi else 0, vi.height if vi else 0, 0, 0, 0, 0)
+            streams, 0x100000, w, h, 0, 0, 0, 0)
         strls = b""
         if self._vinfo is not None:
             strls += self._strl_video()
@@ -165,6 +280,13 @@ class AviMux(AggregatorElement):
         for pad_name in sorted(ins):
             buf = ins[pad_name]
             if pad_name.startswith("video"):
+                if self._vcodec:
+                    # compressed chunks use the 'dc' suffix
+                    # (gstavimux.c gst_avi_mux_is_uncompressed)
+                    for blob in _video_blobs(buf):
+                        self._chunk(b"%02ddc" % vid_sid, blob)
+                        self._vframes += 1
+                    continue
                 raw = _video_bytes(self._vinfo, buf.data)
                 raw = raw.reshape(buf.batch, -1)
                 for k in range(buf.batch):
@@ -196,14 +318,13 @@ class AviMux(AggregatorElement):
         self._file.write(struct.pack("<I", movi_end - self._movi_start - 8))
         # re-write headers with final frame counts (fixed-size region)
         self._file.seek(12)
-        vi = self._vinfo
-        fps = vi.fps if vi else Fraction(25, 1)
-        streams = (1 if self._vinfo else 0) + (1 if self._ainfo else 0)
-        uspf = 1_000_000 * fps.denom // fps.num if vi else 0
+        has_v = self._vinfo is not None
+        w, h, fps = self._vgeom() if has_v else (0, 0, Fraction(25, 1))
+        streams = (1 if has_v else 0) + (1 if self._ainfo else 0)
+        uspf = 1_000_000 * fps.denom // fps.num if has_v else 0
         avih = struct.pack(
             "<IIIIIIIIIIIIII", uspf, 0, 0, 0x10, self._vframes, 0,
-            streams, 0x100000,
-            vi.width if vi else 0, vi.height if vi else 0, 0, 0, 0, 0)
+            streams, 0x100000, w, h, 0, 0, 0, 0)
         strls = b""
         if self._vinfo is not None:
             strls += self._strl_video()
@@ -301,7 +422,18 @@ class AviDemux(SourceElement):
                         if sid == want]
         self._data = data
         st = self._stream
+        self._coded = None
         if st["type"] == b"vids":
+            if st["compression"] == b"H264":
+                self._coded = "video/x-h264"
+            elif st["compression"] in (b"MJPG", b"jpeg"):
+                self._coded = "image/jpeg"
+            if self._coded:
+                self._vdims = (st["width"], st["height"],
+                               Fraction(st["rate"], st["scale"]))
+                self._info = None
+                self._loaded = True
+                return
             if st["compression"] in FOURCC_VIDEO:
                 fmt = FOURCC_VIDEO[st["compression"]]
             elif st["compression"] == b"\0\0\0\0" and st["bits"] == 24:
@@ -317,14 +449,39 @@ class AviDemux(SourceElement):
                                    channels=st["channels"])
         self._loaded = True
 
+    def _coded_caps(self) -> Caps:
+        from ..core.structure import Structure
+        w, h, fps = self._vdims
+        f = {"width": w, "height": h, "framerate": fps}
+        if self._coded == "video/x-h264":
+            f.update({"stream-format": "byte-stream",
+                      "alignment": "au"})
+        return Caps([Structure(self._coded, f)])
+
+    def preview_blob(self) -> Optional[bytes]:
+        """First coded chunk for downstream decoders' caps peeking
+        (the image_codecs _peek_upstream convention)."""
+        try:
+            self._load()
+        except (OSError, ValueError):
+            return None
+        if getattr(self, "_coded", None) and self._chunks:
+            off, size = self._chunks[0]
+            return self._data[off:off + size]
+        return None
+
     def get_caps(self, filter=None):
         if self.props["location"]:
             try:
                 self._load()
             except (OSError, ValueError):
                 return Caps.any()
-        caps = Caps([self._info.to_caps_structure()]) if self._loaded \
-            else Caps.any()
+        if not self._loaded:
+            caps = Caps.any()
+        elif getattr(self, "_coded", None):
+            caps = self._coded_caps()
+        else:
+            caps = Caps([self._info.to_caps_structure()])
         if filter is not None and not caps.is_any:
             caps = caps.intersect(filter)
         return caps
@@ -337,6 +494,17 @@ class AviDemux(SourceElement):
         if self._pos >= len(self._chunks):
             return None
         info = self._info
+        if getattr(self, "_coded", None):
+            take = self._chunks[self._pos:self._pos + max(1, n_frames)]
+            blobs = [np.frombuffer(self._data[off:off + size], np.uint8)
+                     for off, size in take]
+            fps = self._vdims[2]
+            pts = self._pos * 1_000_000_000 * fps.denom // fps.num
+            dur = 1_000_000_000 * fps.denom // fps.num
+            self._pos += len(take)
+            return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
+                          pts=pts, duration=dur, batch=len(blobs),
+                          meta={"caps": self._coded_caps()})
         if isinstance(info, VideoInfo):
             take = self._chunks[self._pos:self._pos + max(1, n_frames)]
             raws = np.stack([np.frombuffer(
@@ -423,6 +591,7 @@ BIT_DEPTH = 0x6264
 CLUSTER = 0x1F43B675
 CLUSTER_TS = 0xE7
 SIMPLE_BLOCK = 0xA3
+CODEC_PRIVATE = 0x63A2
 
 
 @register_element
@@ -435,7 +604,8 @@ class MatroskaMux(AggregatorElement):
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
-                    "video/x-raw, format={ I420, YUY2, UYVY }",
+                    "video/x-raw, format={ I420, YUY2, UYVY }"
+                    + _CODED_VIDEO_CAPS,
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved",
@@ -448,13 +618,28 @@ class MatroskaMux(AggregatorElement):
         super().__init__(name=name, **props)
         self._vinfo = None
         self._ainfo = None
+        self._vcodec = None                  # None=raw, h264, mjpeg
+        self._vdims = (0, 0, Fraction(25, 1))
+        self._avc_cfg = {}
         self._file = None
 
     def negotiate_output(self, in_caps, allowed):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                self._vinfo = VideoInfo.from_caps_structure(s)
+                if s.name == "video/x-h264":
+                    self._vcodec = "h264"
+                elif s.name == "image/jpeg":
+                    self._vcodec = "mjpeg"
+                if self._vcodec:
+                    fps = s.get("framerate") or Fraction(25, 1)
+                    if isinstance(fps, tuple):
+                        fps = Fraction(*fps)
+                    self._vdims = (s.get("width") or 0,
+                                   s.get("height") or 0, fps)
+                    self._vinfo = True
+                else:
+                    self._vinfo = VideoInfo.from_caps_structure(s)
             else:
                 self._ainfo = AudioInfo.from_caps_structure(s)
         return Caps.from_string("video/x-matroska")
@@ -462,20 +647,41 @@ class MatroskaMux(AggregatorElement):
     def _tracks(self) -> bytes:
         entries = b""
         if self._vinfo is not None:
-            vi = self._vinfo
-            fps = vi.fps
-            video = (ebml_uint(PIXEL_WIDTH, vi.width)
-                     + ebml_uint(PIXEL_HEIGHT, vi.height)
-                     + ebml_elem(COLOUR_SPACE,
-                                 VIDEO_FOURCC[vi.finfo.name]))
-            entries += ebml_elem(
-                TRACK_ENTRY,
-                ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
-                + ebml_uint(TRACK_TYPE, 1)
-                + ebml_str(CODEC_ID, "V_UNCOMPRESSED")
-                + ebml_uint(DEFAULT_DURATION,
-                            1_000_000_000 * fps.denom // fps.num)
-                + ebml_elem(VIDEO, video))
+            if self._vcodec:
+                w, h, fps = self._vdims
+                video = (ebml_uint(PIXEL_WIDTH, w)
+                         + ebml_uint(PIXEL_HEIGHT, h))
+                codec = ("V_MPEG4/ISO/AVC" if self._vcodec == "h264"
+                         else "V_MJPEG")
+                entry = (ebml_uint(TRACK_NUMBER, 1)
+                         + ebml_uint(TRACK_UID, 1)
+                         + ebml_uint(TRACK_TYPE, 1)
+                         + ebml_str(CODEC_ID, codec))
+                if self._vcodec == "h264" and self._avc_cfg.get("sps"):
+                    entry += ebml_elem(
+                        CODEC_PRIVATE,
+                        _make_avcc(self._avc_cfg["sps"],
+                                   self._avc_cfg.get("pps")))
+                entry += (ebml_uint(DEFAULT_DURATION,
+                                    1_000_000_000 * fps.denom
+                                    // fps.num)
+                          + ebml_elem(VIDEO, video))
+                entries += ebml_elem(TRACK_ENTRY, entry)
+            else:
+                vi = self._vinfo
+                fps = vi.fps
+                video = (ebml_uint(PIXEL_WIDTH, vi.width)
+                         + ebml_uint(PIXEL_HEIGHT, vi.height)
+                         + ebml_elem(COLOUR_SPACE,
+                                     VIDEO_FOURCC[vi.finfo.name]))
+                entries += ebml_elem(
+                    TRACK_ENTRY,
+                    ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
+                    + ebml_uint(TRACK_TYPE, 1)
+                    + ebml_str(CODEC_ID, "V_UNCOMPRESSED")
+                    + ebml_uint(DEFAULT_DURATION,
+                                1_000_000_000 * fps.denom // fps.num)
+                    + ebml_elem(VIDEO, video))
         if self._ainfo is not None:
             ai = self._ainfo
             audio = (ebml_float(SAMPLING_FREQ, float(ai.rate))
@@ -512,6 +718,14 @@ class MatroskaMux(AggregatorElement):
 
     def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
         if not self._headers_done:
+            if self._vcodec == "h264":
+                # harvest SPS/PPS for the avcC CodecPrivate before the
+                # TrackEntry is written (matroska-mux.c takes them
+                # from the caps codec_data)
+                for pad_name, buf in ins.items():
+                    if pad_name.startswith("video"):
+                        for blob in _video_blobs(buf):
+                            _harvest_params(blob, self._avc_cfg)
             self._write_headers()
             self._headers_done = True
         blocks = b""
@@ -519,6 +733,24 @@ class MatroskaMux(AggregatorElement):
         for pad_name in sorted(ins):
             buf = ins[pad_name]
             if pad_name.startswith("video"):
+                if self._vcodec:
+                    fps = self._vdims[2]
+                    for blob in _video_blobs(buf):
+                        if self._vcodec == "h264":
+                            blob = _annexb_to_lenpref(blob)
+                            if not blob:
+                                continue
+                        ts_ms = ((self._vframes * 1000 * fps.denom)
+                                 // fps.num)
+                        if cluster_ts is None:
+                            cluster_ts = ts_ms
+                        rel = ts_ms - cluster_ts
+                        blocks += ebml_elem(
+                            SIMPLE_BLOCK,
+                            ebml_size(1) + struct.pack(">h", rel)
+                            + b"\x80" + blob)
+                        self._vframes += 1
+                    continue
                 vi = self._vinfo
                 fps = vi.fps
                 raw = _video_bytes(vi, buf.data).reshape(buf.batch, -1)
@@ -630,6 +862,8 @@ def _parse_track(data: bytes, pos: int, end: int) -> dict:
             tr["type"] = int.from_bytes(body, "big")
         elif eid == CODEC_ID:
             tr["codec"] = body.decode()
+        elif eid == CODEC_PRIVATE:
+            tr["codec_private"] = body
         elif eid == DEFAULT_DURATION:
             tr["frame_dur"] = int.from_bytes(body, "big")
         elif eid in (VIDEO, AUDIO):
@@ -690,12 +924,31 @@ class MatroskaDemux(SourceElement):
         self._blocks = [(ts, off, size) for tno, ts, off, size in blocks
                         if tno == track["number"]]
         self._data = data
+        self._coded = None
         if track.get("type") == 1:
-            if track.get("codec") != "V_UNCOMPRESSED":
-                raise ValueError("matroskademux: unsupported codec "
-                                 f"{track.get('codec')!r}")
-            fmt = FOURCC_VIDEO.get(track.get("fourcc", b""), "I420")
+            codec = track.get("codec")
             fd = track.get("frame_dur", 40_000_000)
+            if codec == "V_MPEG4/ISO/AVC":
+                self._coded = "video/x-h264"
+            elif codec == "V_MJPEG":
+                self._coded = "image/jpeg"
+            if self._coded:
+                self._vdims = (track.get("width", 0),
+                               track.get("height", 0),
+                               Fraction(1_000_000_000, fd))
+                self._params = b""
+                if codec == "V_MPEG4/ISO/AVC" \
+                        and track.get("codec_private"):
+                    sps, pps = _parse_avcc(track["codec_private"])
+                    self._params = b"".join(
+                        b"\x00\x00\x00\x01" + n for n in sps + pps)
+                self._info = None
+                self._loaded = True
+                return
+            if codec != "V_UNCOMPRESSED":
+                raise ValueError("matroskademux: unsupported codec "
+                                 f"{codec!r}")
+            fmt = FOURCC_VIDEO.get(track.get("fourcc", b""), "I420")
             self._info = VideoInfo(
                 format=fmt, width=track["width"], height=track["height"],
                 fps=Fraction(1_000_000_000, fd))
@@ -707,14 +960,38 @@ class MatroskaDemux(SourceElement):
                                    channels=track.get("channels", 2))
         self._loaded = True
 
+    def _coded_caps(self) -> Caps:
+        from ..core.structure import Structure
+        w, h, fps = self._vdims
+        f = {"width": w, "height": h, "framerate": fps}
+        if self._coded == "video/x-h264":
+            f.update({"stream-format": "byte-stream",
+                      "alignment": "au"})
+        return Caps([Structure(self._coded, f)])
+
+    def preview_blob(self) -> Optional[bytes]:
+        """First coded block for downstream decoders' caps peeking."""
+        try:
+            self._load()
+        except (OSError, ValueError):
+            return None
+        if getattr(self, "_coded", None) and self._blocks:
+            _, off, size = self._blocks[0]
+            return self._data[off:off + size]
+        return None
+
     def get_caps(self, filter=None):
         if self.props["location"]:
             try:
                 self._load()
             except (OSError, ValueError):
                 return Caps.any()
-        caps = Caps([self._info.to_caps_structure()]) if self._loaded \
-            else Caps.any()
+        if not self._loaded:
+            caps = Caps.any()
+        elif getattr(self, "_coded", None):
+            caps = self._coded_caps()
+        else:
+            caps = Caps([self._info.to_caps_structure()])
         if filter is not None and not caps.is_any:
             caps = caps.intersect(filter)
         return caps
@@ -727,6 +1004,31 @@ class MatroskaDemux(SourceElement):
         if self._pos >= len(self._blocks):
             return None
         info = self._info
+        if getattr(self, "_coded", None):
+            take = self._blocks[self._pos:self._pos + max(1, n_frames)]
+            blobs = []
+            for ts, off, size in take:
+                raw = self._data[off:off + size]
+                if self._coded == "video/x-h264":
+                    # length-prefixed sample -> Annex-B, parameter
+                    # sets from CodecPrivate prepended on the first AU
+                    au = bytearray(self._params if self._pos == 0
+                                   and not blobs else b"")
+                    p = 0
+                    while p + 4 <= len(raw):
+                        ln = struct.unpack(">I", raw[p:p + 4])[0]
+                        au += b"\x00\x00\x00\x01" + raw[p + 4:p + 4 + ln]
+                        p += 4 + ln
+                    blobs.append(np.frombuffer(bytes(au), np.uint8))
+                else:
+                    blobs.append(np.frombuffer(raw, np.uint8))
+            fps = self._vdims[2]
+            pts = take[0][0] * 1_000_000
+            dur = 1_000_000_000 * fps.denom // fps.num
+            self._pos += len(take)
+            return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
+                          pts=pts, duration=dur, batch=len(blobs),
+                          meta={"caps": self._coded_caps()})
         if isinstance(info, VideoInfo):
             take = self._blocks[self._pos:self._pos + max(1, n_frames)]
             raws = np.stack([np.frombuffer(
