@@ -575,3 +575,318 @@ class RtpDtmfDepay(TransformElement):
         return buf.with_(data=samples,
                          duration=samples.shape[0] * 1_000_000_000
                          // 8000)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (RFC 2435) — gstrtpjpegpay.c / gstrtpjpegdepay.c
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# RFC 2435 4.2 default tables (gstrtpjpegdepay.c jpeg_luma_quantizer)
+_JPEG_LUMA_Q = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+    92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+    100, 103, 99)
+_JPEG_CHROMA_Q = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+
+# huffman specs shared with the depay header builder
+_LUM_DC = (bytes((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)),
+           bytes(range(12)))
+_LUM_AC_CODELENS = bytes((0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0,
+                          1, 0x7D))
+_LUM_AC_SYMBOLS = bytes((
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA))
+_CHM_DC = (bytes((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)),
+           bytes(range(12)))
+_CHM_AC_CODELENS = bytes((0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1,
+                          2, 0x77))
+_CHM_AC_SYMBOLS = bytes((
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA))
+
+
+def rfc2435_make_tables(q: int) -> bytes:
+    """MakeTables (gstrtpjpegdepay.c): Annex-K tables scaled by Q in
+    zigzag order, clamped to [1,255]."""
+    factor = min(max(q, 1), 99)
+    scale = 5000 // factor if q < 50 else 200 - factor * 2
+    out = bytearray(128)
+    for i in range(64):
+        lq = (_JPEG_LUMA_Q[_ZIGZAG[i]] * scale + 50) // 100
+        cq = (_JPEG_CHROMA_Q[_ZIGZAG[i]] * scale + 50) // 100
+        out[i] = min(max(lq, 1), 255)
+        out[i + 64] = min(max(cq, 1), 255)
+    return bytes(out)
+
+
+def rfc2435_make_headers(jtype: int, width8: int, height8: int,
+                         qt: bytes, precision: int, dri: int) -> bytes:
+    """MakeHeaders (gstrtpjpegdepay.c:362-459): rebuild the JPEG
+    interchange headers from the RTP/JPEG fields."""
+    def quant_hdr(tab, table_no):
+        return bytes([0xFF, 0xDB, 0, len(tab) + 3, table_no]) + tab
+
+    def huff_hdr(codelens, symbols, table_no, table_class):
+        return bytes([0xFF, 0xC4, 0,
+                      3 + len(codelens) + len(symbols),
+                      (table_class << 4) | table_no]) \
+            + codelens + symbols
+
+    p = bytearray(b"\xff\xd8")
+    size = 128 if precision & 1 else 64
+    p += quant_hdr(qt[:size], 0)
+    off = size
+    size2 = 128 if precision & 2 else 64
+    p += quant_hdr(qt[off:off + size2], 1)
+    if dri:
+        p += bytes([0xFF, 0xDD, 0, 4, dri >> 8, dri & 0xFF])
+    w, h = width8 * 8, height8 * 8
+    samp0 = 0x21 if (jtype & 0x3F) == 0 else 0x22
+    p += bytes([0xFF, 0xC0, 0, 17, 8, h >> 8, h & 0xFF, w >> 8,
+                w & 0xFF, 3, 0, samp0, 0, 1, 0x11, 1, 2, 0x11, 1])
+    p += huff_hdr(_LUM_DC[0], _LUM_DC[1], 0, 0)
+    p += huff_hdr(_LUM_AC_CODELENS, _LUM_AC_SYMBOLS, 0, 1)
+    p += huff_hdr(_CHM_DC[0], _CHM_DC[1], 1, 0)
+    p += huff_hdr(_CHM_AC_CODELENS, _CHM_AC_SYMBOLS, 1, 1)
+    p += bytes([0xFF, 0xDA, 0, 12, 3, 0, 0, 1, 0x11, 2, 0x11, 0,
+                63, 0])
+    return bytes(p)
+
+
+@register_element
+class RtpJpegPay(TransformElement):
+    """rtpjpegpay (RFC 2435): scans the image for DQT/SOF/DRI/SOS,
+    strips the headers and sends scan data with the 8-byte RTP/JPEG
+    main header (+ restart-marker header, + in-band quant tables on
+    the first fragment for Q >= 128)."""
+    FACTORY = "rtpjpegpay"
+    DESCRIPTION = "Payload-encodes JPEG pictures into RTP packets " \
+                  "(RFC 2435)"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "image/jpeg"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "mtu": (int, 1400, "max packet size"),
+        "pt": (int, 26, "payload type (26 = static JPEG)"),
+        "quality": (int, 255, "quality factor signalled in Q "
+                              "(>=128: tables in-band)"),
+        "ssrc": (int, 0x4A504547, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._seq = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = (Caps.from_string("application/x-rtp")
+               if direction == PadDirection.SINK
+               else Caps.from_string("image/jpeg"))
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._seq = 0
+
+    def _pay_image(self, img: bytes, ts: int) -> List[bytes]:
+        from ..elements.jpegformat import parse_sof, walk_markers
+        markers, scan, complete = walk_markers(img)
+        if not complete or scan is None:
+            return []
+        tables: Dict[int, bytes] = {}
+        sof = None
+        dri = 0
+        for marker, off, payload in markers:
+            if marker == 0xDB:                  # DQT
+                p = 0
+                while p < len(payload):
+                    prec_id = payload[p]
+                    tsize = 128 if prec_id >> 4 else 64
+                    tables[prec_id & 0x0F] = payload[p + 1:
+                                                     p + 1 + tsize]
+                    p += 1 + tsize
+            elif marker in (0xC0, 0xC1):
+                sof = parse_sof(payload)
+            elif marker == 0xDD:                # DRI
+                dri = struct.unpack(">H", payload[:2])[0]
+        if sof is None or not tables or len(sof["components"]) != 3:
+            return []
+        comps = sorted(sof["components"], key=lambda c: c["id"])
+        samp0 = (comps[0]["h"] << 4) | comps[0]["v"]
+        jtype = 0 if samp0 == 0x21 else 1
+        if dri:
+            jtype += 64
+        q = self.props["quality"]
+        w8 = (sof["width"] + 7) // 8
+        h8 = (sof["height"] + 7) // 8
+        qdata = b""
+        if q > 127:
+            precision = 0
+            tabs = b""
+            for i in range(2):
+                t = tables.get(comps[i]["tq"], b"")
+                if len(t) != 64:
+                    precision |= 1 << i
+                tabs += t
+            qdata = struct.pack("!BBH", 0, precision, len(tabs)) + tabs
+
+        pkts = []
+        offset = 0
+        mtu = self.props["mtu"]
+        total = len(scan)
+        while offset < total or not pkts:
+            hdr_extra = (4 if dri else 0) + len(qdata)
+            room = mtu - 12 - 8 - hdr_extra
+            take = min(room, total - offset)
+            last = offset + take >= total
+            main = bytes([0]) + offset.to_bytes(3, "big") \
+                + bytes([jtype, q, w8, h8])
+            body = main
+            if dri:
+                body += struct.pack("!HH", dri, 0xFFFF)
+            body += qdata
+            qdata = b""                          # first packet only
+            pkts.append(rtp_header(self.props["pt"], self._seq, ts,
+                                   self.props["ssrc"], marker=last)
+                        + body + scan[offset:offset + take])
+            self._seq = (self._seq + 1) & 0xFFFF
+            offset += take
+        return pkts
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        ts0 = buf.pts or 0
+        dur = buf.duration or 0
+        pkts = []
+        for k, img in enumerate(_blobs(buf)):
+            ts90 = ((ts0 + k * dur) * 90000) // 1_000_000_000
+            pkts.extend(self._pay_image(img, ts90))
+        if not pkts:
+            return None
+        return buf.with_(data=pkts)
+
+
+@register_element
+class RtpJpegDepay(TransformElement):
+    """rtpjpegdepay (RFC 2435): reassembles fragments, rebuilds the
+    interchange headers (MakeHeaders) with in-band or Q-derived quant
+    tables, and appends EOI if missing."""
+    FACTORY = "rtpjpegdepay"
+    DESCRIPTION = "Extracts JPEG video from RTP packets (RFC 2435)"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "image/jpeg"),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._frag = bytearray()
+        self._hdr = None
+        self._qtables: Dict[int, bytes] = {}
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = (Caps.from_string("image/jpeg")
+               if direction == PadDirection.SINK
+               else Caps.from_string("application/x-rtp"))
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._frag = bytearray()
+        self._hdr = None
+        self._qtables = {}
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        images = []
+        for pkt in _blobs(buf):
+            h = parse_rtp_header(pkt)
+            p = h["payload"]
+            if len(p) < 8:
+                continue
+            off24 = int.from_bytes(p[1:4], "big")
+            jtype, q, w8, h8 = p[4], p[5], p[6], p[7]
+            pos = 8
+            dri = 0
+            if 64 <= (jtype & 0x7F):
+                dri = struct.unpack(">H", p[pos:pos + 2])[0]
+                pos += 4
+            if off24 == 0:
+                if q >= 128:
+                    _, prec, qlen = struct.unpack("!BBH",
+                                                  p[pos:pos + 4])
+                    pos += 4
+                    qt = p[pos:pos + qlen]
+                    pos += qlen
+                    if len(qt) == 64:            # single shared table
+                        qt = qt + qt
+                    self._qtables[q] = qt
+                    prec_bits = prec
+                else:
+                    self._qtables[q] = rfc2435_make_tables(q)
+                    prec_bits = 0
+                self._frag = bytearray(
+                    rfc2435_make_headers(jtype, w8, h8,
+                                         self._qtables[q],
+                                         prec_bits, dri))
+            self._frag += p[pos:]
+            if h["marker"]:
+                img = bytes(self._frag)
+                if not img.endswith(b"\xff\xd9"):
+                    img += b"\xff\xd9"           # EOI if absent
+                images.append(np.frombuffer(img, np.uint8))
+                self._frag = bytearray()
+        if not images:
+            return None
+        return buf.with_(data=images if len(images) > 1 else images[0],
+                         batch=len(images))

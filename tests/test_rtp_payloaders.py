@@ -190,3 +190,79 @@ class TestDtmfRtp:
         from gstreamer_tpu.elements.dtmf_icy import generate_dtmf
         want = generate_dtmf("7", 150 * 8, 8000, 0)
         np.testing.assert_array_equal(got, want)
+
+
+class TestJpegRtp:
+    def _encode(self, w=64, h=48, n=2):
+        p = parse_launch(
+            f"videotestsrc num-buffers={n} pattern=smpte ! "
+            f"video/x-raw,format=I420,width={w},height={h} ! jpegenc "
+            f"! appsink name=out")
+        p.run()
+        out = []
+        while (s := p.get_by_name("out").pull_sample()) is not None:
+            d = s.buffer.data
+            for b in (d if isinstance(d, (list, tuple)) else [d]):
+                out.append(np.asarray(b).tobytes())
+        return out
+
+    def test_fragmentation_and_marker(self):
+        imgs = self._encode(n=1)
+        p = parse_launch("appsrc name=in ! image/jpeg ! rtpjpegpay "
+                         "mtu=200 ! appsink name=out")
+        p.get_by_name("in").push_buffer(Buffer(
+            data=np.frombuffer(imgs[0], np.uint8), pts=0))
+        p.get_by_name("in").end_of_stream()
+        p.run()
+        pkts = []
+        while (s := p.get_by_name("out").pull_sample()) is not None:
+            d = s.buffer.data
+            pkts.extend(bytes(x) for x in
+                        (d if isinstance(d, (list, tuple)) else [d]))
+        assert len(pkts) > 3
+        assert all(len(pk) <= 200 for pk in pkts)
+        markers = [parse_rtp_header(pk)["marker"] for pk in pkts]
+        assert markers[-1] and not any(markers[:-1])
+        # main header fields (RFC 2435 3.1): offset 0 on first packet,
+        # dims in 8-pixel units, q=255 -> in-band tables
+        h0 = parse_rtp_header(pkts[0])["payload"]
+        assert int.from_bytes(h0[1:4], "big") == 0
+        assert h0[5] == 255 and h0[6] == 8 and h0[7] == 6
+        # continuation offsets increase
+        offs = [int.from_bytes(parse_rtp_header(pk)["payload"][1:4],
+                               "big") for pk in pkts]
+        assert offs == sorted(offs)
+
+    def test_roundtrip_decodes_identically(self):
+        from gstreamer_tpu.codecs.jpeg import jpeg_decode
+        imgs = self._encode(n=2)
+        p = parse_launch("appsrc name=in ! image/jpeg ! rtpjpegpay "
+                         "mtu=300 ! rtpjpegdepay ! appsink name=out")
+        for img in imgs:
+            p.get_by_name("in").push_buffer(Buffer(
+                data=np.frombuffer(img, np.uint8), pts=0))
+        p.get_by_name("in").end_of_stream()
+        p.run()
+        back = []
+        while (s := p.get_by_name("out").pull_sample()) is not None:
+            d = s.buffer.data
+            for b in (d if isinstance(d, (list, tuple)) else [d]):
+                back.append(np.asarray(b).tobytes())
+        assert len(back) == len(imgs)
+        for o, r in zip(imgs, back):
+            assert r.startswith(b"\xff\xd8") and r.endswith(b"\xff\xd9")
+            do, dr = jpeg_decode(o), jpeg_decode(r)
+            for pa, pb in zip(do[0] if isinstance(do, tuple) else do,
+                              dr[0] if isinstance(dr, tuple) else dr):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb))
+
+    def test_make_tables_rfc_scaling(self):
+        from gstreamer_tpu.net.rtp_payloaders import (
+            _JPEG_LUMA_Q, _ZIGZAG, rfc2435_make_tables)
+        t50 = rfc2435_make_tables(50)           # scale 100 = identity
+        assert t50[0] == _JPEG_LUMA_Q[_ZIGZAG[0]]
+        t1 = rfc2435_make_tables(1)             # max coarseness, clamp
+        assert max(t1) == 255
+        t99 = rfc2435_make_tables(99)           # near-lossless, min 1
+        assert min(t99) >= 1
