@@ -1,0 +1,265 @@
+"""Adaptive streaming demuxers: hlsdemux (M3U8) and dashdemux (MPD).
+
+References:
+* gst-plugins-bad/ext/hls/ — gsthlsdemux.c + m3u8.c: master playlist
+  variant selection (EXT-X-STREAM-INF bandwidth), media playlist
+  segment walk (EXTINF entries, MEDIA-SEQUENCE, ENDLIST), segment
+  download + push.
+* gst-plugins-bad/ext/dash/gstdashdemux.c + gstmpdparser.c: static
+  MPD — Period/AdaptationSet/Representation, SegmentList/SegmentURL,
+  SegmentTemplate with $Number$/$RepresentationID$ substitution,
+  BaseURL resolution, highest-bandwidth representation selection.
+
+TPU-native reduction: source-style elements (`uri` property, like
+wavparse's pull collapse) for STATIC (VOD) playlists — the batched
+offline graph consumes the whole segment list; live reload loops are
+out of scope.  Segments resolve over file:// or http(s):// (urllib —
+localhost servers need no egress).  Output buffers carry the raw
+segment bytes (video/mpegts for .ts, parsed downstream by
+tsparse/tsdemux)."""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, SourceElement,
+                            register_element)
+
+
+def _fetch(uri: str) -> bytes:
+    if "://" not in uri:
+        uri = "file://" + uri
+    with urllib.request.urlopen(uri) as r:
+        return r.read()
+
+
+def _resolve(base: str, ref: str) -> str:
+    if "://" not in base:
+        base = "file://" + base
+    return urllib.parse.urljoin(base, ref)
+
+
+def parse_m3u8(text: str, base: str) -> dict:
+    """Master or media playlist -> {variants | segments}."""
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines or lines[0] != "#EXTM3U":
+        raise ValueError("hlsdemux: not an M3U8 playlist")
+    variants: List[Tuple[int, str]] = []
+    segments: List[Tuple[float, str]] = []
+    media_seq = 0
+    target_dur = 0.0
+    endlist = False
+    pend_bw: Optional[int] = None
+    pend_dur: Optional[float] = None
+    for ln in lines[1:]:
+        if ln.startswith("#EXT-X-STREAM-INF:"):
+            m = re.search(r"BANDWIDTH=(\d+)", ln)
+            pend_bw = int(m.group(1)) if m else 0
+        elif ln.startswith("#EXTINF:"):
+            pend_dur = float(ln[8:].split(",")[0])
+        elif ln.startswith("#EXT-X-MEDIA-SEQUENCE:"):
+            media_seq = int(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-TARGETDURATION:"):
+            target_dur = float(ln.split(":", 1)[1])
+        elif ln.startswith("#EXT-X-ENDLIST"):
+            endlist = True
+        elif not ln.startswith("#"):
+            uri = _resolve(base, ln)
+            if pend_bw is not None:
+                variants.append((pend_bw, uri))
+                pend_bw = None
+            else:
+                segments.append((pend_dur or 0.0, uri))
+                pend_dur = None
+    return {"variants": variants, "segments": segments,
+            "media_sequence": media_seq, "target_duration": target_dur,
+            "endlist": endlist}
+
+
+class _AdaptiveSrc(SourceElement):
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {
+        "uri": (str, "", "playlist/manifest URI or path"),
+        "location": (str, "", "alias of uri"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._segments: Optional[List[Tuple[float, str]]] = None
+        self._pos = 0
+
+    def _uri(self) -> str:
+        return self.props["uri"] or self.props["location"]
+
+    def _load(self) -> None:
+        raise NotImplementedError
+
+    def _media_caps(self) -> Caps:
+        uri = self._segments[0][1] if self._segments else ""
+        path = uri.split("?")[0].lower()
+        if path.endswith(".ts"):
+            return Caps.from_string(
+                "video/mpegts, systemstream=true")
+        if path.endswith((".mp4", ".m4s", ".mov")):
+            return Caps.from_string("video/quicktime")
+        if path.endswith((".aac", ".adts")):
+            return Caps.from_string("audio/mpeg, mpegversion=4")
+        return Caps.from_string("application/octet-stream")
+
+    def get_caps(self, filter=None):
+        if self._segments is None and self._uri():
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return (filter if filter is not None
+                        else Caps.from_string(
+                            "application/octet-stream"))
+        caps = self._media_caps() if self._segments else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        if self._segments is None:
+            self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._pos >= len(self._segments):
+            return None
+        dur, uri = self._segments[self._pos]
+        self._pos += 1
+        raw = _fetch(uri)
+        return Buffer(data=np.frombuffer(raw, np.uint8), batch=1,
+                      duration=int(dur * 1_000_000_000) or None)
+
+
+@register_element
+class HlsDemux(_AdaptiveSrc):
+    FACTORY = "hlsdemux"
+    DESCRIPTION = "HTTP Live Streaming demuxer"
+
+    def _load(self) -> None:
+        uri = self._uri()
+        pl = parse_m3u8(_fetch(uri).decode("utf-8", "replace"), uri)
+        if pl["variants"]:
+            # highest bandwidth variant (gsthlsdemux.c initial
+            # selection picks per connection-speed; we take the top)
+            _, vuri = max(pl["variants"], key=lambda v: v[0])
+            pl = parse_m3u8(_fetch(vuri).decode("utf-8", "replace"),
+                            vuri)
+        if not pl["segments"]:
+            raise ValueError("hlsdemux: playlist has no segments")
+        self._segments = pl["segments"]
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _mpd_duration(s: Optional[str]) -> float:
+    """ISO 8601 'PT...S' duration."""
+    if not s:
+        return 0.0
+    m = re.match(r"PT(?:(\d+)H)?(?:(\d+)M)?(?:([\d.]+)S)?", s)
+    if not m:
+        return 0.0
+    h, mi, sec = (float(x) if x else 0.0 for x in m.groups())
+    return h * 3600 + mi * 60 + sec
+
+
+@register_element
+class DashDemux(_AdaptiveSrc):
+    FACTORY = "dashdemux"
+    DESCRIPTION = "Dynamic Adaptive Streaming over HTTP demuxer"
+
+    def _load(self) -> None:
+        uri = self._uri()
+        root = ET.fromstring(_fetch(uri))
+        base = uri
+        segs: List[Tuple[float, str]] = []
+
+        def walk_base(el, cur):
+            for child in el:
+                if _strip_ns(child.tag) == "BaseURL" and child.text:
+                    return _resolve(cur, child.text.strip())
+            return cur
+
+        base = walk_base(root, base)
+        best = None                       # (bandwidth, rep, aset, per)
+        for period in root:
+            if _strip_ns(period.tag) != "Period":
+                continue
+            pbase = walk_base(period, base)
+            for aset in period:
+                if _strip_ns(aset.tag) != "AdaptationSet":
+                    continue
+                abase = walk_base(aset, pbase)
+                for rep in aset:
+                    if _strip_ns(rep.tag) != "Representation":
+                        continue
+                    bw = int(rep.get("bandwidth", "0"))
+                    if best is None or bw > best[0]:
+                        best = (bw, rep, aset, period, abase)
+        if best is None:
+            raise ValueError("dashdemux: no Representation in MPD")
+        _, rep, aset, period, abase = best
+        rbase = walk_base(rep, abase)
+
+        def find(el, name):
+            for child in el:
+                if _strip_ns(child.tag) == name:
+                    return child
+            return None
+
+        slist = find(rep, "SegmentList")
+        if slist is None:
+            slist = find(aset, "SegmentList")
+        stmpl = find(rep, "SegmentTemplate")
+        if stmpl is None:
+            stmpl = find(aset, "SegmentTemplate")
+        if slist is not None:
+            dur = float(slist.get("duration", "0"))
+            scale = float(slist.get("timescale", "1"))
+            init = find(slist, "Initialization")
+            if init is not None and init.get("sourceURL"):
+                segs.append((0.0, _resolve(rbase,
+                                           init.get("sourceURL"))))
+            for child in slist:
+                if _strip_ns(child.tag) == "SegmentURL":
+                    segs.append((dur / scale,
+                                 _resolve(rbase, child.get("media"))))
+        elif stmpl is not None:
+            media = stmpl.get("media", "")
+            dur = float(stmpl.get("duration", "0"))
+            scale = float(stmpl.get("timescale", "1"))
+            start = int(stmpl.get("startNumber", "1"))
+            total = _mpd_duration(root.get("mediaPresentationDuration"))
+            seg_dur = dur / scale if scale else 0
+            count = (max(1, int(total / seg_dur + 0.999))
+                     if seg_dur and total else 1)
+            init = stmpl.get("initialization")
+            rid = rep.get("id", "")
+            if init:
+                segs.append((0.0, _resolve(
+                    rbase, init.replace("$RepresentationID$", rid))))
+            for n in range(start, start + count):
+                u = media.replace("$Number$", str(n)) \
+                    .replace("$RepresentationID$", rid)
+                segs.append((seg_dur, _resolve(rbase, u)))
+        else:
+            raise ValueError("dashdemux: unsupported segment "
+                             "addressing (need SegmentList or "
+                             "SegmentTemplate)")
+        self._segments = segs
