@@ -61,9 +61,160 @@ class Discoverer:
             self._discover_y4m(path, head, info)
         elif head.startswith(b"RIFF") and head[8:12] == b"WAVE":
             self._discover_wav(path, info)
+        elif head.startswith(b"RIFF") and head[8:12] == b"AVI ":
+            self._discover_avi(path, info)
+        elif head.startswith(b"\x1a\x45\xdf\xa3"):
+            self._discover_matroska(path, info)
+        elif head[4:8] == b"ftyp" or head[4:8] in (b"moov", b"mdat",
+                                                   b"wide"):
+            self._discover_qt(path, info)
+        elif head.startswith(b"fLaC"):
+            self._discover_flac(path, info)
+        elif head.startswith(b"OggS"):
+            self._discover_ogg(path, info)
+        elif head.startswith(b"\xff") and (head[1] & 0xE0) == 0xE0 \
+                or head.startswith(b"ID3"):
+            self._discover_mp3(path, info)
         else:
             info.streams.append(StreamInfo(kind="unknown"))
         return info
+
+    def _discover_avi(self, path, info):
+        from ..elements.container_elements import (FOURCC_VIDEO,
+                                                   _parse_avi)
+        streams, chunks, _ = _parse_avi(path)
+        for st in streams:
+            if st["type"] == b"vids":
+                fps = (Fraction(st["rate"], st["scale"])
+                       if st["scale"] else None)
+                fmt = FOURCC_VIDEO.get(st.get("compression", b""),
+                                       st.get("compression",
+                                              b"").decode("latin-1"))
+                info.streams.append(StreamInfo(
+                    kind="video", width=st.get("width", 0),
+                    height=st.get("height", 0), fps=fps, format=fmt))
+                if fps and st.get("length"):
+                    info.duration_ns = (st["length"] * 1_000_000_000
+                                        * fps.denom // fps.num)
+            elif st["type"] == b"auds":
+                info.streams.append(StreamInfo(
+                    kind="audio", rate=st.get("arate", 0),
+                    channels=st.get("channels", 0)))
+
+    def _discover_matroska(self, path, info):
+        from ..elements.container_elements import (FOURCC_VIDEO,
+                                                   _parse_matroska)
+        tracks, blocks, _ = _parse_matroska(path)
+        last_ts = max((ts for _, ts, _, _ in blocks), default=0)
+        info.duration_ns = last_ts * 1_000_000 or None
+        for tr in tracks:
+            if tr.get("type") == 1:
+                fd = tr.get("frame_dur")
+                info.streams.append(StreamInfo(
+                    kind="video", width=tr.get("width", 0),
+                    height=tr.get("height", 0),
+                    fps=(Fraction(1_000_000_000, fd) if fd else None),
+                    format=tr.get("codec", "")))
+            elif tr.get("type") == 2:
+                info.streams.append(StreamInfo(
+                    kind="audio", rate=tr.get("rate", 0),
+                    channels=tr.get("channels", 0),
+                    format=tr.get("codec", "")))
+
+    def _discover_qt(self, path, info):
+        from ..elements.isomp4 import _parse_qt
+        tracks, _ = _parse_qt(path)
+        for tr in tracks:
+            dur = (tr["duration"] * 1_000_000_000 // tr["timescale"]
+                   if tr["timescale"] else None)
+            if dur and (info.duration_ns is None
+                        or dur > info.duration_ns):
+                info.duration_ns = dur
+            fourcc = tr["fourcc"].decode("latin-1")
+            if tr["handler"] == b"vide":
+                w = h = 0
+                entry = tr.get("entry") or b""
+                if len(entry) >= 28:
+                    w, h = struct.unpack(">HH", entry[24:28])
+                info.streams.append(StreamInfo(
+                    kind="video", width=w, height=h, format=fourcc))
+            elif tr["handler"] == b"soun":
+                rate = ch = 0
+                entry = tr.get("entry") or b""
+                if len(entry) >= 28:
+                    ch = struct.unpack(">H", entry[16:18])[0]
+                    rate = struct.unpack(">I", entry[24:28])[0] >> 16
+                info.streams.append(StreamInfo(
+                    kind="audio", rate=rate, channels=ch,
+                    format=fourcc))
+
+    def _discover_flac(self, path, info):
+        from ..codecs.flac import parse_stream_header
+        with open(path, "rb") as f:
+            data = f.read(65536)
+        si, _ = parse_stream_header(data)
+        info.duration_ns = (si.total_samples * 1_000_000_000
+                            // si.sample_rate
+                            if si.sample_rate and si.total_samples
+                            else None)
+        info.streams.append(StreamInfo(
+            kind="audio", rate=si.sample_rate, channels=si.channels,
+            format=f"FLAC-{si.bps}bit",
+            caps=Caps.from_string(
+                f"audio/x-flac, rate={si.sample_rate}, "
+                f"channels={si.channels}")))
+
+    def _discover_ogg(self, path, info):
+        with open(path, "rb") as f:
+            data = f.read(65536)
+        # FLAC-in-Ogg mapping (RFC 3533 page 0 BOS payload)
+        seg_count = data[26]
+        payload = data[27 + seg_count:]
+        if payload.startswith(b"\x7fFLAC"):
+            from ..codecs.flac import parse_stream_header
+            si, _ = parse_stream_header(payload[9:])
+            info.duration_ns = (si.total_samples * 1_000_000_000
+                                // si.sample_rate
+                                if si.sample_rate and si.total_samples
+                                else None)
+            info.streams.append(StreamInfo(
+                kind="audio", rate=si.sample_rate,
+                channels=si.channels, format="FLAC"))
+        else:
+            info.streams.append(StreamInfo(kind="unknown",
+                                           format="ogg"))
+
+    def _discover_mp3(self, path, info):
+        from ..elements.audioparsers import mp3_frame_info
+        with open(path, "rb") as f:
+            data = f.read(65536)
+        pos = 0
+        if data.startswith(b"ID3"):
+            sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+                | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+            pos = 10 + sz
+        fi = None
+        while pos < len(data) - 4:
+            fi = mp3_frame_info(data[pos:pos + 8])
+            if fi:
+                break
+            pos += 1
+        if fi:
+            frame_len, version, layer, rate, channels = fi
+            spf = 384 if layer == 1 else (
+                1152 if version == 1 or layer == 2 else 576)
+            size = os.path.getsize(path) - pos
+            n_frames = max(1, size // max(1, frame_len))
+            info.duration_ns = (n_frames * spf * 1_000_000_000
+                                // rate if rate else None)
+            info.streams.append(StreamInfo(
+                kind="audio", rate=rate, channels=channels,
+                format="MP3",
+                caps=Caps.from_string(
+                    f"audio/mpeg, mpegversion=1, layer={layer}, "
+                    f"rate={rate}, channels={channels}")))
+        else:
+            info.streams.append(StreamInfo(kind="unknown"))
 
     def _discover_y4m(self, path, head, info):
         hdr = head.split(b"\n", 1)[0].decode()
