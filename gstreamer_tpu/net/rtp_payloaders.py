@@ -890,3 +890,270 @@ class RtpJpegDepay(TransformElement):
             return None
         return buf.with_(data=images if len(images) > 1 else images[0],
                          batch=len(images))
+
+
+# ---------------------------------------------------------------------------
+# rtpmux / rtpdtmfmux / rtpfunnel (gstrtpmux.c, gstrtpdtmfmux.c,
+# gstrtpfunnel.c)
+# ---------------------------------------------------------------------------
+
+def _rewrite_packet(pkt: bytes, seq: int, ts_off: int,
+                    ssrc: int) -> bytes:
+    """Rewrite seq/ts/ssrc in a packet copy (gstrtpmux.c
+    process_buffer_locked: outgoing packets share one series)."""
+    b = bytearray(pkt)
+    struct.pack_into("!H", b, 2, seq & 0xFFFF)
+    old_ts = struct.unpack_from("!I", b, 4)[0]
+    struct.pack_into("!I", b, 4, (old_ts + ts_off) & 0xFFFFFFFF)
+    struct.pack_into("!I", b, 8, ssrc & 0xFFFFFFFF)
+    return bytes(b)
+
+
+@register_element
+class RtpMux(TransformElement):
+    """rtpmux: interleave several RTP streams into one, rewriting
+    seqnums into a single series and forcing a common SSRC.  In the
+    batched model the element is fed the per-tick packet lists of all
+    upstreams via an aggregator-style dict when multiple sink pads
+    are linked; with one stream it is a seq/ssrc rewriter."""
+    FACTORY = "rtpmux"
+    DESCRIPTION = "multiplex N rtp streams into one"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "ssrc": (int, 0x4D55580A, "forced SSRC"),
+        "seqnum-offset": (int, 0, "first output seqnum"),
+        "timestamp-offset": (int, 0, "added to all timestamps"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._seq = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._seq = self.props["seqnum-offset"]
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        out = []
+        for pkt in _blobs(buf):
+            out.append(_rewrite_packet(
+                pkt, self._seq, self.props["timestamp-offset"],
+                self.props["ssrc"]))
+            self._seq = (self._seq + 1) & 0xFFFF
+        return buf.with_(data=out)
+
+
+@register_element
+class RtpDtmfMux(RtpMux):
+    """rtpdtmfmux: rtpmux whose priority (DTMF) sink wins while a
+    telephone-event is active — in the collapsed single-stream form
+    the DTMF stream is simply passed with the same rewrite rules."""
+    FACTORY = "rtpdtmfmux"
+    DESCRIPTION = "mixes RTP DTMF streams into other RTP streams"
+
+
+@register_element
+class RtpFunnel(TransformElement):
+    """rtpfunnel: forward many RTP streams through one pad, KEEPING
+    their SSRCs (unlike rtpmux) — a passthrough in the collapsed
+    form; also answers caps queries with application/x-rtp."""
+    FACTORY = "rtpfunnel"
+    DESCRIPTION = "Funnel RTP streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        return buf
+
+
+# ---------------------------------------------------------------------------
+# RTP retransmission (RFC 4588) — gstrtprtxsend.c / gstrtprtxreceive.c
+# ---------------------------------------------------------------------------
+
+@register_element
+class RtpRtxSend(TransformElement):
+    """rtprtxsend: keeps a history of sent packets; retransmission
+    requests (request_retransmit(seq) / GstRTPRetransmissionRequest
+    upstream events) emit RFC 4588 rtx packets — payload starts with
+    the 2-byte original seqnum, sent with rtx ssrc/pt and their own
+    seqnum series."""
+    FACTORY = "rtprtxsend"
+    DESCRIPTION = "Retransmit RTP packets when needed, according to " \
+                  "RFC4588"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "max-size-packets": (int, 100, "history length"),
+        "rtx-ssrc": (int, 0x52545821, "ssrc of rtx packets"),
+        "rtx-payload-type": (int, 97, "payload type of rtx packets"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._history: Dict[int, bytes] = {}
+        self._order: List[int] = []
+        self._rtx_seq = 0
+        self.num_rtx_requests = 0
+        self.num_rtx_packets = 0
+        self._pending_rtx: List[bytes] = []
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._history = {}
+        self._order = []
+        self._rtx_seq = 0
+        self._pending_rtx = []
+        self.num_rtx_requests = 0
+        self.num_rtx_packets = 0
+
+    def request_retransmit(self, seq: int) -> bool:
+        """Queue an rtx packet for `seq` (RFC 4588 payload: OSN +
+        original payload)."""
+        self.num_rtx_requests += 1
+        pkt = self._history.get(seq & 0xFFFF)
+        if pkt is None:
+            return False
+        h = parse_rtp_header(pkt)
+        rtx = rtp_header(self.props["rtx-payload-type"], self._rtx_seq,
+                         h["timestamp"], self.props["rtx-ssrc"],
+                         marker=h["marker"]) \
+            + struct.pack("!H", seq & 0xFFFF) + h["payload"]
+        self._rtx_seq = (self._rtx_seq + 1) & 0xFFFF
+        self._pending_rtx.append(rtx)
+        self.num_rtx_packets += 1
+        return True
+
+    def src_event(self, pad, event) -> bool:
+        if getattr(event, "type", None) == "rtx-request":
+            return self.request_retransmit(
+                (event.data or {}).get("seqnum", -1))
+        return super().src_event(pad, event)
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        pkts = _blobs(buf)
+        maxlen = self.props["max-size-packets"]
+        for pkt in pkts:
+            h = parse_rtp_header(pkt)
+            self._history[h["seq"]] = pkt
+            self._order.append(h["seq"])
+            while len(self._order) > maxlen:
+                old = self._order.pop(0)
+                self._history.pop(old, None)
+        out = pkts + self._pending_rtx
+        self._pending_rtx = []
+        return buf.with_(data=out)
+
+
+@register_element
+class RtpRtxReceive(TransformElement):
+    """rtprtxreceive: recognizes rtx packets by payload type, strips
+    the 2-byte OSN and restores the original seqnum/ssrc/pt."""
+    FACTORY = "rtprtxreceive"
+    DESCRIPTION = "Receive retransmitted RTP packets according to " \
+                  "RFC4588"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "rtx-payload-type": (int, 97, "payload type of rtx packets"),
+        "orig-payload-type": (int, 96, "pt restored on rtx packets"),
+        "orig-ssrc": (int, 0, "ssrc restored on rtx packets "
+                              "(0 = learn from stream)"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.num_rtx_packets = 0
+        self._learned_ssrc = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self.num_rtx_packets = 0
+        self._learned_ssrc = 0
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        out = []
+        for pkt in _blobs(buf):
+            h = parse_rtp_header(pkt)
+            if h["payload_type"] == self.props["rtx-payload-type"] \
+                    and len(h["payload"]) >= 2:
+                osn = struct.unpack("!H", h["payload"][:2])[0]
+                ssrc = self.props["orig-ssrc"] or self._learned_ssrc
+                restored = rtp_header(
+                    self.props["orig-payload-type"], osn,
+                    h["timestamp"], ssrc, marker=h["marker"]) \
+                    + h["payload"][2:]
+                out.append(restored)
+                self.num_rtx_packets += 1
+            else:
+                self._learned_ssrc = h["ssrc"]
+                out.append(pkt)
+        return buf.with_(data=out)
+
+
+@register_element
+class RtpRtxQueue(RtpRtxSend):
+    """rtprtxqueue: like rtprtxsend but retransmits the ORIGINAL
+    packet (no RFC 4588 encapsulation; gstrtprtxqueue.c)."""
+    FACTORY = "rtprtxqueue"
+    DESCRIPTION = "Keep RTP packets in a queue for retransmission"
+
+    def request_retransmit(self, seq: int) -> bool:
+        self.num_rtx_requests += 1
+        pkt = self._history.get(seq & 0xFFFF)
+        if pkt is None:
+            return False
+        self._pending_rtx.append(pkt)
+        self.num_rtx_packets += 1
+        return True

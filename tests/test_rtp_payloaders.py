@@ -266,3 +266,88 @@ class TestJpegRtp:
         assert max(t1) == 255
         t99 = rfc2435_make_tables(99)           # near-lossless, min 1
         assert min(t99) >= 1
+
+
+class TestRtpMux:
+    def _pkts(self, pipeline_tail="rtpmux", launch_extra=""):
+        p = parse_launch(
+            f"audiotestsrc num-buffers=3 samplesperbuffer=400 ! "
+            f"audio/x-raw,format=S16LE,rate=8000,channels=1 ! "
+            f"mulawenc ! rtppcmupay ! {pipeline_tail} {launch_extra} "
+            f"! appsink name=out")
+        p.run()
+        pkts = []
+        while (s := p.get_by_name("out").pull_sample()) is not None:
+            d = s.buffer.data
+            pkts.extend(bytes(x) for x in
+                        (d if isinstance(d, (list, tuple)) else [d]))
+        return pkts
+
+    def test_common_series(self):
+        pkts = self._pkts("rtpmux", "ssrc=4242 seqnum-offset=100")
+        seqs = [parse_rtp_header(pk)["seq"] for pk in pkts]
+        ssrcs = {parse_rtp_header(pk)["ssrc"] for pk in pkts}
+        assert seqs == list(range(100, 100 + len(pkts)))
+        assert ssrcs == {4242}
+
+    def test_funnel_keeps_ssrc(self):
+        pkts = self._pkts("rtpfunnel")
+        ssrcs = {parse_rtp_header(pk)["ssrc"] for pk in pkts}
+        assert ssrcs == {0x1234}                 # pay default kept
+
+    def test_dtmfmux_exists(self):
+        pkts = self._pkts("rtpdtmfmux")
+        assert pkts
+
+
+class TestRtpRtx:
+    def test_send_receive_cycle(self):
+        from gstreamer_tpu.core.element import element_factory_make
+        send = element_factory_make("rtprtxsend", **{
+            "rtx-payload-type": 97})
+        recv = element_factory_make("rtprtxreceive", **{
+            "rtx-payload-type": 97, "orig-payload-type": 0})
+        send.start()
+        recv.start()
+        orig = [rtp_header(0, k, 1000 + k, 777) + bytes([k]) * 10
+                for k in range(5)]
+        out1 = send.host_process(Buffer(data=list(orig), pts=0))
+        assert [bytes(x) for x in out1.data] == orig
+        # request retransmission of seq 2
+        assert send.request_retransmit(2)
+        out2 = send.host_process(Buffer(data=[], pts=0))
+        rtx = [bytes(x) for x in out2.data]
+        assert len(rtx) == 1
+        h = parse_rtp_header(rtx[0])
+        assert h["payload_type"] == 97
+        assert struct.unpack("!H", h["payload"][:2])[0] == 2
+        # receive side: restore original packets
+        restored = recv.host_process(Buffer(data=list(orig) + rtx,
+                                            pts=0))
+        got = [bytes(x) for x in restored.data]
+        assert len(got) == 6
+        hr = parse_rtp_header(got[5])
+        assert hr["seq"] == 2 and hr["payload_type"] == 0
+        assert hr["ssrc"] == 777                 # learned
+        assert hr["payload"] == bytes([2]) * 10
+        assert recv.num_rtx_packets == 1
+
+    def test_send_history_bound(self):
+        from gstreamer_tpu.core.element import element_factory_make
+        send = element_factory_make("rtprtxsend", **{
+            "max-size-packets": 3})
+        send.start()
+        pkts = [rtp_header(0, k, 0, 1) + b"x" for k in range(10)]
+        send.host_process(Buffer(data=pkts, pts=0))
+        assert not send.request_retransmit(2)    # evicted
+        assert send.request_retransmit(9)
+
+    def test_rtxqueue_resends_original(self):
+        from gstreamer_tpu.core.element import element_factory_make
+        q = element_factory_make("rtprtxqueue")
+        q.start()
+        pkts = [rtp_header(0, k, 0, 5) + bytes([k]) for k in range(3)]
+        q.host_process(Buffer(data=pkts, pts=0))
+        assert q.request_retransmit(1)
+        out = q.host_process(Buffer(data=[], pts=0))
+        assert bytes(out.data[0]) == pkts[1]     # verbatim resend
