@@ -1,0 +1,139 @@
+"""mxfmux/mxfdemux reduced OP1a (gst-plugins-bad/gst/mxf/)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.core.parse import parse_launch
+from gstreamer_tpu.elements.mxf import (ESSENCE_PREFIX, UL_OP1A,
+                                        UL_PRIMER, ber, read_ber)
+
+
+def _pull(p, name="out"):
+    out = []
+    while (s := p.get_by_name(name).pull_sample()) is not None:
+        out.append(s)
+    return out
+
+
+class TestKlv:
+    def test_ber_roundtrip(self):
+        for n in (0, 1, 127, 128, 100000):
+            b = ber(n)
+            got, pos = read_ber(b, 0)
+            assert got == n and pos == len(b)
+
+    def test_short_form_read(self):
+        assert read_ber(b"\x05", 0) == (5, 1)
+
+
+class TestVideoRoundtrip:
+    def test_bit_exact(self, tmp_path):
+        path = tmp_path / "v.mxf"
+        p = parse_launch(
+            f"videotestsrc num-buffers=5 ! video/x-raw,format=UYVY,"
+            f"width=64,height=48,framerate=25/1 ! mxfmux "
+            f"location={path}")
+        p.run()
+        p.set_state("null")
+        blob = path.read_bytes()
+        # SMPTE partition pack key leads the file
+        assert blob[:13] == bytes((0x06, 0x0E, 0x2B, 0x34, 0x02,
+                                   0x05, 0x01, 0x01, 0x0D, 0x01,
+                                   0x02, 0x01, 0x01))
+        assert UL_OP1A in blob
+
+        d = parse_launch(f"mxfdemux location={path} stream=video ! "
+                         f"appsink name=out")
+        d.run()
+        frames = _pull(d)
+        assert sum(s.buffer.batch or 1 for s in frames) == 5
+        st = frames[0].caps[0]
+        assert st["width"] == 64 and st["height"] == 48
+        assert st["format"] == "UYVY"
+        fr = st["framerate"]
+        assert (fr.num, fr.denom) == (25, 1)
+
+        gold = parse_launch(
+            "videotestsrc num-buffers=5 ! video/x-raw,format=UYVY,"
+            "width=64,height=48,framerate=25/1 ! appsink name=out")
+        gold.run()
+        gf = _pull(gold)
+        for c in range(len(frames[0].buffer.data)):
+            a = np.concatenate([np.asarray(s.buffer.data[c])
+                                for s in frames])
+            b = np.concatenate([np.asarray(s.buffer.data[c])
+                                for s in gf])
+            np.testing.assert_array_equal(a, b)
+
+
+class TestAudioRoundtrip:
+    def test_pcm_bit_exact(self, tmp_path):
+        path = tmp_path / "a.mxf"
+        p = parse_launch(
+            f"audiotestsrc num-buffers=4 samplesperbuffer=500 "
+            f"wave=saw ! audio/x-raw,format=S16LE,rate=48000,"
+            f"channels=2 ! mxfmux location={path}")
+        p.run()
+        p.set_state("null")
+        d = parse_launch(f"mxfdemux location={path} stream=audio ! "
+                         f"appsink name=out")
+        d.run()
+        got = np.concatenate([np.asarray(s.buffer.data)
+                              for s in _pull(d)])
+        assert got.shape == (2000, 2)
+        gold = parse_launch(
+            "audiotestsrc num-buffers=4 samplesperbuffer=500 "
+            "wave=saw ! audio/x-raw,format=S16LE,rate=48000,"
+            "channels=2 ! appsink name=out")
+        gold.run()
+        want = np.concatenate([np.asarray(s.buffer.data)
+                               for s in _pull(gold)])
+        np.testing.assert_array_equal(got, want)
+
+
+class TestAvMux:
+    def test_both_streams(self, tmp_path):
+        path = tmp_path / "av.mxf"
+        p = parse_launch(
+            f"mxfmux name=m location={path} "
+            f"videotestsrc num-buffers=10 ! video/x-raw,format=UYVY,"
+            f"width=32,height=24,framerate=10/1 ! m.video_0 "
+            f"audiotestsrc num-buffers=10 samplesperbuffer=4800 ! "
+            f"audio/x-raw,format=S16LE,rate=48000,channels=2 ! "
+            f"m.audio_0")
+        p.run()
+        p.set_state("null")
+        dv = parse_launch(f"mxfdemux location={path} stream=video ! "
+                          f"appsink name=out")
+        dv.run()
+        assert sum(s.buffer.batch or 1 for s in _pull(dv)) == 10
+        da = parse_launch(f"mxfdemux location={path} stream=audio ! "
+                          f"appsink name=out")
+        da.run()
+        assert sum(np.asarray(s.buffer.data).shape[0]
+                   for s in _pull(da)) == 48000
+
+    def test_essence_klv_structure(self, tmp_path):
+        path = tmp_path / "s.mxf"
+        p = parse_launch(
+            f"videotestsrc num-buffers=2 ! video/x-raw,format=UYVY,"
+            f"width=16,height=16,framerate=10/1 ! mxfmux "
+            f"location={path}")
+        p.run()
+        p.set_state("null")
+        blob = path.read_bytes()
+        assert UL_PRIMER[:13] in blob
+        # two picture essence KLVs of 16*16*2 bytes each
+        count = 0
+        pos = 0
+        while True:
+            i = blob.find(ESSENCE_PREFIX, pos)
+            if i < 0:
+                break
+            length, vpos = read_ber(blob, i + 16)
+            assert length == 16 * 16 * 2
+            count += 1
+            pos = vpos + length
+        assert count == 2
