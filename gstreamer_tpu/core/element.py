@@ -19,6 +19,8 @@ Key departures from the reference, by design:
 
 from __future__ import annotations
 
+import threading as _threading
+
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from .buffer import Buffer, FlowReturn
@@ -493,9 +495,21 @@ def get_factory_class(factory: str) -> type:
 _loaded = False
 
 
+_load_lock = _threading.RLock()
+
+
 def _ensure_elements_loaded():
-    """Lazy plugin load (the registry-scan equivalent, gstregistry.c)."""
+    """Lazy plugin load (the registry-scan equivalent, gstregistry.c).
+
+    Thread-safe: the flag flips only AFTER the element modules have
+    fully imported, so a second thread never observes a partially
+    populated registry (the RLock keeps same-thread reentry from
+    import-time registrations safe)."""
     global _loaded
-    if not _loaded:
-        _loaded = True
+    if _loaded:
+        return
+    with _load_lock:
+        if _loaded:
+            return
         from .. import elements  # noqa: F401  (registers on import)
+        _loaded = True
