@@ -1,88 +1,67 @@
-"""SDP library + sdpdemux/sdpsrc + rtpsrc/rtpsink URI bins.
+"""SDP (Session Description Protocol, RFC 4566) parsing/serialization.
 
-References:
-* gst-plugins-base/gst-libs/gst/sdp/gstsdpmessage.c — SDP message
-  parse/serialize (v=/o=/s=/c=/t=/m=/a= lines, rtpmap/fmtp
-  attributes, per-media connections).
-* gst-plugins-bad/gst/sdp/gstsdpdemux.c — builds a receiving chain
-  (udpsrc + jitterbuffer + depayloader) per media section; here the
-  source-style collapse creates one inner udpsrc per media and emits
-  application/x-rtp caps carrying media/encoding-name/clock-rate/pt
-  from the rtpmap.
-* gst-plugins-bad/gst/rtp/gstrtpsrc.c / gstrtpsink.c — rtp:// URI
-  convenience elements over udpsrc/udpsink (+ rtpbin in the
-  reference; the batched model pairs them with the jitterbuffer and
-  payloaders explicitly).
+TPU-native slice of the reference SDP library
+(gst-plugins-base/gst-libs/gst/sdp/gstsdpmessage.c): parse/produce
+session descriptions, including the rtpmap attribute handling used to
+pair SDP with the RTP elements (net/rtp.py) for stream setup.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
-from urllib.parse import parse_qs, urlparse
-
-import numpy as np
-
-from ..core.buffer import Buffer, FlowReturn
-from ..core.caps import Caps
-from ..core.element import (PadDirection, PadPresence, PadTemplate,
-                            SinkElement, SourceElement,
-                            element_factory_make, register_element)
-from ..core.structure import Structure
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
 
+@dataclass
 class SDPMedia:
-    def __init__(self, media: str, port: int, proto: str,
-                 formats: List[int]):
-        self.media = media
-        self.port = port
-        self.proto = proto
-        self.formats = formats
-        self.attributes: Dict[str, List[str]] = {}
-        self.connection: Optional[str] = None
+    media: str = ""                 # audio | video | ...
+    port: int = 0
+    proto: str = "RTP/AVP"
+    formats: List[str] = field(default_factory=list)
+    attributes: List[Tuple[str, str]] = field(default_factory=list)
+    connection: str = ""
 
-    def rtpmap(self, pt: int) -> Optional[dict]:
-        for v in self.attributes.get("rtpmap", []):
-            p, _, enc = v.partition(" ")
-            if int(p) != pt:
-                continue
-            parts = enc.split("/")
-            return {"encoding-name": parts[0],
-                    "clock-rate": int(parts[1])
-                    if len(parts) > 1 else 90000,
-                    "encoding-params": parts[2]
-                    if len(parts) > 2 else None}
+    def get_attribute_val(self, key: str) -> Optional[str]:
+        for k, v in self.attributes:
+            if k == key:
+                return v
         return None
 
-    def caps(self) -> Caps:
-        pt = self.formats[0] if self.formats else 96
-        f = {"media": self.media, "payload": pt}
-        rm = self.rtpmap(pt)
-        if rm:
-            f["encoding-name"] = rm["encoding-name"]
-            f["clock-rate"] = rm["clock-rate"]
-        return Caps([Structure("application/x-rtp", f)])
+    def rtpmaps(self) -> Dict[int, Tuple[str, int, int]]:
+        """pt -> (encoding, clock-rate, channels) from a=rtpmap."""
+        out = {}
+        for k, v in self.attributes:
+            if k != "rtpmap":
+                continue
+            pt, enc = v.split(" ", 1)
+            parts = enc.split("/")
+            name = parts[0]
+            rate = int(parts[1]) if len(parts) > 1 else 0
+            ch = int(parts[2]) if len(parts) > 2 else 1
+            out[int(pt)] = (name, rate, ch)
+        return out
 
 
+@dataclass
 class SDPMessage:
-    """Minimal gst_sdp_message: version/origin/session + medias."""
-
-    def __init__(self):
-        self.version = "0"
-        self.origin = ""
-        self.session_name = ""
-        self.connection: Optional[str] = None
-        self.attributes: Dict[str, List[str]] = {}
-        self.medias: List[SDPMedia] = []
+    version: str = "0"
+    origin: str = ""
+    session_name: str = ""
+    connection: str = ""
+    times: List[str] = field(default_factory=list)
+    attributes: List[Tuple[str, str]] = field(default_factory=list)
+    medias: List[SDPMedia] = field(default_factory=list)
 
     @classmethod
     def parse(cls, text: str) -> "SDPMessage":
+        """gst_sdp_message_parse_buffer."""
         msg = cls()
         cur: Optional[SDPMedia] = None
-        for ln in text.splitlines():
-            ln = ln.strip()
-            if len(ln) < 2 or ln[1] != "=":
+        for line in text.splitlines():
+            line = line.strip()
+            if len(line) < 2 or line[1] != "=":
                 continue
-            key, val = ln[0], ln[2:]
+            key, val = line[0], line[2:]
             if key == "v":
                 msg.version = val
             elif key == "o":
@@ -90,49 +69,89 @@ class SDPMessage:
             elif key == "s":
                 msg.session_name = val
             elif key == "c":
-                if cur is None:
-                    msg.connection = val
-                else:
+                if cur is not None:
                     cur.connection = val
+                else:
+                    msg.connection = val
+            elif key == "t":
+                msg.times.append(val)
             elif key == "m":
                 parts = val.split()
-                cur = SDPMedia(parts[0], int(parts[1]), parts[2],
-                               [int(x) for x in parts[3:]])
+                cur = SDPMedia(media=parts[0], port=int(parts[1]),
+                               proto=parts[2], formats=parts[3:])
                 msg.medias.append(cur)
             elif key == "a":
-                name, _, av = val.partition(":")
-                tgt = (cur.attributes if cur is not None
-                       else msg.attributes)
-                tgt.setdefault(name, []).append(av)
+                k, _, v = val.partition(":")
+                target = cur.attributes if cur is not None \
+                    else msg.attributes
+                target.append((k, v))
         return msg
 
     def as_text(self) -> str:
-        out = [f"v={self.version}"]
+        """gst_sdp_message_as_text."""
+        lines = [f"v={self.version}"]
         if self.origin:
-            out.append(f"o={self.origin}")
-        out.append(f"s={self.session_name or ' '}")
+            lines.append(f"o={self.origin}")
+        lines.append(f"s={self.session_name or ' '}")
         if self.connection:
-            out.append(f"c={self.connection}")
-        for name, vals in self.attributes.items():
-            for v in vals:
-                out.append(f"a={name}:{v}" if v else f"a={name}")
+            lines.append(f"c={self.connection}")
+        for t in (self.times or ["0 0"]):
+            lines.append(f"t={t}")
+        for k, v in self.attributes:
+            lines.append(f"a={k}:{v}" if v else f"a={k}")
         for m in self.medias:
-            fmts = " ".join(str(f) for f in m.formats)
-            out.append(f"m={m.media} {m.port} {m.proto} {fmts}")
+            lines.append(f"m={m.media} {m.port} {m.proto} "
+                         + " ".join(m.formats))
             if m.connection:
-                out.append(f"c={m.connection}")
-            for name, vals in m.attributes.items():
-                for v in vals:
-                    out.append(f"a={name}:{v}" if v
-                               else f"a={name}")
-        return "\r\n".join(out) + "\r\n"
+                lines.append(f"c={m.connection}")
+            for k, v in m.attributes:
+                lines.append(f"a={k}:{v}" if v else f"a={k}")
+        return "\r\n".join(lines) + "\r\n"
+
+
+def media_to_caps(media: SDPMedia, pt: int):
+    """gst_sdp_media_get_caps_from_media: build application/x-rtp caps
+    with the rtpmap fields."""
+    from ..core.caps import Caps
+
+    maps = media.rtpmaps()
+    enc, rate, ch = maps.get(pt, ("", 0, 1))
+    s = (f"application/x-rtp, media=(string){media.media}, "
+         f"payload=(int){pt}")
+    if enc:
+        s += f", encoding-name=(string){enc}"
+    if rate:
+        s += f", clock-rate=(int){rate}"
+    if ch > 1:
+        s += f", channels=(int){ch}"
+    return Caps.from_string(s)
+
+
+# ---------------------------------------------------------------------------
+# Elements: sdpdemux / sdpsrc (gst-plugins-bad/gst/sdp/gstsdpdemux.c)
+# and rtpsrc / rtpsink (gst-plugins-bad/gst/rtp/gstrtpsrc.c /
+# gstrtpsink.c) — rtp:// URI convenience over udpsrc/udpsink; the
+# sdp elements collapse the per-media receive chain into a
+# source-style element with rtpmap-derived application/x-rtp caps.
+# ---------------------------------------------------------------------------
+
+from urllib.parse import parse_qs, urlparse  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from ..core.buffer import Buffer  # noqa: E402
+from ..core.caps import Caps  # noqa: E402
+from ..core.element import (PadDirection, PadTemplate,  # noqa: E402
+                            SinkElement, SourceElement,
+                            element_factory_make, register_element)
+from ..core.structure import Structure  # noqa: E402
 
 
 @register_element
 class SdpDemux(SourceElement):
-    """sdpdemux (source-style): reads an SDP file, receives the FIRST
-    media section's RTP packets via an inner udpsrc and emits them
-    with rtpmap-derived caps.  `media` selects audio/video."""
+    """sdpdemux (source-style): reads an SDP file, receives the
+    selected media section's RTP packets via an inner udpsrc and
+    emits them with rtpmap-derived caps."""
     FACTORY = "sdpdemux"
     DESCRIPTION = "Receive data over the network via SDP"
     PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
@@ -147,12 +166,15 @@ class SdpDemux(SourceElement):
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._inner = None
-        self._media: Optional[SDPMedia] = None
+        self._media = None
+
+    def _sdp_text(self) -> str:
+        return open(self.props["location"]).read()
 
     def _load(self):
         if self._media is not None:
             return
-        msg = SDPMessage.parse(open(self.props["location"]).read())
+        msg = SDPMessage.parse(self._sdp_text())
         want = self.props["media"]
         for m in msg.medias:
             if not want or m.media == want:
@@ -161,12 +183,17 @@ class SdpDemux(SourceElement):
         if self._media is None:
             raise ValueError(f"sdpdemux: no media {want!r} in SDP")
 
+    def _caps(self) -> "Caps":
+        pt = int(self._media.formats[0]) if self._media.formats \
+            else 96
+        return media_to_caps(self._media, pt)
+
     def get_caps(self, filter=None):
         try:
             self._load()
         except (OSError, ValueError):
             return Caps.from_string("application/x-rtp")
-        caps = self._media.caps()
+        caps = self._caps()
         if filter is not None:
             caps = caps.intersect(filter)
         return caps
@@ -187,7 +214,7 @@ class SdpDemux(SourceElement):
             self._inner.stop()
             self._inner = None
 
-    def create(self, n_frames: int) -> Optional[Buffer]:
+    def create(self, n_frames):
         lim = self.props["num-buffers"]
         if lim >= 0 and self._count >= lim:
             return None
@@ -195,7 +222,7 @@ class SdpDemux(SourceElement):
         if buf is not None:
             self._count += 1
             buf = buf.with_(meta=dict(buf.meta or {},
-                                      caps=self._media.caps()))
+                                      caps=self._caps()))
         return buf
 
 
@@ -207,29 +234,18 @@ class SdpSrc(SdpDemux):
     PROPERTIES = dict(SdpDemux.PROPERTIES,
                       sdp=(str, "", "inline SDP text"))
 
-    def _load(self):
-        if self._media is not None:
-            return
+    def _sdp_text(self) -> str:
         if self.props["sdp"]:
-            msg = SDPMessage.parse(
-                self.props["sdp"].replace("\\n", "\n"))
-            want = self.props["media"]
-            for m in msg.medias:
-                if not want or m.media == want:
-                    self._media = m
-                    break
-            if self._media is None:
-                raise ValueError("sdpsrc: no matching media")
-            return
+            return self.props["sdp"].replace("\\n", "\n")
         loc = self.props["location"]
         if loc.startswith("sdp://"):
-            self.props["location"] = loc[6:]
-        super()._load()
+            loc = loc[6:]
+        return open(loc).read()
 
 
 @register_element
 class RtpSink(SinkElement):
-    """rtpsink (gstrtpsink.c): rtp://host:port URI over udpsink."""
+    """rtpsink: rtp://host:port URI over udpsink."""
     FACTORY = "rtpsink"
     DESCRIPTION = "RTP packet sender"
     PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
@@ -248,14 +264,14 @@ class RtpSink(SinkElement):
             self._inner.stop()
             self._inner = None
 
-    def render(self, buf: Buffer) -> str:
+    def render(self, buf):
         return self._inner.render(buf)
 
 
 @register_element
 class RtpSrc(SourceElement):
-    """rtpsrc (gstrtpsrc.c): rtp://@:port receiver over udpsrc; caps
-    from the `caps` property or URI query (?encoding-name=...)."""
+    """rtpsrc: rtp://@:port receiver over udpsrc; caps from the
+    `caps` property or URI query (?media=...&clock-rate=...)."""
     FACTORY = "rtpsrc"
     DESCRIPTION = "RTP packet receiver"
     PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC,
@@ -299,7 +315,7 @@ class RtpSrc(SourceElement):
             self._inner.stop()
             self._inner = None
 
-    def create(self, n_frames: int) -> Optional[Buffer]:
+    def create(self, n_frames):
         lim = self.props["num-buffers"]
         if lim >= 0 and self._count >= lim:
             return None

@@ -29,14 +29,14 @@ class TestSdpMessage:
         msg = SDPMessage.parse(SDP_TEXT)
         assert msg.session_name == "Session"
         assert [m.media for m in msg.medias] == ["audio", "video"]
-        assert msg.medias[0].formats == [0]
-        rm = msg.medias[0].rtpmap(0)
-        assert rm["encoding-name"] == "PCMU"
-        assert rm["clock-rate"] == 8000
+        assert msg.medias[0].formats == ["0"]
+        name, rate, ch = msg.medias[0].rtpmaps()[0]
+        assert name == "PCMU" and rate == 8000
 
     def test_media_caps(self):
+        from gstreamer_tpu.net.sdp import media_to_caps
         msg = SDPMessage.parse(SDP_TEXT)
-        c = msg.medias[1].caps()[0]
+        c = media_to_caps(msg.medias[1], 96)[0]
         assert c.name == "application/x-rtp"
         assert c["media"] == "video"
         assert c["encoding-name"] == "H264"
@@ -46,8 +46,8 @@ class TestSdpMessage:
         msg = SDPMessage.parse(SDP_TEXT)
         again = SDPMessage.parse(msg.as_text())
         assert [m.media for m in again.medias] == ["audio", "video"]
-        assert again.medias[1].attributes["fmtp"] == \
-            ["96 packetization-mode=1"]
+        assert again.medias[1].get_attribute_val("fmtp") == \
+            "96 packetization-mode=1"
 
 
 class TestRtpUriElements:
