@@ -45,6 +45,7 @@ from . import timecode_misc      # noqa: F401
 from . import midi_irtsp         # noqa: F401
 from . import bad_bins           # noqa: F401
 from . import asf                # noqa: F401
+from . import smoke_codec_elements  # noqa: F401
 from ..net import rtsp_server    # noqa: F401  (rtspsrc element)
 from . import container_elements  # noqa: F401
 from . import image_codecs       # noqa: F401
