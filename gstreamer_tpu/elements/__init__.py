@@ -26,6 +26,7 @@ from ..net import rtp            # noqa: F401  (rtp elements)
 from ..net import rtp_payloaders # noqa: F401  (codec pay/depay, dtmf)
 from ..net import adaptive       # noqa: F401  (hlsdemux/dashdemux)
 from ..net import sdp            # noqa: F401  (sdpdemux/rtpsrc/rtpsink)
+from ..net import webrtc         # noqa: F401  (webrtcbin)
 from . import bayer              # noqa: F401
 from . import visualizers        # noqa: F401
 from . import goom2k1            # noqa: F401
