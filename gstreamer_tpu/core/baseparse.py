@@ -69,6 +69,7 @@ class BaseParse(TransformElement):
         self._adapter.clear()
         self._next_pts = None
         self._frames_out = 0
+        self.draining = False
 
     def flush(self):
         self.start()

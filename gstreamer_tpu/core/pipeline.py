@@ -365,6 +365,8 @@ class Pipeline(Bin):
         compute (the queue-decoupling analog, gstqueue.c:211)."""
         import jax
 
+        from .xla_cache import ensure_persistent_cache
+        ensure_persistent_cache()
         hooks.load_env()
         self.negotiate()
         hooks.fire("pipeline-negotiated", self)

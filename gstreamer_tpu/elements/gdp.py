@@ -54,11 +54,19 @@ def dp_crc(data: bytes) -> int:
     return c
 
 
+FLAG_CRC_HEADER = 0x01   # dp-private.h GST_DP_HEADER_FLAG_CRC_HEADER
+FLAG_CRC_PAYLOAD = 0x02  # GST_DP_HEADER_FLAG_CRC_PAYLOAD
+
+
 def dp_packet(ptype: int, payload: bytes, pts=None, duration=None,
-              use_crc: bool = True) -> bytes:
+              crc_header: bool = True,
+              crc_payload: bool = False) -> bytes:
+    """Reference gdppay defaults: crc-header=TRUE, crc-payload=FALSE
+    (gstgdppay.c:60) — flags byte 0x01, payload CRC field 0."""
     h = bytearray(HEADER_LEN)
     h[0], h[1] = 1, 0
-    h[2] = 0x02 if use_crc else 0       # GST_DP_HEADER_FLAG_CRC_PAYLOAD?
+    h[2] = ((FLAG_CRC_HEADER if crc_header else 0)
+            | (FLAG_CRC_PAYLOAD if crc_payload else 0))
     struct.pack_into(">H", h, 4, ptype)
     struct.pack_into(">I", h, 6, len(payload))
     struct.pack_into(">Q", h, 10,
@@ -68,8 +76,10 @@ def dp_packet(ptype: int, payload: bytes, pts=None, duration=None,
     struct.pack_into(">Q", h, 26, 0xFFFFFFFFFFFFFFFF)
     struct.pack_into(">Q", h, 34, 0xFFFFFFFFFFFFFFFF)
     struct.pack_into(">Q", h, 44, 0xFFFFFFFFFFFFFFFF)
-    struct.pack_into(">H", h, 58, dp_crc(bytes(h[:58])))
-    struct.pack_into(">H", h, 60, dp_crc(payload) if use_crc else 0)
+    struct.pack_into(">H", h, 60,
+                     dp_crc(payload) if crc_payload else 0)
+    struct.pack_into(">H", h, 58,
+                     dp_crc(bytes(h[:58])) if crc_header else 0)
     return bytes(h) + payload
 
 
@@ -150,7 +160,7 @@ class GdpPay(TransformElement):
         PadTemplate("src", PadDirection.SRC, "application/x-gdp"),
     ]
     PROPERTIES = {"crc-header": (bool, True, ""),
-                  "crc-payload": (bool, True, "")}
+                  "crc-payload": (bool, False, "")}
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
@@ -171,12 +181,13 @@ class GdpPay(TransformElement):
 
     def host_process(self, buf: Buffer) -> Optional[Buffer]:
         out = bytearray()
-        use_crc = self.props["crc-payload"]
+        crc_h = self.props["crc-header"]
+        crc_p = self.props["crc-payload"]
         if not self._caps_sent:
             caps_str = str(self._incaps)
             out += dp_packet(PAYLOAD_CAPS,
                              caps_str.encode() + b"\0",
-                             use_crc=use_crc)
+                             crc_header=crc_h, crc_payload=crc_p)
             self._caps_sent = True
         payloads = _serialize_payload(buf, self._incaps)
         n = len(payloads)
@@ -188,7 +199,7 @@ class GdpPay(TransformElement):
                              duration=(buf.duration // n
                                        if buf.duration and n else
                                        buf.duration),
-                             use_crc=use_crc)
+                             crc_header=crc_h, crc_payload=crc_p)
         return buf.with_(data=np.frombuffer(bytes(out), np.uint8),
                          batch=1)
 

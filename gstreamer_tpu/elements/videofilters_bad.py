@@ -296,12 +296,16 @@ class AccuRip(TransformElement):
                           if len(cs) else np.uint64(0))
                 base_v = (np.uint64(self.crc_v2) - cv[-1]
                           if len(cv) else np.uint64(0))
+            # modular uint32 arithmetic done in Python ints: mixing
+            # Python int + np.uint64 raises overflow RuntimeWarnings
+            # and relies on numpy wraparound semantics
+            base_c_i, base_v_i = int(base_c), int(base_v)
             for i in range(len(m)):
                 slot = self._ring_samples % (_IGNORED + 1)
                 self._ring_samples += 1
                 self._ring[slot] = (
-                    int((base_c + cs[i]) & np.uint64(0xFFFFFFFF)),
-                    int((base_v + cv[i]) & np.uint64(0xFFFFFFFF)))
+                    (base_c_i + int(cs[i])) & 0xFFFFFFFF,
+                    (base_v_i + int(cv[i])) & 0xFFFFFFFF)
         return buf
 
     def sink_event(self, pad, event) -> bool:

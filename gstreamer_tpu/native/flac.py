@@ -8,7 +8,6 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
@@ -21,30 +20,14 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    src = os.path.normpath(_SRC)
-    if not os.path.exists(src):
-        return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, src],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
-
 def get_lib():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-        if not _build():
-            return None
+    from ._build import ensure_built
+    if not ensure_built(_SRC, _SO):
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -71,7 +54,16 @@ def decode(data: bytes) -> Optional[Tuple[np.ndarray, int, int, int]]:
         return None
     from ..codecs.flac import parse_stream_header
     si, _ = parse_stream_header(data)
-    cap = si.total_samples or (len(data) * 4 // max(si.channels, 1) + 65536)
+    ch_n = max(si.channels, 1)
+    cap = si.total_samples or (len(data) * 4 // ch_n + 65536)
+    # total_samples is an untrusted 36-bit header field: a hostile
+    # stream could claim 2^36 and trigger a multi-TB allocation.
+    # Bound by the best possible FLAC expansion (a minimal ~6-byte
+    # constant frame encodes <=65535 samples) and a 256 MiB ceiling;
+    # the C decoder respects `cap` and stops there.
+    max_expansion = (len(data) // 6 + 1) * 65535
+    hard_cap = (256 << 20) // (4 * ch_n)
+    cap = max(1, min(int(cap), max_expansion, hard_cap))
     out = np.zeros(int(cap) * si.channels, np.int32)
     ch = ctypes.c_int()
     rate = ctypes.c_int()

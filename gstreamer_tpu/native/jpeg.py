@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import List, Optional
 
 import numpy as np
@@ -20,30 +19,14 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    src = os.path.normpath(_SRC)
-    if not os.path.exists(src):
-        return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, src],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
-
 def get_lib():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-        if not _build():
-            return None
+    from ._build import ensure_built
+    if not ensure_built(_SRC, _SO):
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

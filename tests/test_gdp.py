@@ -27,10 +27,18 @@ class TestWireFormat:
         assert nxt == len(pkt)
 
     def test_corruption_detected(self):
-        pkt = bytearray(dp_packet(PAYLOAD_BUFFER, b"payload"))
+        pkt = bytearray(dp_packet(PAYLOAD_BUFFER, b"payload",
+                                  crc_payload=True))
         pkt[HEADER_LEN + 2] ^= 0xFF
         with pytest.raises(ValueError):
             dp_parse(bytes(pkt), 0)
+
+    def test_reference_default_flags(self):
+        # gstgdppay.c:60 defaults: crc-header=TRUE crc-payload=FALSE
+        pkt = dp_packet(PAYLOAD_BUFFER, b"payload")
+        assert pkt[2] == 0x01
+        assert struct.unpack(">H", pkt[60:62])[0] == 0
+        assert struct.unpack(">H", pkt[58:60])[0] != 0
 
     def test_header_field_layout(self):
         pkt = dp_packet(PAYLOAD_CAPS, b"x\0", pts=None)
