@@ -192,8 +192,11 @@ class OggDemux(SourceElement):
     """oggdemux (collapsed with flacdec: the payload is decoded to raw
     audio, matching how the raw-codec demuxers here expose content)."""
     FACTORY = "oggdemux"
-    DESCRIPTION = "demux ogg streams (FLAC mapping)"
-    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, _SINK_CAPS)]
+    DESCRIPTION = "demux ogg streams (FLAC, Vorbis, Opus mappings)"
+    PAD_TEMPLATES = [PadTemplate(
+        "src", PadDirection.SRC,
+        "audio/x-raw, format={ S8, S16LE, S24LE, S32LE, F32LE }, "
+        "rate=[1,655350], channels=[1,8], layout=interleaved")]
     PROPERTIES = {
         "location": (str, "", "ogg file path"),
         "blocksize": (int, 4096, "frames per output buffer"),
@@ -206,17 +209,39 @@ class OggDemux(SourceElement):
     def _load(self):
         if self._samples is not None:
             return
-        from ..codecs import flac as pyflac
-        from ..native import flac as nflac
-
         with open(self.props["location"], "rb") as f:
             data = f.read()
         pages = parse_ogg_pages(data)
         packets: List[bytes] = []
         for serial, granule, pkts in pages:
             packets.extend(pkts)
-        if not packets or not packets[0].startswith(b"\x7fFLAC"):
-            raise ValueError("oggdemux: no FLAC BOS packet")
+        if not packets:
+            raise ValueError("oggdemux: empty stream")
+        bos = packets[0]
+        if bos.startswith(b"\x7fFLAC"):
+            self._load_flac(packets)
+        elif bos.startswith(b"\x01vorbis"):
+            # Vorbis-over-Ogg mapping: clean-room decoder
+            from ..codecs import vorbis as pvorbis
+            pcm, rate, ch = pvorbis.decode_ogg(data)
+            self._samples = np.asarray(pcm, np.float32)
+            self._ainfo = AudioInfo(format="F32LE", rate=rate,
+                                    channels=ch)
+        elif bos.startswith(b"OpusHead"):
+            # RFC 7845 Ogg-Opus (libopus-backed like the reference)
+            from ..codecs import opus as popus
+            pcm, rate, ch = popus.decode_ogg(data)
+            self._samples = np.asarray(pcm, np.float32)
+            self._ainfo = AudioInfo(format="F32LE", rate=rate,
+                                    channels=ch)
+        else:
+            raise ValueError("oggdemux: unsupported ogg mapping")
+        self._pos = 0
+
+    def _load_flac(self, packets: List[bytes]) -> None:
+        from ..codecs import flac as pyflac
+        from ..native import flac as nflac
+
         nheaders = struct.unpack(">H", packets[0][7:9])[0]
         stream_hdr = packets[0][9:]
         if not stream_hdr.startswith(b"fLaC"):
@@ -236,7 +261,6 @@ class OggDemux(SourceElement):
               "S32LE": np.int32}[fmt]
         self._samples = np.asarray(samples).astype(dt)
         self._ainfo = AudioInfo(format=fmt, rate=rate, channels=ch)
-        self._pos = 0
 
     def get_caps(self, filter=None):
         if self.props["location"]:
