@@ -146,6 +146,10 @@ class FileSrc(SourceElement):
             # ANY ∩ filter = filter (lets downstream parsers like
             # rawvideoparse pin the byte-stream caps)
             caps = filter if caps.is_any else caps.intersect(filter)
+        if caps.is_any:
+            # unknown content feeding a parser that accepts anything:
+            # fixate to a plain byte stream so negotiation completes
+            caps = Caps.from_string("application/octet-stream")
         return caps
 
     def set_info(self, incaps, outcaps):
