@@ -228,6 +228,22 @@ class Pipeline(Bin):
         return order
 
     # -- negotiation (trace-time caps resolution) --------------------------
+    @staticmethod
+    def _strip_features(caps: Caps) -> Caps:
+        """Transforms are memory-agnostic: explicit caps features
+        constrain only the link they were written on, not everything a
+        transform can produce/accept on its other side."""
+        if caps is None or caps.is_any or not caps.structures:
+            return caps
+        if all(st.features is None for st in caps.structures):
+            return caps
+        out = []
+        for st in caps.structures:
+            st = st.copy()
+            st.features = None
+            out.append(st)
+        return Caps(out)
+
     def _downstream_allowed(self, pad: Pad, _memo=None) -> Caps:
         """Allowed caps on a SRC pad considering everything downstream
         (the recursive CAPS query, gstbasetransform query_caps :632)."""
@@ -252,8 +268,9 @@ class Pipeline(Bin):
                         down = down.intersect(self._downstream_allowed(sp, _memo))
                     else:
                         down = down.intersect(sp.template_caps)
-                res = elem.transform_caps(PadDirection.SRC, down,
-                                          filter=sink_tmpl)
+                res = elem.transform_caps(
+                    PadDirection.SRC, self._strip_features(down),
+                    filter=sink_tmpl)
         res = res.intersect(pad.template_caps)
         _memo[pad] = res
         return res
@@ -319,15 +336,17 @@ class Pipeline(Bin):
                 allowed = Caps.any()
                 for sp in srcpads:
                     allowed = allowed.intersect(self._downstream_allowed(sp))
-                othercaps = elem.transform_caps(PadDirection.SINK, incaps,
-                                                filter=allowed)
+                othercaps = elem.transform_caps(
+                    PadDirection.SINK, self._strip_features(incaps),
+                    filter=allowed)
                 if othercaps.is_empty:
                     raise NegotiationError(
                         f"{elem.name}: cannot transform {incaps!r} to anything "
                         f"downstream accepts")
                 if not othercaps.is_fixed():
-                    othercaps = elem.fixate_caps(PadDirection.SINK, incaps,
-                                                 othercaps)
+                    othercaps = elem.fixate_caps(
+                        PadDirection.SINK, self._strip_features(incaps),
+                        othercaps)
                 if not othercaps.is_fixed():
                     raise NegotiationError(
                         f"{elem.name}: fixation failed: {othercaps!r}")
@@ -335,6 +354,60 @@ class Pipeline(Bin):
                     sp.caps = othercaps
                 elem.set_info(incaps, othercaps)
                 log.info("%s: negotiated %s -> %s", elem.name, incaps, othercaps)
+        self._resolve_memory_features(order)
+
+    def _resolve_memory_features(self, order) -> None:
+        """Assign concrete memory caps-features per negotiated link
+        (gstcapsfeatures.c analog; memory:GLMemory precedent).
+
+        Links whose caps carry EXPLICIT features (from user capsfilters)
+        keep them — an explicit memory:Host/SystemMemory demand between
+        two device elements forces a host boundary (D2H+H2D round
+        trip), recorded in ``self._forced_host_elems`` for compile().
+        Remaining links resolve to memory:HBM when both endpoints run
+        on device (inside the fused program) and memory:SystemMemory
+        across host boundaries."""
+        from .structure import CapsFeatures
+
+        self._forced_host_elems = set()
+
+        def is_device(e) -> bool:
+            if getattr(e, "HOST_ELEMENT", False):
+                return False
+            if isinstance(e, SourceElement):
+                try:
+                    return e.generator_fn() is not None
+                except Exception:
+                    return False
+            return True
+
+        # pass 1 — detect EXPLICIT host demands (user capsfilters)
+        # before resolution writes any features of its own
+        for e in order:
+            if (not getattr(e, "HOST_ELEMENT", False)
+                    and not isinstance(e, (SourceElement, SinkElement))):
+                for p in e.sink_pads():
+                    if p.caps is None or not len(p.caps):
+                        continue
+                    f = p.caps[0].features
+                    if f is not None and f.is_sysmem():
+                        self._forced_host_elems.add(e)
+        # pass 2 — resolve remaining links
+        for e in order:
+            for sp in e.src_pads():
+                if sp.peer is None or sp.caps is None or not len(sp.caps):
+                    continue
+                s0 = sp.caps[0]
+                if s0.features is not None:
+                    continue                        # explicit: keep
+                down = sp.peer.element
+                hbm = is_device(e) and is_device(down)
+                s0 = s0.copy()
+                s0.features = CapsFeatures(
+                    CapsFeatures.HBM if hbm else CapsFeatures.SYSMEM)
+                new_caps = Caps([s0])
+                sp.caps = new_caps
+                sp.peer.caps = new_caps
 
     # -- compile (build fused device programs) -----------------------------
     def _caps_signature(self, order) -> tuple:
@@ -417,6 +490,15 @@ class Pipeline(Bin):
                     fns[e] = e.make_fn()
 
         host_elems = {e for e in order if getattr(e, "HOST_ELEMENT", False)}
+        # explicit memory:Host caps features force a host boundary on
+        # device-capable elements (negotiated in
+        # _resolve_memory_features; the GL upload/download analog)
+        forced = getattr(self, "_forced_host_elems", set()) & set(order)
+        for e in order:
+            e._forced_host = False
+        for e in forced:
+            e._forced_host = True
+            host_elems.add(e)
         # queue decoupling (gstqueue.c:211 thread decoupling analog):
         # when host elements already split the program, a queue becomes a
         # one-tick double buffer — downstream consumes tick N-1's data
@@ -496,7 +578,8 @@ class Pipeline(Bin):
             self._elem_jit = {
                 e: jax.jit(self._maybe_shard(f, mesh))
                 for e, f in fns.items() if f is not None
-                and e not in host_elems}
+                and (e not in host_elems
+                     or getattr(e, "_forced_host", False))}
 
             def _scan_runner(step):
                 return jax.jit(lambda c, xs: jax.lax.scan(step, c, xs))
@@ -791,7 +874,17 @@ class Pipeline(Bin):
                 else:
                     buf = buf_by_pad[pads[0].peer]
                     if not self._fused:
-                        if e in self._host_elems:
+                        if getattr(e, "_forced_host", False):
+                            # explicit memory:Host boundary: D2H round
+                            # trip (downstream device fns re-upload)
+                            import jax
+                            import numpy as _np
+                            buf = buf.with_(data=jax.tree_util.tree_map(
+                                _np.asarray, buf.data))
+                            if self._fns.get(e) is not None:
+                                buf = buf.with_(
+                                    data=self._elem_jit[e](buf.data))
+                        elif e in self._host_elems:
                             buf = e.host_process(buf)
                         elif e in self._scan_fns:
                             xs = buf.data
