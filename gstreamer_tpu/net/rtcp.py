@@ -154,6 +154,23 @@ def ntp_time(unix_seconds: float) -> int:
     return ((sec & 0xFFFFFFFF) << 32) | (frac & 0xFFFFFFFF)
 
 
+def build_sr(sender_ssrc: int, ntp: int, rtp_ts: int,
+             packet_count: int, octet_count: int,
+             cname: str = "gstreamer-tpu") -> bytes:
+    """Compound SR + SDES(CNAME) (rtpsession.c
+    rtp_session_create_rtcp sender path; rtsp-stream.c sends these on
+    the session's RTCP socket)."""
+    sr = RtcpPacket(ptype=TYPE_SR, ssrc=sender_ssrc, ntp=ntp,
+                    rtp_ts=rtp_ts, packet_count=packet_count,
+                    octet_count=octet_count)
+    sdes = RtcpPacket(ptype=TYPE_SDES, sdes=[(sender_ssrc, cname)])
+    return sr.pack() + sdes.pack()
+
+
+def build_bye(ssrc: int) -> bytes:
+    return RtcpPacket(ptype=TYPE_BYE, bye_ssrcs=[ssrc]).pack()
+
+
 def build_rr(sender_ssrc: int, sources, prev_expected=None,
              prev_received=None) -> bytes:
     """Receiver report from RtpSource stats (rtpsession.c

@@ -192,9 +192,17 @@ class RTSPTransport:
         if self.server_port != (0, 0):
             out.append(f"server_port={self.server_port[0]}-"
                        f"{self.server_port[1]}")
+        if self.interleaved is not None:
+            out.append(f"interleaved={self.interleaved[0]}-"
+                       f"{self.interleaved[1]}")
         if self.ssrc is not None:
             out.append(f"ssrc={self.ssrc:08X}")
         return ";".join(out)
+
+    @property
+    def is_tcp(self) -> bool:
+        return ("TCP" in self.protocol.upper()
+                or self.interleaved is not None)
 
 
 @dataclass

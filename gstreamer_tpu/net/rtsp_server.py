@@ -10,14 +10,17 @@ payloader caps), rtsp-stream.c (RTP over UDP to the client ports).
 
 TPU-native reduction: media pipelines are this framework's pipelines
 whose payloader (`pay0`) output is tapped with an appsink and forwarded
-as UDP datagrams; one thread per client connection, one per playing
-media.  RTCP is not implemented (sessions are closed by TEARDOWN or
-pipeline EOS).
+as UDP datagrams (or TCP-interleaved frames); one thread per client
+connection, one per playing media.  RTCP runs per stream like
+rtsp-stream.c: the server sends compound SR+SDES on the session's RTCP
+socket (or interleaved channel 1), receives client RRs (exposed as
+`session.last_rr`), and emits BYE on teardown.
 
 The client side lives here too: `rtspsrc` performs
-OPTIONS/DESCRIBE/SETUP/PLAY over TCP and pulls the RTP datagrams from
-its bound UDP port (gst-plugins-good/gst/rtsp/gstrtspsrc.c reduced to
-the RTP/AVP;unicast;UDP profile).
+OPTIONS/DESCRIBE/SETUP/PLAY over TCP and pulls RTP from its bound UDP
+port or from TCP-interleaved frames (`protocols` property, mirroring
+gstrtspsrc's); it parses server SRs and reports RRs back
+(gst-plugins-good/gst/rtsp/gstrtspsrc.c).
 """
 
 from __future__ import annotations
@@ -105,8 +108,17 @@ class _Session:
         self.dest_host = dest_host
         self.transport: Optional[RTSPTransport] = None
         self.sock: Optional[socket.socket] = None
+        self.rtcp_sock: Optional[socket.socket] = None
+        self.conn: Optional[socket.socket] = None     # TCP interleaved
+        self.conn_lock = threading.Lock()
         self.thread: Optional[threading.Thread] = None
         self.playing = threading.Event()
+        self.ssrc = int.from_bytes(uuid.uuid4().bytes[:4], "big")
+        self.packet_count = 0
+        self.octet_count = 0
+        self.last_rtp_ts = 0
+        self.last_rr = None            # most recent client RtcpPacket RR
+        self.sr_sent = 0
 
 
 class RTSPServer:
@@ -162,6 +174,9 @@ class RTSPServer:
     def _client_loop(self, conn: socket.socket, addr):
         conn.settimeout(0.25)
         pending = b""
+        if not hasattr(self, "_conn_locks"):
+            self._conn_locks = {}
+        self._conn_locks[conn] = threading.Lock()
         try:
             while self._running.is_set():
                 try:
@@ -176,30 +191,33 @@ class RTSPServer:
                     if msg is None:
                         break
                     pending = pending[used:]
-                    resp = self._handle(msg, addr)
-                    conn.sendall(resp.serialize())
+                    resp = self._handle(msg, addr, conn)
+                    with self._conn_locks[conn]:
+                        conn.sendall(resp.serialize())
         finally:
+            self._conn_locks.pop(conn, None)
             conn.close()
 
     # -- methods (rtsp-client.c handle_request) ------------------------------
-    def _handle(self, req: RTSPMessage, addr) -> RTSPMessage:
+    def _handle(self, req: RTSPMessage, addr,
+                conn=None) -> RTSPMessage:
         try:
             handler = getattr(self, "_do_" + req.method.lower(), None)
             if handler is None:
                 return RTSPMessage.response(501, req)
-            return handler(req, addr)
+            return handler(req, addr, conn)
         except Exception as e:     # noqa: BLE001 — map to 500 like the C
             resp = RTSPMessage.response(500, req)
             resp.headers.set("X-Error", str(e))
             return resp
 
-    def _do_options(self, req, addr):
+    def _do_options(self, req, addr, conn=None):
         resp = RTSPMessage.response(200, req)
         resp.headers.set("Public", "OPTIONS, DESCRIBE, SETUP, PLAY, "
                                    "PAUSE, TEARDOWN")
         return resp
 
-    def _do_describe(self, req, addr):
+    def _do_describe(self, req, addr, conn=None):
         url = RTSPUrl.parse(req.uri)
         factory = self.mount_points.match(url.abspath)
         if factory is None:
@@ -217,7 +235,7 @@ class RTSPServer:
         resp.headers.set("Content-Base", req.uri.rstrip("/") + "/")
         return resp
 
-    def _do_setup(self, req, addr):
+    def _do_setup(self, req, addr, conn=None):
         url = RTSPUrl.parse(req.uri)
         path = url.abspath
         if path.endswith("/stream=0"):
@@ -229,15 +247,32 @@ class RTSPServer:
         if not theader:
             return RTSPMessage.response(461, req)
         transport = RTSPTransport.parse(theader)
-        if transport.client_port == (0, 0):
-            return RTSPMessage.response(461, req)
         sess = _Session(factory, addr[0])
         sess.transport = transport
-        sess.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        sess.sock.bind((self.address, 0))
-        sport = sess.sock.getsockname()[1]
-        transport.server_port = (sport, sport + 1)
-        transport.destination = addr[0]
+        if transport.is_tcp:
+            # RTP/AVP/TCP;interleaved=n-n+1 over the RTSP connection
+            # (rtsp-stream.c TCP transport)
+            if transport.interleaved is None:
+                transport.interleaved = (0, 1)
+            sess.conn = conn
+            sess.conn_lock = self._conn_locks.get(conn,
+                                                  sess.conn_lock)
+        else:
+            if transport.client_port == (0, 0):
+                return RTSPMessage.response(461, req)
+            sess.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sess.sock.bind((self.address, 0))
+            # a second socket for RTCP, mirroring rtsp-stream.c's
+            # per-stream RTP/RTCP socket pair
+            sess.rtcp_sock = socket.socket(socket.AF_INET,
+                                           socket.SOCK_DGRAM)
+            sess.rtcp_sock.bind((self.address, 0))
+            sess.rtcp_sock.settimeout(0.0)
+            transport.server_port = (
+                sess.sock.getsockname()[1],
+                sess.rtcp_sock.getsockname()[1])
+            transport.destination = addr[0]
+        transport.ssrc = sess.ssrc
         self._sessions[sess.id] = sess
         resp = RTSPMessage.response(200, req)
         resp.headers.set("Session", sess.id + ";timeout=60")
@@ -248,7 +283,7 @@ class RTSPServer:
         sid = (req.headers.get("Session") or "").split(";")[0].strip()
         return self._sessions.get(sid)
 
-    def _do_play(self, req, addr):
+    def _do_play(self, req, addr, conn=None):
         sess = self._session_of(req)
         if sess is None:
             return RTSPMessage.response(454, req)
@@ -265,14 +300,14 @@ class RTSPServer:
                          f"url={req.uri};seq=0;rtptime=0")
         return resp
 
-    def _do_pause(self, req, addr):
+    def _do_pause(self, req, addr, conn=None):
         sess = self._session_of(req)
         if sess is None:
             return RTSPMessage.response(454, req)
         sess.playing.clear()
         return RTSPMessage.response(200, req)
 
-    def _do_teardown(self, req, addr):
+    def _do_teardown(self, req, addr, conn=None):
         sess = self._session_of(req)
         if sess is None:
             return RTSPMessage.response(454, req)
@@ -287,15 +322,72 @@ class RTSPServer:
         if sess.thread is not None:
             sess.thread.join(timeout=2.0)
             sess.thread = None
-        if sess.sock is not None:
-            sess.sock.close()
-            sess.sock = None
+        try:
+            from .rtcp import build_bye
+            self._send_rtcp(sess, build_bye(sess.ssrc))
+        except OSError:
+            pass
+        for attr in ("sock", "rtcp_sock"):
+            sk = getattr(sess, attr)
+            if sk is not None:
+                sk.close()
+                setattr(sess, attr, None)
 
-    # -- media streaming (rtsp-stream.c, reduced) -----------------------------
+    # -- media streaming (rtsp-stream.c) --------------------------------------
+    def _send_rtp(self, sess: _Session, pkt: bytes) -> None:
+        if sess.conn is not None:
+            ch = sess.transport.interleaved[0]
+            frame = b"$" + bytes([ch]) + len(pkt).to_bytes(2, "big") + pkt
+            with sess.conn_lock:
+                sess.conn.sendall(frame)
+        else:
+            sess.sock.sendto(
+                pkt, (sess.dest_host, sess.transport.client_port[0]))
+
+    def _send_rtcp(self, sess: _Session, pkt: bytes) -> None:
+        if sess.conn is not None:
+            ch = sess.transport.interleaved[1]
+            frame = b"$" + bytes([ch]) + len(pkt).to_bytes(2, "big") + pkt
+            with sess.conn_lock:
+                sess.conn.sendall(frame)
+        elif sess.rtcp_sock is not None \
+                and sess.transport.client_port[1]:
+            sess.rtcp_sock.sendto(
+                pkt, (sess.dest_host, sess.transport.client_port[1]))
+
+    def _poll_client_rtcp(self, sess: _Session) -> None:
+        """Receive client RRs on the stream's RTCP socket
+        (rtsp-stream.c on_rtcp); latest RR kept on the session."""
+        if sess.rtcp_sock is None:
+            return
+        from .rtcp import TYPE_RR, parse_compound
+        try:
+            while True:
+                data, _ = sess.rtcp_sock.recvfrom(65536)
+                for pkt in parse_compound(data):
+                    if pkt.ptype == TYPE_RR:
+                        sess.last_rr = pkt
+        except (BlockingIOError, socket.timeout, OSError,
+                ValueError):
+            pass
+
+    def _maybe_send_sr(self, sess: _Session, force: bool = False) -> None:
+        """Compound SR+SDES at ~1 Hz (RFC 3550 minimal interval
+        scaled down; rtsp-stream.c relies on rtpbin's session timer)."""
+        now = time.time()
+        if not force and now - getattr(sess, "_last_sr_time", 0) < 1.0:
+            return
+        sess._last_sr_time = now
+        from .rtcp import build_sr, ntp_time
+        self._send_rtcp(sess, build_sr(
+            sess.ssrc, ntp_time(now), sess.last_rtp_ts,
+            sess.packet_count, sess.octet_count))
+        sess.sr_sent += 1
+
     def _stream_loop(self, sess: _Session) -> None:
+        from .rtp import parse_rtp_header
         pipeline, pay = sess.factory.build()
         sink = pipeline.get_by_name("__rtpsink__")
-        dest = (sess.dest_host, sess.transport.client_port[0])
         pipeline.set_state("PLAYING")
         try:
             while sess.id in self._sessions:
@@ -314,9 +406,19 @@ class RTSPServer:
                     for pkt in pkts:
                         if isinstance(pkt, np.ndarray):
                             pkt = pkt.tobytes()
-                        sess.sock.sendto(pkt, dest)
+                        self._send_rtp(sess, pkt)
+                        sess.packet_count += 1
+                        sess.octet_count += max(0, len(pkt) - 12)
+                        try:
+                            sess.last_rtp_ts = \
+                                parse_rtp_header(pkt)["timestamp"]
+                        except Exception:   # short/odd packet: skip ts
+                            pass
+                    self._maybe_send_sr(sess)
+                    self._poll_client_rtcp(sess)
                     if sess.factory.rate_control and sample.buffer.duration:
                         time.sleep(min(sample.buffer.duration / 1e9, 0.5))
+            self._maybe_send_sr(sess, force=True)
         finally:
             pipeline.set_state("NULL")
 
@@ -339,6 +441,8 @@ class RTSPSrc(SourceElement):
         "location": (str, "", "rtsp:// URL"),
         "timeout": (float, 1.0, "UDP receive timeout (s)"),
         "eos-timeouts": (int, 2, "consecutive timeouts before EOS"),
+        "protocols": (str, "udp", "transport: udp or tcp (interleaved)"),
+        "do-rtcp": (bool, True, "send RRs / process server SRs"),
     }
 
     def __init__(self, name=None, **props):
@@ -346,10 +450,18 @@ class RTSPSrc(SourceElement):
         self._caps: Optional[Caps] = None
         self._conn = None
         self._udp = None
+        self._rtcp = None
         self._cseq = 0
         self._session = None
         self._content_base = None
         self._timeouts = 0
+        self._pending = b""            # TCP interleaved byte stream
+        self._ssrc = int.from_bytes(uuid.uuid4().bytes[:4], "big")
+        self._sources = {}             # ssrc -> RtpSource (RR stats)
+        self._clock_rate = 90000
+        self.last_sr = None            # latest server SR RtcpPacket
+        self.rr_sent = 0
+        self._last_rr_time = 0.0
 
     # -- RTSP client calls ---------------------------------------------------
     def _call(self, method: str, uri: str, headers=()) -> RTSPMessage:
@@ -391,19 +503,35 @@ class RTSPSrc(SourceElement):
         media = sdp.medias[0]
         pt = int(media.formats[0])
         self._caps = self._caps_from_sdp(media, pt)
-        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._udp.bind(("0.0.0.0", 0))
-        self._udp.settimeout(self.props["timeout"])
-        port = self._udp.getsockname()[1]
+        _, rate, _ = media.rtpmaps().get(pt, ("", 90000, 1))
+        self._clock_rate = rate or 90000
         control = media.get_attribute_val("control") or ""
         setup_uri = (self._content_base.rstrip("/") + "/" + control
                      if control else self._content_base)
-        t = RTSPTransport(client_port=(port, port + 1))
+        if self.props["protocols"] == "tcp":
+            t = RTSPTransport(protocol="RTP/AVP/TCP",
+                              interleaved=(0, 1))
+        else:
+            self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._udp.bind(("0.0.0.0", 0))
+            self._udp.settimeout(self.props["timeout"])
+            port = self._udp.getsockname()[1]
+            # paired RTCP socket (gstrtspsrc udpsrc1 analog)
+            self._rtcp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                self._rtcp.bind(("0.0.0.0", port + 1))
+            except OSError:
+                self._rtcp.bind(("0.0.0.0", 0))
+            self._rtcp.settimeout(0.0)
+            t = RTSPTransport(client_port=(
+                port, self._rtcp.getsockname()[1]))
         resp = self._call("SETUP", setup_uri,
                           [("Transport", t.to_string())])
         if resp.status != 200:
             raise ConnectionError(f"SETUP failed: {resp.status}")
         self._session = (resp.headers.get("Session") or "").split(";")[0]
+        self._server_transport = RTSPTransport.parse(
+            resp.headers.get("Transport") or "RTP/AVP")
         resp = self._call("PLAY", self._content_base,
                           [("Range", "npt=0-")])
         if resp.status != 200:
@@ -416,10 +544,10 @@ class RTSPSrc(SourceElement):
                 self._call("TEARDOWN", self._content_base)
         except OSError:
             pass
-        for s in (self._udp, self._conn):
+        for s in (self._udp, self._rtcp, self._conn):
             if s is not None:
                 s.close()
-        self._udp = self._conn = None
+        self._udp = self._rtcp = self._conn = None
         self._session = None
 
     @staticmethod
@@ -455,29 +583,131 @@ class RTSPSrc(SourceElement):
             caps = caps.intersect(filter)
         return caps
 
-    def create(self, n_frames: int) -> Optional[Buffer]:
-        pkts = []
-        deadline_pkts = 512
-        while len(pkts) < deadline_pkts:
+    # -- RTCP (RFC 3550 session duties, gstrtspsrc manage=true path) --
+    def _note_rtp(self, pkt: bytes) -> None:
+        if not self.props["do-rtcp"]:
+            return
+        try:
+            from .rtp import parse_rtp_header
+            from .rtpmanager import RtpSource
+            h = parse_rtp_header(pkt)
+            src = self._sources.get(h["ssrc"])
+            if src is None:
+                src = self._sources[h["ssrc"]] = RtpSource(
+                    h["ssrc"], self._clock_rate)
+            src.process(h["seq"], h["timestamp"], len(h["payload"]))
+        except Exception:
+            pass
+
+    def _handle_rtcp(self, data: bytes) -> None:
+        from .rtcp import TYPE_SR, parse_compound
+        try:
+            for pkt in parse_compound(data):
+                if pkt.ptype == TYPE_SR:
+                    self.last_sr = pkt
+        except ValueError:
+            pass
+
+    def _rtcp_tick(self) -> None:
+        """Poll server SRs; send an RR about once a second."""
+        if not self.props["do-rtcp"]:
+            return
+        if self._rtcp is not None:
             try:
-                data, _ = self._udp.recvfrom(65536)
-                pkts.append(data)
-                self._timeouts = 0
-                # drain whatever else is queued without blocking
-                self._udp.settimeout(0.0)
-                try:
-                    while len(pkts) < deadline_pkts:
-                        data, _ = self._udp.recvfrom(65536)
-                        pkts.append(data)
-                except (BlockingIOError, socket.error):
-                    pass
-                finally:
-                    self._udp.settimeout(self.props["timeout"])
+                while True:
+                    data, _ = self._rtcp.recvfrom(65536)
+                    self._handle_rtcp(data)
+            except (BlockingIOError, socket.timeout, OSError):
+                pass
+        now = time.time()
+        if now - self._last_rr_time < 1.0 or not self._sources:
+            return
+        self._last_rr_time = now
+        from .rtcp import build_rr
+        rr = build_rr(self._ssrc, list(self._sources.values()))
+        try:
+            if self._conn is not None and self._udp is None:
+                ch = 1
+                self._conn.sendall(b"$" + bytes([ch])
+                                   + len(rr).to_bytes(2, "big") + rr)
+            elif self._rtcp is not None:
+                st = getattr(self, "_server_transport", None)
+                if st is not None and st.server_port[1]:
+                    url = RTSPUrl.parse(self.props["location"])
+                    self._rtcp.sendto(rr, (url.host,
+                                           st.server_port[1]))
+            self.rr_sent += 1
+        except OSError:
+            pass
+
+    # -- interleaved TCP receive ------------------------------------------
+    def _create_tcp(self, deadline_pkts: int) -> Optional[list]:
+        pkts = []
+        self._conn.settimeout(self.props["timeout"])
+        while len(pkts) < deadline_pkts:
+            # frame: '$' channel u16-length payload
+            while len(self._pending) >= 4 and self._pending[0] == 0x24:
+                ln = int.from_bytes(self._pending[2:4], "big")
+                if len(self._pending) < 4 + ln:
+                    break
+                ch = self._pending[1]
+                payload = self._pending[4:4 + ln]
+                self._pending = self._pending[4 + ln:]
+                if ch == 0:
+                    pkts.append(payload)
+                else:
+                    self._handle_rtcp(payload)
+            if self._pending[:1] not in (b"", b"$"):
+                # interleaved RTSP message (e.g. server request): skip
+                # to the next frame marker
+                idx = self._pending.find(b"$")
+                self._pending = b"" if idx < 0 else self._pending[idx:]
+            if pkts and len(self._pending) < 4:
                 break
+            try:
+                chunk = self._conn.recv(65536)
             except socket.timeout:
                 self._timeouts += 1
                 if self._timeouts >= self.props["eos-timeouts"]:
-                    return None                  # EOS
+                    return pkts or None
+                continue
+            if not chunk:
+                return pkts or None
+            self._timeouts = 0
+            self._pending += chunk
+        return pkts
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        deadline_pkts = 512
+        if self._udp is None:                      # TCP interleaved
+            pkts = self._create_tcp(deadline_pkts)
+            if pkts is None:
+                return None
+        else:
+            pkts = []
+            while len(pkts) < deadline_pkts:
+                try:
+                    data, _ = self._udp.recvfrom(65536)
+                    pkts.append(data)
+                    self._timeouts = 0
+                    # drain whatever else is queued without blocking
+                    self._udp.settimeout(0.0)
+                    try:
+                        while len(pkts) < deadline_pkts:
+                            data, _ = self._udp.recvfrom(65536)
+                            pkts.append(data)
+                    except (BlockingIOError, socket.error):
+                        pass
+                    finally:
+                        self._udp.settimeout(self.props["timeout"])
+                    break
+                except socket.timeout:
+                    self._timeouts += 1
+                    if self._timeouts >= self.props["eos-timeouts"]:
+                        return None                  # EOS
         if not pkts:
             return None
+        for pkt in pkts:
+            self._note_rtp(pkt)
+        self._rtcp_tick()
         return Buffer(data=pkts, batch=1)

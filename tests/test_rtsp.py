@@ -135,3 +135,71 @@ class TestEndToEnd:
         assert r.shape == (32, 48)
         # gradient pattern: rows must not be constant across the frame
         assert r.std() > 0
+
+
+class TestRtcp:
+    def test_server_sends_sr_client_reports_rr(self, server):
+        """rtsp-stream.c RTCP path: SRs arrive on the client's RTCP
+        socket, RRs arrive back on the server's (localhost e2e)."""
+        srv, port = server
+        p = parse_launch(
+            f"rtspsrc name=src location=rtsp://127.0.0.1:{port}/test "
+            "timeout=0.5 eos-timeouts=3 ! rtpvrawdepay ! "
+            "appsink name=out")
+        p.run()
+        src = p.get_by_name("src")
+        assert src.last_sr is not None, "no server SR received"
+        assert src.last_sr.packet_count > 0
+        assert src.last_sr.ntp > 0
+        assert src.rr_sent >= 1
+        # client-side receive statistics were kept per SSRC
+        assert src._sources
+        st = next(iter(src._sources.values()))
+        assert st.packets > 0 and st.lost == 0
+        p.set_state("null")
+
+    def test_setup_reports_rtcp_server_port(self, server):
+        srv, port = server
+        import socket as socket_mod
+        s = socket_mod.create_connection(("127.0.0.1", port), timeout=5)
+        req = RTSPMessage.request(
+            "SETUP", f"rtsp://127.0.0.1:{port}/test/stream=0")
+        req.headers.set("CSeq", "1")
+        req.headers.set("Transport",
+                        "RTP/AVP;unicast;client_port=40000-40001")
+        resp = _raw_call(s, req)
+        assert resp.status == 200
+        from gstreamer_tpu.net.rtsp import RTSPTransport
+        t = RTSPTransport.parse(resp.headers.get("Transport"))
+        assert t.server_port[0] != 0 and t.server_port[1] != 0
+        assert t.server_port[0] != t.server_port[1]
+        assert t.ssrc is not None
+        s.close()
+
+
+class TestTcpInterleaved:
+    def test_rtspsrc_tcp_transport(self, server):
+        """RTP/AVP/TCP: media flows as interleaved $-framed channels
+        on the RTSP connection (rtsp-stream.c TCP transport;
+        rtspsrc protocols property)."""
+        srv, port = server
+        p = parse_launch(
+            f"rtspsrc name=src location=rtsp://127.0.0.1:{port}/test "
+            "protocols=tcp timeout=0.5 eos-timeouts=3 ! "
+            "rtpvrawdepay ! appsink name=out")
+        p.run()
+        sink = p.get_by_name("out")
+        frames = []
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            d = [np.asarray(x) for x in s.buffer.data]
+            for k in range(d[0].shape[0]):
+                frames.append(tuple(x[k] for x in d))
+        assert len(frames) >= 2
+        assert frames[0][0].shape == (32, 48)
+        src = p.get_by_name("src")
+        # SRs ride interleaved channel 1
+        assert src.last_sr is not None
+        p.set_state("null")
