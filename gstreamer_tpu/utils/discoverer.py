@@ -180,9 +180,52 @@ class Discoverer:
             info.streams.append(StreamInfo(
                 kind="audio", rate=si.sample_rate,
                 channels=si.channels, format="FLAC"))
+        elif payload.startswith(b"\x01vorbis"):
+            import struct as _s
+            channels = payload[11]
+            rate = _s.unpack("<I", payload[12:16])[0]
+            info.duration_ns = self._ogg_duration(path, rate)
+            info.streams.append(StreamInfo(
+                kind="audio", rate=rate, channels=channels,
+                format="Vorbis"))
+        elif payload.startswith(b"OggS"):
+            info.streams.append(StreamInfo(kind="unknown",
+                                           format="ogg"))
+        elif payload.startswith(b"OpusHead"):
+            import struct as _s
+            channels = payload[9]
+            pre_skip = _s.unpack("<H", payload[10:12])[0]
+            dur = self._ogg_duration(path, 48000)
+            if dur is not None:
+                dur = max(0, dur - pre_skip * 1_000_000_000 // 48000)
+            info.duration_ns = dur
+            info.streams.append(StreamInfo(
+                kind="audio", rate=48000, channels=channels,
+                format="Opus"))
+        elif payload.startswith(b"\x80theora"):
+            info.streams.append(StreamInfo(kind="video",
+                                           format="Theora"))
         else:
             info.streams.append(StreamInfo(kind="unknown",
                                            format="ogg"))
+
+    @staticmethod
+    def _ogg_duration(path, rate):
+        """Final granule position scan (gstoggdemux duration query)."""
+        import struct as _s
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            size = f.tell()
+            f.seek(max(0, size - 65536))
+            tail = f.read()
+        pos = tail.rfind(b"OggS")
+        while pos >= 0:
+            if pos + 14 <= len(tail):
+                gran = _s.unpack("<q", tail[pos + 6:pos + 14])[0]
+                if gran >= 0 and rate:
+                    return gran * 1_000_000_000 // rate
+            pos = tail.rfind(b"OggS", 0, pos)
+        return None
 
     def _discover_mp3(self, path, info):
         from ..elements.audioparsers import mp3_frame_info

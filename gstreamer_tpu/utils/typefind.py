@@ -116,8 +116,6 @@ def _h26x(head: bytes):
 
 
 def _mp3(head: bytes):
-    if head.startswith(b"ID3"):
-        return "audio/mpeg, mpegversion=(int)1, layer=(int)3", CERTAIN
     if len(head) >= 4 and head[0] == 0xFF and (head[1] & 0xE6) >= 0xE2:
         layer = 4 - ((head[1] >> 1) & 0x3)
         if layer in (1, 2, 3):
@@ -142,6 +140,185 @@ def _aac_adts(head: bytes):
     if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xF6) == 0xF0:
         return "audio/mpeg, mpegversion=(int)4, framed=(boolean)false", \
             POSSIBLE
+    return None
+
+
+def _id3v2(head: bytes):
+    """id3v2_type_find: skip the tag and sniff the payload behind it
+    (the reference recurses with the tag stripped)."""
+    if not head.startswith(b"ID3"):
+        return None
+    if len(head) < 10:
+        return ("audio/mpeg, mpegversion=(int)1, layer=(int)3",
+                LIKELY)
+    size = ((head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+            | (head[8] & 0x7F) << 7 | (head[9] & 0x7F))
+    inner = head[10 + size:]
+    if len(inner) >= 4:
+        media, prob = type_find_data(inner)
+        if prob > MINIMUM:
+            return media, min(prob, ALMOST_CERTAIN)
+    # tag present but payload out of reach: assume mp3 like players do
+    return "audio/mpeg, mpegversion=(int)1, layer=(int)3", LIKELY
+
+
+def _apetag(head: bytes):
+    """apetag at stream start: skip and re-sniff."""
+    if not head.startswith(b"APETAGEX") or len(head) < 32:
+        return None
+    size = struct.unpack("<I", head[12:16])[0]
+    inner = head[32 + size:]
+    if len(inner) >= 4:
+        media, prob = type_find_data(inner)
+        if prob > MINIMUM:
+            return media, min(prob, ALMOST_CERTAIN)
+    return None
+
+
+def _ogg(head: bytes):
+    """OggS: look at the BOS packet to classify the stream family
+    (ogganx/theora/vorbis/speex/celt/kate/skeleton detectors in the
+    reference)."""
+    if not head.startswith(b"OggS"):
+        return None
+    nseg = head[26] if len(head) > 26 else 0
+    body = head[27 + nseg:27 + nseg + 64]
+    table = [
+        (b"\x80theora", "video/ogg"),
+        (b"\x01video\x00", "video/ogg"),       # OGM video
+        (b"fishead\x00", "application/ogg"),   # skeleton
+        (b"AnxData", "application/annodex"),
+        (b"CMML\x00\x00\x00\x00", "text/x-cmml"),
+        (b"\x01vorbis", "audio/ogg"),
+        (b"OpusHead", "audio/ogg"),
+        (b"Speex   ", "audio/ogg"),
+        (b"CELT    ", "audio/ogg"),
+        (b"\x7fFLAC", "audio/ogg"),
+        (b"\x80kate\x00\x00\x00", "application/ogg"),
+    ]
+    for sig, media in table:
+        if body.startswith(sig):
+            return media, CERTAIN
+    return "application/ogg", LIKELY
+
+
+def _iff_form(head: bytes):
+    """FORM-based EA-IFF85 family: AIFF, 8SVX, ILBM, WVQA, MOVE."""
+    if head[:4] != b"FORM" or len(head) < 12:
+        return None
+    kind = head[8:12]
+    table = {b"AIFF": "audio/x-aiff", b"AIFC": "audio/x-aiff",
+             b"8SVX": "audio/x-svx", b"ILBM": "image/x-ilbm",
+             b"WVQA": "video/x-vqa", b"MOVE": "video/x-mve"}
+    if kind in table:
+        return table[kind], CERTAIN
+    return "application/x-iff", LIKELY
+
+
+def _flx(head: bytes):
+    if len(head) >= 6 and head[4:6] in (b"\x11\xaf", b"\x12\xaf"):
+        return "video/x-fli", LIKELY
+    return None
+
+
+def _mod(head: bytes):
+    """Amiga module magic at offset 1080 (mod_type_find)."""
+    sig = head[1080:1084]
+    if sig in (b"M.K.", b"M!K!", b"FLT4", b"FLT8", b"4CHN", b"6CHN",
+               b"8CHN"):
+        return "audio/x-mod", CERTAIN
+    if head[:4] == b"IMPM":                        # impulse tracker
+        return "audio/x-mod", CERTAIN
+    if head[:17] == b"Extended Module: ":
+        return "audio/x-mod", CERTAIN
+    if head[44:48] == b"SCRM":                     # scream tracker
+        return "audio/x-mod", CERTAIN
+    return None
+
+
+def _pnm(head: bytes):
+    if len(head) >= 3 and head[0:1] == b"P" and head[1] in range(
+            0x31, 0x38) and head[2] in (0x20, 0x09, 0x0a, 0x0d):
+        kinds = {0x31: "bitmap", 0x34: "bitmap", 0x32: "graymap",
+                 0x35: "graymap", 0x33: "pixmap", 0x36: "pixmap",
+                 0x37: "anymap"}
+        return (f"image/x-portable-{kinds[head[1]]}", CERTAIN)
+    return None
+
+
+def _sdp(head: bytes):
+    if head.startswith(b"v=0"):
+        return "application/sdp", LIKELY
+    return None
+
+
+def _xml_family(head: bytes):
+    """XML sub-detectors (smil/ttml/xges/dash/mss/fcpxml/xmeml/svg)."""
+    sample = head[:1024]
+    if not sample.lstrip()[:1] == b"<":
+        return None
+    table = [
+        (b"<smil", "application/smil"),
+        (b"<svg", "image/svg+xml"),
+        (b"<tt ", "application/ttml+xml"),
+        (b"<MPD", "application/dash+xml"),
+        (b"<SmoothStreamingMedia", "application/vnd.ms-sstr+xml"),
+        (b"<ges>", "application/xges"),
+        (b"<fcpxml", "application/x-fcpxml"),
+        (b"<xmeml", "application/x-xmeml"),
+        (b"<html", "text/html"),
+        (b"<!DOCTYPE html", "text/html"),
+    ]
+    for sig, media in table:
+        if sig in sample:
+            return media, CERTAIN
+    return None
+
+
+def _utf_bom(head: bytes):
+    if head[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "text/utf-32", LIKELY
+    if head[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "text/utf-16", LIKELY
+    return None
+
+
+def _uri_list(head: bytes):
+    try:
+        lines = head[:512].decode("ascii").splitlines()
+    except UnicodeDecodeError:
+        return None
+    real = [ln for ln in lines[:8] if ln and not ln.startswith("#")]
+    if real and all("://" in ln for ln in real):
+        return "text/uri-list", POSSIBLE
+    return None
+
+
+def _h263(head: bytes):
+    # PSC: 17-bit start code 0000 0000 0000 0000 1, then 5-bit ver 00000
+    if len(head) >= 3 and head[0] == 0 and head[1] == 0 \
+            and (head[2] & 0xFC) == 0x80:
+        return "video/x-h263, variant=(string)itu", POSSIBLE
+    return None
+
+
+def _mpeg4_video(head: bytes):
+    if head[:3] == b"\x00\x00\x01" and len(head) >= 4 \
+            and head[3] in (0xb0, 0xb5):           # VOS / VO startcodes
+        return ("video/mpeg, mpegversion=(int)4, "
+                "systemstream=(boolean)false"), LIKELY
+    return None
+
+
+def _dvdiso(head: bytes):
+    if head[0x8001:0x8006] == b"CD001":
+        return "application/x-cd-image", CERTAIN
+    return None
+
+
+def _sbc(head: bytes):
+    if len(head) >= 2 and head[0] == 0x9C:
+        return "audio/x-sbc", POSSIBLE
     return None
 
 
@@ -184,7 +361,7 @@ _FINDERS: List[Callable] = [
     _ebml,
     _qt,
     _magic(0, b"FLV", "video/x-flv"),
-    _magic(0, b"OggS", "application/ogg"),
+    _ogg,
     _magic(0, b"fLaC", "audio/x-flac"),
     _magic(0, b"MAC ", "audio/x-ape"),
     _magic(0, b"wvpk", "audio/x-wavpack"),
@@ -221,7 +398,7 @@ _FINDERS: List[Callable] = [
     _magic(0, b".RMF", "application/vnd.rn-realmedia"),
     _magic(0, b"\x30\x26\xb2\x75\x8e\x66\xcf\x11", "video/x-ms-asf"),
     _magic(0, b"BIK", "video/x-bink", LIKELY),
-    _magic(0, b"SMK2", "video/x-smoke", LIKELY),
+    _magic(0, b"SMK2", "video/x-smk", LIKELY),
     _magic(0, b"FILM", "video/x-film-cpk", LIKELY),
     _magic(0, b"4XMV", "video/x-4xm"),
     # audio elementary
@@ -250,6 +427,57 @@ _FINDERS: List[Callable] = [
     _magic(0, b"OTTO", "application/x-font-otf"),
     _magic(0, b"wOFF", "application/font-woff"),
     _magic(0, b"wOF2", "application/font-woff2"),
+    # tags wrapping real content
+    _id3v2,
+    _apetag,
+    # additional containers / codecs (typefind parity sweep)
+    _iff_form,
+    _flx,
+    _mod,
+    _pnm,
+    _sdp,
+    _xml_family,
+    _utf_bom,
+    _uri_list,
+    _h263,
+    _mpeg4_video,
+    _dvdiso,
+    _sbc,
+    _magic(0, b"BBCD", "video/x-dirac"),
+    _magic(0, b"\x1f\x07\x00", "video/x-dv, systemstream=(boolean)true",
+           LIKELY),
+    _magic(0, b"v/1\x01", "image/x-exr"),
+    _magic(0, b"Interplay MVE File\x1a", "video/x-ipmovie"),
+    _magic(0, b"NSVf", "video/x-nsv"),
+    _magic(0, b"NSVs", "video/x-nsv"),
+    _magic(0, b"NuppelVideo", "video/x-nuv"),
+    _magic(0, b"nut/multimedia container", "video/x-nut", LIKELY),
+    _magic(0, b" paf", "audio/x-paris", LIKELY),
+    _magic(0, b"fap ", "audio/x-paris", LIKELY),
+    _magic(0, b"%!", "application/postscript", LIKELY),
+    _magic(0, b"#?RADIANCE\n", "image/vnd.radiance"),
+    _magic(0, b"ajkg", "audio/x-shorten"),
+    _magic(0, b"SMK4", "video/x-smk", LIKELY),
+    _magic(0, b"MMMD", "application/vnd.smaf"),
+    _magic(0, b"RSTM", "audio/x-brstm", LIKELY),
+    _magic(0, b"FSTM", "audio/x-bfstm", LIKELY),
+    _magic(0, b"FRM8", "audio/x-dsd", LIKELY),
+    _magic(0, b"C64-TAPE-RAW", "audio/x-tap-tap"),
+    _magic(0, b"C16-TAPE-RAW", "audio/x-tap-tap"),
+    _magic(0, b"\x64\xa3\x01\x00", "audio/x-ircam", LIKELY),
+    _magic(0, b"\x00\x01\xa3\x64", "audio/x-ircam", LIKELY),
+    _magic(0, b"MZ", "application/x-ms-dos-executable", POSSIBLE),
+    _magic(0, b"\x57\x90\x75\x36", "audio/audible", LIKELY),
+    _magic(0, b"!<arch>", "application/x-ar", LIKELY),
+    _magic(4, b"jP  ", "image/jp2"),
+    _magic(0, b"\xff\x4f\xff\x51", "image/x-jpc"),
+    _magic(4, b"idsc", "image/x-quicktime", LIKELY),
+    _magic(4, b"idat", "image/x-quicktime", LIKELY),
+    _magic(0, b"GXF\x00", "application/gxf", LIKELY),
+    _magic(0, b"AV\x00", "video/x-pva", POSSIBLE),
+    _magic(0, b"OTIO_SCHEMA", "application/x-otio", LIKELY),
+    _magic(0, b"File Format=MacCaption_MCC",
+           "application/x-mcc", CERTAIN),
     # text family LAST (weak heuristic)
     _text,
 ]
@@ -272,8 +500,10 @@ def type_find_data(head: bytes) -> Tuple[str, int]:
 
 
 def type_find_file(path: str) -> Tuple[str, int]:
+    # 40 KiB window: ISO9660 needs 0x8001, mod magics sit at 1080,
+    # id3v2 tags can span kilobytes before the payload
     with open(path, "rb") as f:
-        return type_find_data(f.read(512))
+        return type_find_data(f.read(40960))
 
 
 # media types the framework can decode to raw today

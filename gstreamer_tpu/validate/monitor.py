@@ -226,20 +226,72 @@ class Scenario:
         return _eos
 
     @staticmethod
+    def pause(ticks: int = 1):
+        """gst-validate pause action: hold the pipeline for `ticks`
+        loop iterations (then the play action — or the hold expiring —
+        resumes it)."""
+        def _pause(p):
+            return ("pause", ticks)
+        return _pause
+
+    @staticmethod
+    def play():
+        """gst-validate play action: resume from pause immediately."""
+        def _play(p):
+            return "play"
+        return _play
+
+    @staticmethod
+    def flush():
+        """gst-validate flush action: flushing seek to the current
+        position (FLUSH_START/STOP + state reset)."""
+        def _flush(p):
+            p.seek(getattr(p, "_position_ns", 0), flush=True)
+            return "flushed"
+        return _flush
+
+    @staticmethod
+    def switch_pad(selector_name: str, pad_name: str):
+        """gst-validate switch-pad action: flip an input-selector's
+        active-pad property."""
+        def _switch(p):
+            e = p.get_by_name(selector_name)
+            if e is None:
+                raise ValueError(f"no element {selector_name!r}")
+            e.set_property("active-pad", pad_name)
+        return _switch
+
+    @staticmethod
     def set_caps(source_name: str, caps: str):
         """Mid-stream caps switch on an appsrc (renegotiation action)."""
         def _set(p):
             p.get_by_name(source_name).set_caps(caps)
         return _set
 
-    def run(self, pipeline) -> None:
+    def run(self, pipeline, monitor=None) -> None:
         pending = sorted(self.actions, key=lambda a: a[0])
         n = 0
+        hold = 0
         while self.max_ticks is None or n < self.max_ticks:
+            resumed = False
             while pending and pending[0][0] <= n:
                 _, fn = pending.pop(0)
-                if fn(pipeline) == "stop":
+                r = fn(pipeline)
+                if r == "stop":
                     return
+                if isinstance(r, tuple) and r[0] == "pause":
+                    hold = max(hold, r[1])
+                elif r == "play":
+                    hold = 0
+                    resumed = True
+                elif r == "flushed" and monitor is not None:
+                    monitor.reset_timestamps()
+            if hold > 0 and not resumed:
+                # paused: no data flows this iteration, but scenario
+                # time still advances so play actions can fire
+                hold -= 1
+                n += 1
+                continue
             if not pipeline.tick():
                 break
             n += 1
