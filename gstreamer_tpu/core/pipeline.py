@@ -201,6 +201,18 @@ class Pipeline(Bin):
         self._staged = None
         self._prefetch = False
         self._pending_reconf = False
+        self.clock = None              # pipeline clock (use_clock)
+
+    def use_clock(self, clock) -> None:
+        """Force the pipeline clock (gst_pipeline_use_clock;
+        selection normally happens at PLAYING, gstpipeline.c:433).
+        Pass a check.testclock.TestClock for deterministic timing
+        tests — clock-aware elements (clocksync) then hold buffers
+        until the clock is cranked past their timestamps."""
+        self.clock = clock
+
+    def get_clock(self):
+        return self.clock
 
     # -- graph helpers -----------------------------------------------------
     def _nodes(self) -> List[Element]:

@@ -122,6 +122,7 @@ class ClockSync(TransformElement):
     already carried on the metadata plane."""
     FACTORY = "clocksync"
     DESCRIPTION = "Synchronize buffers to the clock"
+    HOST_ELEMENT = False
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, Caps.any()),
         PadTemplate("src", PadDirection.SRC, Caps.any()),
@@ -129,9 +130,60 @@ class ClockSync(TransformElement):
     PROPERTIES = {"sync": (bool, True, ""),
                   "ts-offset": (int, 0, "ns offset added to timestamps")}
 
+    def _test_clock(self):
+        from .misc_elements import _root
+        root = _root(self)
+        clock = getattr(root, "clock", None)
+        return clock if (clock is not None
+                         and hasattr(clock, "process_next_clock_id")) \
+            else None
+
+    def set_info(self, incaps, outcaps):
+        # with a TestClock installed on the pipeline, clocksync becomes
+        # a host-side gate that holds buffers until the clock is
+        # cranked past their timestamps (gst_test_clock semantics in
+        # the batched model); without one it stays a fused passthrough
+        self.HOST_ELEMENT = (self.props["sync"]
+                             and self._test_clock() is not None)
+
+    def start(self):
+        self._held = []
+
+    def host_process(self, buf):
+        clock = self._test_clock()
+        if buf is not None:
+            off = self.props["ts-offset"]
+            if off and buf.pts is not None:
+                buf = buf.with_(pts=buf.pts + off)
+            if clock is not None and buf.pts is not None \
+                    and buf.pts > clock.get_time():
+                clock.new_single_shot_id(buf.pts)
+                self._held.append(buf)
+                buf = None
+        # release any held buffers the clock has reached
+        if clock is not None and self._held:
+            ready = [b for b in self._held
+                     if b.pts <= clock.get_time()]
+            if ready:
+                self._held = [b for b in self._held
+                              if b.pts > clock.get_time()]
+                # merge the released buffer in front (one per tick)
+                out = ready[0]
+                self._held = ready[1:] + self._held
+                if buf is not None:
+                    self._held.append(buf)
+                return out
+        return buf
+
+    @property
+    def _pending_buf(self):
+        return True if getattr(self, "_held", None) else None
+
+    _decouple = True
+
     def process_meta(self, buf: Buffer) -> Buffer:
         off = self.props["ts-offset"]
-        if off and buf.pts is not None:
+        if off and buf.pts is not None and not self.HOST_ELEMENT:
             return buf.with_(pts=buf.pts + off)
         return buf
 

@@ -246,6 +246,7 @@ class AppSink(SinkElement):
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._queue: deque = deque()
+        self._received = 0         # lifetime count (harness statistics)
         self.new_sample_cb: Optional[Callable[["AppSink"], None]] = None
         self.events: list = []     # observed stream events (EOS/GAP/...)
 
@@ -260,6 +261,7 @@ class AppSink(SinkElement):
         # (gstappsink.c: gst_sample_new with the buffer's caps)
         caps = (buf.meta or {}).get("caps") or self.sink_pads()[0].caps
         self._queue.append(Sample(buf, caps))
+        self._received += 1
         if self.new_sample_cb:
             self.new_sample_cb(self)
         return FlowReturn.OK
