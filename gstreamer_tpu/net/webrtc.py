@@ -7,12 +7,15 @@ description/transceiver/ICE types) and ext/webrtc/gstwebrtcbin.c
 set-remote-description signalling state machine, transceivers with
 direction, on-negotiation-needed).
 
-Reduced scope (documented): no DTLS/SRTP encryption and no STUN/TURN
-— candidates are host candidates on 127.0.0.1 and media flows as
-plain RTP over the negotiated UDP ports (the JSEP state machine,
-SDP generation/parsing and transceiver plumbing are real; transport
-security is not implemented).  Signalling is the application's job,
-exactly as with the reference element."""
+Scope: the JSEP state machine, SDP generation/parsing, transceiver
+plumbing, host ICE candidates on 127.0.0.1, and DTLS-SRTP transport
+security (RFC 5764): offers carry a=fingerprint/a=setup, the DTLS
+handshake runs over the media ports (net/dtls.py, OpenSSL-backed like
+the reference ext/dtls) and media is SRTP-protected with the exported
+keys (clean-room RFC 3711 cipher, net/srtp.py).  STUN/TURN remains
+out (host candidates only); with enable-dtls=false — or libssl absent
+— media flows as plain RTP as before.  Signalling is the
+application's job, exactly as with the reference element."""
 
 from __future__ import annotations
 
@@ -69,8 +72,9 @@ class WebRTCBin(SinkElement):
     PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
                                  "application/x-rtp")]
     PROPERTIES = {
-        "stun-server": (str, "", "ignored (no STUN in reduced mode)"),
+        "stun-server": (str, "", "ignored (host candidates only)"),
         "latency": (int, 200, ""),
+        "enable-dtls": (bool, True, "DTLS-SRTP transport (RFC 5764)"),
     }
 
     def __init__(self, name=None, **props):
@@ -85,6 +89,22 @@ class WebRTCBin(SinkElement):
         self.on_negotiation_needed = None
         self._send_sock: Optional[socket.socket] = None
         self._recv_sock: Optional[socket.socket] = None
+        self._agent = None
+        self._dtls = None
+        self._srtp_send = None
+        self._srtp_recv = None
+        self._hs_thread = None
+
+    # -- DTLS-SRTP ---------------------------------------------------------
+    def _dtls_enabled(self) -> bool:
+        from .dtls import available
+        return self.props.get("enable-dtls", True) and available()
+
+    def _ensure_agent(self):
+        if self._agent is None and self._dtls_enabled():
+            from .dtls import DtlsAgent
+            self._agent = DtlsAgent()
+        return self._agent
 
     # -- transceivers ------------------------------------------------------
     def add_transceiver(self, direction: str, kind: str,
@@ -105,12 +125,22 @@ class WebRTCBin(SinkElement):
     def _media_for(self, t: WebRTCRTPTransceiver) -> SDPMedia:
         if not t.local_port:
             t.local_port = _free_port()
+        agent = self._ensure_agent()
         m = SDPMedia(media=t.kind, port=t.local_port,
-                     proto="RTP/AVP", formats=[str(t.pt)])
+                     proto=("UDP/TLS/RTP/SAVPF" if agent
+                            else "RTP/AVP"),
+                     formats=[str(t.pt)])
         m.connection = "IN IP4 127.0.0.1"
         m.attributes.append(
             ("rtpmap", f"{t.pt} {t.encoding_name}/{t.clock_rate}"))
         m.attributes.append((t.direction, ""))
+        if agent is not None:
+            m.attributes.append(("fingerprint", agent.fingerprint()))
+            # offerer is actpass; answerer takes the active role and
+            # becomes the DTLS client (RFC 5763 §5)
+            role = ("actpass" if self.remote_description is None
+                    else "active")
+            m.attributes.append(("setup", role))
         m.attributes.append(
             ("candidate",
              f"1 1 UDP 2113937151 127.0.0.1 {t.local_port} "
@@ -147,6 +177,7 @@ class WebRTCBin(SinkElement):
                     encoding_name=enc, clock_rate=rate,
                     mline=len(self.transceivers))
                 self.transceivers.append(t)
+            t.remote_port = rm.port
             msg.medias.append(self._media_for(t))
         return WebRTCSessionDescription("answer", msg)
 
@@ -189,7 +220,57 @@ class WebRTCBin(SinkElement):
         if self._send_sock is None:
             self._send_sock = socket.socket(socket.AF_INET,
                                             socket.SOCK_DGRAM)
-        self.connection_state = "connected"
+        agent = self._ensure_agent()
+        remote_dtls = False
+        if self.remote_description is not None:
+            for rm in self.remote_description.sdp.medias:
+                if rm.get_attribute_val("fingerprint"):
+                    remote_dtls = True
+        if agent is not None and remote_dtls:
+            self.connection_state = "connecting"
+            # answerer (a=setup:active) is the DTLS client
+            is_client = (self.local_description is not None
+                         and self.local_description.type == "answer")
+            self._dtls = agent.connection(is_client)
+            import threading
+            self._hs_thread = threading.Thread(
+                target=self._dtls_handshake_loop, daemon=True)
+            self._hs_thread.start()
+        else:
+            self.connection_state = "connected"
+
+    def _dtls_handshake_loop(self):
+        """Pump the DTLS handshake over the media ports (RFC 5764
+        demultiplexes by first byte: DTLS 20..63, RTP 128..191)."""
+        import time as _time
+        t = self.transceivers[0]
+        dest = ("127.0.0.1", t.remote_port)
+        try:
+            self._dtls.pump()
+            deadline = _time.time() + 10.0
+            while not self._dtls.complete and _time.time() < deadline:
+                out = self._dtls.take_outgoing()
+                if out:
+                    self._send_sock.sendto(out, dest)
+                try:
+                    data, _ = self._recv_sock.recvfrom(65536)
+                except (socket.timeout, OSError):
+                    continue
+                if data and 20 <= data[0] <= 63:
+                    self._dtls.feed_incoming(data)
+            out = self._dtls.take_outgoing()
+            if out:
+                self._send_sock.sendto(out, dest)
+            if self._dtls.complete:
+                from .srtp import SrtpSession
+                (sk, ss), (rk, rs) = self._dtls.srtp_send_recv_keys()
+                self._srtp_send = SrtpSession(sk, ss)
+                self._srtp_recv = SrtpSession(rk, rs)
+                self.connection_state = "connected"
+            else:
+                self.connection_state = "failed"
+        except Exception:
+            self.connection_state = "failed"
 
     def render(self, buf: Buffer) -> str:
         if self.connection_state != "connected":
@@ -199,20 +280,29 @@ class WebRTCBin(SinkElement):
         for b in (d if isinstance(d, (list, tuple)) else [d]):
             raw = (bytes(b) if isinstance(b, (bytes, bytearray))
                    else np.asarray(b).tobytes())
+            if self._srtp_send is not None:
+                raw = self._srtp_send.protect(raw)
             self._send_sock.sendto(raw,
                                    ("127.0.0.1", t.remote_port))
         return FlowReturn.OK
 
     def pull_received(self, max_packets: int = 64) -> List[bytes]:
         out = []
-        if self._recv_sock is None:
+        if self._recv_sock is None \
+                or self.connection_state == "connecting":
             return out
         for _ in range(max_packets):
             try:
                 data, _ = self._recv_sock.recvfrom(65536)
-                out.append(data)
             except socket.timeout:
                 break
+            if data and 20 <= data[0] <= 63:
+                continue                      # stray DTLS retransmit
+            if self._srtp_recv is not None:
+                data = self._srtp_recv.unprotect(data)
+                if data is None:
+                    continue                  # auth failure: drop
+            out.append(data)
         return out
 
     def stop(self):
