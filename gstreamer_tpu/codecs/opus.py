@@ -191,13 +191,20 @@ def decode_ogg(data: bytes) -> Tuple[np.ndarray, int, int]:
     from ..elements.ogg import parse_ogg_pages
 
     pages = parse_ogg_pages(data)
-    packets: List[bytes] = []
-    last_granule = -1
+    streams = {}
+    granules = {}
     for serial, granule, pkts in pages:
-        packets.extend(pkts)
+        streams.setdefault(serial, []).extend(pkts)
         if granule >= 0:
-            last_granule = granule
-    if not packets or not packets[0].startswith(b"OpusHead"):
+            granules[serial] = granule
+    packets = None
+    last_granule = -1
+    for serial, pkts in streams.items():
+        if pkts and pkts[0].startswith(b"OpusHead"):
+            packets = pkts
+            last_granule = granules.get(serial, -1)
+            break
+    if packets is None:
         raise ValueError("opus: no OpusHead BOS packet")
     ch, pre_skip, in_rate, gain = parse_opus_head(packets[0])
     audio = packets[1:]

@@ -147,9 +147,9 @@ def _read_mv_vlc(br: Bits) -> int:
 
 
 def _read_mv_clc(br: Bits) -> int:
+    """Fixed-length MV component: 5-bit magnitude then a sign bit
+    that is present even for zero magnitudes."""
     m = br.read(5)
-    if m == 0:
-        return 0
     return -m if br.read1() else m
 
 
@@ -425,10 +425,11 @@ class TheoraDecoder:
             else:
                 sb_full.append(fulls[fi])
                 fi += 1
-        # block flags in partial SBs (short runs)
-        run_left = 0
-        val = 0
-        first = True
+        # block flags in partial SBs (short runs, spec §7.3: value
+        # flips between runs; after a maximum-length run of 30 the
+        # next run's value is read explicitly)
+        n_partial_blocks = 0
+        slots = []                        # (pli, bi) of partial-SB blocks
         for i, (pli, sbx, sby) in enumerate(sb_geom):
             w, h = self.plane_dims[pli]
             bw, bh = w // 8, h // 8
@@ -440,20 +441,22 @@ class TheoraDecoder:
                 if sb_full[i]:
                     coded[pli][bi] = True
                 elif sb_partial[i]:
-                    if run_left == 0:
-                        if first:
-                            val = br.read1()
-                            first = False
-                        else:
-                            val ^= 1
-                        run_left = _read_short_run(br)
-                        if run_left == 30:
-                            # max short run: value re-read next time
-                            pass
-                    coded[pli][bi] = bool(val)
-                    run_left -= 1
-                    if run_left == 0 and val is not None:
-                        pass
+                    slots.append((pli, bi))
+        n = len(slots)
+        flags = []
+        if n:
+            val = br.read1()
+            while len(flags) < n:
+                run = _read_short_run(br)
+                run = min(run, n - len(flags))
+                flags.extend([bool(val)] * run)
+                if len(flags) < n:
+                    if run == 30:
+                        val = br.read1()
+                    else:
+                        val ^= 1
+        for (pli, bi), f in zip(slots, flags):
+            coded[pli][bi] = f
         return coded
 
     # ------------------------------------------------------- DCT tokens
@@ -1043,6 +1046,12 @@ class TheoraDecoder:
                         ref[pli], pad, bx * 8, by * 8, cmv)
         return frame_types, predictors
 
+    @staticmethod
+    def _halve(v: int) -> int:
+        """Chroma MV halving: arithmetic shift with the dropped bit
+        ORed back (VP3 rounding-toward-odd)."""
+        return (v >> 1) | (v & 1)
+
     def _chroma_mv(self, mode, mv4, coded, luma_blocks):
         if mv4 is None or mode in (M_INTRA, M_INTER_NOMV,
                                    M_GOLDEN_NOMV):
@@ -1050,14 +1059,17 @@ class TheoraDecoder:
         if mode == M_INTER_MV_FOUR:
             sx = sum(mv[0] for mv in mv4)
             sy = sum(mv[1] for mv in mv4)
-            if self.pixel_fmt == 0:
-                return (_div_round(sx, 4), _div_round(sy, 4))
-            if self.pixel_fmt == 2:
-                # per column pair — approximate with the average
-                return (_div_round(sx, 4), _div_round(sy, 4))
-            return (_div_round(sx, 4), _div_round(sy, 4))
-        mv = mv4[0]
-        return mv
+
+            def rshift2(a):
+                return (a + 2) >> 2 if a > 0 else (a + 1) >> 2
+            mv = (rshift2(sx), rshift2(sy))
+        else:
+            mv = mv4[0]
+        if self.pixel_fmt == 0:          # 4:2:0
+            return (self._halve(mv[0]), self._halve(mv[1]))
+        if self.pixel_fmt == 2:          # 4:2:2
+            return (self._halve(mv[0]), mv[1])
+        return mv                        # 4:4:4
 
     def _mc_block(self, ref_padded, pad, x0, y0, mv):
         """8x8 predictor from the padded reference; mv in half-pel."""
@@ -1068,15 +1080,21 @@ class TheoraDecoder:
         fy, hy = mvy >> 1, mvy & 1
         x = x0 + fx + pad
         y = y0 + fy + pad
-        a = ref_padded[y:y + 8, x:x + 8]
         if not hx and not hy:
-            return a
-        # second sample toward the fractional direction; for negative
-        # components, VP3 rounds toward negative infinity: mv>>1 and
-        # mv&1 already give floor + half flag
-        x2 = x + (1 if hx else 0)
-        y2 = y + (1 if hy else 0)
-        b = ref_padded[y2:y2 + 8, x2:x2 + 8]
+            return ref_padded[y:y + 8, x:x + 8]
+        if hx and hy:
+            # both half-pel: two-sample DIAGONAL average; the pair
+            # follows the MV direction — main diagonal for same signs,
+            # anti-diagonal when the signs differ (VP3 semantics)
+            d = -1 if (mvx ^ mvy) < 0 else 0
+            a = ref_padded[y:y + 8, x - d:x - d + 8]
+            b = ref_padded[y + 1:y + 9, x + 1 + d:x + 9 + d]
+        else:
+            a = ref_padded[y:y + 8, x:x + 8]
+            b = ref_padded[y + (1 if hy else 0):
+                           y + 8 + (1 if hy else 0),
+                           x + (1 if hx else 0):
+                           x + 8 + (1 if hx else 0)]
         return (a + b) >> 1
 
 
@@ -1094,3 +1112,57 @@ def _scale_mv_420(mv):
 
 def _div_round2(x):
     return (x + (1 if x >= 0 else -1)) >> 1 if x % 2 else x >> 1
+
+
+def decode_ogg(data: bytes, with_info: bool = False):
+    """Whole Ogg/Theora stream -> (frames, fps, dims).
+
+    frames: list of (Y, Cb, Cr) uint8 planes cropped to the picture
+    region (top-down); dims = (pic_width, pic_height)."""
+    from ..elements.ogg import parse_ogg_pages
+
+    pages = parse_ogg_pages(data)
+    streams: Dict[int, List[bytes]] = {}
+    for serial, granule, pkts in pages:
+        streams.setdefault(serial, []).extend(pkts)
+    th = None
+    for pkts in streams.values():
+        if pkts and pkts[0].startswith(b"\x80theora"):
+            th = pkts
+            break
+    if th is None or len(th) < 3:
+        raise ValueError("theora: no theora stream in ogg")
+    dec = TheoraDecoder(th[0], th[1], th[2])
+    frames = []
+    for pkt in th[3:]:
+        out = dec.decode_packet(pkt)
+        if out is not None:
+            frames.append(dec.crop(out))
+    fps = (dec.fps_n, dec.fps_d)
+    dims = (dec.pic_width, dec.pic_height)
+    if with_info:
+        return frames, fps, dims, dec
+    return frames, fps, dims
+
+
+def _crop(self, planes):
+    """Crop full-frame planes to the picture region (planes are
+    emitted top-down; pic offsets are in the bottom-up spec space)."""
+    x0 = self.pic_x
+    y0 = self.frame_height - self.pic_height - self.pic_y
+    out = []
+    for pli, p in enumerate(planes):
+        if pli == 0 or self.pixel_fmt == 3:
+            xs, ys = x0, y0
+            w, h = self.pic_width, self.pic_height
+        elif self.pixel_fmt == 0:
+            xs, ys = x0 // 2, y0 // 2
+            w, h = (self.pic_width + 1) // 2, (self.pic_height + 1) // 2
+        else:                                   # 422
+            xs, ys = x0 // 2, y0
+            w, h = (self.pic_width + 1) // 2, self.pic_height
+        out.append(p[ys:ys + h, xs:xs + w])
+    return tuple(out)
+
+
+TheoraDecoder.crop = _crop

@@ -933,13 +933,20 @@ def decode_ogg(data: bytes) -> Tuple[np.ndarray, int, int]:
     from ..elements.ogg import parse_ogg_pages
 
     pages = parse_ogg_pages(data)
-    packets: List[bytes] = []
-    last_granule = -1
+    streams: Dict[int, List[bytes]] = {}
+    granules: Dict[int, int] = {}
     for serial, granule, pkts in pages:
-        packets.extend(pkts)
+        streams.setdefault(serial, []).extend(pkts)
         if granule >= 0:
-            last_granule = granule
-    if len(packets) < 3 or not packets[0].startswith(b"\x01vorbis"):
+            granules[serial] = granule
+    packets = None
+    last_granule = -1
+    for serial, pkts in streams.items():
+        if pkts and pkts[0].startswith(b"\x01vorbis"):
+            packets = pkts
+            last_granule = granules.get(serial, -1)
+            break
+    if packets is None or len(packets) < 3:
         raise ValueError("vorbis: no vorbis BOS packet")
     dec = VorbisDecoder(packets[0], packets[2], packets[1])
     pcm = dec.decode_packets(packets[3:])

@@ -192,14 +192,16 @@ class OggDemux(SourceElement):
     """oggdemux (collapsed with flacdec: the payload is decoded to raw
     audio, matching how the raw-codec demuxers here expose content)."""
     FACTORY = "oggdemux"
-    DESCRIPTION = "demux ogg streams (FLAC, Vorbis, Opus mappings)"
+    DESCRIPTION = "demux ogg streams (FLAC, Vorbis, Opus, Theora)"
     PAD_TEMPLATES = [PadTemplate(
         "src", PadDirection.SRC,
         "audio/x-raw, format={ S8, S16LE, S24LE, S32LE, F32LE }, "
-        "rate=[1,655350], channels=[1,8], layout=interleaved")]
+        "rate=[1,655350], channels=[1,8], layout=interleaved; "
+        "video/x-raw, format={ I420, Y42B, Y444 }")]
     PROPERTIES = {
         "location": (str, "", "ogg file path"),
         "blocksize": (int, 4096, "frames per output buffer"),
+        "stream": (str, "", "pick 'audio' or 'video' in A/V files"),
     }
 
     def __init__(self, name=None, **props):
@@ -212,11 +214,32 @@ class OggDemux(SourceElement):
         with open(self.props["location"], "rb") as f:
             data = f.read()
         pages = parse_ogg_pages(data)
-        packets: List[bytes] = []
+        streams: dict = {}
+        order: List[int] = []
         for serial, granule, pkts in pages:
-            packets.extend(pkts)
-        if not packets:
+            if serial not in streams:
+                order.append(serial)
+            streams.setdefault(serial, []).extend(pkts)
+        if not streams:
             raise ValueError("oggdemux: empty stream")
+        want = self.props.get("stream", "")
+        packets = None
+        for serial in order:
+            pkts = streams[serial]
+            if not pkts:
+                continue
+            is_video = pkts[0].startswith(b"\x80theora")
+            if want == "video" and is_video:
+                packets = pkts
+                break
+            if want == "audio" and not is_video:
+                packets = pkts
+                break
+            if not want:
+                packets = pkts
+                break
+        if packets is None:
+            raise ValueError(f"oggdemux: no {want or 'known'} stream")
         bos = packets[0]
         if bos.startswith(b"\x7fFLAC"):
             self._load_flac(packets)
@@ -234,6 +257,23 @@ class OggDemux(SourceElement):
             self._samples = np.asarray(pcm, np.float32)
             self._ainfo = AudioInfo(format="F32LE", rate=rate,
                                     channels=ch)
+        elif bos.startswith(b"\x80theora"):
+            from ..codecs.theora import TheoraDecoder
+            if len(packets) < 3:
+                raise ValueError("oggdemux: truncated theora headers")
+            dec = TheoraDecoder(packets[0], packets[1], packets[2])
+            frames = []
+            for pkt in packets[3:]:
+                out = dec.decode_packet(pkt)
+                if out is not None:
+                    frames.append(dec.crop(out))
+            self._video = frames
+            self._vinfo = ("I420" if dec.pixel_fmt == 0
+                           else "Y42B" if dec.pixel_fmt == 2
+                           else "Y444",
+                           dec.pic_width, dec.pic_height,
+                           dec.fps_n, dec.fps_d)
+            self._samples = np.zeros((0, 1), np.int16)   # marker
         else:
             raise ValueError("oggdemux: unsupported ogg mapping")
         self._pos = 0
@@ -268,8 +308,16 @@ class OggDemux(SourceElement):
                 self._load()
             except (OSError, ValueError):
                 return Caps.any()
-        caps = (Caps([self._ainfo.to_caps_structure()])
-                if self._samples is not None else Caps.any())
+        if getattr(self, "_video", None) is not None:
+            from ..core.structure import Structure
+            from ..core.value import Fraction
+            fmt, w, h, fn, fd = self._vinfo
+            caps = Caps([Structure("video/x-raw", {
+                "format": fmt, "width": w, "height": h,
+                "framerate": Fraction(fn, fd)})])
+        else:
+            caps = (Caps([self._ainfo.to_caps_structure()])
+                    if self._samples is not None else Caps.any())
         if filter is not None and not caps.is_any:
             caps = caps.intersect(filter)
         return caps
@@ -279,6 +327,18 @@ class OggDemux(SourceElement):
         self._pos = 0
 
     def create(self, n_frames: int) -> Optional[Buffer]:
+        if getattr(self, "_video", None) is not None:
+            if self._pos >= len(self._video):
+                return None
+            take = self._video[self._pos:self._pos + n_frames]
+            data = tuple(np.stack([f[c] for f in take])
+                         for c in range(3))
+            _, _, _, fn, fd = self._vinfo
+            pts = self._pos * 1_000_000_000 * fd // fn if fn else None
+            dur = 1_000_000_000 * fd // fn if fn else None
+            self._pos += len(take)
+            return Buffer(data=data, batch=len(take), pts=pts,
+                          duration=dur)
         if self._pos >= len(self._samples):
             return None
         take = self.props["blocksize"]

@@ -177,3 +177,118 @@ class OpusEnc(_OggAudioEnc):
         from ..codecs import opus as popus
         return popus.encode_ogg(pcm, self._info.rate,
                                 self.props["bitrate"])
+
+
+@register_element
+class TheoraDec(SourceElement):
+    """theoradec (collapsed source like the audio decoders here):
+    Ogg/Theora file in, raw planar video out.  Decode is the
+    clean-room codecs/theora.py (bit-exact vs libtheoradec)."""
+    FACTORY = "theoradec"
+    DESCRIPTION = "decode raw theora streams to raw YUV video"
+    PAD_TEMPLATES = [PadTemplate(
+        "src", PadDirection.SRC,
+        "video/x-raw, format={ I420, Y42B, Y444 }")]
+    PROPERTIES = {"location": (str, "", "ogg file path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._frames = None
+        self._pos = 0
+
+    def _load(self):
+        if self._frames is not None:
+            return
+        from ..codecs.theora import decode_ogg
+        with open(self.props["location"], "rb") as f:
+            data = f.read()
+        frames, fps, dims, dec = decode_ogg(data, with_info=True)
+        self._frames = frames
+        self._fmt = {0: "I420", 2: "Y42B", 3: "Y444"}[dec.pixel_fmt]
+        self._dims = dims
+        self._fps = fps
+        self._pos = 0
+
+    def get_caps(self, filter=None):
+        if self.props["location"]:
+            try:
+                self._load()
+            except (OSError, ValueError):
+                return Caps.any()
+        if self._frames is None:
+            return Caps.any()
+        from ..core.value import Fraction
+        from ..core.structure import Structure
+        w, h = self._dims
+        n, d = self._fps
+        caps = Caps([Structure("video/x-raw", {
+            "format": self._fmt, "width": w, "height": h,
+            "framerate": Fraction(n, d)})])
+        if filter is not None:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames: int):
+        if self._pos >= len(self._frames):
+            return None
+        take = self._frames[self._pos:self._pos + n_frames]
+        data = tuple(np.stack([f[c] for f in take])
+                     for c in range(3))
+        n, d = self._fps
+        pts = (self._pos * 1_000_000_000 * d // n) if n else None
+        dur = 1_000_000_000 * d // n if n else None
+        self._pos += len(take)
+        return Buffer(data=data, batch=len(take), pts=pts,
+                      duration=dur)
+
+
+@register_element
+class TheoraEnc(SinkElement):
+    """theoraenc (libtheoraenc-backed, exactly like the reference
+    element): raw 4:2:0 video in, Ogg/Theora file out."""
+    FACTORY = "theoraenc"
+    DESCRIPTION = "encode raw YUV video into a theora stream"
+    PAD_TEMPLATES = [PadTemplate(
+        "sink", PadDirection.SINK, "video/x-raw, format=I420")]
+    PROPERTIES = {
+        "location": (str, "out.ogv", "output path"),
+        "quality": (int, 48, "encoder quality 0..63"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._frames = []
+        self._info = None
+
+    def set_info(self, incaps, outcaps):
+        from ..video.info import VideoInfo
+        self._info = VideoInfo.from_caps_structure(incaps[0])
+
+    def start(self):
+        self._frames = []
+
+    def render(self, buf: Buffer) -> str:
+        y, cb, cr = (np.asarray(p) for p in buf.data)
+        if y.ndim == 2:
+            y, cb, cr = y[None], cb[None], cr[None]
+        for k in range(y.shape[0]):
+            self._frames.append((y[k], cb[k], cr[k]))
+        return "ok"
+
+    def stop(self):
+        if not self._frames or self._info is None:
+            return
+        from ..codecs.theora_enc import encode_ogg
+        fps = self._info.fps
+        blob = encode_ogg(self._frames, self._info.width,
+                          self._info.height,
+                          (fps.num, fps.denom) if fps and fps.num
+                          else (30, 1),
+                          quality=self.props["quality"])
+        with open(self.props["location"], "wb") as f:
+            f.write(blob)
+        self._frames = []

@@ -203,8 +203,17 @@ class Discoverer:
                 kind="audio", rate=48000, channels=channels,
                 format="Opus"))
         elif payload.startswith(b"\x80theora"):
-            info.streams.append(StreamInfo(kind="video",
-                                           format="Theora"))
+            fmbw = (payload[10] << 8) | payload[11]
+            fmbh = (payload[12] << 8) | payload[13]
+            picw = int.from_bytes(payload[14:17], "big")
+            pich = int.from_bytes(payload[17:20], "big")
+            fps_n = int.from_bytes(payload[22:26], "big")
+            fps_d = int.from_bytes(payload[26:30], "big")
+            info.streams.append(StreamInfo(
+                kind="video", width=picw or fmbw * 16,
+                height=pich or fmbh * 16,
+                fps=(Fraction(fps_n, fps_d) if fps_d else None),
+                format="Theora"))
         else:
             info.streams.append(StreamInfo(kind="unknown",
                                            format="ogg"))
