@@ -184,6 +184,37 @@ class Element:
         self._needs_reconfigure = False    # RECONFIGURE mark (gstpad.c)
 
     # -- properties (mirrors GObject properties used in launch lines) ----
+    # -- property animation (gstcontrolbinding.c analog) -------------------
+    DYNAMIC_PROPS: tuple = ()
+
+    def set_control_source(self, prop: str, source) -> None:
+        """Attach a ControlSource to a property
+        (gst_object_add_control_binding).  Properties listed in the
+        element's DYNAMIC_PROPS compile as per-tick device inputs —
+        value changes never trigger a recompile; other properties are
+        synced host-side before each tick (which may reconfigure)."""
+        prop = prop.replace("_", "-")
+        if prop not in self.PROPERTIES:
+            raise ValueError(f"{self.FACTORY}: no property {prop!r}")
+        if not hasattr(self, "_dyn_sources"):
+            self._dyn_sources = {}
+        self._dyn_sources[prop] = source
+
+    def remove_control_source(self, prop: str) -> None:
+        getattr(self, "_dyn_sources", {}).pop(
+            prop.replace("_", "-"), None)
+
+    def dyn_props(self) -> dict:
+        """Active dynamic-input props: {prop: ControlSource}."""
+        srcs = getattr(self, "_dyn_sources", {})
+        return {p: s for p, s in srcs.items()
+                if p in self.DYNAMIC_PROPS}
+
+    def make_dyn_fn(self):
+        """fn(x, dyn: dict) for elements with DYNAMIC_PROPS; dyn maps
+        prop name -> traced scalar."""
+        return None
+
     def set_property(self, key: str, value: Any) -> None:
         key = key.replace("_", "-")
         if key not in self.PROPERTIES:

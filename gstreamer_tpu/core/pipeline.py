@@ -486,6 +486,7 @@ class Pipeline(Bin):
         # per-element pure fns
         fns: Dict[Element, Optional[Callable]] = {}
         scan_fns: Dict[Element, tuple] = {}
+        dyn_elems: Dict[Element, tuple] = {}   # controlled-prop inputs
         for e in order:
             if isinstance(e, SourceElement):
                 fns[e] = e.generator_fn()
@@ -498,6 +499,11 @@ class Pipeline(Bin):
                 if sf is not None:
                     scan_fns[e] = sf
                     fns[e] = None
+                elif e.dyn_props():
+                    dfn = e.make_dyn_fn()
+                    fns[e] = dfn if dfn is not None else e.make_fn()
+                    if dfn is not None:
+                        dyn_elems[e] = tuple(sorted(e.dyn_props()))
                 else:
                     fns[e] = e.make_fn()
 
@@ -530,6 +536,7 @@ class Pipeline(Bin):
                 "axis and cannot be dp-sharded")
         self._fns = fns
         self._scan_fns = scan_fns
+        self._dyn_elems = dyn_elems
         self._host_elems = host_elems
         self._fused = not host_elems
         self._elem_states = None
@@ -574,7 +581,9 @@ class Pipeline(Bin):
                                                     xs)
                             new_states[e.name] = carry
                         elif fns[e] is not None:
-                            v = fns[e](v)
+                            dyn = inputs.get(e.name + "__dyn")
+                            v = (fns[e](v, dyn) if dyn is not None
+                                 else fns[e](v))
                         for sp in e.src_pads():
                             values[sp] = v
                 return outputs, new_states
@@ -605,8 +614,8 @@ class Pipeline(Bin):
         self.compile_count += 1
         self._program_cache[key] = {
             k: self.__dict__[k] for k in
-            ("_fns", "_scan_fns", "_host_elems", "_fused", "_device_step",
-             "_order", "_batch", "_mesh")}
+            ("_fns", "_scan_fns", "_dyn_elems", "_host_elems", "_fused",
+             "_device_step", "_order", "_batch", "_mesh")}
         if not self._fused:
             self._program_cache[key]["_elem_jit"] = self._elem_jit
             self._program_cache[key]["_elem_scan_jit"] = self._elem_scan_jit
@@ -794,6 +803,18 @@ class Pipeline(Bin):
                 if aux is not None:
                     inputs[e.name + "__aux"] = aux
 
+        if getattr(self, "_dyn_elems", None):
+            ts = self._position_ns
+            for m in metas.values():
+                if getattr(m, "pts", None) is not None:
+                    ts = m.pts
+                    break
+            for e, props in self._dyn_elems.items():
+                import numpy as _np
+                inputs[e.name + "__dyn"] = {
+                    p: _np.float32(e._dyn_sources[p].value_at(ts))
+                    for p in props}
+
         outputs: Dict[str, Any] = {}
         if self._fused:
             try:
@@ -908,8 +929,21 @@ class Pipeline(Bin):
                             self._elem_states[e.name] = carry
                             buf = buf.with_(data=v)
                         elif self._fns.get(e) is not None:
-                            buf = buf.with_(
-                                data=self._elem_jit[e](buf.data))
+                            dyn = inputs.get(e.name + "__dyn")
+                            if dyn is None and e in getattr(
+                                    self, "_dyn_elems", {}):
+                                import numpy as _np
+                                dyn = {p: _np.float32(
+                                    e._dyn_sources[p].value_at(
+                                        self._position_ns))
+                                    for p in self._dyn_elems[e]}
+                            if dyn is not None:
+                                buf = buf.with_(
+                                    data=self._elem_jit[e](buf.data,
+                                                           dyn))
+                            else:
+                                buf = buf.with_(
+                                    data=self._elem_jit[e](buf.data))
                 if buf is None:   # host element swallowed the buffer
                     continue
                 buf = e.process_meta(buf)

@@ -33,8 +33,18 @@ NS = 1_000_000_000
 @dataclass
 class Effect:
     """ges-effect.c: an element-description fragment applied to the
-    clip's media stream."""
+    clip's media stream.  `keyframes` maps a child property to
+    [(clip-local ns, value), ...] — the GES control-binding path
+    (ges_track_element_set_control_source); values are applied through
+    the framework's dynamic-property inputs, so animation never
+    recompiles the clip program."""
     description: str
+    keyframes: Dict[str, List[Tuple[int, float]]] = \
+        field(default_factory=dict)
+
+    def set_keyframe(self, prop: str, ts_ns: int,
+                     value: float) -> None:
+        self.keyframes.setdefault(prop, []).append((ts_ns, value))
 
 
 @dataclass
@@ -61,7 +71,33 @@ class Clip:
         return None
 
     def _effect_chain(self) -> str:
-        return "".join(f" ! {e.description}" for e in self.effects)
+        parts = []
+        for i, e in enumerate(self.effects):
+            desc = e.description
+            if e.keyframes and " name=" not in desc:
+                head, _, rest = desc.partition(" ")
+                desc = f"{head} name=__fx{i}__" + (f" {rest}" if rest
+                                                  else "")
+            parts.append(f" ! {desc}")
+        return "".join(parts)
+
+    def _attach_keyframes(self, pipeline) -> None:
+        """Bind the effects' keyframes onto the built sub-pipeline."""
+        from ..core.controller import InterpolationControlSource
+        for i, e in enumerate(self.effects):
+            if not e.keyframes:
+                continue
+            name = None
+            if " name=" in e.description:
+                name = e.description.split(" name=")[1].split()[0]
+            el = pipeline.get_by_name(name or f"__fx{i}__")
+            if el is None:
+                continue
+            for prop, kfs in e.keyframes.items():
+                src = InterpolationControlSource()
+                for ts, val in kfs:
+                    src.set(ts, val)
+                el.set_control_source(prop, src)
 
 
 @dataclass
@@ -199,12 +235,14 @@ class Timeline:
 class _ClipStream:
     """Sequential frame/sample reader over a clip's sub-pipeline."""
 
-    def __init__(self, launch: str, caps: str):
+    def __init__(self, launch: str, caps: str, clip=None):
         from ..core.parse import parse_launch
         conv = ("videoconvertscale" if caps.startswith("video")
                 else "audioconvert ! audioresample")
         self._p = parse_launch(
             f"{launch} ! {conv} ! {caps} ! appsink name=__out__")
+        if clip is not None:
+            clip._attach_keyframes(self._p)
         self._sink = self._p.get_by_name("__out__")
         self._queue: List = []
         self._eos = False
@@ -303,7 +341,8 @@ class TimelineVideoSrc(SourceElement):
             launch = clip.video_launch(track)
             if launch is None:
                 return None
-            st = _ClipStream(launch, track.caps_string())
+            st = _ClipStream(launch, track.caps_string(),
+                             clip=clip)
             fps = track.fps
             st.skip_video(int(clip.inpoint * fps.num // (NS * fps.denom)))
             self._streams[key] = st
@@ -400,7 +439,8 @@ class TimelineAudioSrc(SourceElement):
             launch = clip.audio_launch(track)
             if launch is None:
                 return None
-            st = _ClipStream(launch, track.caps_string())
+            st = _ClipStream(launch, track.caps_string(),
+                             clip=clip)
             st.skip_audio(int(clip.inpoint * track.rate // NS),
                           track.channels)
             self._streams[key] = st

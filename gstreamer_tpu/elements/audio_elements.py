@@ -443,9 +443,28 @@ class Volume(TransformElement):
         "volume": (float, 1.0, "gain factor"),
         "mute": (bool, False, ""),
     }
+    DYNAMIC_PROPS = ("volume",)
 
     def set_info(self, incaps, outcaps):
         self._info = AudioInfo.from_caps_structure(incaps[0])
+
+    def make_dyn_fn(self):
+        """Keyframed gain: `volume` arrives as a per-tick device input
+        (control-binding path) — no recompile on value changes."""
+        f = self._info.finfo
+        mute = self.props["mute"]
+
+        def fn(x, dyn):
+            import jax.numpy as jnp
+            vol = jnp.float32(0.0) if mute else dyn["volume"]
+            if f.is_float:
+                return (x * vol).astype(x.dtype)
+            q = (vol * (1 << 27)).astype(jnp.int64)
+            v = (x.astype(jnp.int64) * q) >> 27
+            lim = 1 << (f.width - 1)
+            return jnp.clip(v, -lim, lim - 1).astype(x.dtype)
+
+        return fn
 
     def make_fn(self):
         vol = 0.0 if self.props["mute"] else self.props["volume"]

@@ -176,3 +176,37 @@ class TestAudioRender:
         seg = lambda t0, t1: audio[int(t0 * 8000):int(t1 * 8000)]
         rms = lambda x: float(np.sqrt((x ** 2).mean()))
         assert rms(seg(0.5, 0.6)) > rms(seg(0.8, 0.9)) > rms(seg(1.2, 1.3))
+
+
+class TestKeyframedEffects:
+    """GES control-binding path (ges_track_element_set_control_source):
+    keyframed effect properties animate through the framework's
+    dynamic-property inputs — one compile, no per-frame recompiles."""
+
+    def test_keyframed_volume_fade(self):
+        import numpy as np
+        from gstreamer_tpu.core.parse import parse_launch
+        from gstreamer_tpu.editing import (AudioTrack, Effect,
+                                           TestClip, Timeline)
+
+        tl = Timeline(audio=AudioTrack(rate=8000, channels=1))
+        layer = tl.append_layer()
+        clip = TestClip(start=0, duration=1_000_000_000, freq=440.0)
+        fx = Effect("volume")
+        fx.set_keyframe("volume", 0, 1.0)
+        fx.set_keyframe("volume", 1_000_000_000, 0.0)   # fade out
+        clip.add_effect(fx)
+        layer.add_clip(clip)
+
+        p = parse_launch("timelineaudiosrc name=src ! appsink name=o")
+        p.get_by_name("src").set_property("timeline", tl)
+        p.run()
+        sink = p.get_by_name("o")
+        chunks = []
+        while (s := sink.pull_sample()) is not None:
+            chunks.append(np.asarray(s.buffer.data))
+        pcm = np.concatenate(chunks, axis=0).ravel()
+        n = len(pcm)
+        head = np.abs(pcm[: n // 8]).max()
+        tail = np.abs(pcm[-n // 8:]).max()
+        assert head > 3 * max(tail, 1e-9), (head, tail)

@@ -72,6 +72,10 @@ CORPUS = [
      _VIDEO_SRC.replace("I420", "UYVY") + "qtmux location={p}",
      "video/quicktime",
      "qtdemux location={p} stream=video ! appsink name=out"),
+    ("video.ogv",
+     _VIDEO_SRC + "theoraenc location={p} quality=55",
+     "video/ogg",
+     "theoradec location={p} ! appsink name=out"),
     ("video.mxf",
      "mxfmux name=m location={p} ! fakesink "
      + _VIDEO_SRC.replace("I420", "UYVY") + "m.video_0",

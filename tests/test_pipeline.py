@@ -860,3 +860,61 @@ class TestTelecine:
         assert len(outs) == 3
         for f, (o, _) in zip(frames, outs):
             assert (o == f).all()
+
+
+class TestDynamicProperties:
+    """Control-bound DYNAMIC_PROPS compile as per-tick device inputs:
+    animation without recompiles (the gstcontrolbinding sync path,
+    redesigned TPU-first)."""
+
+    def test_volume_ramp_single_compile(self):
+        import numpy as np
+        from gstreamer_tpu.core.controller import \
+            InterpolationControlSource
+        from gstreamer_tpu.core.parse import parse_launch
+
+        p = parse_launch(
+            "audiotestsrc wave=sine freq=440 num-buffers=10 "
+            "samplesperbuffer=1000 ! "
+            "audio/x-raw,format=F32LE,rate=10000,channels=1 ! "
+            "volume name=v ! appsink name=o")
+        v = p.get_by_name("v")
+        src = InterpolationControlSource()
+        src.set(0, 0.0)
+        src.set(1_000_000_000, 1.0)
+        v.set_control_source("volume", src)
+        p.run()
+        sink = p.get_by_name("o")
+        peaks = []
+        while (s := sink.pull_sample()) is not None:
+            peaks.append(float(np.abs(np.asarray(s.buffer.data)).max()))
+        assert len(peaks) == 10
+        # monotone ramp (audiotestsrc's own 0.8 gain scales it)
+        assert peaks[0] < 0.05
+        assert peaks[-1] > 0.6
+        assert all(b >= a - 1e-3 for a, b in zip(peaks, peaks[1:]))
+        assert p.compile_count == 1          # no recompiles
+
+    def test_int_path_dynamic_volume(self):
+        import numpy as np
+        from gstreamer_tpu.core.controller import \
+            InterpolationControlSource
+        from gstreamer_tpu.core.parse import parse_launch
+
+        p = parse_launch(
+            "audiotestsrc wave=sine num-buffers=4 "
+            "samplesperbuffer=500 ! "
+            "audio/x-raw,format=S16LE,rate=2000,channels=1 ! "
+            "volume name=v ! appsink name=o")
+        src = InterpolationControlSource()
+        src.set(0, 0.25)
+        src.set(1_000_000_000, 0.25)
+        p.get_by_name("v").set_control_source("volume", src)
+        p.run()
+        sink = p.get_by_name("o")
+        got = []
+        while (s := sink.pull_sample()) is not None:
+            got.append(np.asarray(s.buffer.data))
+        full = np.concatenate(got).ravel()
+        # constant 0.25 via the Q27 integer path
+        assert 0.15 * 0.8 * 32767 < np.abs(full).max() < 0.3 * 32767
