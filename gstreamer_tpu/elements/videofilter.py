@@ -60,6 +60,45 @@ class VideoBalance(_VideoFilterBase):
         "hue": (float, 0.0, "[-1,1]"),
         "saturation": (float, 1.0, "[0,2]"),
     }
+    DYNAMIC_PROPS = ("contrast", "brightness", "hue", "saturation")
+
+    def make_dyn_fn(self):
+        """Keyframed balance: the four scalars arrive as per-tick
+        device inputs and the LUTs are built ON DEVICE each tick with
+        the same rint/clip math as the static tables — identical
+        output, no recompiles."""
+
+        def fn(planes, dyn):
+            import jax.numpy as jnp
+            c = dyn.get("contrast", jnp.float32(self.props["contrast"]))
+            b = dyn.get("brightness",
+                        jnp.float32(self.props["brightness"]))
+            hue = dyn.get("hue", jnp.float32(self.props["hue"]))
+            sat = dyn.get("saturation",
+                          jnp.float32(self.props["saturation"]))
+            i = jnp.arange(256, dtype=jnp.float32)
+            ty = jnp.clip(jnp.rint(16 + (i - 16) * c + b * 255),
+                          0, 255).astype(jnp.int32)
+            hc = jnp.cos(jnp.pi * hue)
+            hs = jnp.sin(jnp.pi * hue)
+            ii = (jnp.arange(256, dtype=jnp.float32)
+                  - 128)[:, None]
+            jj = (jnp.arange(256, dtype=jnp.float32)
+                  - 128)[None, :]
+            tu = jnp.clip(jnp.rint(128 + (ii * hc + jj * hs) * sat),
+                          0, 255).astype(jnp.int32).reshape(-1)
+            tv = jnp.clip(jnp.rint(128 + (-ii * hs + jj * hc) * sat),
+                          0, 255).astype(jnp.int32).reshape(-1)
+            y = planes[0].astype(jnp.int32)
+            u = planes[1].astype(jnp.int32)
+            v = planes[2].astype(jnp.int32)
+            idx = u * 256 + v
+            out = [ty[y].astype(jnp.uint8),
+                   tu[idx].astype(jnp.uint8),
+                   tv[idx].astype(jnp.uint8)]
+            return tuple(out) + tuple(planes[3:])
+
+        return fn
 
     def _tables(self):
         c, b = self.props["contrast"], self.props["brightness"]

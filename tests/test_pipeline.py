@@ -918,3 +918,59 @@ class TestDynamicProperties:
         full = np.concatenate(got).ravel()
         # constant 0.25 via the Q27 integer path
         assert 0.15 * 0.8 * 32767 < np.abs(full).max() < 0.3 * 32767
+
+    def test_videobalance_dynamic_matches_static(self):
+        import numpy as np
+        from gstreamer_tpu.core.controller import \
+            InterpolationControlSource
+        from gstreamer_tpu.core.parse import parse_launch
+
+        vals = (("contrast", 1.3), ("saturation", 0.5),
+                ("hue", 0.2), ("brightness", -0.1))
+        p_static = parse_launch(
+            "videotestsrc num-buffers=1 pattern=gradient ! "
+            "video/x-raw,format=I420,width=32,height=16,"
+            "framerate=5/1 ! videobalance "
+            + " ".join(f"{k}={v}" for k, v in vals)
+            + " ! appsink name=o")
+        p_static.run()
+        g1 = [np.asarray(x) for x in
+              p_static.get_by_name("o").pull_sample().buffer.data]
+
+        p_dyn = parse_launch(
+            "videotestsrc num-buffers=1 pattern=gradient ! "
+            "video/x-raw,format=I420,width=32,height=16,"
+            "framerate=5/1 ! videobalance name=vb ! appsink name=o")
+        vb = p_dyn.get_by_name("vb")
+        for prop, val in vals:
+            cs = InterpolationControlSource()
+            cs.set(0, val)
+            cs.set(10 ** 9, val)
+            vb.set_control_source(prop, cs)
+        p_dyn.run()
+        g2 = [np.asarray(x) for x in
+              p_dyn.get_by_name("o").pull_sample().buffer.data]
+        for a, b in zip(g1, g2):
+            np.testing.assert_array_equal(a, b)
+
+    def test_videobalance_keyframed_fade_to_black(self):
+        import numpy as np
+        from gstreamer_tpu.core.controller import \
+            InterpolationControlSource
+        from gstreamer_tpu.core.parse import parse_launch
+
+        p = parse_launch(
+            "videotestsrc num-buffers=5 pattern=gradient ! "
+            "video/x-raw,format=I420,width=32,height=16,"
+            "framerate=5/1 ! videobalance name=vb ! appsink name=o")
+        src = InterpolationControlSource()
+        src.set(0, 0.0)
+        src.set(1_000_000_000, -1.0)
+        p.get_by_name("vb").set_control_source("brightness", src)
+        p.run()
+        sink = p.get_by_name("o")
+        means = []
+        while (s := sink.pull_sample()) is not None:
+            means.append(float(np.asarray(s.buffer.data[0]).mean()))
+        assert means[0] > means[-1] + 20
+        assert p.compile_count == 1
