@@ -89,10 +89,6 @@ MODE_ALPHABETS = [
  M_INTER_MV_FOUR) = range(8)
 
 
-class Header:
-    pass
-
-
 def _read_long_run(br: Bits) -> int:
     """Superblock run-length codeword (spec §7.4.1)."""
     if br.read1() == 0:
@@ -460,8 +456,8 @@ class TheoraDecoder:
         return coded
 
     # ------------------------------------------------------- DCT tokens
-    def _decode_residuals(self, br: Bits, coded, qis, block_qi,
-                          intra_mask) -> List[np.ndarray]:
+    def _decode_residuals(self, br: Bits, coded, qis,
+                          block_qi) -> List[np.ndarray]:
         """Token decode (spec §7.5): returns per-plane (nbs, 64)
         coefficient arrays in zigzag order."""
         coeffs = [np.zeros((n, 64), np.int32) for n in self.nbs]
@@ -755,8 +751,7 @@ class TheoraDecoder:
         coded = [np.ones(n, bool) for n in self.nbs]
         block_qi = self._decode_block_qi(br, coded, qis)
         frame_types = [np.zeros(n, np.int32) for n in self.nbs]
-        coeffs = self._decode_residuals(br, coded, qis, block_qi,
-                                        None)
+        coeffs = self._decode_residuals(br, coded, qis, block_qi)
         self._lastdc = [0, 0, 0]
         self._dc_predict(coded, coeffs, frame_types)
         self._prev = [np.empty((h, w), np.uint8)
@@ -896,8 +891,7 @@ class TheoraDecoder:
         mvs = self._decode_mvs(br, coded, modes)
         block_qi = self._decode_block_qi(br, coded, qis)
         frame_types, predictors = self._predictors(coded, modes, mvs)
-        coeffs = self._decode_residuals(br, coded, qis, block_qi,
-                                        None)
+        coeffs = self._decode_residuals(br, coded, qis, block_qi)
         self._dc_predict(coded, coeffs, frame_types)
         self._prev = [p.copy() for p in self._prev]
         self._reconstruct(coded, coeffs, qis, block_qi, frame_types,
@@ -1096,22 +1090,6 @@ class TheoraDecoder:
                            x + (1 if hx else 0):
                            x + 8 + (1 if hx else 0)]
         return (a + b) >> 1
-
-
-def _div_round(x: int, d: int) -> int:
-    """Round-half-away-from-zero integer division."""
-    if x >= 0:
-        return (x + d // 2) // d
-    return -((-x + d // 2) // d)
-
-
-def _scale_mv_420(mv):
-    x, y = mv
-    return (_div_round2(x), _div_round2(y))
-
-
-def _div_round2(x):
-    return (x + (1 if x >= 0 else -1)) >> 1 if x % 2 else x >> 1
 
 
 def decode_ogg(data: bytes, with_info: bool = False):

@@ -737,10 +737,27 @@ class Pipeline(Bin):
                 return None
             if self._mesh is not None:
                 buf = buf.with_(data=self._shard_inputs(buf.data))
-            elif getattr(self, "_prefetch", False):
+            elif self._fused:
+                # explicit staging: issue the H2D now (async) so the
+                # dispatch below never consumes an in-flight host
+                # buffer — some transports serialize pathologically
+                # when a program is enqueued against unfinished
+                # transfers (measured 6.6 -> 447 fps on the dev
+                # tunnel); with prefetch=True this already overlapped
+                # the previous tick's compute
                 import jax
+                import numpy as _np
+
+                def _stage(x):
+                    if isinstance(x, _np.ndarray) \
+                            and not x.flags["C_CONTIGUOUS"]:
+                        # strided views (plane slices) hit a slow
+                        # element-wise transfer path; a host memcpy
+                        # first is ~10x cheaper than the difference
+                        x = _np.ascontiguousarray(x)
+                    return jax.device_put(x)
                 buf = buf.with_(data=jax.tree_util.tree_map(
-                    jax.device_put, buf.data))
+                    _stage, buf.data))
             inputs[s.name] = buf.data
             metas[s.name] = buf
         return inputs, metas
@@ -818,6 +835,13 @@ class Pipeline(Bin):
         outputs: Dict[str, Any] = {}
         if self._fused:
             try:
+                import jax
+                # wait for staged input transfers to land before
+                # dispatching (free when prefetch already overlapped
+                # them with the previous tick's compute)
+                jax.block_until_ready(
+                    {k: v for k, v in inputs.items()
+                     if not k.endswith("__dyn")})
                 outputs, new_states = self._device_step(
                     inputs, self._elem_states or {})
                 if self._scan_fns:
