@@ -499,7 +499,10 @@ class Pipeline(Bin):
                 if sf is not None:
                     scan_fns[e] = sf
                     fns[e] = None
-                elif e.dyn_props():
+                elif e.dyn_props() and mesh is None:
+                    # (under a mesh the dyn scalars would need their
+                    # own replicated sharding spec; fall back to the
+                    # static fn there — animation via reconfigure)
                     dfn = e.make_dyn_fn()
                     fns[e] = dfn if dfn is not None else e.make_fn()
                     if dfn is not None:
