@@ -15,7 +15,15 @@ fourcc video (I420/YUY2/UYVY), BI_RGB, V_UNCOMPRESSED, and PCM
 (A_PCM/INT/LIT / WAVEFORMATEX tag 1) — plus coded tracks: H.264
 (AVI fourcc 'H264' with byte-stream payload, gstavimux.c:566;
 Matroska V_MPEG4/ISO/AVC with avcC CodecPrivate and length-prefixed
-blocks, matroska-mux.c) and MJPEG ('MJPG' / V_MJPEG)."""
+blocks, matroska-mux.c) and MJPEG ('MJPG' / V_MJPEG).
+
+Matroska also carries compressed A/V tracks: A_VORBIS and V_THEORA
+(three xiph-laced header packets in CodecPrivate, matroska-mux.c
+xiph handling / matroska-demux.c), A_OPUS (OpusHead CodecPrivate)
+and A_MPEG/L3 are demuxed through the clean-room decoders in
+codecs/; matroskamux gains audio-codec=vorbis / video-codec=theora
+encode-at-EOS modes backed by the system libvorbisenc/libtheoraenc
+(same architecture as the reference's vorbisenc/theoraenc)."""
 
 from __future__ import annotations
 
@@ -105,6 +113,43 @@ def _parse_avcc(blob: bytes) -> Tuple[List[bytes], List[bytes]]:
         pps_list.append(blob[pos + 2:pos + 2 + ln])
         pos += 2 + ln
     return sps_list, pps_list
+
+
+def _xiph_lace(packets: List[bytes]) -> bytes:
+    """Xiph-style lacing for CodecPrivate (matroska codec-specs:
+    A_VORBIS / V_THEORA carry their three header packets this way —
+    count-1, then 255-run sizes for all but the last packet)."""
+    out = bytearray([len(packets) - 1])
+    for pkt in packets[:-1]:
+        n = len(pkt)
+        out += b"\xff" * (n // 255) + bytes([n % 255])
+    for pkt in packets:
+        out += pkt
+    return bytes(out)
+
+
+def _parse_xiph_private(priv: bytes) -> List[bytes]:
+    """Inverse of `_xiph_lace` (matroska-demux.c xiph header split)."""
+    if not priv:
+        raise ValueError("matroska: missing xiph CodecPrivate")
+    count = priv[0] + 1
+    pos = 1
+    sizes = []
+    for _ in range(count - 1):
+        n = 0
+        while True:
+            b = priv[pos]
+            pos += 1
+            n += b
+            if b != 255:
+                break
+        sizes.append(n)
+    pkts = []
+    for n in sizes:
+        pkts.append(priv[pos:pos + n])
+        pos += n
+    pkts.append(priv[pos:])
+    return pkts
 
 
 def _blob_bytes(b) -> bytes:
@@ -612,7 +657,13 @@ class MatroskaMux(AggregatorElement):
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/x-matroska"),
     ]
-    PROPERTIES = {"location": (str, "out.mkv", "output path")}
+    PROPERTIES = {
+        "location": (str, "out.mkv", "output path"),
+        "audio-codec": (str, "", "'' (pcm) | vorbis"),
+        "video-codec": (str, "", "'' (raw) | theora"),
+        "audio-quality": (float, 0.4, "vorbis VBR quality (-0.1..1)"),
+        "video-quality": (int, 48, "theora quality (0..63)"),
+    }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
@@ -622,6 +673,13 @@ class MatroskaMux(AggregatorElement):
         self._vdims = (0, 0, Fraction(25, 1))
         self._avc_cfg = {}
         self._file = None
+        self._acodec = None                  # None=pcm, vorbis
+        self._venc = None                    # None=raw, theora
+        self._defer = False                  # encode-at-EOS mode
+        self._araw: List[np.ndarray] = []
+        self._vraw: list = []
+        self._ahdrs: List[bytes] = []
+        self._thdrs: List[bytes] = []
 
     def negotiate_output(self, in_caps, allowed):
         for pad_name, caps in in_caps.items():
@@ -642,6 +700,18 @@ class MatroskaMux(AggregatorElement):
                     self._vinfo = VideoInfo.from_caps_structure(s)
             else:
                 self._ainfo = AudioInfo.from_caps_structure(s)
+        if self.props.get("audio-codec") == "vorbis" \
+                and self._ainfo is not None:
+            self._acodec = "vorbis"
+        if self.props.get("video-codec") == "theora" \
+                and self._vinfo is not None and not self._vcodec:
+            if self._vinfo.finfo.name != "I420":
+                raise ValueError("matroskamux: theora needs I420 input")
+            self._venc = "theora"
+        if self._acodec and self._vcodec:
+            raise ValueError("matroskamux: audio-codec=vorbis cannot "
+                             "combine with coded (h264/mjpeg) video")
+        self._defer = bool(self._acodec or self._venc)
         return Caps.from_string("video/x-matroska")
 
     def _tracks(self) -> bytes:
@@ -667,6 +737,20 @@ class MatroskaMux(AggregatorElement):
                                     // fps.num)
                           + ebml_elem(VIDEO, video))
                 entries += ebml_elem(TRACK_ENTRY, entry)
+            elif self._venc == "theora":
+                vi = self._vinfo
+                fps = vi.fps
+                video = (ebml_uint(PIXEL_WIDTH, vi.width)
+                         + ebml_uint(PIXEL_HEIGHT, vi.height))
+                entries += ebml_elem(
+                    TRACK_ENTRY,
+                    ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
+                    + ebml_uint(TRACK_TYPE, 1)
+                    + ebml_str(CODEC_ID, "V_THEORA")
+                    + ebml_elem(CODEC_PRIVATE, _xiph_lace(self._thdrs))
+                    + ebml_uint(DEFAULT_DURATION,
+                                1_000_000_000 * fps.denom // fps.num)
+                    + ebml_elem(VIDEO, video))
             else:
                 vi = self._vinfo
                 fps = vi.fps
@@ -685,13 +769,18 @@ class MatroskaMux(AggregatorElement):
         if self._ainfo is not None:
             ai = self._ainfo
             audio = (ebml_float(SAMPLING_FREQ, float(ai.rate))
-                     + ebml_uint(CHANNELS, ai.channels)
-                     + ebml_uint(BIT_DEPTH, 16))
+                     + ebml_uint(CHANNELS, ai.channels))
+            if self._acodec == "vorbis":
+                codec = (ebml_str(CODEC_ID, "A_VORBIS")
+                         + ebml_elem(CODEC_PRIVATE,
+                                     _xiph_lace(self._ahdrs)))
+            else:
+                audio += ebml_uint(BIT_DEPTH, 16)
+                codec = ebml_str(CODEC_ID, "A_PCM/INT/LIT")
             entries += ebml_elem(
                 TRACK_ENTRY,
                 ebml_uint(TRACK_NUMBER, 2) + ebml_uint(TRACK_UID, 2)
-                + ebml_uint(TRACK_TYPE, 2)
-                + ebml_str(CODEC_ID, "A_PCM/INT/LIT")
+                + ebml_uint(TRACK_TYPE, 2) + codec
                 + ebml_elem(AUDIO, audio))
         return ebml_elem(TRACKS, entries)
 
@@ -717,6 +806,25 @@ class MatroskaMux(AggregatorElement):
         self._file.write(self._tracks())
 
     def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        if self._defer:
+            # encode-at-EOS mode (vorbis/theora tracks): accumulate
+            # raw media; all EBML writing happens in stop()
+            for pad_name in sorted(ins):
+                buf = ins[pad_name]
+                if pad_name.startswith("video"):
+                    if self._venc:
+                        for k in range(buf.batch):
+                            self._vraw.append(tuple(
+                                np.asarray(p)[k] for p in buf.data))
+                    else:
+                        raw = _video_bytes(
+                            self._vinfo, buf.data).reshape(buf.batch, -1)
+                        for k in range(buf.batch):
+                            self._vraw.append(raw[k].tobytes())
+                else:
+                    self._araw.append(np.asarray(buf.data))
+            first = next(iter(ins.values()))
+            return first.with_(data=np.zeros(1, np.uint8))
         if not self._headers_done:
             if self._vcodec == "h264":
                 # harvest SPS/PPS for the avcC CodecPrivate before the
@@ -784,10 +892,70 @@ class MatroskaMux(AggregatorElement):
         first = next(iter(ins.values()))
         return first.with_(data=np.zeros(1, np.uint8))
 
+    def _finalize_deferred(self):
+        """Encode accumulated media and write the whole file: headers
+        (the encoder header packets feed the CodecPrivate), then
+        1-second clusters of timestamp-sorted SimpleBlocks."""
+        blocks = []                     # (ts_ms, track_no, flags, data)
+        if self._venc == "theora" and self._vraw:
+            from ..codecs import theora_enc
+            vi = self._vinfo
+            fps = vi.fps
+            self._thdrs, pkts = theora_enc.encode_packets(
+                self._vraw, vi.width, vi.height,
+                (fps.num, fps.denom),
+                quality=int(self.props["video-quality"]))
+            for i, pkt in enumerate(pkts):
+                ts = i * 1000 * fps.denom // fps.num
+                key = bool(pkt) and not (pkt[0] & 0x40)
+                blocks.append((ts, 1, 0x80 if key else 0x00, pkt))
+        elif self._vinfo is not None and self._vraw:
+            fps = self._vinfo.fps
+            for i, raw in enumerate(self._vraw):
+                ts = i * 1000 * fps.denom // fps.num
+                blocks.append((ts, 1, 0x80, raw))
+        if self._acodec == "vorbis" and self._araw:
+            from ..codecs import vorbis_enc
+            ai = self._ainfo
+            pcm = np.concatenate(self._araw, axis=0)
+            if pcm.dtype != np.float32:
+                pcm = pcm.astype(np.float32) / 32768.0
+            self._ahdrs, apkts = vorbis_enc.encode_packets(
+                pcm, ai.rate,
+                quality=float(self.props["audio-quality"]))
+            prev = 0
+            for pkt, gran in apkts:
+                blocks.append((prev * 1000 // ai.rate, 2, 0x80, pkt))
+                if gran >= 0:
+                    prev = gran
+        elif self._ainfo is not None and self._araw:
+            ai = self._ainfo
+            n = 0
+            for samples in self._araw:
+                raw = afmt.to_bytes(ai.finfo, samples).tobytes()
+                blocks.append((n * 1000 // ai.rate, 2, 0x80, raw))
+                n += samples.shape[0]
+        self._write_headers()
+        blocks.sort(key=lambda b: b[0])
+        pos = 0
+        while pos < len(blocks):
+            cts = blocks[pos][0]
+            body = ebml_uint(CLUSTER_TS, cts)
+            while pos < len(blocks) and blocks[pos][0] - cts < 1000:
+                ts, tno, flags, payload = blocks[pos]
+                body += ebml_elem(
+                    SIMPLE_BLOCK,
+                    ebml_size(tno) + struct.pack(">h", ts - cts)
+                    + bytes([flags]) + payload)
+                pos += 1
+            self._file.write(ebml_elem(CLUSTER, body))
+
     def stop(self):
         if self._file is None:
             return
-        if not getattr(self, "_headers_done", False):
+        if self._defer:
+            self._finalize_deferred()
+        elif not getattr(self, "_headers_done", False):
             self._write_headers()
         self._file.close()
         self._file = None
@@ -905,6 +1073,8 @@ class MatroskaDemux(SourceElement):
         super().__init__(name=name, **props)
         self._loaded = False
         self._pos = 0
+        self._adata = None              # decoded audio (n, ch) f32
+        self._frames = None             # decoded video plane tuples
 
     def _load(self):
         if self._loaded:
@@ -945,6 +1115,10 @@ class MatroskaDemux(SourceElement):
                 self._info = None
                 self._loaded = True
                 return
+            if codec == "V_THEORA":
+                self._load_theora(track, fd)
+                self._loaded = True
+                return
             if codec != "V_UNCOMPRESSED":
                 raise ValueError("matroskademux: unsupported codec "
                                  f"{codec!r}")
@@ -953,12 +1127,86 @@ class MatroskaDemux(SourceElement):
                 format=fmt, width=track["width"], height=track["height"],
                 fps=Fraction(1_000_000_000, fd))
         else:
-            if track.get("codec") != "A_PCM/INT/LIT":
+            codec = track.get("codec")
+            if codec == "A_VORBIS":
+                self._load_vorbis(track)
+            elif codec == "A_OPUS":
+                self._load_opus(track)
+            elif codec in ("A_MPEG/L3", "A_MPEG/L2", "A_MPEG/L1"):
+                self._load_mpeg_audio()
+            elif codec == "A_PCM/INT/LIT":
+                self._info = AudioInfo(format="S16LE",
+                                       rate=track["rate"],
+                                       channels=track.get("channels", 2))
+            else:
                 raise ValueError("matroskademux: unsupported codec "
-                                 f"{track.get('codec')!r}")
-            self._info = AudioInfo(format="S16LE", rate=track["rate"],
-                                   channels=track.get("channels", 2))
+                                 f"{codec!r}")
         self._loaded = True
+
+    def _payloads(self) -> List[bytes]:
+        return [self._data[off:off + size]
+                for _, off, size in self._blocks]
+
+    def _load_vorbis(self, track: dict) -> None:
+        """A_VORBIS: three xiph-laced headers in CodecPrivate, one
+        vorbis packet per block (matroska-ids.h GST_MATROSKA_CODEC_ID_
+        AUDIO_VORBIS; decoded by the clean-room codecs/vorbis.py)."""
+        from ..codecs.vorbis import VorbisDecoder
+        hdrs = _parse_xiph_private(track.get("codec_private", b""))
+        if len(hdrs) != 3:
+            raise ValueError("matroskademux: bad vorbis CodecPrivate")
+        dec = VorbisDecoder(hdrs[0], hdrs[2], hdrs[1])
+        pcm = dec.decode_packets(self._payloads())
+        self._adata = np.asarray(pcm, np.float32)
+        self._info = AudioInfo(format="F32LE", rate=dec.rate,
+                               channels=dec.channels)
+
+    def _load_opus(self, track: dict) -> None:
+        """A_OPUS: CodecPrivate is the RFC 7845 OpusHead; blocks are
+        raw opus packets (matroska-demux.c opus handling)."""
+        from ..codecs import opus as popus
+        priv = track.get("codec_private", b"")
+        ch, pre_skip, _rate, gain = popus.parse_opus_head(priv)
+        dec = popus.OpusDecoder(ch)
+        chunks = [dec.decode(p) for p in self._payloads()]
+        pcm = (np.concatenate(chunks, axis=0) if chunks
+               else np.zeros((0, ch), np.float32))
+        if gain != 1.0:
+            pcm = pcm * np.float32(gain)
+        self._adata = pcm[pre_skip:]
+        self._info = AudioInfo(format="F32LE", rate=48000, channels=ch)
+
+    def _load_mpeg_audio(self) -> None:
+        """A_MPEG/L3 (also L2/L1): whole frames per block; decoded by
+        the clean-room codecs/mp3.py full-stream decoder."""
+        from ..codecs import mp3 as pmp3
+        pcm, rate, ch = pmp3.decode(b"".join(self._payloads()))
+        self._adata = np.asarray(pcm, np.float32)
+        self._info = AudioInfo(format="F32LE", rate=rate, channels=ch)
+
+    def _load_theora(self, track: dict, frame_dur: int) -> None:
+        """V_THEORA: xiph-laced headers in CodecPrivate, one theora
+        packet per block; zero-length blocks repeat the previous frame
+        (matroska codec-specs)."""
+        from ..codecs.theora import TheoraDecoder
+        hdrs = _parse_xiph_private(track.get("codec_private", b""))
+        if len(hdrs) != 3:
+            raise ValueError("matroskademux: bad theora CodecPrivate")
+        dec = TheoraDecoder(hdrs[0], hdrs[1], hdrs[2])
+        frames = []
+        for pkt in self._payloads():
+            out = dec.decode_packet(pkt)
+            if out is not None:
+                frames.append(dec.crop(out))
+            elif frames:
+                frames.append(frames[-1])
+        self._frames = frames
+        fmt = ("I420" if dec.pixel_fmt == 0
+               else "Y42B" if dec.pixel_fmt == 2 else "Y444")
+        fps = (Fraction(1_000_000_000, frame_dur) if frame_dur
+               else Fraction(dec.fps_n, dec.fps_d))
+        self._info = VideoInfo(format=fmt, width=dec.pic_width,
+                               height=dec.pic_height, fps=fps)
 
     def _coded_caps(self) -> Caps:
         from ..core.structure import Structure
@@ -1001,9 +1249,30 @@ class MatroskaDemux(SourceElement):
         self._pos = 0
 
     def create(self, n_frames: int) -> Optional[Buffer]:
+        info = self._info
+        if self._adata is not None:
+            if self._pos >= len(self._adata):
+                return None
+            chunk = self._adata[self._pos:self._pos + 4096]
+            rate = info.rate
+            pts = self._pos * 1_000_000_000 // rate
+            self._pos += len(chunk)
+            return Buffer(data=chunk, batch=1, pts=pts,
+                          duration=len(chunk) * 1_000_000_000 // rate)
+        if self._frames is not None:
+            if self._pos >= len(self._frames):
+                return None
+            take = self._frames[self._pos:self._pos + max(1, n_frames)]
+            planes = tuple(np.stack([f[i] for f in take])
+                           for i in range(len(take[0])))
+            fps = info.fps
+            dur = 1_000_000_000 * fps.denom // fps.num
+            pts = self._pos * dur
+            self._pos += len(take)
+            return Buffer(data=planes, pts=pts, duration=dur,
+                          batch=len(take))
         if self._pos >= len(self._blocks):
             return None
-        info = self._info
         if getattr(self, "_coded", None):
             take = self._blocks[self._pos:self._pos + max(1, n_frames)]
             blobs = []
