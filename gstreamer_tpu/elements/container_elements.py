@@ -447,6 +447,7 @@ class AviDemux(SourceElement):
         super().__init__(name=name, **props)
         self._loaded = False
         self._pos = 0
+        self._adata = None              # decoded audio (n, ch) f32
 
     def _load(self):
         if self._loaded:
@@ -490,8 +491,24 @@ class AviDemux(SourceElement):
                 format=fmt, width=st["width"], height=st["height"],
                 fps=Fraction(st["rate"], st["scale"]))
         else:
-            self._info = AudioInfo(format="S16LE", rate=st["arate"],
-                                   channels=st["channels"])
+            tag = st.get("tag", 1)
+            if tag == 0x55:
+                # WAVE_FORMAT_MPEGLAYER3 (gstavidemux.c audio tag
+                # table): whole mp3 frames in ##wb chunks, decoded by
+                # the clean-room codecs/mp3.py
+                from ..codecs import mp3 as pmp3
+                blob = b"".join(self._data[off:off + size]
+                                for off, size in self._chunks)
+                pcm, rate, ch = pmp3.decode(blob)
+                self._adata = np.asarray(pcm, np.float32)
+                self._info = AudioInfo(format="F32LE", rate=rate,
+                                       channels=ch)
+            elif tag == 1:
+                self._info = AudioInfo(format="S16LE", rate=st["arate"],
+                                       channels=st["channels"])
+            else:
+                raise ValueError(
+                    f"avidemux: unsupported audio tag {tag:#x}")
         self._loaded = True
 
     def _coded_caps(self) -> Caps:
@@ -536,9 +553,18 @@ class AviDemux(SourceElement):
         self._pos = 0
 
     def create(self, n_frames: int) -> Optional[Buffer]:
+        info = self._info
+        if self._adata is not None:
+            if self._pos >= len(self._adata):
+                return None
+            chunk = self._adata[self._pos:self._pos + 4096]
+            rate = info.rate
+            pts = self._pos * 1_000_000_000 // rate
+            self._pos += len(chunk)
+            return Buffer(data=chunk, batch=1, pts=pts,
+                          duration=len(chunk) * 1_000_000_000 // rate)
         if self._pos >= len(self._chunks):
             return None
-        info = self._info
         if getattr(self, "_coded", None):
             take = self._chunks[self._pos:self._pos + max(1, n_frames)]
             blobs = [np.frombuffer(self._data[off:off + size], np.uint8)

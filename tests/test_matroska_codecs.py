@@ -193,6 +193,41 @@ def test_mp3_track_parity_vs_mpg123(tmp_path):
     assert snr_db(gold, pcm) > 60
 
 
+@needs_lame
+def test_avi_mp3_audio_tag55(tmp_path):
+    """WAVE_FORMAT_MPEGLAYER3 (0x55) audio in AVI ##wb chunks
+    (gstavidemux.c audio tag table)."""
+    rate = 44100
+    sig = np.clip(np.round(_tone(rate, 2, 0.5) * 32767),
+                  -32768, 32767).astype(np.int16)
+    blob = ao.lame_encode(sig, rate)
+    strh = (b"auds" + b"\x00" * 16
+            + struct.pack("<II", 1, rate) + b"\x00" * 4
+            + struct.pack("<I", len(blob)) + b"\x00" * 20)
+    strf = struct.pack("<HHIIHH", 0x55, 2, rate, rate * 16000 // 8,
+                       1, 16)
+    strl = (b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    hdrl = (b"hdrl"
+            + b"LIST" + struct.pack("<I", 4 + len(strl)) + b"strl"
+            + strl)
+    if len(blob) & 1:
+        blob += b"\x00"
+    movi = b"movi" + b"00wb" + struct.pack("<I", len(blob)) + blob
+    body = (b"AVI "
+            + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+            + b"LIST" + struct.pack("<I", len(movi)) + movi)
+    path = tmp_path / "m.avi"
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    p = parse_launch(
+        f"avidemux location={path} stream=audio ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    gold, grate, gch = ao.mpg123_decode(blob)
+    assert (grate, gch) == (rate, 2)
+    assert snr_db(gold, pcm) > 60
+
+
 @needs_theora
 def test_mux_demux_theora_bit_exact_vs_libtheoradec(tmp_path):
     """Theora mux roundtrip: the demuxed frames must equal the REAL
