@@ -1156,6 +1156,8 @@ class MatroskaDemux(SourceElement):
             codec = track.get("codec")
             if codec == "A_VORBIS":
                 self._load_vorbis(track)
+            elif codec and codec.startswith("A_AAC"):
+                self._load_aac(track)
             elif codec == "A_OPUS":
                 self._load_opus(track)
             elif codec in ("A_MPEG/L3", "A_MPEG/L2", "A_MPEG/L1"):
@@ -1201,6 +1203,18 @@ class MatroskaDemux(SourceElement):
             pcm = pcm * np.float32(gain)
         self._adata = pcm[pre_skip:]
         self._info = AudioInfo(format="F32LE", rate=48000, channels=ch)
+
+    def _load_aac(self, track: dict) -> None:
+        """A_AAC: CodecPrivate is the AudioSpecificConfig, blocks are
+        raw access units (matroska codec-specs; decoded by the
+        clean-room codecs/aac.py)."""
+        from ..codecs import aac as paac
+        priv = track.get("codec_private", b"")
+        if not priv:
+            raise ValueError("matroskademux: A_AAC without ASC")
+        pcm, rate, ch = paac.decode_raw(priv, self._payloads())
+        self._adata = np.asarray(pcm, np.float32)
+        self._info = AudioInfo(format="F32LE", rate=rate, channels=ch)
 
     def _load_mpeg_audio(self) -> None:
         """A_MPEG/L3 (also L2/L1): whole frames per block; decoded by

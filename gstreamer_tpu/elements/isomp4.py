@@ -485,6 +485,54 @@ def _parse_sample_table(data, stbl_a, stbl_b):
     return fourcc, entry, samples, stts
 
 
+def _parse_esds(ext: bytes) -> Tuple[int, bytes]:
+    """Extension boxes of an 'mp4a' entry -> (objectTypeIndication,
+    DecoderSpecificInfo bytes) from the esds ES_Descriptor
+    (ISO 14496-1 §7.2.6; qtdemux.c gst_qtdemux_handle_esds)."""
+    pos = 0
+    while pos + 8 <= len(ext):
+        bsize = struct.unpack(">I", ext[pos:pos + 4])[0]
+        if ext[pos + 4:pos + 8] == b"esds":
+            body = ext[pos + 12:pos + max(bsize, 8)]  # skip ver/flags
+
+            def rdlen(p):
+                n = 0
+                while p < len(body):
+                    b = body[p]
+                    p += 1
+                    n = (n << 7) | (b & 0x7F)
+                    if not b & 0x80:
+                        break
+                return n, p
+
+            p = 0
+            otype = 0
+            dsi = b""
+            while p < len(body):
+                tag = body[p]
+                ln, p = rdlen(p + 1)
+                if tag == 0x03:              # ES_Descriptor: descend
+                    flags = body[p + 2]
+                    p += 3
+                    if flags & 0x80:
+                        p += 2               # dependsOn_ES_ID
+                    if flags & 0x40:
+                        p += 1 + body[p]     # URL string
+                    if flags & 0x20:
+                        p += 2               # OCR_ES_ID
+                elif tag == 0x04:            # DecoderConfigDescriptor
+                    otype = body[p]
+                    p += 13                  # fixed part, then descend
+                elif tag == 0x05:            # DecoderSpecificInfo
+                    dsi = body[p:p + ln]
+                    p += ln
+                else:
+                    p += ln
+            return otype, dsi
+        pos += max(bsize, 8)
+    raise ValueError("qtdemux: mp4a entry without esds")
+
+
 def _parse_qt(path: str):
     """-> list of track dicts."""
     with open(path, "rb") as f:
@@ -593,7 +641,9 @@ class QtDemux(SourceElement):
         else:
             channels, bits = struct.unpack(">HH", entry[16:20])
             rate = struct.unpack(">I", entry[24:28])[0] >> 16
-            if fourcc in (b"ulaw", b"alaw"):
+            if fourcc == b"mp4a":
+                self._load_mp4a(t, entry)
+            elif fourcc in (b"ulaw", b"alaw"):
                 self._mode = fourcc.decode()
                 self._channels = channels
                 self._rate = rate
@@ -613,6 +663,28 @@ class QtDemux(SourceElement):
                                        channels=channels)
                 self._caps = Caps([self._info.to_caps_structure()])
         self._loaded = True
+
+    def _load_mp4a(self, t: dict, entry: bytes) -> None:
+        """'mp4a' sample entry: esds -> DecoderConfigDescriptor
+        (qtdemux.c esds handling).  objectType 0x40/0x66-0x68 = AAC
+        (decoded by the clean-room codecs/aac.py), 0x6B = MP3."""
+        otype, dsi = _parse_esds(entry[28:])
+        payloads = [self._data[o:o + s] for o, s in t["samples"]]
+        if otype in (0x40, 0x66, 0x67, 0x68):
+            from ..codecs import aac as paac
+            if not dsi:
+                raise ValueError("qtdemux: mp4a AAC without ASC")
+            pcm, rate, ch = paac.decode_raw(dsi, payloads)
+        elif otype == 0x6B:
+            from ..codecs import mp3 as pmp3
+            pcm, rate, ch = pmp3.decode(b"".join(payloads))
+        else:
+            raise ValueError(
+                f"qtdemux: mp4a object type {otype:#x} unsupported")
+        self._mode = "decoded"
+        self._adata = np.asarray(pcm, np.float32)
+        self._info = AudioInfo(format="F32LE", rate=rate, channels=ch)
+        self._caps = Caps([self._info.to_caps_structure()])
 
     def preview_blob(self) -> Optional[bytes]:
         """First sample bytes (jpegdec caps-peek hook)."""
@@ -678,6 +750,12 @@ class QtDemux(SourceElement):
                 blobs.append(np.frombuffer(bytes(au), np.uint8))
             self._pos += len(take)
             return Buffer(data=blobs, batch=len(take))
+        if self._mode == "decoded":
+            arr = self._adata
+            self._pos = len(samples)
+            return Buffer(data=arr, batch=1,
+                          duration=arr.shape[0] * 1_000_000_000
+                          // self._info.rate)
         # audio: one buffer with everything (contiguous chunk run)
         blob = b"".join(self._data[o:o + s] for o, s in samples)
         self._pos = len(samples)

@@ -110,14 +110,16 @@ _TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81,
                   "video/x-h264": 0x1B, "video/mpeg": 0x02}
 _CAPS_FOR_TYPE = {0x03: "audio/mpeg, mpegversion=1, parsed=true",
                   0x04: "audio/mpeg, mpegversion=1, parsed=true",
+                  0x0F: "audio/mpeg, mpegversion=4, "
+                        "stream-format=adts",
                   0x81: "audio/x-ac3",
                   0x1B: "video/x-h264, stream-format=byte-stream, "
                         "alignment=au",
                   0x02: "video/mpeg, mpegversion=2, "
                         "systemstream=false, parsed=true",
                   0x06: "application/octet-stream"}
-_SID_FOR_TYPE = {0x03: 0xC0, 0x81: 0xBD, 0x1B: 0xE0, 0x02: 0xE0,
-                 0x06: 0xBD}
+_SID_FOR_TYPE = {0x03: 0xC0, 0x0F: 0xC0, 0x81: 0xBD, 0x1B: 0xE0,
+                 0x02: 0xE0, 0x06: 0xBD}
 
 
 @register_element
@@ -152,6 +154,8 @@ class MpegTsMux(AggregatorElement):
         for pad_name in sorted(in_caps):
             s = in_caps[pad_name].fixate()[0]
             stype = _TYPE_FOR_CAPS.get(s.name, 0x06)
+            if s.name == "audio/mpeg" and s.get("mpegversion") in (2, 4):
+                stype = 0x0F                 # ADTS AAC (ISO 13818-1)
             self._types[pad_name] = stype
             self._pids[pad_name] = pid
             pid += 1

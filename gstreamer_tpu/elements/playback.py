@@ -20,7 +20,60 @@ from ..core.caps import Caps
 from ..core.element import (Element, PadDirection, PadTemplate,
                             SinkElement, SourceElement, TransformElement,
                             element_factory_make, register_element)
-from ..utils.typefind import DECODABLE, type_find_file
+from ..utils.typefind import DECODABLE, decodable_for, type_find_file
+
+
+class _ChainSrc(SourceElement):
+    """Internal source wrapping a decode chain launch description:
+    the chain runs once into an appsink; samples are then replayed as
+    this element's output (how decodebin3 exposes parsebin output,
+    collapsed to the offline batch model)."""
+    FACTORY = ""
+    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PROPERTIES = {"description": (str, "", "launch chain")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._samples = None
+        self._caps = None
+        self._pos = 0
+
+    def _load(self):
+        if self._samples is not None:
+            return
+        from ..core.parse import parse_launch
+        pipe = parse_launch(self.props["description"]
+                            + " ! appsink name=__chain_sink")
+        pipe.run()
+        sink = pipe.get_by_name("__chain_sink")
+        self._samples = []
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            self._caps = s.caps
+            self._samples.append(s.buffer)
+
+    def get_caps(self, filter=None):
+        try:
+            self._load()
+        except (OSError, ValueError):
+            return Caps.any()
+        caps = self._caps if self._caps is not None else Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._load()
+        self._pos = 0
+
+    def create(self, n_frames):
+        if not self._samples or self._pos >= len(self._samples):
+            return None
+        buf = self._samples[self._pos]
+        self._pos += 1
+        return buf
 
 
 @register_element
@@ -68,11 +121,15 @@ class UriDecodeBin(SourceElement):
         uri = self.props["uri"]
         path = uri[7:] if uri.startswith("file://") else uri
         mtype, _prob = type_find_file(path)
-        factory = DECODABLE.get(mtype)
+        factory = decodable_for(mtype)
         if factory is None:
             raise ValueError(
                 f"uridecodebin: no decoder for {mtype!r} ({path!r})")
-        self._inner = element_factory_make(factory, location=path)
+        if "!" in factory:
+            self._inner = _ChainSrc(
+                description=factory.format(path=path))
+        else:
+            self._inner = element_factory_make(factory, location=path)
 
     def get_caps(self, filter=None):
         self._ensure_inner()
@@ -126,14 +183,28 @@ class PlayBin(SinkElement):
         uri = self.props["uri"]
         path = uri[7:] if uri.startswith("file://") else uri
         mtype, _ = type_find_file(path)
+        factory = decodable_for(mtype)
+        if factory is None:
+            raise ValueError(f"playbin: cannot play {mtype!r}")
         if mtype == "application/x-yuv4mpeg":
             desc = (f"filesrc location={path} ! videoconvert ! "
                     f"video/x-raw,format={self.props['video-format']} ! "
                     f"appsink name=playsink")
-        elif mtype == "audio/x-wav":
-            desc = (f"wavparse location={path} ! audioconvert ! "
-                    f"appsink name=playsink")
+        elif "!" in factory:
+            desc = (factory.format(path=path)
+                    + " ! audioconvert ! appsink name=playsink")
         else:
-            raise ValueError(f"playbin: cannot play {mtype!r}")
+            el = element_factory_make(factory, location=path)
+            caps = el.get_caps()
+            is_audio = (caps is not None and not caps.is_any
+                        and caps[0].name.startswith("audio"))
+            if is_audio:
+                desc = (f"{factory} location={path} ! audioconvert ! "
+                        f"appsink name=playsink")
+            else:
+                desc = (f"{factory} location={path} ! videoconvert ! "
+                        f"video/x-raw,format="
+                        f"{self.props['video-format']} ! "
+                        f"appsink name=playsink")
         pipe = parse_launch(desc)
         return pipe, pipe.get_by_name("playsink")

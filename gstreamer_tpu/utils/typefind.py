@@ -507,7 +507,42 @@ def type_find_file(path: str) -> Tuple[str, int]:
 
 
 # media types the framework can decode to raw today
+# sniffed media type -> autoplug route (gstdecodebin3.c picks
+# rank-sorted factories; here the collapsed location-based demuxers
+# ARE the decode chains).  A plain name is a source factory taking
+# location=; a string with '!' is a launch-chain template where
+# {path} is substituted (used when parse+decode are separate
+# elements, e.g. mp3/aac).
 DECODABLE = {
     "application/x-yuv4mpeg": "filesrc",
     "audio/x-wav": "wavparse",
+    "application/ogg": "oggdemux",
+    "audio/ogg": "oggdemux",
+    "video/ogg": "oggdemux",
+    "video/x-matroska": "matroskademux",
+    "video/webm": "matroskademux",
+    "video/quicktime": "qtdemux",
+    "video/x-msvideo": "avidemux",
+    "video/mpegts": "tsdemux",
+    "audio/x-flac": "flacdec",
+    "audio/x-aiff": "aiffparse",
+    "video/x-flv": "flvdemux",
+    "audio/mpeg, mpegversion=(int)1":
+        "filesrc location={path} ! mpegaudioparse ! mpg123audiodec",
+    "audio/mpeg, mpegversion=(int)4, framed=(boolean)false":
+        "filesrc location={path} ! aacparse ! faad",
 }
+
+
+def decodable_for(mtype: str):
+    """Route a sniffed type to its DECODABLE entry: exact match,
+    then longest key that is a prefix of the full caps string (the
+    sniffers append detail fields like layer= / variant=)."""
+    if mtype in DECODABLE:
+        return DECODABLE[mtype]
+    best = None
+    for key, factory in DECODABLE.items():
+        if mtype.startswith(key) and (best is None
+                                      or len(key) > len(best[0])):
+            best = (key, factory)
+    return best[1] if best else None

@@ -149,6 +149,156 @@ class TestParity:
 
 
 @needs_aac
+class TestElement:
+    def test_pipeline_decode(self, tmp_path):
+        from gstreamer_tpu.core.parse import parse_launch
+        rate = 44100
+        t = np.arange(rate // 2) / rate
+        sig = _i16(np.stack([np.sin(2 * np.pi * 440 * t),
+                             np.sin(2 * np.pi * 661 * t)], 1) * 0.4)
+        adts = ao.aac_encode_adts(sig, rate, 128000, NO_PNS)
+        gold, _, _ = ao.aac_decode_adts(adts)
+        path = tmp_path / "t.aac"
+        path.write_bytes(adts)
+        p = parse_launch(f"filesrc location={path} ! aacparse ! "
+                         "faad ! appsink name=o")
+        p.run()
+        sink = p.get_by_name("o")
+        got = []
+        caps = None
+        while True:
+            s = sink.pull_sample()
+            if s is None:
+                break
+            caps = s.caps
+            got.append(np.asarray(s.buffer.data))
+        pcm = np.concatenate(got, axis=0)
+        assert int(caps[0]["rate"]) == 44100
+        assert int(caps[0]["channels"]) == 2
+        assert len(pcm) == len(gold)
+        assert snr_db(gold, pcm) > 60
+
+
+def _split_adts(adts):
+    pkts, pos, sfi, cc = [], 0, 0, 0
+    while pos + 7 <= len(adts):
+        flen, sfi, cc, _p, hlen = A.parse_adts_header(adts, pos)
+        pkts.append(adts[pos + hlen:pos + flen])
+        pos += flen
+    return pkts, sfi, cc
+
+
+def _asc(sfi, cc):
+    v = (2 << 11) | (sfi << 7) | (cc << 3)
+    return bytes([v >> 8, v & 0xFF])
+
+
+def _pull_audio(p, name="out"):
+    sink = p.get_by_name(name)
+    got = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        got.append(np.asarray(s.buffer.data))
+    return np.concatenate(got, axis=0)
+
+
+@needs_aac
+class TestContainers:
+    def _vector(self, rate=44100):
+        t = np.arange(rate // 2) / rate
+        sig = _i16(np.stack([np.sin(2 * np.pi * 440 * t),
+                             np.sin(2 * np.pi * 661 * t)], 1) * 0.4)
+        adts = ao.aac_encode_adts(sig, rate, 128000, NO_PNS)
+        gold, _, _ = ao.aac_decode_adts(adts)
+        return adts, gold
+
+    def test_mp4_mp4a_esds(self, tmp_path):
+        """Hand-built minimal mp4 with an mp4a/esds AAC track
+        (qtdemux.c esds handling)."""
+        import struct
+        from gstreamer_tpu.core.parse import parse_launch
+        from gstreamer_tpu.elements.isomp4 import _box, _full
+        rate = 44100
+        adts, gold = self._vector(rate)
+        pkts, sfi, cc = _split_adts(adts)
+        asc = _asc(sfi, cc)
+        dsi = bytes([0x05, len(asc)]) + asc
+        dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15, 0, 0, 0,
+                     0, 2, 0, 0, 0, 2, 0, 0]) + dsi
+        es = bytes([0x03, 3 + len(dcd), 0, 0, 0]) + dcd
+        esds = _full(b"esds", 0, 0, es)
+        entry = (b"\0" * 6 + struct.pack(">H", 1)      # data_ref
+                 + b"\0" * 8
+                 + struct.pack(">HH", 2, 16)           # ch, bits
+                 + b"\0" * 4
+                 + struct.pack(">I", rate << 16) + esds)
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _box(b"mp4a", entry))
+        stts = _full(b"stts", 0, 0, struct.pack(
+            ">III", 1, len(pkts), 1024))
+        stsc = _full(b"stsc", 0, 0, struct.pack(
+            ">IIII", 1, 1, len(pkts), 1))
+        stsz = _full(b"stsz", 0, 0, struct.pack(
+            ">II", 0, len(pkts))
+            + b"".join(struct.pack(">I", len(p)) for p in pkts))
+        mdat_payload = b"".join(pkts)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso2mp41")
+        mdat_off = len(ftyp) + 8
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, mdat_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIIIHH", 0, 0, rate, len(pkts) * 1024, 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0, b"\0" * 4 + b"soun" + b"\0" * 13)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", mdia)
+        moov = _box(b"moov", trak)
+        path = tmp_path / "a.mp4"
+        path.write_bytes(ftyp + _box(b"mdat", mdat_payload) + moov)
+        p = parse_launch(
+            f"qtdemux location={path} stream=audio ! appsink name=out")
+        p.run()
+        pcm = _pull_audio(p)
+        assert snr_db(gold, pcm) > 60
+
+    def test_mkv_a_aac(self, tmp_path):
+        from gstreamer_tpu.core.parse import parse_launch
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_matroska_codecs import _mkv_audio
+        rate = 44100
+        adts, gold = self._vector(rate)
+        pkts, sfi, cc = _split_adts(adts)
+        path = tmp_path / "a.mkv"
+        _mkv_audio(path, "A_AAC", _asc(sfi, cc), rate, 2,
+                   [(0, p) for p in pkts])
+        p = parse_launch(
+            f"matroskademux location={path} stream=audio ! "
+            "appsink name=out")
+        p.run()
+        pcm = _pull_audio(p)
+        assert snr_db(gold, pcm) > 60
+
+    def test_mpegts_adts_roundtrip(self, tmp_path):
+        from gstreamer_tpu.core.parse import parse_launch
+        rate = 44100
+        adts, gold = self._vector(rate)
+        src = tmp_path / "a.aac"
+        src.write_bytes(adts)
+        ts = tmp_path / "a.ts"
+        p = parse_launch(f"filesrc location={src} ! aacparse ! "
+                         f"mpegtsmux location={ts}")
+        p.run()
+        d = parse_launch(f"tsdemux location={ts} ! aacparse ! faad ! "
+                         "appsink name=out")
+        d.run()
+        pcm = _pull_audio(d)
+        assert snr_db(gold, pcm) > 60
+
+
+@needs_aac
 def test_adts_header_parse():
     hdr = ao.adts_header(100, 44100, 2)
     flen, sfi, cc, profile, hlen = A.parse_adts_header(hdr + b"\0" * 100)
