@@ -155,42 +155,6 @@ class MpegAudioParse(_ParserBase):
 
 
 @register_element
-class AacParse(_ParserBase):
-    """aacparse (gstaacparse.c): ADTS sync on 0xFFF, frame length
-    from the header, next-header confirmation; 1024-sample frames."""
-    FACTORY = "aacparse"
-    DESCRIPTION = "Advanced Audio Coding parser"
-    PAD_TEMPLATES = [
-        PadTemplate("sink", PadDirection.SINK, Caps.any()),
-        PadTemplate("src", PadDirection.SRC,
-                    "audio/mpeg, mpegversion=4, stream-format=adts, "
-                    "framed=true"),
-    ]
-    _SRC_CAPS = ("audio/mpeg, mpegversion=4, stream-format=adts, "
-                 "framed=true")
-
-    def __init__(self, name=None, **props):
-        super().__init__(name=name, **props)
-        self.set_min_frame_size(7)
-
-    def handle_frame(self, view) -> Tuple[int, int]:
-        from ..codecs.aac import parse_adts_header
-        hdr = parse_adts_header(bytes(view[:9]))
-        if hdr is None:
-            return 0, 1
-        flen, sfi, _cc, _prof, _hlen = hdr
-        from ..codecs.aac import SAMPLE_RATES
-        self.set_frame_rate(SAMPLE_RATES[sfi], 1024)
-        if len(view) < flen + 7:
-            if len(view) < flen:
-                return 0, 0
-            return flen, 0
-        if parse_adts_header(bytes(view[flen:flen + 9])) is None:
-            return 0, 1
-        return flen, 0
-
-
-@register_element
 class Ac3Parse(_ParserBase):
     FACTORY = "ac3parse"
     DESCRIPTION = "AC3 parser"
