@@ -74,6 +74,7 @@ from . import ogg                # noqa: F401
 from . import xiph               # noqa: F401
 from . import mpegaudio          # noqa: F401
 from . import aacdec             # noqa: F401
+from . import vpx_elements       # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401

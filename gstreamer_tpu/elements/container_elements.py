@@ -673,6 +673,7 @@ class MatroskaMux(AggregatorElement):
     FACTORY = "matroskamux"
     DESCRIPTION = "Muxes video/audio streams into a matroska stream"
     HOST_ELEMENT = True
+    DOCTYPE = "matroska"
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
                     "video/x-raw, format={ I420, YUY2, UYVY }"
@@ -686,7 +687,7 @@ class MatroskaMux(AggregatorElement):
     PROPERTIES = {
         "location": (str, "out.mkv", "output path"),
         "audio-codec": (str, "", "'' (pcm) | vorbis"),
-        "video-codec": (str, "", "'' (raw) | theora"),
+        "video-codec": (str, "", "'' (raw) | theora | vp8 | vp9"),
         "audio-quality": (float, 0.4, "vorbis VBR quality (-0.1..1)"),
         "video-quality": (int, 48, "theora quality (0..63)"),
     }
@@ -729,11 +730,13 @@ class MatroskaMux(AggregatorElement):
         if self.props.get("audio-codec") == "vorbis" \
                 and self._ainfo is not None:
             self._acodec = "vorbis"
-        if self.props.get("video-codec") == "theora" \
+        vc = self.props.get("video-codec")
+        if vc in ("theora", "vp8", "vp9") \
                 and self._vinfo is not None and not self._vcodec:
             if self._vinfo.finfo.name != "I420":
-                raise ValueError("matroskamux: theora needs I420 input")
-            self._venc = "theora"
+                raise ValueError(
+                    f"matroskamux: {vc} needs I420 input")
+            self._venc = vc
         if self._acodec and self._vcodec:
             raise ValueError("matroskamux: audio-codec=vorbis cannot "
                              "combine with coded (h264/mjpeg) video")
@@ -763,17 +766,21 @@ class MatroskaMux(AggregatorElement):
                                     // fps.num)
                           + ebml_elem(VIDEO, video))
                 entries += ebml_elem(TRACK_ENTRY, entry)
-            elif self._venc == "theora":
+            elif self._venc:
                 vi = self._vinfo
                 fps = vi.fps
                 video = (ebml_uint(PIXEL_WIDTH, vi.width)
                          + ebml_uint(PIXEL_HEIGHT, vi.height))
+                cid = {"theora": "V_THEORA", "vp8": "V_VP8",
+                       "vp9": "V_VP9"}[self._venc]
+                codec = ebml_str(CODEC_ID, cid)
+                if self._venc == "theora":
+                    codec += ebml_elem(CODEC_PRIVATE,
+                                       _xiph_lace(self._thdrs))
                 entries += ebml_elem(
                     TRACK_ENTRY,
                     ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
-                    + ebml_uint(TRACK_TYPE, 1)
-                    + ebml_str(CODEC_ID, "V_THEORA")
-                    + ebml_elem(CODEC_PRIVATE, _xiph_lace(self._thdrs))
+                    + ebml_uint(TRACK_TYPE, 1) + codec
                     + ebml_uint(DEFAULT_DURATION,
                                 1_000_000_000 * fps.denom // fps.num)
                     + ebml_elem(VIDEO, video))
@@ -819,7 +826,7 @@ class MatroskaMux(AggregatorElement):
     def _write_headers(self):
         header = (ebml_uint(0x4286, 1) + ebml_uint(0x42F7, 1)
                   + ebml_uint(0x42F2, 4) + ebml_uint(0x42F3, 8)
-                  + ebml_str(0x4282, "matroska")
+                  + ebml_str(0x4282, self.DOCTYPE)
                   + ebml_uint(0x4287, 2) + ebml_uint(0x4285, 2))
         self._file.write(ebml_elem(EBML_HEADER, header))
         # unknown-size segment (streamed writing, matroska-mux.c default
@@ -934,6 +941,16 @@ class MatroskaMux(AggregatorElement):
             for i, pkt in enumerate(pkts):
                 ts = i * 1000 * fps.denom // fps.num
                 key = bool(pkt) and not (pkt[0] & 0x40)
+                blocks.append((ts, 1, 0x80 if key else 0x00, pkt))
+        elif self._venc in ("vp8", "vp9") and self._vraw:
+            from ..codecs import vpx as pvpx
+            vi = self._vinfo
+            fps = vi.fps
+            pkts = pvpx.encode_frames(
+                self._venc, self._vraw, vi.width, vi.height,
+                (fps.num, fps.denom))
+            for i, (pkt, key) in enumerate(pkts):
+                ts = i * 1000 * fps.denom // fps.num
                 blocks.append((ts, 1, 0x80 if key else 0x00, pkt))
         elif self._vinfo is not None and self._vraw:
             fps = self._vinfo.fps
@@ -1085,6 +1102,17 @@ def _parse_track(data: bytes, pos: int, end: int) -> dict:
 
 
 @register_element
+class WebMMux(MatroskaMux):
+    """webmmux: matroskamux restricted to the WebM doctype
+    (gst/matroska/webm-mux.c — same writer, doctype 'webm')."""
+    FACTORY = "webmmux"
+    DESCRIPTION = "Muxes video/audio streams into a WebM stream"
+    DOCTYPE = "webm"
+    PROPERTIES = dict(MatroskaMux.PROPERTIES,
+                      location=(str, "out.webm", "output path"))
+
+
+@register_element
 class MatroskaDemux(SourceElement):
     """matroskademux (source-style, one stream per instance)."""
     FACTORY = "matroskademux"
@@ -1143,6 +1171,11 @@ class MatroskaDemux(SourceElement):
                 return
             if codec == "V_THEORA":
                 self._load_theora(track, fd)
+                self._loaded = True
+                return
+            if codec in ("V_VP8", "V_VP9"):
+                self._load_vpx(track, fd,
+                               "vp8" if codec == "V_VP8" else "vp9")
                 self._loaded = True
                 return
             if codec != "V_UNCOMPRESSED":
@@ -1223,6 +1256,22 @@ class MatroskaDemux(SourceElement):
         pcm, rate, ch = pmp3.decode(b"".join(self._payloads()))
         self._adata = np.asarray(pcm, np.float32)
         self._info = AudioInfo(format="F32LE", rate=rate, channels=ch)
+
+    def _load_vpx(self, track: dict, frame_dur: int,
+                  codec: str) -> None:
+        """V_VP8 / V_VP9 (WebM tracks): one packet per block, no
+        CodecPrivate; decoded by the libvpx-backed codecs/vpx.py
+        (matroska-demux.c vp8/vp9 handling)."""
+        from ..codecs import vpx as pvpx
+        self._frames = pvpx.decode_packets(codec, self._payloads())
+        if not self._frames:
+            raise ValueError("matroskademux: empty vpx track")
+        h, w = self._frames[0][0].shape
+        fps = (Fraction(1_000_000_000, frame_dur) if frame_dur
+               else Fraction(30, 1))
+        self._info = VideoInfo(format="I420",
+                               width=track.get("width", w),
+                               height=track.get("height", h), fps=fps)
 
     def _load_theora(self, track: dict, frame_dur: int) -> None:
         """V_THEORA: xiph-laced headers in CodecPrivate, one theora
