@@ -903,7 +903,8 @@ class Pipeline(Bin):
                     self.bus.post(Message("error", e.name, {}))
                     return False
             elif isinstance(e, AggregatorElement):
-                pads = [p for p in e.sink_pads() if p.peer is not None]
+                pads = [p for p in e.sink_pads()
+                        if p.peer is not None and p.peer in buf_by_pad]
                 if not pads:
                     continue
                 buf = buf_by_pad[pads[0].peer]

@@ -75,6 +75,7 @@ from . import xiph               # noqa: F401
 from . import mpegaudio          # noqa: F401
 from . import aacdec             # noqa: F401
 from . import vpx_elements       # noqa: F401
+from . import libav              # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401

@@ -1,0 +1,267 @@
+"""gst-libav analog: avdec_*/avenc_* element families over the system
+libavcodec (native/gtpu_av.cpp shim), plus the classic encoder names
+x264enc / x265enc.
+
+Reference: gst-libav/ext/libav/gstavviddec.c:1, gstavvidenc.c:1 (one
+generated element per libavcodec codec); gst-plugins-ugly/ext/x264/
+gstx264enc.c:1 and gst-plugins-bad/ext/x265/gstx265enc.c:1 (which
+wrap the same libx264/libx265 the system libavcodec links).
+
+Decoders are transforms consuming the coded buffers the demuxers
+emit (video/x-h264 byte-stream etc.) and producing raw I420 batches;
+encoders are transforms producing coded buffers the muxers accept.
+Elements register only when the system build ships the codec.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.buffer import Buffer
+from ..core.caps import Caps
+from ..core.element import (PadDirection, PadTemplate, TransformElement,
+                            register_element)
+from ..native import av as native_av
+
+
+def _blobs_of(buf: Buffer) -> List[bytes]:
+    if isinstance(buf.data, (list, tuple)):
+        return [b if isinstance(b, (bytes, bytearray))
+                else np.asarray(b).tobytes() for b in buf.data]
+    arr = np.asarray(buf.data)
+    if buf.batch > 1 and arr.ndim > 1:
+        return [arr[k].tobytes() for k in range(buf.batch)]
+    return [arr.tobytes()]
+
+
+class _AvVideoDec(TransformElement):
+    """Shared libavcodec video-decoder scaffold."""
+    AV_CODEC = ""
+    SINK_CAPS = ""
+    HOST_ELEMENT = True
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._dec = None
+        self._nout = 0
+        self._fps = None
+        self._decouple = True       # get a host_process(None) drain
+        self._pending_buf = None
+
+    def start(self):
+        self._dec = None
+        self._nout = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {"format": "I420"}
+            if caps is not None and len(caps):
+                s = caps[0]
+                for k in ("width", "height", "framerate"):
+                    v = s.get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            res = Caps([Structure("video/x-raw", f)])
+        else:
+            res = Caps.from_string(self.SINK_CAPS)
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        fps = incaps[0].get("framerate") if len(incaps) else None
+        self._fps = fps
+
+    def _emit(self, frames) -> Optional[Buffer]:
+        if not frames:
+            return None
+        data = tuple(np.stack([f[c] for f in frames])
+                     for c in range(3))
+        fps = self._fps
+        dur = None
+        pts = None
+        if fps is not None and getattr(fps, "num", 0):
+            dur = 1_000_000_000 * fps.denom // fps.num
+            pts = self._nout * dur
+        self._nout += len(frames)
+        return Buffer(data=data, batch=len(frames), pts=pts,
+                      duration=dur)
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:                      # EOS drain
+            self._pending_buf = None
+            if self._dec is None:
+                return None
+            return self._emit(self._dec.flush())
+        if self._dec is None:
+            self._dec = native_av.AvVideoDecoder(self.AV_CODEC)
+            self._pending_buf = True
+        frames = []
+        for blob in _blobs_of(buf):
+            try:
+                frames.extend(self._dec.decode(blob))
+            except ValueError:
+                continue
+        return self._emit(frames)
+
+
+class _AvVideoEnc(TransformElement):
+    """Shared libavcodec video-encoder scaffold (1-in-1-out via
+    zero-latency settings; tail drained at EOS)."""
+    AV_CODEC = ""
+    SRC_CAPS = ""
+    DEFAULT_OPTS = ""
+    HOST_ELEMENT = True
+    PROPERTIES = {
+        "bitrate": (int, 2048, "bitrate in kbit/sec"),
+        "options": (str, "", "extra codec options key=val:..."),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._enc = None
+        self._info = None
+        self._decouple = True
+        self._pending_buf = None
+
+    def start(self):
+        self._enc = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {}
+            if caps is not None and len(caps):
+                s = caps[0]
+                for k in ("width", "height", "framerate"):
+                    v = s.get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            base = Caps.from_string(self.SRC_CAPS)[0]
+            base = type(base)(base.name, {**base.fields, **f})
+            res = Caps([base])
+        else:
+            res = Caps.from_string("video/x-raw, format=I420")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        from ..video.info import VideoInfo
+        self._info = VideoInfo.from_caps_structure(incaps[0])
+
+    def _ensure(self):
+        if self._enc is not None:
+            return
+        vi = self._info
+        fps = vi.fps
+        fps = (fps.num, fps.denom) if fps and fps.num else (30, 1)
+        opts = self.DEFAULT_OPTS
+        extra = self.props.get("options", "")
+        if extra:
+            opts = f"{opts}:{extra}" if opts else extra
+        self._enc = native_av.AvVideoEncoder(
+            self.AV_CODEC, vi.width, vi.height, fps,
+            self.props["bitrate"] * 1000, opts)
+        self._pending_buf = True
+
+    def _emit(self, pkts) -> Optional[Buffer]:
+        if not pkts:
+            return None
+        blobs = [np.frombuffer(p, np.uint8) for p, _ in pkts]
+        return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
+                      batch=len(blobs))
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            self._pending_buf = None
+            if self._enc is None:
+                return None
+            return self._emit(self._enc.flush())
+        self._ensure()
+        y, u, v = (np.asarray(p) for p in buf.data)
+        if y.ndim == 2:
+            y, u, v = y[None], u[None], v[None]
+        pkts = []
+        for k in range(y.shape[0]):
+            pkts.extend(self._enc.encode((y[k], u[k], v[k])))
+        return self._emit(pkts)
+
+
+_H264_CAPS = ("video/x-h264, stream-format=byte-stream, "
+              "alignment=au")
+_H265_CAPS = ("video/x-h265, stream-format=byte-stream, "
+              "alignment=au")
+
+_DECODERS = [
+    ("avdec_h264", "h264", _H264_CAPS,
+     "libav H.264 decoder"),
+    ("avdec_h265", "hevc", _H265_CAPS,
+     "libav HEVC decoder"),
+    ("avdec_mpeg2video", "mpeg2video",
+     "video/mpeg, mpegversion=2, systemstream=false",
+     "libav MPEG-2 video decoder"),
+    ("avdec_mpeg4", "mpeg4",
+     "video/mpeg, mpegversion=4, systemstream=false",
+     "libav MPEG-4 part 2 decoder"),
+    ("avdec_av1", "av1", "video/x-av1",
+     "libav AV1 decoder"),
+]
+
+_ENCODERS = [
+    ("x264enc", "libx264", _H264_CAPS,
+     "H.264 encoder (libx264)",
+     "preset=veryfast:tune=zerolatency"),
+    ("x265enc", "libx265", _H265_CAPS,
+     "H.265 encoder (libx265)",
+     "preset=veryfast:tune=zerolatency:x265-params=log-level=none"),
+    ("avenc_mpeg2video", "mpeg2video",
+     "video/mpeg, mpegversion=2, systemstream=false",
+     "libav MPEG-2 video encoder", ""),
+    ("avenc_mpeg4", "mpeg4",
+     "video/mpeg, mpegversion=4, systemstream=false",
+     "libav MPEG-4 part 2 encoder", ""),
+]
+
+
+def _make_dec(factory, codec, sink_caps, desc):
+    cls = type(factory, (_AvVideoDec,), {
+        "FACTORY": factory,
+        "DESCRIPTION": desc,
+        "AV_CODEC": codec,
+        "SINK_CAPS": sink_caps,
+        "PAD_TEMPLATES": [
+            PadTemplate("sink", PadDirection.SINK, sink_caps),
+            PadTemplate("src", PadDirection.SRC,
+                        "video/x-raw, format=I420"),
+        ],
+    })
+    register_element(cls)
+
+
+def _make_enc(factory, codec, src_caps, desc, opts):
+    cls = type(factory, (_AvVideoEnc,), {
+        "FACTORY": factory,
+        "DESCRIPTION": desc,
+        "AV_CODEC": codec,
+        "SRC_CAPS": src_caps,
+        "DEFAULT_OPTS": opts,
+        "PAD_TEMPLATES": [
+            PadTemplate("sink", PadDirection.SINK,
+                        "video/x-raw, format=I420"),
+            PadTemplate("src", PadDirection.SRC, src_caps),
+        ],
+    })
+    register_element(cls)
+
+
+if native_av.available():
+    for _f, _c, _caps, _d in _DECODERS:
+        if native_av.have_codec(_c):
+            _make_dec(_f, _c, _caps, _d)
+    for _f, _c, _caps, _d, _o in _ENCODERS:
+        if native_av.have_codec(_c, encoder=True):
+            _make_enc(_f, _c, _caps, _d, _o)

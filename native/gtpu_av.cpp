@@ -1,0 +1,295 @@
+// gst-libav analog: a thin C ABI over the system libavcodec for the
+// codec families the framework does not implement natively
+// (H.264/HEVC/AV1/MPEG-2/MPEG-4/ProRes/... decode, and whatever
+// encoders the system build ships, e.g. libx264).
+//
+// Reference architecture: the reference framework's gst-libav
+// subproject wraps exactly this library (gst-libav/ext/libav/
+// gstavviddec.c:1, gstavvidenc.c:1) — codecs are NOT reimplemented
+// there either.  Video is normalized to I420 via libswscale; audio to
+// interleaved float via manual interleave of the planar formats.
+//
+// Built by gstreamer_tpu/native/_build.py with
+//   -lavcodec -lavutil -lswscale
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstring>
+
+namespace {
+
+struct Dec {
+    AVCodecContext *ctx = nullptr;
+    AVPacket *pkt = nullptr;
+    AVFrame *frame = nullptr;
+    SwsContext *sws = nullptr;
+    AVFrame *i420 = nullptr;
+    bool pending = false;       // frame holds undelivered data
+};
+
+struct Enc {
+    AVCodecContext *ctx = nullptr;
+    AVPacket *pkt = nullptr;
+    AVFrame *frame = nullptr;
+    long npts = 0;
+    bool pending = false;       // pkt holds undelivered data
+};
+
+}  // namespace
+
+extern "C" {
+
+void gtpu_av_quiet() { av_log_set_level(AV_LOG_ERROR); }
+
+int gtpu_av_have_codec(const char *name, int enc) {
+    return enc ? avcodec_find_encoder_by_name(name) != nullptr
+               : avcodec_find_decoder_by_name(name) != nullptr;
+}
+
+// ------------------------------------------------------------- decode
+
+void *gtpu_avdec_new(const char *codec_name, const unsigned char *extra,
+                     int exlen) {
+    const AVCodec *codec = avcodec_find_decoder_by_name(codec_name);
+    if (!codec) return nullptr;
+    Dec *d = new Dec();
+    d->ctx = avcodec_alloc_context3(codec);
+    if (extra && exlen > 0) {
+        d->ctx->extradata = (uint8_t *)av_mallocz(
+            exlen + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(d->ctx->extradata, extra, exlen);
+        d->ctx->extradata_size = exlen;
+    }
+    if (avcodec_open2(d->ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&d->ctx);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    return d;
+}
+
+void gtpu_avdec_free(void *h) {
+    Dec *d = (Dec *)h;
+    if (!d) return;
+    av_packet_free(&d->pkt);
+    av_frame_free(&d->frame);
+    av_frame_free(&d->i420);
+    sws_freeContext(d->sws);
+    avcodec_free_context(&d->ctx);
+    delete d;
+}
+
+// 0 ok; <0 error.  data=NULL => flush.
+int gtpu_avdec_send(void *h, const unsigned char *data, long size) {
+    Dec *d = (Dec *)h;
+    if (!data) return avcodec_send_packet(d->ctx, nullptr);
+    uint8_t *buf = (uint8_t *)av_malloc(
+        size + AV_INPUT_BUFFER_PADDING_SIZE);
+    memcpy(buf, data, size);
+    memset(buf + size, 0, AV_INPUT_BUFFER_PADDING_SIZE);
+    AVPacket *pkt = av_packet_alloc();
+    av_packet_from_data(pkt, buf, size);
+    int r = avcodec_send_packet(d->ctx, pkt);
+    av_packet_free(&pkt);
+    return r;
+}
+
+// Pull one video frame as I420.  Returns bytes written; 0 = no frame
+// ready; negative = -(needed bytes) when cap is too small (w/h are
+// still filled so the caller can resize and retry).
+long gtpu_avdec_recv_video(void *h, unsigned char *buf, long cap,
+                           int *w, int *hh) {
+    Dec *d = (Dec *)h;
+    if (!d->pending) {
+        if (avcodec_receive_frame(d->ctx, d->frame) != 0) return 0;
+        d->pending = true;
+    }
+    AVFrame *fr = d->frame;
+    int W = fr->width, H = fr->height;
+    *w = W;
+    *hh = H;
+    long need = (long)W * H + 2L * ((W + 1) / 2) * ((H + 1) / 2);
+    if (cap < need) return -need;
+    AVFrame *src = fr;
+    if (fr->format != AV_PIX_FMT_YUV420P) {
+        if (!d->i420 || d->i420->width != W || d->i420->height != H) {
+            av_frame_free(&d->i420);
+            d->i420 = av_frame_alloc();
+            d->i420->format = AV_PIX_FMT_YUV420P;
+            d->i420->width = W;
+            d->i420->height = H;
+            av_frame_get_buffer(d->i420, 0);
+        }
+        d->sws = sws_getCachedContext(
+            d->sws, W, H, (AVPixelFormat)fr->format, W, H,
+            AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+            nullptr);
+        if (!d->sws) { d->pending = false; return 0; }
+        sws_scale(d->sws, fr->data, fr->linesize, 0, H, d->i420->data,
+                  d->i420->linesize);
+        src = d->i420;
+    }
+    unsigned char *p = buf;
+    for (int pl = 0; pl < 3; pl++) {
+        int pw = pl ? (W + 1) / 2 : W;
+        int ph = pl ? (H + 1) / 2 : H;
+        for (int r = 0; r < ph; r++, p += pw)
+            memcpy(p, src->data[pl] + r * src->linesize[pl], pw);
+    }
+    d->pending = false;
+    return need;
+}
+
+// Pull one audio frame as interleaved float.  Returns sample count
+// (per channel); 0 = none; negative = -(needed samples).
+long gtpu_avdec_recv_audio(void *h, float *buf, long cap_samples,
+                           int *rate, int *ch) {
+    Dec *d = (Dec *)h;
+    if (!d->pending) {
+        if (avcodec_receive_frame(d->ctx, d->frame) != 0) return 0;
+        d->pending = true;
+    }
+    AVFrame *fr = d->frame;
+    int C = d->ctx->ch_layout.nb_channels;
+    *rate = fr->sample_rate;
+    *ch = C;
+    long n = fr->nb_samples;
+    if (cap_samples < n) return -n;
+    for (long i = 0; i < n; i++)
+        for (int k = 0; k < C; k++) {
+            float v = 0.f;
+            switch (fr->format) {
+                case AV_SAMPLE_FMT_FLTP:
+                    v = ((float *)fr->data[k])[i];
+                    break;
+                case AV_SAMPLE_FMT_FLT:
+                    v = ((float *)fr->data[0])[i * C + k];
+                    break;
+                case AV_SAMPLE_FMT_S16P:
+                    v = ((int16_t *)fr->data[k])[i] / 32768.f;
+                    break;
+                case AV_SAMPLE_FMT_S16:
+                    v = ((int16_t *)fr->data[0])[i * C + k] / 32768.f;
+                    break;
+                case AV_SAMPLE_FMT_S32P:
+                    v = ((int32_t *)fr->data[k])[i] / 2147483648.f;
+                    break;
+                case AV_SAMPLE_FMT_S32:
+                    v = ((int32_t *)fr->data[0])[i * C + k]
+                        / 2147483648.f;
+                    break;
+                case AV_SAMPLE_FMT_DBLP:
+                    v = (float)((double *)fr->data[k])[i];
+                    break;
+                case AV_SAMPLE_FMT_U8:
+                    v = (((uint8_t *)fr->data[0])[i * C + k] - 128)
+                        / 128.f;
+                    break;
+                case AV_SAMPLE_FMT_U8P:
+                    v = (((uint8_t *)fr->data[k])[i] - 128) / 128.f;
+                    break;
+                default:
+                    break;
+            }
+            buf[i * C + k] = v;
+        }
+    d->pending = false;
+    return n;
+}
+
+// ------------------------------------------------------------- encode
+
+void *gtpu_avenc_new(const char *codec_name, int w, int h, int fps_n,
+                     int fps_d, long bitrate, const char *opts) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) return nullptr;
+    Enc *e = new Enc();
+    e->ctx = avcodec_alloc_context3(codec);
+    e->ctx->width = w;
+    e->ctx->height = h;
+    e->ctx->time_base = {fps_d, fps_n};
+    e->ctx->framerate = {fps_n, fps_d};
+    e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    if (bitrate > 0) e->ctx->bit_rate = bitrate;
+    e->ctx->gop_size = 30;
+    e->ctx->max_b_frames = 0;   // no reorder delay (batch drain model)
+    if (opts && opts[0])
+        av_set_options_string(e->ctx->priv_data, opts, "=", ":");
+    if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
+    e->pkt = av_packet_alloc();
+    e->frame = av_frame_alloc();
+    e->frame->format = AV_PIX_FMT_YUV420P;
+    e->frame->width = w;
+    e->frame->height = h;
+    av_frame_get_buffer(e->frame, 0);
+    return e;
+}
+
+void gtpu_avenc_free(void *h) {
+    Enc *e = (Enc *)h;
+    if (!e) return;
+    av_packet_free(&e->pkt);
+    av_frame_free(&e->frame);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+// y/u/v = tightly packed planes; y=NULL => flush.  0 ok, <0 error.
+int gtpu_avenc_send_frame(void *h, const unsigned char *y,
+                          const unsigned char *u,
+                          const unsigned char *v) {
+    Enc *e = (Enc *)h;
+    if (!y) return avcodec_send_frame(e->ctx, nullptr);
+    av_frame_make_writable(e->frame);
+    int W = e->ctx->width, H = e->ctx->height;
+    const unsigned char *src[3] = {y, u, v};
+    for (int pl = 0; pl < 3; pl++) {
+        int pw = pl ? (W + 1) / 2 : W;
+        int ph = pl ? (H + 1) / 2 : H;
+        for (int r = 0; r < ph; r++)
+            memcpy(e->frame->data[pl] + r * e->frame->linesize[pl],
+                   src[pl] + (long)r * pw, pw);
+    }
+    e->frame->pts = e->npts++;
+    return avcodec_send_frame(e->ctx, e->frame);
+}
+
+// Returns bytes written; 0 = none ready; negative = -(needed).
+long gtpu_avenc_recv_packet(void *h, unsigned char *buf, long cap,
+                            int *key) {
+    Enc *e = (Enc *)h;
+    if (!e->pending) {
+        if (avcodec_receive_packet(e->ctx, e->pkt) != 0) return 0;
+        e->pending = true;
+    }
+    long need = e->pkt->size;
+    if (cap < need) return -need;
+    memcpy(buf, e->pkt->data, need);
+    *key = (e->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    av_packet_unref(e->pkt);
+    e->pending = false;
+    return need;
+}
+
+// Encoder global header (e.g. avcC-style extradata), 0 if none.
+long gtpu_avenc_extradata(void *h, unsigned char *buf, long cap) {
+    Enc *e = (Enc *)h;
+    if (!e->ctx->extradata || e->ctx->extradata_size <= 0) return 0;
+    long need = e->ctx->extradata_size;
+    if (cap < need) return -need;
+    memcpy(buf, e->ctx->extradata, need);
+    return need;
+}
+
+}  // extern "C"

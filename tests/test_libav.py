@@ -1,0 +1,151 @@
+"""avdec_*/avenc_*/x264enc/x265enc — the gst-libav analog elements
+over the system libavcodec (native/gtpu_av.cpp shim).
+
+Reference: gst-libav/ext/libav/gstavviddec.c:1 / gstavvidenc.c:1,
+gst-plugins-ugly/ext/x264/gstx264enc.c:1."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from gstreamer_tpu.core.parse import parse_launch  # noqa: E402
+from gstreamer_tpu.native import av as native_av  # noqa: E402
+
+needs_av = pytest.mark.skipif(not native_av.available(),
+                              reason="libavcodec shim unavailable")
+
+SRC = ("videotestsrc num-buffers=5 pattern=gradient ! "
+       "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! ")
+
+
+def _pull_video(p, sink_name="out"):
+    sink = p.get_by_name(sink_name)
+    frames = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = [np.asarray(x) for x in s.buffer.data]
+        for k in range(d[0].shape[0]):
+            frames.append(tuple(x[k] for x in d))
+    return frames
+
+
+def _gold_frame():
+    p = parse_launch(
+        "videotestsrc num-buffers=1 pattern=gradient ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "appsink name=out")
+    p.run()
+    return _pull_video(p)[0]
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+
+@needs_av
+@pytest.mark.parametrize("enc,dec", [
+    ("x264enc", "avdec_h264"),
+    ("x265enc", "avdec_h265"),
+    ("avenc_mpeg2video", "avdec_mpeg2video"),
+    ("avenc_mpeg4", "avdec_mpeg4"),
+])
+def test_direct_chain(enc, dec):
+    import gstreamer_tpu.elements  # noqa: F401 (populate registry)
+    from gstreamer_tpu.core.element import _REGISTRY
+    if enc not in _REGISTRY or dec not in _REGISTRY:
+        pytest.skip(f"{enc}/{dec} not in system libavcodec")
+    p = parse_launch(f"{SRC}{enc} ! {dec} ! appsink name=out")
+    p.run()
+    frames = _pull_video(p)
+    assert len(frames) == 5
+    assert frames[0][0].shape == (48, 64)
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 30
+
+
+@needs_av
+@pytest.mark.parametrize("mux,demux,ext", [
+    ("matroskamux", "matroskademux", "mkv"),
+    ("qtmux", "qtdemux", "mp4"),
+    ("avimux", "avidemux", "avi"),
+    ("mpegtsmux", "tsdemux", "ts"),
+])
+def test_h264_through_containers(tmp_path, mux, demux, ext):
+    path = tmp_path / f"v.{ext}"
+    p = parse_launch(
+        f"{mux} name=m location={path} ! fakesink "
+        + SRC + "x264enc ! "
+        + ("m.video_0" if ext in ("mkv", "avi", "mp4") else "m.sink_0"))
+    p.run()
+    assert path.stat().st_size > 500
+    tail = (" ! h264parse" if ext == "ts" else "")
+    d = parse_launch(
+        f"{demux} location={path} stream=video{tail} ! avdec_h264 ! "
+        "appsink name=out") if ext != "ts" else parse_launch(
+        f"{demux} location={path} ! h264parse ! avdec_h264 ! "
+        "appsink name=out")
+    d.run()
+    frames = _pull_video(d)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 30
+
+
+@needs_av
+def test_bitrate_property():
+    import gstreamer_tpu.elements  # noqa: F401 (populate registry)
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "x264enc" not in _REGISTRY:
+        pytest.skip("x264enc missing")
+    p = parse_launch(f"{SRC}x264enc bitrate=100 ! appsink name=out")
+    p.run()
+    sink = p.get_by_name("out")
+    total = 0
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = s.buffer.data
+        blobs = d if isinstance(d, list) else [d]
+        total += sum(np.asarray(b).size for b in blobs)
+    assert total > 0
+
+
+@needs_av
+def test_avdec_matches_oracle_decode():
+    """The avdec element's plumbing must reproduce a straight
+    libavcodec decode of the same packets (video_oracle)."""
+    import video_oracle as vo
+    from gstreamer_tpu.native.av import AvVideoEncoder
+    rng = np.random.default_rng(3)
+    frames = []
+    base = rng.integers(0, 256, (48, 64), np.uint8)
+    for i in range(4):
+        y = np.clip(base.astype(int) + 2 * i, 0, 255).astype(np.uint8)
+        u = np.full((24, 32), 100, np.uint8)
+        v = np.full((24, 32), 200, np.uint8)
+        frames.append((y, u, v))
+    enc = AvVideoEncoder("libx264", 64, 48, (30, 1), 300000,
+                         "preset=veryfast:tune=zerolatency")
+    pkts = []
+    for f in frames:
+        pkts += [p for p, _ in enc.encode(f)]
+    pkts += [p for p, _ in enc.flush()]
+    gold = vo.decode_packets("h264", pkts)
+    if gold is None:
+        pytest.skip("oracle unavailable")
+    from gstreamer_tpu.native.av import AvVideoDecoder
+    dec = AvVideoDecoder("h264")
+    mine = []
+    for p in pkts:
+        mine += dec.decode(p)
+    mine += dec.flush()
+    assert len(mine) == len(gold) == 4
+    for g, m in zip(gold, mine):
+        for a, b in zip(g, m):
+            np.testing.assert_array_equal(a, b)
