@@ -191,6 +191,182 @@ class _AvVideoEnc(TransformElement):
         return self._emit(pkts)
 
 
+class _AvAudioDec(TransformElement):
+    """Shared libavcodec audio-decoder scaffold (a52dec/dtsdec/...
+    analogs, gst-libav gstavauddec.c:1): framed input from the
+    audioparsers, interleaved F32 out."""
+    AV_CODEC = ""
+    SINK_CAPS = ""
+    HOST_ELEMENT = True
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._dec = None
+        self._nout = 0
+        self._decouple = True
+        self._pending_buf = None
+
+    def start(self):
+        self._dec = None
+        self._nout = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {"format": "F32LE", "layout": "interleaved"}
+            if caps is not None and len(caps):
+                s = caps[0]
+                for k in ("rate", "channels"):
+                    v = s.get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            res = Caps([Structure("audio/x-raw", f)])
+        else:
+            res = Caps.from_string(self.SINK_CAPS)
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def _emit(self, chunks) -> Optional[Buffer]:
+        if not chunks:
+            return None
+        out = np.concatenate(chunks, axis=0).astype(np.float32)
+        rate = self._dec.rate or 48000
+        pts = self._nout * 1_000_000_000 // rate
+        self._nout += len(out)
+        return Buffer(data=out, batch=1, pts=pts,
+                      duration=len(out) * 1_000_000_000 // rate)
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            self._pending_buf = None
+            if self._dec is None:
+                return None
+            return self._emit(self._dec.flush())
+        if self._dec is None:
+            self._dec = native_av.AvAudioDecoder(self.AV_CODEC)
+            self._pending_buf = True
+        chunks = []
+        for blob in _blobs_of(buf):
+            try:
+                chunks.extend(self._dec.decode(blob))
+            except ValueError:
+                continue
+        return self._emit(chunks)
+
+
+class _AvAudioEnc(TransformElement):
+    """Shared libavcodec audio-encoder scaffold (gst-libav
+    gstavaudenc.c:1): raw interleaved audio in, coded packets out
+    (accumulates to the codec frame size; tail flushed at EOS)."""
+    AV_CODEC = ""
+    SRC_CAPS = ""
+    HOST_ELEMENT = True
+    PROPERTIES = {
+        "bitrate": (int, 192000, "bitrate in bits/sec"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._enc = None
+        self._info = None
+        self._acc = None
+        self._decouple = True
+        self._pending_buf = None
+
+    def start(self):
+        self._enc = None
+        self._acc = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {}
+            if caps is not None and len(caps):
+                s = caps[0]
+                for k in ("rate", "channels"):
+                    v = s.get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            base = Caps.from_string(self.SRC_CAPS)[0]
+            res = Caps([type(base)(base.name,
+                                   {**base.fields, **f})])
+        else:
+            res = Caps.from_string(
+                "audio/x-raw, format={ F32LE, S16LE }, "
+                "layout=interleaved")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        from ..audio.info import AudioInfo
+        self._info = AudioInfo.from_caps_structure(incaps[0])
+
+    def _ensure(self):
+        if self._enc is not None:
+            return
+        ai = self._info
+        self._enc = native_av.AvAudioEncoder(
+            self.AV_CODEC, ai.rate, ai.channels,
+            self.props["bitrate"])
+        self._acc = np.zeros((0, ai.channels), np.float32)
+        self._pending_buf = True
+
+    def _to_float(self, samples: np.ndarray) -> np.ndarray:
+        if samples.dtype == np.int16:
+            return samples.astype(np.float32) / 32768.0
+        return samples.astype(np.float32)
+
+    def _emit(self, pkts) -> Optional[Buffer]:
+        if not pkts:
+            return None
+        blobs = [np.frombuffer(p, np.uint8) for p in pkts]
+        return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
+                      batch=len(blobs))
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            self._pending_buf = None
+            if self._enc is None:
+                return None
+            pkts = []
+            if len(self._acc):
+                pkts = self._encode_frames(flush_tail=True)
+            lib = self._enc._lib
+            lib.gtpu_avaenc_send(self._enc._h, None)
+            pkts.extend(self._enc._recv_all())
+            return self._emit(pkts)
+        self._ensure()
+        samples = self._to_float(np.asarray(buf.data))
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        self._acc = np.concatenate([self._acc, samples], axis=0)
+        return self._emit(self._encode_frames())
+
+    def _encode_frames(self, flush_tail: bool = False):
+        enc = self._enc
+        fs = enc.frame_size
+        pkts = []
+        while len(self._acc) >= fs:
+            frame = np.ascontiguousarray(self._acc[:fs])
+            self._acc = self._acc[fs:]
+            if enc._lib.gtpu_avaenc_send(enc._h,
+                                         frame.ctypes.data) < 0:
+                raise ValueError("av: audio encode error")
+            pkts.extend(enc._recv_all())
+        if flush_tail and len(self._acc):
+            pad = np.zeros((fs - len(self._acc),
+                            self._acc.shape[1]), np.float32)
+            frame = np.ascontiguousarray(
+                np.concatenate([self._acc, pad]))
+            self._acc = self._acc[:0]
+            if enc._lib.gtpu_avaenc_send(enc._h,
+                                         frame.ctypes.data) >= 0:
+                pkts.extend(enc._recv_all())
+        return pkts
+
+
 _H264_CAPS = ("video/x-h264, stream-format=byte-stream, "
               "alignment=au")
 _H265_CAPS = ("video/x-h265, stream-format=byte-stream, "
@@ -209,6 +385,17 @@ _DECODERS = [
      "libav MPEG-4 part 2 decoder"),
     ("avdec_av1", "av1", "video/x-av1",
      "libav AV1 decoder"),
+]
+
+_AUDIO_DECODERS = [
+    ("a52dec", "ac3", "audio/x-ac3; audio/x-private1-ac3",
+     "ATSC A/52 (AC-3) audio decoder"),
+    ("avdec_eac3", "eac3", "audio/x-eac3",
+     "libav E-AC-3 decoder"),
+    ("dtsdec", "dca", "audio/x-dts; audio/x-private1-dts",
+     "DTS Coherent Acoustics decoder"),
+    ("avdec_wmav2", "wmav2", "audio/x-wma, wmaversion=2",
+     "libav WMA v2 decoder"),
 ]
 
 _ENCODERS = [
@@ -258,10 +445,54 @@ def _make_enc(factory, codec, src_caps, desc, opts):
     register_element(cls)
 
 
+_AUDIO_ENCODERS = [
+    ("avenc_ac3", "ac3", "audio/x-ac3",
+     "libav AC-3 encoder"),
+]
+
+
+def _make_aenc(factory, codec, src_caps, desc):
+    cls = type(factory, (_AvAudioEnc,), {
+        "FACTORY": factory,
+        "DESCRIPTION": desc,
+        "AV_CODEC": codec,
+        "SRC_CAPS": src_caps,
+        "PAD_TEMPLATES": [
+            PadTemplate("sink", PadDirection.SINK,
+                        "audio/x-raw, format={ F32LE, S16LE }, "
+                        "layout=interleaved"),
+            PadTemplate("src", PadDirection.SRC, src_caps),
+        ],
+    })
+    register_element(cls)
+
+
+def _make_adec(factory, codec, sink_caps, desc):
+    cls = type(factory, (_AvAudioDec,), {
+        "FACTORY": factory,
+        "DESCRIPTION": desc,
+        "AV_CODEC": codec,
+        "SINK_CAPS": sink_caps,
+        "PAD_TEMPLATES": [
+            PadTemplate("sink", PadDirection.SINK, sink_caps),
+            PadTemplate("src", PadDirection.SRC,
+                        "audio/x-raw, format=F32LE, "
+                        "layout=interleaved"),
+        ],
+    })
+    register_element(cls)
+
+
 if native_av.available():
     for _f, _c, _caps, _d in _DECODERS:
         if native_av.have_codec(_c):
             _make_dec(_f, _c, _caps, _d)
+    for _f, _c, _caps, _d in _AUDIO_DECODERS:
+        if native_av.have_codec(_c):
+            _make_adec(_f, _c, _caps, _d)
+    for _f, _c, _caps, _d in _AUDIO_ENCODERS:
+        if native_av.have_codec(_c, encoder=True):
+            _make_aenc(_f, _c, _caps, _d)
     for _f, _c, _caps, _d, _o in _ENCODERS:
         if native_av.have_codec(_c, encoder=True):
             _make_enc(_f, _c, _caps, _d, _o)

@@ -23,6 +23,39 @@ from ..core.element import (Element, PadDirection, PadTemplate,
 from ..utils.typefind import DECODABLE, decodable_for, type_find_file
 
 
+def _decoder_for_caps(caps) -> Optional[str]:
+    """Coded-stream caps from a demuxer -> decoder factory to append
+    (the rank-sorted factory pick of gstdecodebin3.c, reduced to the
+    registered decoder table)."""
+    if caps is None or caps.is_any or not len(caps):
+        return None
+    from ..core.element import factory_exists
+    s = caps[0]
+    name = s.name
+    cand = None
+    if name == "video/x-h264":
+        cand = "avdec_h264"
+    elif name == "video/x-h265":
+        cand = "avdec_h265"
+    elif name == "video/x-av1":
+        cand = "avdec_av1"
+    elif name == "image/jpeg":
+        cand = "jpegdec"
+    elif name == "video/mpeg" and not s.get("systemstream"):
+        cand = ("avdec_mpeg2video" if s.get("mpegversion") == 2
+                else "avdec_mpeg4")
+    elif name == "audio/x-ac3":
+        cand = "a52dec"
+    elif name == "audio/x-dts":
+        cand = "dtsdec"
+    elif name == "audio/mpeg":
+        ver = s.get("mpegversion")
+        cand = ("mpg123audiodec" if ver in (1, None) else "faad")
+    if cand is not None and not factory_exists(cand):
+        return None
+    return cand
+
+
 class _ChainSrc(SourceElement):
     """Internal source wrapping a decode chain launch description:
     the chain runs once into an appsink; samples are then replayed as
@@ -128,8 +161,14 @@ class UriDecodeBin(SourceElement):
         if "!" in factory:
             self._inner = _ChainSrc(
                 description=factory.format(path=path))
+            return
+        inner = element_factory_make(factory, location=path)
+        dec = _decoder_for_caps(inner.get_caps())
+        if dec is not None:
+            self._inner = _ChainSrc(
+                description=f"{factory} location={path} ! {dec}")
         else:
-            self._inner = element_factory_make(factory, location=path)
+            self._inner = inner
 
     def get_caps(self, filter=None):
         self._ensure_inner()
@@ -196,13 +235,17 @@ class PlayBin(SinkElement):
         else:
             el = element_factory_make(factory, location=path)
             caps = el.get_caps()
+            dec = _decoder_for_caps(caps)
+            head = f"{factory} location={path}"
+            if dec is not None:
+                head += f" ! {dec}"
             is_audio = (caps is not None and not caps.is_any
                         and caps[0].name.startswith("audio"))
             if is_audio:
-                desc = (f"{factory} location={path} ! audioconvert ! "
+                desc = (f"{head} ! audioconvert ! "
                         f"appsink name=playsink")
             else:
-                desc = (f"{factory} location={path} ! videoconvert ! "
+                desc = (f"{head} ! videoconvert ! "
                         f"video/x-raw,format="
                         f"{self.props['video-format']} ! "
                         f"appsink name=playsink")

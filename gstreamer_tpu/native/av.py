@@ -70,6 +70,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
     lib.gtpu_av_have_codec.restype = ctypes.c_int
     lib.gtpu_av_have_codec.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.gtpu_avaenc_new.restype = ctypes.c_void_p
+    lib.gtpu_avaenc_new.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_long]
+    lib.gtpu_avaenc_frame_size.restype = ctypes.c_int
+    lib.gtpu_avaenc_frame_size.argtypes = [ctypes.c_void_p]
+    lib.gtpu_avaenc_send.restype = ctypes.c_int
+    lib.gtpu_avaenc_send.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.gtpu_av_quiet()
     _lib = lib
     return _lib
@@ -191,6 +198,67 @@ class AvAudioDecoder:
     def __del__(self):
         try:
             self._lib.gtpu_avdec_free(self._h)
+        except Exception:
+            pass
+
+
+class AvAudioEncoder:
+    """Any libavcodec audio encoder over float interleaved input."""
+
+    def __init__(self, codec: str, rate: int, channels: int,
+                 bitrate: int = 0):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("av: libavcodec shim unavailable")
+        self._lib = lib
+        self.rate = rate
+        self.channels = channels
+        self._h = ctypes.c_void_p(lib.gtpu_avaenc_new(
+            codec.encode(), rate, channels, bitrate))
+        if not self._h.value:
+            raise RuntimeError(f"av: no audio encoder {codec!r}")
+        self.frame_size = lib.gtpu_avaenc_frame_size(self._h)
+        self._buf = np.empty(1 << 18, np.uint8)
+
+    def _recv_all(self) -> List[bytes]:
+        lib = self._lib
+        out = []
+        key = ctypes.c_int()
+        while True:
+            r = lib.gtpu_avenc_recv_packet(
+                self._h, self._buf.ctypes.data, len(self._buf),
+                ctypes.byref(key))
+            if r < 0:
+                self._buf = np.empty(-r, np.uint8)
+                continue
+            if r == 0:
+                break
+            out.append(self._buf[:r].tobytes())
+        return out
+
+    def encode_all(self, pcm: np.ndarray) -> List[bytes]:
+        """float (n, ch) -> packets (tail zero-padded + flushed)."""
+        pcm = np.ascontiguousarray(pcm, np.float32)
+        n = len(pcm)
+        fs = self.frame_size
+        pad = (-n) % fs
+        if pad:
+            pcm = np.concatenate(
+                [pcm, np.zeros((pad, self.channels), np.float32)])
+        out = []
+        for lo in range(0, len(pcm), fs):
+            frame = np.ascontiguousarray(pcm[lo:lo + fs])
+            if self._lib.gtpu_avaenc_send(
+                    self._h, frame.ctypes.data) < 0:
+                raise ValueError("av: audio encode error")
+            out.extend(self._recv_all())
+        self._lib.gtpu_avaenc_send(self._h, None)
+        out.extend(self._recv_all())
+        return out
+
+    def __del__(self):
+        try:
+            self._lib.gtpu_avenc_free(self._h)
         except Exception:
             pass
 

@@ -282,6 +282,87 @@ long gtpu_avenc_recv_packet(void *h, unsigned char *buf, long cap,
     return need;
 }
 
+// ------------------------------------------------------- audio encode
+
+void *gtpu_avaenc_new(const char *codec_name, int rate, int ch,
+                      long bitrate) {
+    const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) return nullptr;
+    Enc *e = new Enc();
+    e->ctx = avcodec_alloc_context3(codec);
+    e->ctx->sample_rate = rate;
+    e->ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    if (codec->sample_fmts) {
+        bool ok = false;
+        for (const enum AVSampleFormat *f = codec->sample_fmts;
+             *f != AV_SAMPLE_FMT_NONE; f++)
+            if (*f == AV_SAMPLE_FMT_FLTP) ok = true;
+        if (!ok) e->ctx->sample_fmt = codec->sample_fmts[0];
+    }
+    if (bitrate > 0) e->ctx->bit_rate = bitrate;
+    av_channel_layout_default(&e->ctx->ch_layout, ch);
+    if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
+    e->pkt = av_packet_alloc();
+    e->frame = av_frame_alloc();
+    e->frame->format = e->ctx->sample_fmt;
+    e->frame->nb_samples =
+        e->ctx->frame_size > 0 ? e->ctx->frame_size : 1024;
+    av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
+    if (av_frame_get_buffer(e->frame, 0) < 0) {
+        gtpu_avenc_free(e);
+        return nullptr;
+    }
+    return e;
+}
+
+int gtpu_avaenc_frame_size(void *h) {
+    Enc *e = (Enc *)h;
+    return e->ctx->frame_size > 0 ? e->ctx->frame_size : 1024;
+}
+
+// interleaved float frame of exactly frame_size samples (zero-pad the
+// tail yourself); NULL => flush.
+int gtpu_avaenc_send(void *h, const float *pcm) {
+    Enc *e = (Enc *)h;
+    if (!pcm) return avcodec_send_frame(e->ctx, nullptr);
+    av_frame_make_writable(e->frame);
+    int C = e->ctx->ch_layout.nb_channels;
+    int N = e->frame->nb_samples;
+    if (e->ctx->sample_fmt == AV_SAMPLE_FMT_FLTP) {
+        for (int k = 0; k < C; k++) {
+            float *d = (float *)e->frame->data[k];
+            for (int i = 0; i < N; i++) d[i] = pcm[i * C + k];
+        }
+    } else if (e->ctx->sample_fmt == AV_SAMPLE_FMT_FLT) {
+        memcpy(e->frame->data[0], pcm, sizeof(float) * N * C);
+    } else if (e->ctx->sample_fmt == AV_SAMPLE_FMT_S16) {
+        int16_t *d = (int16_t *)e->frame->data[0];
+        for (int i = 0; i < N * C; i++) {
+            float v = pcm[i] * 32768.f;
+            d[i] = v > 32767.f ? 32767 : v < -32768.f ? -32768
+                                                      : (int16_t)v;
+        }
+    } else if (e->ctx->sample_fmt == AV_SAMPLE_FMT_S16P) {
+        for (int k = 0; k < C; k++) {
+            int16_t *d = (int16_t *)e->frame->data[k];
+            for (int i = 0; i < N; i++) {
+                float v = pcm[i * C + k] * 32768.f;
+                d[i] = v > 32767.f ? 32767 : v < -32768.f
+                    ? -32768 : (int16_t)v;
+            }
+        }
+    } else {
+        return -1;
+    }
+    e->frame->pts = e->npts;
+    e->npts += N;
+    return avcodec_send_frame(e->ctx, e->frame);
+}
+
 // Encoder global header (e.g. avcC-style extradata), 0 if none.
 long gtpu_avenc_extradata(void *h, unsigned char *buf, long cap) {
     Enc *e = (Enc *)h;

@@ -74,6 +74,29 @@ def test_uridecodebin_mp3_chain(tmp_path):
     assert abs(len(pcm) - len(gold)) < 2
 
 
+def test_uridecodebin_mp4_h264_decodes(tmp_path):
+    """mp4 with H.264 video: the route must append avdec_h264 so the
+    bin emits raw frames, not coded AUs."""
+    from gstreamer_tpu.native import av as native_av
+    if not native_av.available():
+        pytest.skip("libavcodec shim unavailable")
+    path = tmp_path / "v.mp4"
+    p = parse_launch(
+        f"qtmux name=m location={path} ! fakesink "
+        "videotestsrc num-buffers=4 ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "x264enc ! m.video_0")
+    p.run()
+    d = parse_launch(f"uridecodebin uri=file://{path} ! "
+                     "appsink name=out")
+    d.run()
+    samples = _pull_all(d)
+    assert samples
+    assert samples[0].caps[0].name == "video/x-raw"
+    total = sum(s.buffer.batch for s in samples)
+    assert total == 4
+
+
 @pytest.mark.skipif(not ao.have_vorbis(),
                     reason="system libvorbis missing")
 def test_playbin_ogg_vorbis(tmp_path):

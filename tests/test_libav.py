@@ -116,6 +116,55 @@ def test_bitrate_property():
     assert total > 0
 
 
+def _pull_audio(p, sink_name="out"):
+    sink = p.get_by_name(sink_name)
+    chunks = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        chunks.append(np.asarray(s.buffer.data))
+    return np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 1))
+
+
+@needs_av
+def test_ac3_chain():
+    """audiotestsrc ! avenc_ac3 ! a52dec: lossy roundtrip must
+    preserve the signal (a52dec analog of gst-plugins-ugly a52dec)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "avenc_ac3" not in _REGISTRY or "a52dec" not in _REGISTRY:
+        pytest.skip("ac3 not in system libavcodec")
+    p = parse_launch(
+        "audiotestsrc num-buffers=16 samplesperbuffer=4096 wave=sine ! "
+        "avenc_ac3 ! a52dec ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    assert pcm.shape[0] > 40000 and pcm.dtype == np.float32
+    # the tone must survive: dominant frequency energy
+    spec = np.abs(np.fft.rfft(pcm[4096:4096 + 16384, 0]))
+    peak = np.argmax(spec)
+    assert spec[peak] > 10 * np.median(spec + 1e-9)
+
+
+@needs_av
+def test_ac3_through_mpegts(tmp_path):
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "avenc_ac3" not in _REGISTRY:
+        pytest.skip("ac3 not in system libavcodec")
+    ts = tmp_path / "a.ts"
+    p = parse_launch(
+        "audiotestsrc num-buffers=16 samplesperbuffer=4096 ! "
+        f"avenc_ac3 ! mpegtsmux location={ts}")
+    p.run()
+    d = parse_launch(f"tsdemux location={ts} ! ac3parse ! a52dec ! "
+                     "appsink name=out")
+    d.run()
+    pcm = _pull_audio(d)
+    assert pcm.shape[0] > 40000
+
+
 @needs_av
 def test_avdec_matches_oracle_decode():
     """The avdec element's plumbing must reproduce a straight
