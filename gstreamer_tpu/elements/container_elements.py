@@ -115,6 +115,108 @@ def _parse_avcc(blob: bytes) -> Tuple[List[bytes], List[bytes]]:
     return sps_list, pps_list
 
 
+def _harvest_params_h265(raw: bytes, cfg: dict) -> None:
+    """Collect VPS/SPS/PPS NALs (types 32/33/34) from an Annex-B AU."""
+    for nal in _split_annexb(raw):
+        t = (nal[0] >> 1) & 0x3F
+        if t == 32:
+            cfg["vps"] = nal
+        elif t == 33:
+            cfg["sps"] = nal
+        elif t == 34:
+            cfg["pps"] = nal
+
+
+def _annexb_to_lenpref_h265(raw: bytes) -> bytes:
+    """Annex-B HEVC AU -> 4-byte length-prefixed sample (parameter
+    sets stripped; they live in the hvcC config)."""
+    sample = bytearray()
+    for nal in _split_annexb(raw):
+        if ((nal[0] >> 1) & 0x3F) in (32, 33, 34):
+            continue
+        sample += struct.pack(">I", len(nal)) + nal
+    return bytes(sample)
+
+
+def _unescape_rbsp(data: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _make_hvcc(vps: bytes, sps: bytes, pps: bytes) -> bytes:
+    """ISO 14496-15 §8.3.3 HEVCDecoderConfigurationRecord: the
+    profile_tier_level is copied from the SPS; 4:2:0 8-bit assumed
+    for the informative fields."""
+    rbsp = _unescape_rbsp(sps[2:])
+    ptl = rbsp[1:13]                     # 12-byte profile_tier_level
+    out = bytearray([1]) + ptl
+    out += bytes([0xF0, 0x00])           # min_spatial_segmentation
+    out += bytes([0xFC])                 # parallelismType
+    out += bytes([0xFC | 1])             # chroma_format 4:2:0
+    out += bytes([0xF8, 0xF8])           # bit depths (luma, chroma) 8
+    out += bytes([0, 0])                 # avgFrameRate
+    out += bytes([0x0F])                 # 1 layer, nested, len-1=3
+    out += bytes([3])                    # numOfArrays
+    for t, nal in ((32, vps), (33, sps), (34, pps)):
+        out += bytes([0x80 | t]) + struct.pack(">HH", 1, len(nal)) \
+            + nal
+    return bytes(out)
+
+
+def _parse_hvcc(blob: bytes) -> List[bytes]:
+    """hvcC -> parameter-set NALs in array order."""
+    nals = []
+    pos = 22
+    num_arrays = blob[pos]
+    pos += 1
+    for _ in range(num_arrays):
+        pos += 1
+        cnt = struct.unpack(">H", blob[pos:pos + 2])[0]
+        pos += 2
+        for _ in range(cnt):
+            ln = struct.unpack(">H", blob[pos:pos + 2])[0]
+            pos += 2
+            nals.append(blob[pos:pos + ln])
+            pos += ln
+    return nals
+
+
+def _av1_seq_obu(blob: bytes) -> bytes:
+    """First OBU_SEQUENCE_HEADER in a low-overhead OBU stream (AV1
+    spec §5.3; used for the av1C configOBUs)."""
+    pos = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        otype = (b0 >> 3) & 0xF
+        has_size = b0 & 0x02
+        p = pos + 1
+        if b0 & 0x04:                    # extension
+            p += 1
+        if not has_size:
+            return blob[pos:] if otype == 1 else b""
+        size = 0
+        shift = 0
+        while p < len(blob):
+            byte = blob[p]
+            p += 1
+            size |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                break
+        end = p + size
+        if otype == 1:
+            return blob[pos:end]
+        pos = end
+    return b""
+
+
 def _xiph_lace(packets: List[bytes]) -> bytes:
     """Xiph-style lacing for CodecPrivate (matroska codec-specs:
     A_VORBIS / V_THEORA carry their three header packets this way —
@@ -515,7 +617,7 @@ class AviDemux(SourceElement):
         from ..core.structure import Structure
         w, h, fps = self._vdims
         f = {"width": w, "height": h, "framerate": fps}
-        if self._coded == "video/x-h264":
+        if self._coded in ("video/x-h264", "video/x-h265"):
             f.update({"stream-format": "byte-stream",
                       "alignment": "au"})
         return Caps([Structure(self._coded, f)])
@@ -677,7 +779,9 @@ class MatroskaMux(AggregatorElement):
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
                     "video/x-raw, format={ I420, YUY2, UYVY }"
-                    + _CODED_VIDEO_CAPS,
+                    + _CODED_VIDEO_CAPS
+                    + "; video/x-h265, stream-format=byte-stream, "
+                      "alignment=au; video/x-av1",
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved",
@@ -714,6 +818,10 @@ class MatroskaMux(AggregatorElement):
             if pad_name.startswith("video"):
                 if s.name == "video/x-h264":
                     self._vcodec = "h264"
+                elif s.name == "video/x-h265":
+                    self._vcodec = "h265"
+                elif s.name == "video/x-av1":
+                    self._vcodec = "av1"
                 elif s.name == "image/jpeg":
                     self._vcodec = "mjpeg"
                 if self._vcodec:
@@ -750,8 +858,10 @@ class MatroskaMux(AggregatorElement):
                 w, h, fps = self._vdims
                 video = (ebml_uint(PIXEL_WIDTH, w)
                          + ebml_uint(PIXEL_HEIGHT, h))
-                codec = ("V_MPEG4/ISO/AVC" if self._vcodec == "h264"
-                         else "V_MJPEG")
+                codec = {"h264": "V_MPEG4/ISO/AVC",
+                         "h265": "V_MPEGH/ISO/HEVC",
+                         "av1": "V_AV1",
+                         "mjpeg": "V_MJPEG"}[self._vcodec]
                 entry = (ebml_uint(TRACK_NUMBER, 1)
                          + ebml_uint(TRACK_UID, 1)
                          + ebml_uint(TRACK_TYPE, 1)
@@ -761,6 +871,18 @@ class MatroskaMux(AggregatorElement):
                         CODEC_PRIVATE,
                         _make_avcc(self._avc_cfg["sps"],
                                    self._avc_cfg.get("pps")))
+                elif self._vcodec == "h265" \
+                        and self._avc_cfg.get("sps"):
+                    entry += ebml_elem(
+                        CODEC_PRIVATE,
+                        _make_hvcc(self._avc_cfg.get("vps", b""),
+                                   self._avc_cfg["sps"],
+                                   self._avc_cfg.get("pps", b"")))
+                elif self._vcodec == "av1":
+                    entry += ebml_elem(
+                        CODEC_PRIVATE,
+                        bytes([0x81, 0, 0, 0])
+                        + self._avc_cfg.get("av1_seq", b""))
                 entry += (ebml_uint(DEFAULT_DURATION,
                                     1_000_000_000 * fps.denom
                                     // fps.num)
@@ -859,14 +981,22 @@ class MatroskaMux(AggregatorElement):
             first = next(iter(ins.values()))
             return first.with_(data=np.zeros(1, np.uint8))
         if not self._headers_done:
-            if self._vcodec == "h264":
-                # harvest SPS/PPS for the avcC CodecPrivate before the
-                # TrackEntry is written (matroska-mux.c takes them
-                # from the caps codec_data)
+            if self._vcodec in ("h264", "h265", "av1"):
+                # harvest parameter sets for the avcC/hvcC/av1C
+                # CodecPrivate before the TrackEntry is written
+                # (matroska-mux.c takes them from the caps codec_data)
                 for pad_name, buf in ins.items():
                     if pad_name.startswith("video"):
                         for blob in _video_blobs(buf):
-                            _harvest_params(blob, self._avc_cfg)
+                            if self._vcodec == "h264":
+                                _harvest_params(blob, self._avc_cfg)
+                            elif self._vcodec == "h265":
+                                _harvest_params_h265(blob,
+                                                     self._avc_cfg)
+                            else:
+                                seq = _av1_seq_obu(blob)
+                                if seq:
+                                    self._avc_cfg["av1_seq"] = seq
             self._write_headers()
             self._headers_done = True
         blocks = b""
@@ -879,6 +1009,10 @@ class MatroskaMux(AggregatorElement):
                     for blob in _video_blobs(buf):
                         if self._vcodec == "h264":
                             blob = _annexb_to_lenpref(blob)
+                            if not blob:
+                                continue
+                        elif self._vcodec == "h265":
+                            blob = _annexb_to_lenpref_h265(blob)
                             if not blob:
                                 continue
                         ts_ms = ((self._vframes * 1000 * fps.denom)
@@ -1154,6 +1288,10 @@ class MatroskaDemux(SourceElement):
             fd = track.get("frame_dur", 40_000_000)
             if codec == "V_MPEG4/ISO/AVC":
                 self._coded = "video/x-h264"
+            elif codec == "V_MPEGH/ISO/HEVC":
+                self._coded = "video/x-h265"
+            elif codec == "V_AV1":
+                self._coded = "video/x-av1"
             elif codec == "V_MJPEG":
                 self._coded = "image/jpeg"
             if self._coded:
@@ -1166,6 +1304,11 @@ class MatroskaDemux(SourceElement):
                     sps, pps = _parse_avcc(track["codec_private"])
                     self._params = b"".join(
                         b"\x00\x00\x00\x01" + n for n in sps + pps)
+                elif codec == "V_MPEGH/ISO/HEVC" \
+                        and track.get("codec_private"):
+                    self._params = b"".join(
+                        b"\x00\x00\x00\x01" + n
+                        for n in _parse_hvcc(track["codec_private"]))
                 self._info = None
                 self._loaded = True
                 return
@@ -1301,7 +1444,7 @@ class MatroskaDemux(SourceElement):
         from ..core.structure import Structure
         w, h, fps = self._vdims
         f = {"width": w, "height": h, "framerate": fps}
-        if self._coded == "video/x-h264":
+        if self._coded in ("video/x-h264", "video/x-h265"):
             f.update({"stream-format": "byte-stream",
                       "alignment": "au"})
         return Caps([Structure(self._coded, f)])
@@ -1367,7 +1510,7 @@ class MatroskaDemux(SourceElement):
             blobs = []
             for ts, off, size in take:
                 raw = self._data[off:off + size]
-                if self._coded == "video/x-h264":
+                if self._coded in ("video/x-h264", "video/x-h265"):
                     # length-prefixed sample -> Annex-B, parameter
                     # sets from CodecPrivate prepended on the first AU
                     au = bytearray(self._params if self._pos == 0

@@ -383,8 +383,8 @@ _DECODERS = [
     ("avdec_mpeg4", "mpeg4",
      "video/mpeg, mpegversion=4, systemstream=false",
      "libav MPEG-4 part 2 decoder"),
-    ("avdec_av1", "av1", "video/x-av1",
-     "libav AV1 decoder"),
+    ("avdec_av1", "libdav1d", "video/x-av1",
+     "AV1 decoder (dav1d)"),
 ]
 
 _AUDIO_DECODERS = [
@@ -405,6 +405,8 @@ _ENCODERS = [
     ("x265enc", "libx265", _H265_CAPS,
      "H.265 encoder (libx265)",
      "preset=veryfast:tune=zerolatency:x265-params=log-level=none"),
+    ("av1enc", "libaom-av1", "video/x-av1",
+     "AV1 encoder (libaom)", "usage=realtime:cpu-used=8"),
     ("avenc_mpeg2video", "mpeg2video",
      "video/mpeg, mpegversion=2, systemstream=false",
      "libav MPEG-2 video encoder", ""),

@@ -107,7 +107,8 @@ def _pes(stream_id: int, payload: bytes, pts_90k: Optional[int]
 
 
 _TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81,
-                  "video/x-h264": 0x1B, "video/mpeg": 0x02}
+                  "video/x-h264": 0x1B, "video/x-h265": 0x24,
+                  "video/mpeg": 0x02}
 _CAPS_FOR_TYPE = {0x03: "audio/mpeg, mpegversion=1, parsed=true",
                   0x04: "audio/mpeg, mpegversion=1, parsed=true",
                   0x0F: "audio/mpeg, mpegversion=4, "
@@ -115,11 +116,13 @@ _CAPS_FOR_TYPE = {0x03: "audio/mpeg, mpegversion=1, parsed=true",
                   0x81: "audio/x-ac3",
                   0x1B: "video/x-h264, stream-format=byte-stream, "
                         "alignment=au",
+                  0x24: "video/x-h265, stream-format=byte-stream, "
+                        "alignment=au",
                   0x02: "video/mpeg, mpegversion=2, "
                         "systemstream=false, parsed=true",
                   0x06: "application/octet-stream"}
 _SID_FOR_TYPE = {0x03: 0xC0, 0x0F: 0xC0, 0x81: 0xBD, 0x1B: 0xE0,
-                 0x02: 0xE0, 0x06: 0xBD}
+                 0x24: 0xE0, 0x02: 0xE0, 0x06: 0xBD}
 
 
 @register_element
@@ -130,7 +133,7 @@ class MpegTsMux(AggregatorElement):
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("sink_%u", PadDirection.SINK,
-                    "audio/mpeg; audio/x-ac3; video/x-h264; "
+                    "audio/mpeg; audio/x-ac3; video/x-h264; video/x-h265; "
                     "video/mpeg; application/octet-stream",
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/mpegts"),

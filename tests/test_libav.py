@@ -116,6 +116,51 @@ def test_bitrate_property():
     assert total > 0
 
 
+@needs_av
+@pytest.mark.parametrize("enc,dec,cid", [
+    ("x265enc", "avdec_h265", b"V_MPEGH/ISO/HEVC"),
+    ("av1enc", "avdec_av1", b"V_AV1"),
+])
+def test_hevc_av1_matroska_tracks(tmp_path, enc, dec, cid):
+    """HEVC (hvcC CodecPrivate) and AV1 (av1C) tracks in Matroska
+    (matroska-mux.c / matroska-demux.c codec handling)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if enc not in _REGISTRY or dec not in _REGISTRY:
+        pytest.skip(f"{enc}/{dec} not in system libavcodec")
+    path = tmp_path / "v.mkv"
+    p = parse_launch(
+        f"matroskamux name=m location={path} ! fakesink "
+        + SRC + f"{enc} ! m.video_0")
+    p.run()
+    data = path.read_bytes()
+    assert cid in data
+    d = parse_launch(
+        f"matroskademux location={path} stream=video ! {dec} ! "
+        "appsink name=out")
+    d.run()
+    frames = _pull_video(d)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 25
+
+
+@needs_av
+def test_hevc_through_mpegts(tmp_path):
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "x265enc" not in _REGISTRY:
+        pytest.skip("x265 not in system libavcodec")
+    ts = tmp_path / "v.ts"
+    p = parse_launch(f"{SRC}x265enc ! mpegtsmux location={ts}")
+    p.run()
+    d = parse_launch(f"tsdemux location={ts} ! avdec_h265 ! "
+                     "appsink name=out")
+    d.run()
+    frames = _pull_video(d)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 25
+
+
 def _pull_audio(p, sink_name="out"):
     sink = p.get_by_name(sink_name)
     chunks = []
