@@ -784,7 +784,8 @@ class MatroskaMux(AggregatorElement):
                       "alignment=au; video/x-av1",
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
-                    "audio/x-raw, format=S16LE, layout=interleaved",
+                    "audio/x-raw, format=S16LE, layout=interleaved; "
+                    "audio/mpeg, mpegversion=4, stream-format=raw",
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/x-matroska"),
     ]
@@ -834,9 +835,16 @@ class MatroskaMux(AggregatorElement):
                 else:
                     self._vinfo = VideoInfo.from_caps_structure(s)
             else:
-                self._ainfo = AudioInfo.from_caps_structure(s)
+                if s.name == "audio/mpeg":
+                    # coded AAC passthrough (A_AAC, ASC CodecPrivate)
+                    self._acodec = "aac"
+                    self._ainfo = AudioInfo(format="S16LE",
+                                            rate=s["rate"],
+                                            channels=s["channels"])
+                else:
+                    self._ainfo = AudioInfo.from_caps_structure(s)
         if self.props.get("audio-codec") == "vorbis" \
-                and self._ainfo is not None:
+                and self._ainfo is not None and self._acodec is None:
             self._acodec = "vorbis"
         vc = self.props.get("video-codec")
         if vc in ("theora", "vp8", "vp9") \
@@ -845,10 +853,10 @@ class MatroskaMux(AggregatorElement):
                 raise ValueError(
                     f"matroskamux: {vc} needs I420 input")
             self._venc = vc
-        if self._acodec and self._vcodec:
+        if self._acodec == "vorbis" and self._vcodec:
             raise ValueError("matroskamux: audio-codec=vorbis cannot "
                              "combine with coded (h264/mjpeg) video")
-        self._defer = bool(self._acodec or self._venc)
+        self._defer = bool(self._acodec == "vorbis" or self._venc)
         return Caps.from_string("video/x-matroska")
 
     def _tracks(self) -> bytes:
@@ -929,6 +937,11 @@ class MatroskaMux(AggregatorElement):
                 codec = (ebml_str(CODEC_ID, "A_VORBIS")
                          + ebml_elem(CODEC_PRIVATE,
                                      _xiph_lace(self._ahdrs)))
+            elif self._acodec == "aac":
+                from .isomp4 import _make_asc
+                codec = (ebml_str(CODEC_ID, "A_AAC")
+                         + ebml_elem(CODEC_PRIVATE,
+                                     _make_asc(ai.rate, ai.channels)))
             else:
                 audio += ebml_uint(BIT_DEPTH, 16)
                 codec = ebml_str(CODEC_ID, "A_PCM/INT/LIT")
@@ -944,6 +957,7 @@ class MatroskaMux(AggregatorElement):
         self._headers_done = False
         self._vframes = 0
         self._apts_ms = 0
+        self._apkts = 0
 
     def _write_headers(self):
         header = (ebml_uint(0x4286, 1) + ebml_uint(0x42F7, 1)
@@ -1040,6 +1054,18 @@ class MatroskaMux(AggregatorElement):
                         ebml_size(1) + struct.pack(">h", rel) + b"\x80"
                         + raw[k].tobytes())
                     self._vframes += 1
+            elif self._acodec == "aac":
+                ai = self._ainfo
+                for blob in _video_blobs(buf):
+                    ts_ms = self._apkts * 1024 * 1000 // ai.rate
+                    if cluster_ts is None:
+                        cluster_ts = ts_ms
+                    rel = ts_ms - cluster_ts
+                    blocks += ebml_elem(
+                        SIMPLE_BLOCK,
+                        ebml_size(2) + struct.pack(">h", rel)
+                        + b"\x80" + blob)
+                    self._apkts += 1
             else:
                 ai = self._ainfo
                 samples = np.asarray(buf.data)

@@ -51,7 +51,28 @@ _MUX_VIDEO_CAPS = ("video/x-raw, format={ UYVY, v308, v210, v216, r210, "
                    "video/x-h264, stream-format=byte-stream, "
                    "alignment=au")
 _MUX_AUDIO_CAPS = ("audio/x-raw, format={ S16LE, S16BE, U8 }, "
-                   "layout=interleaved; audio/x-mulaw; audio/x-alaw")
+                   "layout=interleaved; audio/x-mulaw; audio/x-alaw; "
+                   "audio/mpeg, mpegversion=4, stream-format=raw")
+
+
+def _make_asc(rate: int, channels: int) -> bytes:
+    """AudioSpecificConfig for AAC-LC (ISO 14496-3 §1.6.2.1)."""
+    from ..codecs.aac import SAMPLE_RATES
+    sfi = SAMPLE_RATES.index(rate)
+    v = (2 << 11) | (sfi << 7) | (channels << 3)
+    return bytes([v >> 8, v & 0xFF])
+
+
+def _make_esds(rate: int, channels: int) -> bytes:
+    """esds box with ES/DecoderConfig/DecoderSpecificInfo descriptors
+    (ISO 14496-1 §7.2.6; objectType 0x40 = AAC)."""
+    asc = _make_asc(rate, channels)
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15, 0, 0, 0,
+                 0, 2, 0, 0, 0, 2, 0, 0]) + dsi
+    sl = bytes([0x06, 1, 2])
+    es = bytes([0x03, 3 + len(dcd) + len(sl), 0, 0, 0]) + dcd + sl
+    return _full(b"esds", 0, 0, es)
 
 
 def _box(tag: bytes, payload: bytes) -> bytes:
@@ -138,6 +159,11 @@ class QtMux(AggregatorElement):
                     t.coded_audio = "alaw"
                     t.ainfo = AudioInfo(format="U8", rate=s["rate"],
                                         channels=s["channels"])
+                elif s.name == "audio/mpeg":
+                    t = _Track("aac")
+                    t.ainfo = AudioInfo(format="S16LE",
+                                        rate=s["rate"],
+                                        channels=s["channels"])
                 else:
                     t.ainfo = AudioInfo.from_caps_structure(s)
             self._tracks[pad_name] = t
@@ -180,6 +206,14 @@ class QtMux(AggregatorElement):
                            if isinstance(b, (bytes, bytearray))
                            else np.asarray(b).tobytes())
                     t.samples.append(self._annexb_to_avcc(t, raw))
+            elif t.kind == "aac":
+                blobs = buf.data if isinstance(buf.data, list) \
+                    else [buf.data]
+                for b in blobs:
+                    t.samples.append(
+                        bytes(b) if isinstance(b, (bytes, bytearray))
+                        else np.asarray(b).tobytes())
+                    t.audio_frames += 1024
             else:
                 x = np.asarray(buf.data)
                 if t.coded_audio is not None:
@@ -254,6 +288,14 @@ class QtMux(AggregatorElement):
 
     def _stsd_audio(self, t: _Track) -> bytes:
         ai = t.ainfo
+        if t.kind == "aac":
+            entry = (b"\0" * 6 + struct.pack(">H", 1)
+                     + struct.pack(">HH4sHHHHI", 0, 0, b"\0\0\0\0",
+                                   ai.channels, 16, 0, 0,
+                                   ai.rate << 16)
+                     + _make_esds(ai.rate, ai.channels))
+            return _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                         + _box(b"mp4a", entry))
         if t.coded_audio:
             fourcc = t.coded_audio.encode()
             bits = 8
@@ -269,6 +311,21 @@ class QtMux(AggregatorElement):
 
     def _stbl(self, t: _Track, offsets: List[int],
               sizes: List[int]) -> bytes:
+        if t.kind == "aac":
+            n = len(t.samples)
+            stts = _full(b"stts", 0, 0,
+                         struct.pack(">III", 1, n, 1024))
+            stsc = _full(b"stsc", 0, 0,
+                         struct.pack(">IIII", 1, 1, 1, 1))
+            stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                         + b"".join(struct.pack(">I", x)
+                                    for x in sizes))
+            stco = _full(b"stco", 0, 0,
+                         struct.pack(">I", len(offsets))
+                         + b"".join(struct.pack(">I", o)
+                                    for o in offsets))
+            return _box(b"stbl", self._stsd_audio(t) + stts + stsc
+                        + stsz + stco)
         if t.kind in ("video", "jpeg", "h264"):
             fps = t.vinfo.fps
             n = len(t.samples)
@@ -360,7 +417,7 @@ class QtMux(AggregatorElement):
         for pad_name in sorted(self._tracks):
             t = self._tracks[pad_name]
             offs, szs = [], []
-            if t.kind in ("video", "jpeg", "h264"):
+            if t.kind in ("video", "jpeg", "h264", "aac"):
                 for s in t.samples:
                     offs.append(base + len(mdat_payload))
                     szs.append(len(s))

@@ -450,6 +450,9 @@ def _make_enc(factory, codec, src_caps, desc, opts):
 _AUDIO_ENCODERS = [
     ("avenc_ac3", "ac3", "audio/x-ac3",
      "libav AC-3 encoder"),
+    ("avenc_aac", "aac", "audio/mpeg, mpegversion=4, "
+                         "stream-format=raw, framed=true",
+     "libav AAC-LC encoder"),
 ]
 
 

@@ -211,6 +211,43 @@ def test_ac3_through_mpegts(tmp_path):
 
 
 @needs_av
+@pytest.mark.parametrize("mux,demux,ext,aac_marker", [
+    ("qtmux", "qtdemux", "mp4", b"mp4a"),
+    ("matroskamux", "matroskademux", "mkv", b"A_AAC"),
+])
+def test_av_authoring_h264_aac(tmp_path, mux, demux, ext, aac_marker):
+    """Full A/V authoring: x264 video + AAC audio muxed, then demuxed
+    back through the clean-room AAC decoder."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "avenc_aac" not in _REGISTRY or "x264enc" not in _REGISTRY:
+        pytest.skip("aac/x264 not in system libavcodec")
+    path = tmp_path / f"av.{ext}"
+    p = parse_launch(
+        f"{mux} name=m location={path} ! fakesink "
+        + SRC + "x264enc ! m.video_0 "
+        "audiotestsrc num-buffers=5 samplesperbuffer=4096 ! "
+        "avenc_aac ! m.audio_0")
+    p.run()
+    assert aac_marker in path.read_bytes()
+    pa = parse_launch(
+        f"{demux} location={path} stream=audio ! appsink name=out")
+    pa.run()
+    pcm = _pull_audio(pa)
+    assert pcm.shape[0] > 15000 and pcm.dtype == np.float32
+    # the 440 Hz default tone must survive the lossy roundtrip
+    spec = np.abs(np.fft.rfft(pcm[2048:2048 + 16384, 0]))
+    assert np.argmax(spec) > 0
+    pv = parse_launch(
+        f"{demux} location={path} stream=video ! avdec_h264 ! "
+        "appsink name=out")
+    pv.run()
+    frames = _pull_video(pv)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 30
+
+
+@needs_av
 def test_avdec_matches_oracle_decode():
     """The avdec element's plumbing must reproduce a straight
     libavcodec decode of the same packets (video_oracle)."""
