@@ -49,6 +49,8 @@ FOURCC_AUDIO = {v: k for k, v in AUDIO_FOURCC.items()}
 _MUX_VIDEO_CAPS = ("video/x-raw, format={ UYVY, v308, v210, v216, r210, "
                    "RGB }; image/jpeg; "
                    "video/x-h264, stream-format=byte-stream, "
+                   "alignment=au; "
+                   "video/x-h265, stream-format=byte-stream, "
                    "alignment=au")
 _MUX_AUDIO_CAPS = ("audio/x-raw, format={ S16LE, S16BE, U8 }, "
                    "layout=interleaved; audio/x-mulaw; audio/x-alaw; "
@@ -100,7 +102,7 @@ class _Track:
         self.audio_blob: List[bytes] = []
         self.audio_frames = 0
         self.jpeg_wh = (0, 0)
-        self.sps = self.pps = None
+        self.sps = self.pps = self.vps = None
 
 
 @register_element
@@ -126,8 +128,9 @@ class QtMux(AggregatorElement):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                if s.name == "video/x-h264":
-                    t = _Track("h264")
+                if s.name in ("video/x-h264", "video/x-h265"):
+                    t = _Track("h264" if s.name == "video/x-h264"
+                               else "h265")
                     t.vinfo = VideoInfo(
                         format="I420",
                         width=s.get("width") or 0,
@@ -135,7 +138,7 @@ class QtMux(AggregatorElement):
                         fps=s.get("framerate") or Fraction(30, 1))
                     t.jpeg_wh = (s.get("width") or 0,
                                  s.get("height") or 0)
-                    t.sps = t.pps = None
+                    t.sps = t.pps = t.vps = None
                 elif s.name == "image/jpeg":
                     t = _Track("jpeg")
                     t.vinfo = VideoInfo(
@@ -192,7 +195,7 @@ class QtMux(AggregatorElement):
                     t.samples.append(
                         b if isinstance(b, (bytes, bytearray))
                         else np.asarray(b).tobytes())
-            elif t.kind == "h264":
+            elif t.kind in ("h264", "h265"):
                 if isinstance(buf.data, list):
                     blobs = buf.data
                 else:
@@ -205,7 +208,10 @@ class QtMux(AggregatorElement):
                     raw = (bytes(b)
                            if isinstance(b, (bytes, bytearray))
                            else np.asarray(b).tobytes())
-                    t.samples.append(self._annexb_to_avcc(t, raw))
+                    t.samples.append(
+                        self._annexb_to_avcc(t, raw)
+                        if t.kind == "h264"
+                        else self._annexb_to_hvcc(t, raw))
             elif t.kind == "aac":
                 blobs = buf.data if isinstance(buf.data, list) \
                     else [buf.data]
@@ -229,7 +235,8 @@ class QtMux(AggregatorElement):
     # -- moov writer -------------------------------------------------------
     def _stsd_video(self, t: _Track, fourcc: bytes) -> bytes:
         vi = t.vinfo
-        w, h = (t.jpeg_wh if t.kind in ("jpeg", "h264") and t.jpeg_wh[0]
+        w, h = (t.jpeg_wh
+                if t.kind in ("jpeg", "h264", "h265") and t.jpeg_wh[0]
                 else (vi.width, vi.height))
         depth = 24
         entry = (b"\0" * 6 + struct.pack(">H", 1)      # data ref index
@@ -249,6 +256,11 @@ class QtMux(AggregatorElement):
             else:
                 avcc += bytes([0])
             entry += _box(b"avcC", avcc)
+        elif t.kind == "h265" and t.sps:
+            from .container_elements import _make_hvcc
+            entry += _box(b"hvcC",
+                          _make_hvcc(t.vps or b"", t.sps,
+                                     t.pps or b""))
         return _full(b"stsd", 0, 0, struct.pack(">I", 1)
                      + _box(fourcc, entry))
 
@@ -281,6 +293,26 @@ class QtMux(AggregatorElement):
                 t.sps = nal
                 continue
             if ntype == 8:
+                t.pps = nal
+                continue
+            sample += struct.pack(">I", len(nal)) + nal
+        return bytes(sample)
+
+    def _annexb_to_hvcc(self, t: _Track, raw: bytes) -> bytes:
+        """AnnexB HEVC AU -> length-prefixed sample; harvests
+        VPS/SPS/PPS for the hvcC config."""
+        sample = bytearray()
+        for nal in self._split_nals(raw):
+            if not nal:
+                continue
+            ntype = (nal[0] >> 1) & 0x3F
+            if ntype == 32:
+                t.vps = nal
+                continue
+            if ntype == 33:
+                t.sps = nal
+                continue
+            if ntype == 34:
                 t.pps = nal
                 continue
             sample += struct.pack(">I", len(nal)) + nal
@@ -326,7 +358,7 @@ class QtMux(AggregatorElement):
                                     for o in offsets))
             return _box(b"stbl", self._stsd_audio(t) + stts + stsc
                         + stsz + stco)
-        if t.kind in ("video", "jpeg", "h264"):
+        if t.kind in ("video", "jpeg", "h264", "h265"):
             fps = t.vinfo.fps
             n = len(t.samples)
             stts = _full(b"stts", 0, 0,
@@ -347,6 +379,8 @@ class QtMux(AggregatorElement):
                                     for o in offsets))
             if t.kind == "h264":
                 fourcc = b"avc1"
+            elif t.kind == "h265":
+                fourcc = b"hvc1"
             elif t.kind == "jpeg":
                 fourcc = b"jpeg"
             else:
@@ -366,11 +400,13 @@ class QtMux(AggregatorElement):
 
     def _trak(self, t: _Track, tid: int, offsets: List[int],
               sizes: List[int], movie_dur: int) -> bytes:
-        if t.kind in ("video", "jpeg", "h264"):
+        if t.kind in ("video", "jpeg", "h264", "h265"):
             fps = t.vinfo.fps
             timescale = fps.num
             dur = len(t.samples) * fps.denom
-            w, h = (t.jpeg_wh if t.kind in ("jpeg", "h264") and t.jpeg_wh[0]
+            w, h = (t.jpeg_wh
+                    if t.kind in ("jpeg", "h264", "h265")
+                    and t.jpeg_wh[0]
                     else (t.vinfo.width, t.vinfo.height))
             tkhd = _full(b"tkhd", 0, 3, struct.pack(
                 ">IIII", 0, 0, tid, 0)
@@ -417,7 +453,7 @@ class QtMux(AggregatorElement):
         for pad_name in sorted(self._tracks):
             t = self._tracks[pad_name]
             offs, szs = [], []
-            if t.kind in ("video", "jpeg", "h264", "aac"):
+            if t.kind in ("video", "jpeg", "h264", "h265", "aac"):
                 for s in t.samples:
                     offs.append(base + len(mdat_payload))
                     szs.append(len(s))
@@ -436,7 +472,7 @@ class QtMux(AggregatorElement):
         traks = b""
         for tid, pad_name in enumerate(sorted(self._tracks), start=1):
             t = self._tracks[pad_name]
-            if t.kind in ("video", "jpeg", "h264"):
+            if t.kind in ("video", "jpeg", "h264", "h265"):
                 fps = t.vinfo.fps
                 movie_dur = max(movie_dur,
                                 len(t.samples) * 600 * fps.denom
@@ -681,6 +717,25 @@ class QtDemux(SourceElement):
                     f"video/x-h264, stream-format=byte-stream, "
                     f"alignment=au, width={w}, height={h}, "
                     f"framerate={fps.num}/{fps.denom}")
+            elif fourcc in (b"hvc1", b"hev1"):
+                self._mode = "h265"
+                self._sps = self._pps = b""
+                params = b""
+                ext = entry[70:]
+                pos2 = 0
+                while pos2 + 8 <= len(ext):
+                    bsize = struct.unpack(">I", ext[pos2:pos2 + 4])[0]
+                    if ext[pos2 + 4:pos2 + 8] == b"hvcC":
+                        from .container_elements import _parse_hvcc
+                        nals = _parse_hvcc(ext[pos2 + 8:pos2 + bsize])
+                        params = b"".join(b"\x00\x00\x00\x01" + n
+                                          for n in nals)
+                    pos2 += max(bsize, 8)
+                self._sps = params       # pre-joined Annex-B params
+                self._caps = Caps.from_string(
+                    f"video/x-h265, stream-format=byte-stream, "
+                    f"alignment=au, width={w}, height={h}, "
+                    f"framerate={fps.num}/{fps.denom}")
             elif fourcc == b"jpeg":
                 self._mode = "jpeg"
                 self._caps = Caps.from_string(
@@ -789,15 +844,18 @@ class QtDemux(SourceElement):
             blobs = [self._data[o:o + s] for o, s in take]
             self._pos += len(take)
             return Buffer(data=blobs, batch=len(take))
-        if self._mode == "h264":
+        if self._mode in ("h264", "h265"):
             take = samples[self._pos:self._pos + max(1, n_frames)]
             blobs = []
             for o, sz in take:
                 raw = self._data[o:o + sz]
                 au = bytearray()
                 if self._pos == 0 and not blobs and self._sps:
-                    au += b"\x00\x00\x00\x01" + self._sps
-                    au += b"\x00\x00\x00\x01" + self._pps
+                    if self._mode == "h265":
+                        au += self._sps      # pre-joined params
+                    else:
+                        au += b"\x00\x00\x00\x01" + self._sps
+                        au += b"\x00\x00\x00\x01" + self._pps
                 p2 = 0
                 while p2 + 4 <= len(raw):
                     ln = struct.unpack(">I", raw[p2:p2 + 4])[0]

@@ -145,6 +145,29 @@ def test_hevc_av1_matroska_tracks(tmp_path, enc, dec, cid):
 
 
 @needs_av
+def test_hevc_mp4_hvc1(tmp_path):
+    """HEVC in mp4: hvc1 sample entry with hvcC (qtmux/qtdemux)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "x265enc" not in _REGISTRY:
+        pytest.skip("x265 not in system libavcodec")
+    path = tmp_path / "v.mp4"
+    p = parse_launch(
+        f"qtmux name=m location={path} ! fakesink "
+        + SRC + "x265enc ! m.video_0")
+    p.run()
+    data = path.read_bytes()
+    assert b"hvc1" in data and b"hvcC" in data
+    d = parse_launch(
+        f"qtdemux location={path} stream=video ! avdec_h265 ! "
+        "appsink name=out")
+    d.run()
+    frames = _pull_video(d)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 25
+
+
+@needs_av
 def test_hevc_through_mpegts(tmp_path):
     import gstreamer_tpu.elements  # noqa: F401
     from gstreamer_tpu.core.element import _REGISTRY
