@@ -244,7 +244,9 @@ class _AvAudioDec(TransformElement):
                 return None
             return self._emit(self._dec.flush())
         if self._dec is None:
-            self._dec = native_av.AvAudioDecoder(self.AV_CODEC)
+            cd = (buf.meta or {}).get("codec_data", b"")
+            self._dec = native_av.AvAudioDecoder(
+                self.AV_CODEC, bytes(cd))
             self._pending_buf = True
         chunks = []
         for blob in _blobs_of(buf):
@@ -322,8 +324,12 @@ class _AvAudioEnc(TransformElement):
         if not pkts:
             return None
         blobs = [np.frombuffer(p, np.uint8) for p in pkts]
+        meta = {}
+        cd = self._enc.extradata()
+        if cd:
+            meta["codec_data"] = cd
         return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
-                      batch=len(blobs))
+                      batch=len(blobs), meta=meta)
 
     def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
         if buf is None:
@@ -396,6 +402,16 @@ _AUDIO_DECODERS = [
      "DTS Coherent Acoustics decoder"),
     ("avdec_wmav2", "wmav2", "audio/x-wma, wmaversion=2",
      "libav WMA v2 decoder"),
+    ("speexdec", "libspeex", "audio/x-speex",
+     "Speex decoder (libspeex)"),
+    ("wavpackdec", "wavpack", "audio/x-wavpack",
+     "WavPack decoder"),
+    ("gsmdec", "libgsm", "audio/x-gsm",
+     "GSM 06.10 decoder (libgsm)"),
+    ("amrnbdec", "amrnb", "audio/AMR",
+     "AMR narrowband decoder"),
+    ("amrwbdec", "amrwb", "audio/AMR-WB",
+     "AMR wideband decoder"),
 ]
 
 _ENCODERS = [
@@ -449,19 +465,31 @@ def _make_enc(factory, codec, src_caps, desc, opts):
 
 _AUDIO_ENCODERS = [
     ("avenc_ac3", "ac3", "audio/x-ac3",
-     "libav AC-3 encoder"),
+     "libav AC-3 encoder", 192000),
     ("avenc_aac", "aac", "audio/mpeg, mpegversion=4, "
                          "stream-format=raw, framed=true",
-     "libav AAC-LC encoder"),
+     "libav AAC-LC encoder", 128000),
+    ("twolamemp2enc", "libtwolame",
+     "audio/mpeg, mpegversion=1, layer=2",
+     "MPEG-1 layer 2 encoder (twolame)", 192000),
+    ("speexenc", "libspeex", "audio/x-speex",
+     "Speex encoder (libspeex)", 0),
+    ("wavpackenc", "wavpack", "audio/x-wavpack",
+     "WavPack lossless encoder", 0),
+    ("gsmenc", "libgsm", "audio/x-gsm",
+     "GSM 06.10 encoder (libgsm)", 13000),
 ]
 
 
-def _make_aenc(factory, codec, src_caps, desc):
+def _make_aenc(factory, codec, src_caps, desc, bitrate):
     cls = type(factory, (_AvAudioEnc,), {
         "FACTORY": factory,
         "DESCRIPTION": desc,
         "AV_CODEC": codec,
         "SRC_CAPS": src_caps,
+        "PROPERTIES": dict(
+            _AvAudioEnc.PROPERTIES,
+            bitrate=(int, bitrate, "bitrate in bits/sec")),
         "PAD_TEMPLATES": [
             PadTemplate("sink", PadDirection.SINK,
                         "audio/x-raw, format={ F32LE, S16LE }, "
@@ -495,9 +523,9 @@ if native_av.available():
     for _f, _c, _caps, _d in _AUDIO_DECODERS:
         if native_av.have_codec(_c):
             _make_adec(_f, _c, _caps, _d)
-    for _f, _c, _caps, _d in _AUDIO_ENCODERS:
+    for _f, _c, _caps, _d, _b in _AUDIO_ENCODERS:
         if native_av.have_codec(_c, encoder=True):
-            _make_aenc(_f, _c, _caps, _d)
+            _make_aenc(_f, _c, _caps, _d, _b)
     for _f, _c, _caps, _d, _o in _ENCODERS:
         if native_av.have_codec(_c, encoder=True):
             _make_enc(_f, _c, _caps, _d, _o)

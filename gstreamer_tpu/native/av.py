@@ -236,6 +236,12 @@ class AvAudioEncoder:
             out.append(self._buf[:r].tobytes())
         return out
 
+    def extradata(self) -> bytes:
+        buf = np.empty(1 << 16, np.uint8)
+        r = self._lib.gtpu_avenc_extradata(self._h, buf.ctypes.data,
+                                           len(buf))
+        return buf[:r].tobytes() if r > 0 else b""
+
     def encode_all(self, pcm: np.ndarray) -> List[bytes]:
         """float (n, ch) -> packets (tail zero-padded + flushed)."""
         pcm = np.ascontiguousarray(pcm, np.float32)

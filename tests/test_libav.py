@@ -271,6 +271,57 @@ def test_av_authoring_h264_aac(tmp_path, mux, demux, ext, aac_marker):
 
 
 @needs_av
+@pytest.mark.parametrize("chain,min_samples", [
+    ("audiotestsrc num-buffers=8 samplesperbuffer=4096 ! "
+     "twolamemp2enc ! mpg123audiodec", 30000),
+    ("audiotestsrc num-buffers=4 samplesperbuffer=4096 ! "
+     "wavpackenc ! wavpackdec", 15000),
+    ("audiotestsrc num-buffers=4 samplesperbuffer=4096 ! "
+     "audio/x-raw,rate=16000,channels=1,format=S16LE ! "
+     "speexenc ! speexdec", 15000),
+    ("audiotestsrc num-buffers=4 samplesperbuffer=4096 ! "
+     "audio/x-raw,rate=8000,channels=1,format=S16LE ! "
+     "gsmenc ! gsmdec", 15000),
+])
+def test_audio_codec_chains(chain, min_samples):
+    """speex/wavpack/gsm/twolame wrapper chains (-good ext/speex,
+    ext/wavpack, ext/twolame; -bad ext/gsm).  The mp2 chain decodes
+    through the CLEAN-ROOM layer-II decoder — an independent
+    cross-check of both sides."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    enc = chain.split("!")[-2].strip()
+    if enc.split()[0] not in _REGISTRY:
+        pytest.skip(f"{enc} unavailable")
+    p = parse_launch(chain + " ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    assert pcm.shape[0] > min_samples
+    # the default 440 Hz tone must survive every lossy roundtrip
+    spec = np.abs(np.fft.rfft(pcm[2048:2048 + 8192, 0]))
+    assert spec.max() > 20 * np.median(spec + 1e-12)
+
+
+@needs_av
+def test_wavpack_lossless():
+    """wavpackenc default mode is lossless: output must be exact."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "wavpackenc" not in _REGISTRY:
+        pytest.skip("wavpack unavailable")
+    p = parse_launch("audiotestsrc num-buffers=4 samplesperbuffer=4096 "
+                     "! wavpackenc ! wavpackdec ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    g = parse_launch("audiotestsrc num-buffers=4 samplesperbuffer=4096 "
+                     "! appsink name=out")
+    g.run()
+    gold = _pull_audio(g).astype(np.float64) / 32768.0
+    n = min(len(gold), len(pcm))
+    np.testing.assert_allclose(pcm[:n], gold[:n], atol=1.0 / 32768.0)
+
+
+@needs_av
 def test_avdec_matches_oracle_decode():
     """The avdec element's plumbing must reproduce a straight
     libavcodec decode of the same packets (video_oracle)."""
