@@ -391,6 +391,10 @@ _DECODERS = [
      "libav MPEG-4 part 2 decoder"),
     ("avdec_av1", "libdav1d", "video/x-av1",
      "AV1 decoder (dav1d)"),
+    ("avdec_vp8", "vp8", "video/x-vp8",
+     "libav VP8 decoder"),
+    ("avdec_vp9", "vp9", "video/x-vp9",
+     "libav VP9 decoder"),
 ]
 
 _AUDIO_DECODERS = [
@@ -402,6 +406,8 @@ _AUDIO_DECODERS = [
      "DTS Coherent Acoustics decoder"),
     ("avdec_wmav2", "wmav2", "audio/x-wma, wmaversion=2",
      "libav WMA v2 decoder"),
+    ("avdec_opus", "libopus", "audio/x-opus",
+     "Opus decoder (libopus, packet stream)"),
     ("speexdec", "libspeex", "audio/x-speex",
      "Speex decoder (libspeex)"),
     ("wavpackdec", "wavpack", "audio/x-wavpack",
@@ -423,6 +429,10 @@ _ENCODERS = [
      "preset=veryfast:tune=zerolatency:x265-params=log-level=none"),
     ("av1enc", "libaom-av1", "video/x-av1",
      "AV1 encoder (libaom)", "usage=realtime:cpu-used=8"),
+    ("avenc_vp8", "libvpx", "video/x-vp8",
+     "VP8 encoder (libvpx, packet stream)", "deadline=1:lag-in-frames=0"),
+    ("avenc_vp9", "libvpx-vp9", "video/x-vp9",
+     "VP9 encoder (libvpx, packet stream)", "deadline=1:lag-in-frames=0"),
     ("avenc_mpeg2video", "mpeg2video",
      "video/mpeg, mpegversion=2, systemstream=false",
      "libav MPEG-2 video encoder", ""),
@@ -469,6 +479,8 @@ _AUDIO_ENCODERS = [
     ("avenc_aac", "aac", "audio/mpeg, mpegversion=4, "
                          "stream-format=raw, framed=true",
      "libav AAC-LC encoder", 128000),
+    ("avenc_opus", "libopus", "audio/x-opus",
+     "Opus encoder (libopus, packet stream)", 64000),
     ("twolamemp2enc", "libtwolame",
      "audio/mpeg, mpegversion=1, layer=2",
      "MPEG-1 layer 2 encoder (twolame)", 192000),

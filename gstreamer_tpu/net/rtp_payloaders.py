@@ -1157,3 +1157,270 @@ class RtpRtxQueue(RtpRtxSend):
         self._pending_rtx.append(pkt)
         self.num_rtx_packets += 1
         return True
+
+
+# ---------------------------------------------------------------------------
+# VP8 (RFC 7741), VP9 (draft-ietf-payload-vp9) and Opus (RFC 7587)
+# ---------------------------------------------------------------------------
+
+class _FramePayBase(TransformElement):
+    """Shared frame-fragmenting payloader: a 1..n-byte payload
+    descriptor prefixes each fragment; marker closes the frame."""
+    HOST_ELEMENT = True
+    _CLOCK = 90000
+    PROPERTIES = {
+        "mtu": (int, 1400, "max packet size"),
+        "pt": (int, 96, "payload type"),
+        "ssrc": (int, 0x56505856, ""),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._seq = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = (Caps.from_string("application/x-rtp")
+               if direction == PadDirection.SINK
+               else self.sink_pads()[0].template_caps)
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._seq = 0
+
+    def _descriptor(self, first: bool) -> bytes:
+        raise NotImplementedError
+
+    def _pay_frame(self, frame: bytes, ts: int) -> List[bytes]:
+        room = self.props["mtu"] - 12 - len(self._descriptor(True))
+        pkts = []
+        off = 0
+        first = True
+        while off < len(frame) or first:
+            chunk = frame[off:off + room]
+            off += len(chunk)
+            last = off >= len(frame)
+            hdr = rtp_header(self.props["pt"], self._seq, ts,
+                             self.props["ssrc"], marker=last)
+            self._seq = (self._seq + 1) & 0xFFFF
+            pkts.append(hdr + self._descriptor(first) + chunk)
+            first = False
+        return pkts
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        ts0 = buf.pts or 0
+        dur = buf.duration or 0
+        pkts = []
+        for k, frame in enumerate(_blobs(buf)):
+            ts = ((ts0 + k * dur) * self._CLOCK) // 1_000_000_000
+            pkts.extend(self._pay_frame(frame, ts))
+        return buf.with_(data=pkts)
+
+
+class _FrameDepayBase(TransformElement):
+    """Shared depayloader: strip the descriptor, accumulate until the
+    marker bit, emit whole frames."""
+    HOST_ELEMENT = True
+    _decouple = True
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._frame = bytearray()
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = (self.src_pads()[0].template_caps
+               if direction == PadDirection.SINK
+               else Caps.from_string("application/x-rtp"))
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._frame = bytearray()
+
+    @property
+    def _pending_buf(self):
+        return True if self._frame else None
+
+    def _strip(self, payload: bytes) -> bytes:
+        raise NotImplementedError
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            if not self._frame:
+                return None
+            out = bytes(self._frame)
+            self._frame = bytearray()
+            return Buffer(data=np.frombuffer(out, np.uint8), batch=1)
+        frames = []
+        pts = buf.pts
+        for pkt in _blobs(buf):
+            h = parse_rtp_header(pkt)
+            body = self._strip(h["payload"])
+            self._frame += body
+            if h["marker"] and self._frame:
+                frames.append(bytes(self._frame))
+                self._frame = bytearray()
+        if not frames:
+            return None
+        data = [np.frombuffer(f, np.uint8) for f in frames]
+        return buf.with_(data=data if len(data) > 1 else data[0],
+                         pts=pts, batch=len(data))
+
+
+@register_element
+class RtpVP8Pay(_FramePayBase):
+    """rtpvp8pay (gstrtpvp8pay.c, RFC 7741): minimal payload
+    descriptor — S bit set on the first fragment, PID 0."""
+    FACTORY = "rtpvp8pay"
+    DESCRIPTION = "Puts VP8 video in RTP packets"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-vp8"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+
+    def _descriptor(self, first: bool) -> bytes:
+        return bytes([0x10 if first else 0x00])
+
+
+@register_element
+class RtpVP8Depay(_FrameDepayBase):
+    FACTORY = "rtpvp8depay"
+    DESCRIPTION = "Extracts VP8 video from RTP packets"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "video/x-vp8"),
+    ]
+
+    def _strip(self, payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        b0 = payload[0]
+        p = 1
+        if b0 & 0x80:                    # X: extended control bits
+            x = payload[p]
+            p += 1
+            if x & 0x80:                 # I: PictureID
+                p += 2 if payload[p] & 0x80 else 1
+            if x & 0x40:                 # L: TL0PICIDX
+                p += 1
+            if x & 0x30:                 # T/K: TID/KEYIDX
+                p += 1
+        return payload[p:]
+
+
+@register_element
+class RtpVP9Pay(_FramePayBase):
+    """rtpvp9pay (draft-ietf-payload-vp9): minimal descriptor with
+    B (begin) / E (end) markers, flexible mode."""
+    FACTORY = "rtpvp9pay"
+    DESCRIPTION = "Puts VP9 video in RTP packets"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-vp9"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+
+    def _pay_frame(self, frame: bytes, ts: int) -> List[bytes]:
+        room = self.props["mtu"] - 13
+        pkts = []
+        off = 0
+        first = True
+        while off < len(frame) or first:
+            chunk = frame[off:off + room]
+            off += len(chunk)
+            last = off >= len(frame)
+            desc = bytes([(0x08 if first else 0)   # B bit
+                          | (0x04 if last else 0)])  # E bit
+            hdr = rtp_header(self.props["pt"], self._seq, ts,
+                             self.props["ssrc"], marker=last)
+            self._seq = (self._seq + 1) & 0xFFFF
+            pkts.append(hdr + desc + chunk)
+            first = False
+        return pkts
+
+    def _descriptor(self, first: bool) -> bytes:
+        return b"\x00"
+
+
+@register_element
+class RtpVP9Depay(_FrameDepayBase):
+    FACTORY = "rtpvp9depay"
+    DESCRIPTION = "Extracts VP9 video from RTP packets"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "video/x-vp9"),
+    ]
+
+    def _strip(self, payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        b0 = payload[0]
+        p = 1
+        if b0 & 0x80:                    # I: PictureID
+            p += 2 if payload[p] & 0x80 else 1
+        if b0 & 0x40:                    # L: layer indices
+            p += 1
+            if not b0 & 0x10:            # non-flexible: TL0PICIDX
+                p += 1
+        if b0 & 0x10 and b0 & 0x20:      # F+P: ref diffs
+            while p < len(payload) and payload[p] & 0x01:
+                p += 1
+            p += 1
+        if b0 & 0x02:                    # V: scalability structure
+            # minimal SS skip: N_S/Y/G byte + optional dims
+            ss = payload[p]
+            p += 1
+            n_s = (ss >> 5) + 1
+            if ss & 0x10:                # Y: widths/heights
+                p += 4 * n_s
+            if ss & 0x08:                # G: picture groups
+                ng = payload[p]
+                p += 1
+                for _ in range(ng):
+                    tmp = payload[p]
+                    p += 1 + ((tmp >> 2) & 0x3)
+        return payload[p:]
+
+
+@register_element
+class RtpOpusPay(_FramePayBase):
+    """rtpopuspay (RFC 7587): one Opus packet per RTP packet, 48 kHz
+    RTP clock, marker on every packet."""
+    FACTORY = "rtpopuspay"
+    DESCRIPTION = "Puts Opus audio in RTP packets"
+    _CLOCK = 48000
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "audio/x-opus"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+
+    def _descriptor(self, first: bool) -> bytes:
+        return b""
+
+    def _pay_frame(self, frame: bytes, ts: int) -> List[bytes]:
+        hdr = rtp_header(self.props["pt"], self._seq, ts,
+                         self.props["ssrc"], marker=True)
+        self._seq = (self._seq + 1) & 0xFFFF
+        return [hdr + frame]
+
+
+@register_element
+class RtpOpusDepay(_FrameDepayBase):
+    FACTORY = "rtpopusdepay"
+    DESCRIPTION = "Extracts Opus audio from RTP packets"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "audio/x-opus"),
+    ]
+
+    def _strip(self, payload: bytes) -> bytes:
+        return payload
