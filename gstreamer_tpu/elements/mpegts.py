@@ -106,6 +106,20 @@ def _pes(stream_id: int, payload: bytes, pts_90k: Optional[int]
             + struct.pack(">H", plen) + hdr + payload)
 
 
+def _adts_header(frame_len: int, rate: int, ch: int) -> bytes:
+    """7-byte ADTS header, no CRC (ISO 14496-3 §1.A.2.2)."""
+    from ..codecs.aac import SAMPLE_RATES
+    sfi = SAMPLE_RATES.index(rate)
+    total = frame_len + 7
+    return bytes([
+        0xFF, 0xF1,
+        (1 << 6) | (sfi << 2) | ((ch >> 2) & 1),
+        ((ch & 3) << 6) | ((total >> 11) & 0x3),
+        (total >> 3) & 0xFF,
+        ((total & 7) << 5) | 0x1F,
+        0xFC])
+
+
 _TYPE_FOR_CAPS = {"audio/mpeg": 0x03, "audio/x-ac3": 0x81,
                   "video/x-h264": 0x1B, "video/x-h265": 0x24,
                   "video/mpeg": 0x02}
@@ -150,6 +164,7 @@ class MpegTsMux(AggregatorElement):
         self._cc: Dict[int, int] = {}
         self._pids: Dict[str, int] = {}
         self._types: Dict[str, int] = {}
+        self._adts: Dict[str, tuple] = {}
         self._packets = 0
 
     def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
@@ -159,6 +174,9 @@ class MpegTsMux(AggregatorElement):
             stype = _TYPE_FOR_CAPS.get(s.name, 0x06)
             if s.name == "audio/mpeg" and s.get("mpegversion") in (2, 4):
                 stype = 0x0F                 # ADTS AAC (ISO 13818-1)
+                if s.get("stream-format") == "raw":
+                    # raw AUs (avenc_aac): wrap in ADTS ourselves
+                    self._adts[pad_name] = (s["rate"], s["channels"])
             self._types[pad_name] = stype
             self._pids[pad_name] = pid
             pid += 1
@@ -223,6 +241,9 @@ class MpegTsMux(AggregatorElement):
             for k, b in enumerate(blobs):
                 raw = (bytes(b) if isinstance(b, (bytes, bytearray))
                        else np.asarray(b).tobytes())
+                if pad_name in self._adts:
+                    rate, ch = self._adts[pad_name]
+                    raw = _adts_header(len(raw), rate, ch) + raw
                 pts = buf.pts
                 if pts is not None and buf.duration and n:
                     pts = pts + k * buf.duration // n

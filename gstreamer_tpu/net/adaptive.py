@@ -89,12 +89,69 @@ class _AdaptiveSrc(SourceElement):
     PROPERTIES = {
         "uri": (str, "", "playlist/manifest URI or path"),
         "location": (str, "", "alias of uri"),
+        "stream": (str, "", "'' (segment bytes) | audio | video | N — "
+                            "decode TS segments to raw media"),
     }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._segments: Optional[List[Tuple[float, str]]] = None
         self._pos = 0
+        self._inner = None
+
+    def _ensure_inner(self):
+        """stream= set: concatenate the TS segments (transport streams
+        are concatenation-safe) and decode through an internal
+        tsdemux ! parser ! decoder chain — the collapsed analog of
+        hlsdemux feeding decodebin in the reference."""
+        if self._inner is not None or not self.props.get("stream"):
+            return
+        import os
+        import tempfile
+        from ..core.element import element_factory_make
+        from ..elements.playback import _ChainSrc, _decoder_for_caps
+        if self._segments is None:
+            self._load()
+        first = (self._segments[0][1].split("?")[0].lower()
+                 if self._segments else "")
+        if not first.endswith(".ts"):
+            raise ValueError(f"{self.FACTORY}: stream= decode "
+                             "supports TS segments only")
+        blob = b"".join(_fetch(uri) for _, uri in self._segments)
+        fd, path = tempfile.mkstemp(suffix=".ts")
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        self._tmppath = path
+        want = self.props["stream"]
+        sel = None
+        caps = None
+        for idx in range(16):
+            probe = element_factory_make("tsdemux", location=path,
+                                         stream=str(idx))
+            caps = probe.get_caps()
+            if caps is None or caps.is_any or not len(caps):
+                break
+            name = caps[0].name
+            if want == str(idx)                     or (want == "video"
+                        and name.startswith(("video/", "image/")))                     or (want == "audio" and name.startswith("audio/")):
+                sel = idx
+                break
+        if sel is None:
+            raise ValueError(f"{self.FACTORY}: no {want!r} stream "
+                             "in the TS segments")
+        parser = ""
+        if caps[0].name == "video/x-h264":
+            parser = " ! h264parse"
+        elif caps[0].name == "audio/mpeg"                 and caps[0].get("mpegversion") == 4:
+            parser = " ! aacparse"
+        elif caps[0].name == "audio/mpeg":
+            parser = " ! mpegaudioparse"
+        elif caps[0].name == "audio/x-ac3":
+            parser = " ! ac3parse"
+        dec = _decoder_for_caps(caps)
+        desc = (f"tsdemux location={path} stream={sel}{parser}"
+                + (f" ! {dec}" if dec else ""))
+        self._inner = _ChainSrc(description=desc)
 
     def _uri(self) -> str:
         return self.props["uri"] or self.props["location"]
@@ -122,6 +179,12 @@ class _AdaptiveSrc(SourceElement):
                 return (filter if filter is not None
                         else Caps.from_string(
                             "application/octet-stream"))
+        if self.props.get("stream"):
+            try:
+                self._ensure_inner()
+            except (OSError, ValueError):
+                return Caps.any()
+            return self._inner.get_caps(filter)
         caps = self._media_caps() if self._segments else Caps.any()
         if filter is not None and not caps.is_any:
             caps = caps.intersect(filter)
@@ -133,9 +196,14 @@ class _AdaptiveSrc(SourceElement):
     def start(self):
         if self._segments is None:
             self._load()
+        if self.props.get("stream"):
+            self._ensure_inner()
+            self._inner.start()
         self._pos = 0
 
     def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._inner is not None:
+            return self._inner.create(n_frames)
         if self._pos >= len(self._segments):
             return None
         dur, uri = self._segments[self._pos]

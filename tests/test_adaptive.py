@@ -176,3 +176,52 @@ class TestDashDemux:
         assert _mpd_duration("PT1H2M3.5S") == 3723.5
         assert _mpd_duration("PT6S") == 6.0
         assert _mpd_duration(None) == 0.0
+
+
+class TestHlsDecode:
+    """stream= decode mode: TS segments (H.264 + AAC) concatenated
+    and decoded through an internal tsdemux chain."""
+
+    def _build(self, tmp_path):
+        from gstreamer_tpu.native import av as native_av
+        if not native_av.available():
+            pytest.skip("libavcodec shim unavailable")
+        for i in range(2):
+            seg = tmp_path / f"seg{i}.ts"
+            p = parse_launch(
+                f"mpegtsmux name=m location={seg} "
+                "videotestsrc num-buffers=3 pattern=gradient ! "
+                "video/x-raw,format=I420,width=64,height=48,"
+                "framerate=30/1 ! x264enc ! m.sink_0 "
+                "audiotestsrc num-buffers=3 samplesperbuffer=4096 ! "
+                "avenc_aac ! m.sink_1")
+            p.run()
+        pl = tmp_path / "index.m3u8"
+        pl.write_text(
+            "#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:2\n"
+            "#EXTINF:1.0,\nseg0.ts\n#EXTINF:1.0,\nseg1.ts\n"
+            "#EXT-X-ENDLIST\n")
+        return pl
+
+    def test_video(self, tmp_path):
+        pl = self._build(tmp_path)
+        p = parse_launch(f"hlsdemux uri={pl} stream=video ! "
+                         "appsink name=out")
+        p.run()
+        sink = p.get_by_name("out")
+        total = 0
+        while (s := sink.pull_sample()) is not None:
+            total += np.asarray(s.buffer.data[0]).shape[0]
+        assert total == 6                # 3 frames x 2 segments
+
+    def test_audio(self, tmp_path):
+        pl = self._build(tmp_path)
+        p = parse_launch(f"hlsdemux uri={pl} stream=audio ! "
+                         "appsink name=out")
+        p.run()
+        sink = p.get_by_name("out")
+        chunks = []
+        while (s := sink.pull_sample()) is not None:
+            chunks.append(np.asarray(s.buffer.data))
+        pcm = np.concatenate(chunks)
+        assert pcm.shape[0] > 20000 and pcm.dtype == np.float32
