@@ -76,6 +76,7 @@ from . import mpegaudio          # noqa: F401
 from . import aacdec             # noqa: F401
 from . import vpx_elements       # noqa: F401
 from . import libav              # noqa: F401
+from . import mpegps             # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401

@@ -524,6 +524,7 @@ DECODABLE = {
     "video/quicktime": "qtdemux",
     "video/x-msvideo": "avidemux",
     "video/mpegts": "tsdemux",
+    "video/mpeg, systemstream=(boolean)true": "mpegpsdemux",
     "audio/x-flac": "flacdec",
     "audio/x-aiff": "aiffparse",
     "video/x-flv": "flvdemux",
