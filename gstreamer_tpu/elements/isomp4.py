@@ -51,7 +51,7 @@ _MUX_VIDEO_CAPS = ("video/x-raw, format={ UYVY, v308, v210, v216, r210, "
                    "video/x-h264, stream-format=byte-stream, "
                    "alignment=au; "
                    "video/x-h265, stream-format=byte-stream, "
-                   "alignment=au")
+                   "alignment=au; video/x-av1")
 _MUX_AUDIO_CAPS = ("audio/x-raw, format={ S16LE, S16BE, U8 }, "
                    "layout=interleaved; audio/x-mulaw; audio/x-alaw; "
                    "audio/mpeg, mpegversion=4, stream-format=raw")
@@ -128,7 +128,16 @@ class QtMux(AggregatorElement):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                if s.name in ("video/x-h264", "video/x-h265"):
+                if s.name == "video/x-av1":
+                    t = _Track("av1")
+                    t.vinfo = VideoInfo(
+                        format="I420",
+                        width=s.get("width") or 0,
+                        height=s.get("height") or 0,
+                        fps=s.get("framerate") or Fraction(30, 1))
+                    t.jpeg_wh = (s.get("width") or 0,
+                                 s.get("height") or 0)
+                elif s.name in ("video/x-h264", "video/x-h265"):
                     t = _Track("h264" if s.name == "video/x-h264"
                                else "h265")
                     t.vinfo = VideoInfo(
@@ -195,6 +204,19 @@ class QtMux(AggregatorElement):
                     t.samples.append(
                         b if isinstance(b, (bytes, bytearray))
                         else np.asarray(b).tobytes())
+            elif t.kind == "av1":
+                blobs = buf.data if isinstance(buf.data, list) \
+                    else [buf.data]
+                from .container_elements import _av1_seq_obu
+                for b in blobs:
+                    raw = (bytes(b)
+                           if isinstance(b, (bytes, bytearray))
+                           else np.asarray(b).tobytes())
+                    if t.sps is None:
+                        seq = _av1_seq_obu(raw)
+                        if seq:
+                            t.sps = seq
+                    t.samples.append(raw)
             elif t.kind in ("h264", "h265"):
                 if isinstance(buf.data, list):
                     blobs = buf.data
@@ -236,7 +258,8 @@ class QtMux(AggregatorElement):
     def _stsd_video(self, t: _Track, fourcc: bytes) -> bytes:
         vi = t.vinfo
         w, h = (t.jpeg_wh
-                if t.kind in ("jpeg", "h264", "h265") and t.jpeg_wh[0]
+                if t.kind in ("jpeg", "h264", "h265", "av1")
+                and t.jpeg_wh[0]
                 else (vi.width, vi.height))
         depth = 24
         entry = (b"\0" * 6 + struct.pack(">H", 1)      # data ref index
@@ -261,6 +284,9 @@ class QtMux(AggregatorElement):
             entry += _box(b"hvcC",
                           _make_hvcc(t.vps or b"", t.sps,
                                      t.pps or b""))
+        elif t.kind == "av1":
+            entry += _box(b"av1C", bytes([0x81, 0, 0, 0])
+                          + (t.sps or b""))
         return _full(b"stsd", 0, 0, struct.pack(">I", 1)
                      + _box(fourcc, entry))
 
@@ -358,7 +384,7 @@ class QtMux(AggregatorElement):
                                     for o in offsets))
             return _box(b"stbl", self._stsd_audio(t) + stts + stsc
                         + stsz + stco)
-        if t.kind in ("video", "jpeg", "h264", "h265"):
+        if t.kind in ("video", "jpeg", "h264", "h265", "av1"):
             fps = t.vinfo.fps
             n = len(t.samples)
             stts = _full(b"stts", 0, 0,
@@ -381,6 +407,8 @@ class QtMux(AggregatorElement):
                 fourcc = b"avc1"
             elif t.kind == "h265":
                 fourcc = b"hvc1"
+            elif t.kind == "av1":
+                fourcc = b"av01"
             elif t.kind == "jpeg":
                 fourcc = b"jpeg"
             else:
@@ -400,12 +428,12 @@ class QtMux(AggregatorElement):
 
     def _trak(self, t: _Track, tid: int, offsets: List[int],
               sizes: List[int], movie_dur: int) -> bytes:
-        if t.kind in ("video", "jpeg", "h264", "h265"):
+        if t.kind in ("video", "jpeg", "h264", "h265", "av1"):
             fps = t.vinfo.fps
             timescale = fps.num
             dur = len(t.samples) * fps.denom
             w, h = (t.jpeg_wh
-                    if t.kind in ("jpeg", "h264", "h265")
+                    if t.kind in ("jpeg", "h264", "h265", "av1")
                     and t.jpeg_wh[0]
                     else (t.vinfo.width, t.vinfo.height))
             tkhd = _full(b"tkhd", 0, 3, struct.pack(
@@ -453,7 +481,7 @@ class QtMux(AggregatorElement):
         for pad_name in sorted(self._tracks):
             t = self._tracks[pad_name]
             offs, szs = [], []
-            if t.kind in ("video", "jpeg", "h264", "h265", "aac"):
+            if t.kind in ("video", "jpeg", "h264", "h265", "av1", "aac"):
                 for s in t.samples:
                     offs.append(base + len(mdat_payload))
                     szs.append(len(s))
@@ -472,7 +500,8 @@ class QtMux(AggregatorElement):
         traks = b""
         for tid, pad_name in enumerate(sorted(self._tracks), start=1):
             t = self._tracks[pad_name]
-            if t.kind in ("video", "jpeg", "h264", "h265"):
+            if t.kind in ("video", "jpeg", "h264", "h265",
+                          "av1"):
                 fps = t.vinfo.fps
                 movie_dur = max(movie_dur,
                                 len(t.samples) * 600 * fps.denom
@@ -717,6 +746,11 @@ class QtDemux(SourceElement):
                     f"video/x-h264, stream-format=byte-stream, "
                     f"alignment=au, width={w}, height={h}, "
                     f"framerate={fps.num}/{fps.denom}")
+            elif fourcc == b"av01":
+                self._mode = "av1"
+                self._caps = Caps.from_string(
+                    f"video/x-av1, width={w}, height={h}, "
+                    f"framerate={fps.num}/{fps.denom}")
             elif fourcc in (b"hvc1", b"hev1"):
                 self._mode = "h265"
                 self._sps = self._pps = b""
@@ -839,11 +873,12 @@ class QtDemux(SourceElement):
             self._pos += len(take)
             return Buffer(data=planes, pts=pts, duration=dur,
                           batch=len(take))
-        if self._mode == "jpeg":
+        if self._mode in ("jpeg", "av1"):
             take = samples[self._pos:self._pos + max(1, n_frames)]
             blobs = [self._data[o:o + s] for o, s in take]
             self._pos += len(take)
-            return Buffer(data=blobs, batch=len(take))
+            return Buffer(data=blobs, batch=len(take),
+                          meta={"caps": self._caps})
         if self._mode in ("h264", "h265"):
             take = samples[self._pos:self._pos + max(1, n_frames)]
             blobs = []

@@ -257,6 +257,23 @@ class OggDemux(SourceElement):
             self._samples = np.asarray(pcm, np.float32)
             self._ainfo = AudioInfo(format="F32LE", rate=rate,
                                     channels=ch)
+        elif bos.startswith(b"Speex   "):
+            # Ogg-Speex mapping: header packet + comment, then
+            # fixed-size frames (speexdec wraps libspeex exactly as
+            # gst-plugins-good/ext/speex/gstspeexdec.c does)
+            from ..native import av as native_av
+            rate = struct.unpack("<I", bos[36:40])[0]
+            ch = struct.unpack("<I", bos[48:52])[0]
+            dec = native_av.AvAudioDecoder("libspeex", bos)
+            chunks = []
+            for pkt in packets[2:]:
+                chunks.extend(dec.decode(pkt))
+            chunks.extend(dec.flush())
+            pcm = (np.concatenate(chunks) if chunks
+                   else np.zeros((0, ch), np.float32))
+            self._samples = np.asarray(pcm, np.float32)
+            self._ainfo = AudioInfo(format="F32LE", rate=rate,
+                                    channels=max(ch, 1))
         elif bos.startswith(b"\x80theora"):
             from ..codecs.theora import TheoraDecoder
             if len(packets) < 3:

@@ -145,6 +145,62 @@ def test_hevc_av1_matroska_tracks(tmp_path, enc, dec, cid):
 
 
 @needs_av
+def test_av1_mp4_av01(tmp_path):
+    """AV1 in mp4: av01 sample entry with av1C (qtmux/qtdemux)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "av1enc" not in _REGISTRY:
+        pytest.skip("libaom not in system libavcodec")
+    path = tmp_path / "v.mp4"
+    p = parse_launch(
+        f"qtmux name=m location={path} ! fakesink "
+        + SRC + "av1enc ! m.video_0")
+    p.run()
+    data = path.read_bytes()
+    assert b"av01" in data and b"av1C" in data
+    d = parse_launch(
+        f"qtdemux location={path} stream=video ! avdec_av1 ! "
+        "appsink name=out")
+    d.run()
+    frames = _pull_video(d)
+    assert len(frames) == 5
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 25
+
+
+@needs_av
+def test_ogg_speex_mapping(tmp_path):
+    """Ogg-Speex BOS dispatch in oggdemux (gst-plugins-good
+    ext/speex architecture: libspeex does the codec)."""
+    from gstreamer_tpu.elements.ogg import ogg_page
+    from gstreamer_tpu.native.av import AvAudioEncoder
+    rate = 16000
+    t = np.arange(rate) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 0.4).astype(
+        np.float32)[:, None]
+    try:
+        enc = AvAudioEncoder("libspeex", rate, 1)
+    except RuntimeError:
+        pytest.skip("libspeex not in system libavcodec")
+    pkts = enc.encode_all(pcm)
+    hdr = enc.extradata()
+    pages = [ogg_page([hdr], 7, 0, 0, bos=True),
+             ogg_page([b"\x00" * 8], 7, 1, 0)]
+    g = 0
+    for i, pk in enumerate(pkts):
+        g += 320
+        pages.append(ogg_page([pk], 7, 2 + i, g,
+                              eos=(i == len(pkts) - 1)))
+    path = tmp_path / "s.spx"
+    path.write_bytes(b"".join(pages))
+    p = parse_launch(f"oggdemux location={path} ! appsink name=out")
+    p.run()
+    pcm_out = _pull_audio(p)
+    assert pcm_out.shape[0] > 12000
+    spec = np.abs(np.fft.rfft(pcm_out[2048:2048 + 8192, 0]))
+    assert spec.max() > 20 * np.median(spec + 1e-12)
+
+
+@needs_av
 def test_hevc_mp4_hvc1(tmp_path):
     """HEVC in mp4: hvc1 sample entry with hvcC (qtmux/qtdemux)."""
     import gstreamer_tpu.elements  # noqa: F401
