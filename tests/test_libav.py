@@ -410,3 +410,25 @@ def test_avdec_matches_oracle_decode():
     for g, m in zip(gold, mine):
         for a, b in zip(g, m):
             np.testing.assert_array_equal(a, b)
+
+
+@needs_av
+def test_discoverer_reports_coded_tracks(tmp_path):
+    """Media introspection must name the coded tracks
+    (gstdiscoverer.c stream info)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    from gstreamer_tpu.utils.discoverer import Discoverer
+    if "x264enc" not in _REGISTRY or "avenc_aac" not in _REGISTRY:
+        pytest.skip("x264/aac unavailable")
+    mkv = tmp_path / "av.mkv"
+    p = parse_launch(
+        f"matroskamux name=m location={mkv} ! fakesink "
+        + SRC + "x264enc ! m.video_0 "
+        "audiotestsrc num-buffers=5 samplesperbuffer=4096 ! "
+        "avenc_aac ! m.audio_0")
+    p.run()
+    info = Discoverer().discover(str(mkv))
+    kinds = {s.kind: s.format for s in info.streams}
+    assert kinds["video"] == "V_MPEG4/ISO/AVC"
+    assert kinds["audio"] == "A_AAC"
