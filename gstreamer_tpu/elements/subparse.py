@@ -1,4 +1,6 @@
-"""subparse — subtitle parsing (SRT / WebVTT) and wavenc.
+"""subparse — subtitle parsing (the full gstsubparse.c format
+family: SRT, WebVTT, MicroDVD, MPL2, TMPlayer, SAMI, SubViewer,
+MPSub, LRC, QTtext, DKS) and wavenc.
 
 References: gst-plugins-base/gst/subparse/gstsubparse.c (format
 autodetection + per-format parsers -> timed text/x-raw buffers);
@@ -57,11 +59,223 @@ def parse_vtt(text: str) -> List[Tuple[int, int, str]]:
     return parse_srt(text)
 
 
+def parse_microdvd(text: str,
+                   fps: float = 24000 / 1001
+                   ) -> List[Tuple[int, int, str]]:
+    """MicroDVD {start}{end} frame-based cues; a leading {1}{1}fps
+    line overrides the framerate (gstsubparse.c parse_mdvdsub)."""
+    cues = []
+    for line in text.splitlines():
+        m = re.match(r"\{(\d+)\}\{(\d+)\}(.*)", line.strip())
+        if not m:
+            continue
+        a, b, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        if a == 1 and b == 1:
+            try:
+                fps = float(body.strip().replace(",", "."))
+                continue
+            except ValueError:
+                pass
+        body = re.sub(r"\{[^}]*\}", "", body)
+        cues.append((int(a / fps * 1e9), int(b / fps * 1e9),
+                     body.replace("|", "\n").strip()))
+    return cues
+
+
+def parse_mpl2(text: str) -> List[Tuple[int, int, str]]:
+    """MPL2 [start][end] decisecond cues (parse_mpl2)."""
+    cues = []
+    for line in text.splitlines():
+        m = re.match(r"\[(\d+)\]\[(\d+)\](.*)", line.strip())
+        if m:
+            cues.append((int(m.group(1)) * 100_000_000,
+                         int(m.group(2)) * 100_000_000,
+                         m.group(3).replace("|", "\n").strip()))
+    return cues
+
+
+def parse_tmplayer(text: str) -> List[Tuple[int, int, str]]:
+    """TMPlayer h:mm:ss: cues; each runs until the next (or +4 s)."""
+    raw = []
+    for line in text.splitlines():
+        m = re.match(r"(\d+):(\d\d):(\d\d)[:=](.*)", line.strip())
+        if m:
+            start = _ts(m.group(1), m.group(2), m.group(3), 0)
+            raw.append((start, m.group(4).replace("|", "\n").strip()))
+    cues = []
+    for i, (start, body) in enumerate(raw):
+        end = raw[i + 1][0] if i + 1 < len(raw) \
+            else start + 4_000_000_000
+        if body:
+            cues.append((start, end, body))
+    return cues
+
+
+def parse_sami(text: str) -> List[Tuple[int, int, str]]:
+    """SAMI <SYNC Start=ms> blocks; &nbsp; closes the previous cue
+    (parse_sami reduced: tags stripped)."""
+    raw = []
+    for m in re.finditer(r"<SYNC[^>]*Start\s*=\s*\"?(\d+)\"?[^>]*>"
+                         r"(.*?)(?=<SYNC|</BODY|\Z)",
+                         text, re.IGNORECASE | re.DOTALL):
+        start = int(m.group(1)) * 1_000_000
+        body = re.sub(r"<[^>]+>", "", m.group(2))
+        body = body.replace("&nbsp;", "").strip()
+        raw.append((start, body))
+    cues = []
+    for i, (start, body) in enumerate(raw):
+        end = raw[i + 1][0] if i + 1 < len(raw) \
+            else start + 4_000_000_000
+        if body:
+            cues.append((start, end, body))
+    return cues
+
+
+_SUBVIEWER_TIME = re.compile(
+    r"(\d+):(\d\d):(\d\d)\.(\d\d)\s*,\s*(\d+):(\d\d):(\d\d)\.(\d\d)")
+
+
+def parse_subviewer(text: str) -> List[Tuple[int, int, str]]:
+    """SubViewer hh:mm:ss.cc,hh:mm:ss.cc cue pairs, [br] breaks."""
+    cues = []
+    blocks = re.split(r"\n\s*\n", text)
+    for block in blocks:
+        lines = block.strip().splitlines()
+        for i, line in enumerate(lines):
+            m = _SUBVIEWER_TIME.search(line)
+            if m:
+                g = m.groups()
+                start = _ts(g[0], g[1], g[2], int(g[3]) * 10)
+                end = _ts(g[4], g[5], g[6], int(g[7]) * 10)
+                body = "\n".join(lines[i + 1:]).replace("[br]", "\n")
+                if body.strip():
+                    cues.append((start, end, body.strip()))
+                break
+    return cues
+
+
+def parse_mpsub(text: str) -> List[Tuple[int, int, str]]:
+    """MPSub FORMAT=TIME: 'gap duration' float pairs with relative
+    timing (parse_mpsub)."""
+    cues = []
+    t = 0.0
+    pend = None
+    for line in text.splitlines():
+        line = line.strip()
+        m = re.match(r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)$", line)
+        if m:
+            if pend is not None:
+                cues.append(pend)
+            gap, dur = float(m.group(1)), float(m.group(2))
+            t += gap
+            pend = (int(t * 1e9), int((t + dur) * 1e9), "")
+            t += dur
+        elif pend is not None and line and not line.startswith(
+                ("FORMAT", "#")):
+            s, e, body = pend
+            pend = (s, e, (body + "\n" + line).strip())
+    if pend is not None and pend[2]:
+        cues.append(pend)
+    return [c for c in cues if c[2]]
+
+
+def parse_lrc(text: str) -> List[Tuple[int, int, str]]:
+    """LRC [mm:ss.xx] lyric lines; each runs until the next."""
+    raw = []
+    for line in text.splitlines():
+        for m in re.finditer(r"\[(\d+):(\d\d)(?:\.(\d+))?\]", line):
+            frac = (m.group(3) or "0").ljust(3, "0")[:3]
+            start = (int(m.group(1)) * 60 + int(m.group(2))) \
+                * 1_000_000_000 + int(frac) * 1_000_000
+            body = re.sub(r"\[[^\]]*\]", "", line).strip()
+            if body:
+                raw.append((start, body))
+    raw.sort()
+    cues = []
+    for i, (start, body) in enumerate(raw):
+        end = raw[i + 1][0] if i + 1 < len(raw) \
+            else start + 4_000_000_000
+        cues.append((start, end, body))
+    return cues
+
+
+def parse_qttext(text: str) -> List[Tuple[int, int, str]]:
+    """QTtext [hh:mm:ss.xx] timestamps (parse_qttext reduced)."""
+    raw = []
+    for m in re.finditer(
+            r"\[(\d+):(\d\d):(\d\d)\.(\d+)\]\s*\n?([^\[]*)", text):
+        start = _ts(m.group(1), m.group(2), m.group(3),
+                    int(m.group(4).ljust(3, "0")[:3]))
+        body = re.sub(r"\{[^}]*\}", "", m.group(5)).strip()
+        raw.append((start, body))
+    cues = []
+    for i, (start, body) in enumerate(raw):
+        end = raw[i + 1][0] if i + 1 < len(raw) \
+            else start + 4_000_000_000
+        if body:
+            cues.append((start, end, body))
+    return cues
+
+
+def parse_dks(text: str) -> List[Tuple[int, int, str]]:
+    """DKS [H:MM:SS]text lines; each runs until the next."""
+    raw = []
+    for line in text.splitlines():
+        m = re.match(r"\[(\d+):(\d\d):(\d\d)\](.*)", line.strip())
+        if m:
+            raw.append((_ts(m.group(1), m.group(2), m.group(3), 0),
+                        m.group(4).replace("[br]", "\n").strip()))
+    cues = []
+    for i, (start, body) in enumerate(raw):
+        end = raw[i + 1][0] if i + 1 < len(raw) \
+            else start + 4_000_000_000
+        if body:
+            cues.append((start, end, body))
+    return cues
+
+
+def detect_sub_format(text: str) -> str:
+    """Format autodetection (gstsubparse.c sub_parse_data_format)."""
+    t = text.lstrip()
+    if t.startswith("WEBVTT"):
+        return "vtt"
+    if t.startswith("FORMAT=TIME") or "\nFORMAT=TIME" in t[:256]:
+        return "mpsub"
+    if re.search(r"<SAMI", t[:256], re.IGNORECASE):
+        return "sami"
+    if t.startswith("{QTtext}"):
+        return "qttext"
+    if "[INFORMATION]" in t[:256].upper():
+        return "subviewer"
+    if re.match(r"\{\d+\}\{\d+\}", t):
+        return "microdvd"
+    if re.match(r"\[\d+\]\[\d+\]", t):
+        return "mpl2"
+    if "-->" in t[:1024]:
+        return "srt"
+    if re.match(r"\[\d\d?:\d\d[.\]]", t):
+        return "lrc"
+    if re.match(r"\[\d+:\d\d:\d\d\]", t):
+        return "dks"
+    if re.match(r"\d+:\d\d:\d\d[:=]", t):
+        return "tmplayer"
+    return "srt"
+
+
+_SUB_PARSERS = {
+    "srt": parse_srt, "vtt": parse_vtt, "microdvd": parse_microdvd,
+    "mpl2": parse_mpl2, "tmplayer": parse_tmplayer,
+    "sami": parse_sami, "subviewer": parse_subviewer,
+    "mpsub": parse_mpsub, "lrc": parse_lrc, "qttext": parse_qttext,
+    "dks": parse_dks,
+}
+
+
 @register_element
 class SubParse(TransformElement):
     """subparse: byte stream -> timed text buffers (one per cue)."""
     FACTORY = "subparse"
-    DESCRIPTION = "Parses subtitle (SRT/WebVTT) files into text buffers"
+    DESCRIPTION = "Parses subtitle files into text buffers"
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("sink", PadDirection.SINK, Caps.any()),
@@ -91,8 +305,7 @@ class SubParse(TransformElement):
         for leaf in leaves:
             self._acc += np.asarray(leaf).tobytes()
         text = self._acc.decode("utf-8", errors="replace")
-        cues = (parse_vtt(text) if text.lstrip().startswith("WEBVTT")
-                else parse_srt(text))
+        cues = _SUB_PARSERS[detect_sub_format(text)](text)
         new = cues[self._emitted:]
         # hold back the final cue unless the block is clearly terminated
         # (more bytes may extend it)
