@@ -72,8 +72,10 @@ class _AvVideoDec(TransformElement):
         return res
 
     def set_info(self, incaps, outcaps):
-        fps = incaps[0].get("framerate") if len(incaps) else None
-        self._fps = fps
+        s0 = incaps[0] if len(incaps) else None
+        self._fps = s0.get("framerate") if s0 is not None else None
+        self._wh = ((s0.get("width") or 0, s0.get("height") or 0)
+                    if s0 is not None else (0, 0))
 
     def _emit(self, frames) -> Optional[Buffer]:
         if not frames:
@@ -97,7 +99,10 @@ class _AvVideoDec(TransformElement):
                 return None
             return self._emit(self._dec.flush())
         if self._dec is None:
-            self._dec = native_av.AvVideoDecoder(self.AV_CODEC)
+            cd = (buf.meta or {}).get("codec_data", b"")
+            w, h = getattr(self, "_wh", (0, 0))
+            self._dec = native_av.AvVideoDecoder(
+                self.AV_CODEC, bytes(cd), w, h)
             self._pending_buf = True
         frames = []
         for blob in _blobs_of(buf):
@@ -114,6 +119,7 @@ class _AvVideoEnc(TransformElement):
     AV_CODEC = ""
     SRC_CAPS = ""
     DEFAULT_OPTS = ""
+    GLOBAL_HEADER = False
     HOST_ELEMENT = True
     PROPERTIES = {
         "bitrate": (int, 2048, "bitrate in kbit/sec"),
@@ -165,15 +171,20 @@ class _AvVideoEnc(TransformElement):
             opts = f"{opts}:{extra}" if opts else extra
         self._enc = native_av.AvVideoEncoder(
             self.AV_CODEC, vi.width, vi.height, fps,
-            self.props["bitrate"] * 1000, opts)
+            self.props["bitrate"] * 1000, opts,
+            global_header=self.GLOBAL_HEADER)
         self._pending_buf = True
 
     def _emit(self, pkts) -> Optional[Buffer]:
         if not pkts:
             return None
         blobs = [np.frombuffer(p, np.uint8) for p, _ in pkts]
+        meta = {}
+        cd = self._enc.extradata()
+        if cd:
+            meta["codec_data"] = cd
         return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
-                      batch=len(blobs))
+                      batch=len(blobs), meta=meta)
 
     def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
         if buf is None:
@@ -393,6 +404,10 @@ _DECODERS = [
      "AV1 decoder (dav1d)"),
     ("avdec_vp8", "vp8", "video/x-vp8",
      "libav VP8 decoder"),
+    ("webpdec", "webp", "image/webp",
+     "WebP image decoder"),
+    ("avdec_ffv1", "ffv1", "video/x-ffv, ffvversion=1",
+     "libav FFV1 lossless decoder"),
     ("avdec_vp9", "vp9", "video/x-vp9",
      "libav VP9 decoder"),
 ]
@@ -408,6 +423,8 @@ _AUDIO_DECODERS = [
      "libav WMA v2 decoder"),
     ("avdec_opus", "libopus", "audio/x-opus",
      "Opus decoder (libopus, packet stream)"),
+    ("sbcdec", "sbc", "audio/x-sbc",
+     "SBC audio decoder"),
     ("speexdec", "libspeex", "audio/x-speex",
      "Speex decoder (libspeex)"),
     ("wavpackdec", "wavpack", "audio/x-wavpack",
@@ -431,6 +448,10 @@ _ENCODERS = [
      "AV1 encoder (libaom)", "usage=realtime:cpu-used=8"),
     ("avenc_vp8", "libvpx", "video/x-vp8",
      "VP8 encoder (libvpx, packet stream)", "deadline=1:lag-in-frames=0"),
+    ("webpenc", "libwebp", "image/webp",
+     "WebP image encoder (libwebp)", ""),
+    ("avenc_ffv1", "ffv1", "video/x-ffv, ffvversion=1",
+     "libav FFV1 lossless encoder", "", True),
     ("avenc_vp9", "libvpx-vp9", "video/x-vp9",
      "VP9 encoder (libvpx, packet stream)", "deadline=1:lag-in-frames=0"),
     ("avenc_mpeg2video", "mpeg2video",
@@ -457,13 +478,15 @@ def _make_dec(factory, codec, sink_caps, desc):
     register_element(cls)
 
 
-def _make_enc(factory, codec, src_caps, desc, opts):
+def _make_enc(factory, codec, src_caps, desc, opts,
+              global_header=False):
     cls = type(factory, (_AvVideoEnc,), {
         "FACTORY": factory,
         "DESCRIPTION": desc,
         "AV_CODEC": codec,
         "SRC_CAPS": src_caps,
         "DEFAULT_OPTS": opts,
+        "GLOBAL_HEADER": global_header,
         "PAD_TEMPLATES": [
             PadTemplate("sink", PadDirection.SINK,
                         "video/x-raw, format=I420"),
@@ -481,6 +504,11 @@ _AUDIO_ENCODERS = [
      "libav AAC-LC encoder", 128000),
     ("avenc_opus", "libopus", "audio/x-opus",
      "Opus encoder (libopus, packet stream)", 64000),
+    ("lamemp3enc", "libmp3lame",
+     "audio/mpeg, mpegversion=1, layer=3",
+     "MP3 encoder (LAME)", 128000),
+    ("sbcenc", "sbc", "audio/x-sbc",
+     "SBC audio encoder", 0),
     ("twolamemp2enc", "libtwolame",
      "audio/mpeg, mpegversion=1, layer=2",
      "MPEG-1 layer 2 encoder (twolame)", 192000),
@@ -538,6 +566,8 @@ if native_av.available():
     for _f, _c, _caps, _d, _b in _AUDIO_ENCODERS:
         if native_av.have_codec(_c, encoder=True):
             _make_aenc(_f, _c, _caps, _d, _b)
-    for _f, _c, _caps, _d, _o in _ENCODERS:
+    for _entry in _ENCODERS:
+        _f, _c, _caps, _d, _o = _entry[:5]
         if native_av.have_codec(_c, encoder=True):
-            _make_enc(_f, _c, _caps, _d, _o)
+            _make_enc(_f, _c, _caps, _d, _o,
+                      _entry[5] if len(_entry) > 5 else False)

@@ -39,6 +39,7 @@ def get_lib():
         return None
     lib.gtpu_avdec_new.restype = ctypes.c_void_p
     lib.gtpu_avdec_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int]
     lib.gtpu_avdec_free.argtypes = [ctypes.c_void_p]
     lib.gtpu_avdec_send.restype = ctypes.c_int
@@ -55,7 +56,7 @@ def get_lib():
     lib.gtpu_avenc_new.restype = ctypes.c_void_p
     lib.gtpu_avenc_new.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_long, ctypes.c_char_p]
+        ctypes.c_int, ctypes.c_long, ctypes.c_char_p, ctypes.c_int]
     lib.gtpu_avenc_free.argtypes = [ctypes.c_void_p]
     lib.gtpu_avenc_send_frame.restype = ctypes.c_int
     lib.gtpu_avenc_send_frame.argtypes = [
@@ -95,13 +96,15 @@ def have_codec(name: str, encoder: bool = False) -> bool:
 class AvVideoDecoder:
     """Any libavcodec video decoder -> I420 plane tuples."""
 
-    def __init__(self, codec: str, extradata: bytes = b""):
+    def __init__(self, codec: str, extradata: bytes = b"",
+                 width: int = 0, height: int = 0):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("av: libavcodec shim unavailable")
         self._lib = lib
         self._h = ctypes.c_void_p(lib.gtpu_avdec_new(
-            codec.encode(), extradata or None, len(extradata)))
+            codec.encode(), extradata or None, len(extradata),
+            width, height))
         if not self._h.value:
             raise RuntimeError(f"av: no decoder {codec!r}")
         self._buf = np.empty(1 << 20, np.uint8)
@@ -156,7 +159,8 @@ class AvAudioDecoder:
             raise RuntimeError("av: libavcodec shim unavailable")
         self._lib = lib
         self._h = ctypes.c_void_p(lib.gtpu_avdec_new(
-            codec.encode(), extradata or None, len(extradata)))
+            codec.encode(), extradata or None, len(extradata),
+            0, 0))
         if not self._h.value:
             raise RuntimeError(f"av: no decoder {codec!r}")
         self._buf = np.empty(1 << 18, np.float32)
@@ -274,14 +278,14 @@ class AvVideoEncoder:
 
     def __init__(self, codec: str, width: int, height: int,
                  fps: Tuple[int, int] = (30, 1), bitrate: int = 0,
-                 opts: str = ""):
+                 opts: str = "", global_header: bool = False):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("av: libavcodec shim unavailable")
         self._lib = lib
         self._h = ctypes.c_void_p(lib.gtpu_avenc_new(
             codec.encode(), width, height, fps[0], fps[1], bitrate,
-            opts.encode()))
+            opts.encode(), 1 if global_header else 0))
         if not self._h.value:
             raise RuntimeError(f"av: no encoder {codec!r}")
         self._buf = np.empty(1 << 20, np.uint8)

@@ -54,11 +54,13 @@ int gtpu_av_have_codec(const char *name, int enc) {
 // ------------------------------------------------------------- decode
 
 void *gtpu_avdec_new(const char *codec_name, const unsigned char *extra,
-                     int exlen) {
+                     int exlen, int w, int h) {
     const AVCodec *codec = avcodec_find_decoder_by_name(codec_name);
     if (!codec) return nullptr;
     Dec *d = new Dec();
     d->ctx = avcodec_alloc_context3(codec);
+    if (w > 0) d->ctx->width = w;
+    if (h > 0) d->ctx->height = h;
     if (extra && exlen > 0) {
         d->ctx->extradata = (uint8_t *)av_mallocz(
             exlen + AV_INPUT_BUFFER_PADDING_SIZE);
@@ -207,7 +209,8 @@ long gtpu_avdec_recv_audio(void *h, float *buf, long cap_samples,
 // ------------------------------------------------------------- encode
 
 void *gtpu_avenc_new(const char *codec_name, int w, int h, int fps_n,
-                     int fps_d, long bitrate, const char *opts) {
+                     int fps_d, long bitrate, const char *opts,
+                     int global_header) {
     const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return nullptr;
     Enc *e = new Enc();
@@ -220,6 +223,8 @@ void *gtpu_avenc_new(const char *codec_name, int w, int h, int fps_n,
     if (bitrate > 0) e->ctx->bit_rate = bitrate;
     e->ctx->gop_size = 30;
     e->ctx->max_b_frames = 0;   // no reorder delay (batch drain model)
+    if (global_header)
+        e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if (opts && opts[0])
         av_set_options_string(e->ctx->priv_data, opts, "=", ":");
     if (avcodec_open2(e->ctx, codec, nullptr) < 0) {

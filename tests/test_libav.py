@@ -432,3 +432,67 @@ def test_discoverer_reports_coded_tracks(tmp_path):
     kinds = {s.kind: s.format for s in info.streams}
     assert kinds["video"] == "V_MPEG4/ISO/AVC"
     assert kinds["audio"] == "A_AAC"
+
+
+@needs_av
+def test_lame_mp3_vs_cleanroom_decoder():
+    """lamemp3enc output decoded by the CLEAN-ROOM mp3 decoder."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "lamemp3enc" not in _REGISTRY:
+        pytest.skip("libmp3lame unavailable")
+    p = parse_launch("audiotestsrc num-buffers=8 samplesperbuffer=4096 "
+                     "! lamemp3enc ! mpg123audiodec ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    assert pcm.shape[0] > 30000
+    spec = np.abs(np.fft.rfft(pcm[2048:2048 + 8192, 0]))
+    assert spec.max() > 20 * np.median(spec + 1e-12)
+
+
+@needs_av
+def test_sbc_chain():
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "sbcenc" not in _REGISTRY:
+        pytest.skip("sbc unavailable")
+    p = parse_launch("audiotestsrc num-buffers=4 samplesperbuffer=4096 "
+                     "! audio/x-raw,rate=44100,channels=2,format=S16LE "
+                     "! sbcenc ! sbcdec ! appsink name=out")
+    p.run()
+    pcm = _pull_audio(p)
+    assert pcm.shape[0] > 12000 and pcm.shape[1] == 2
+
+
+@needs_av
+def test_webp_image_chain():
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "webpenc" not in _REGISTRY:
+        pytest.skip("libwebp unavailable")
+    p = parse_launch(SRC.replace("num-buffers=5", "num-buffers=2")
+                     + "webpenc ! webpdec ! appsink name=out")
+    p.run()
+    frames = _pull_video(p)
+    assert len(frames) == 2
+    assert _psnr(frames[0][0], _gold_frame()[0]) > 25
+
+
+@needs_av
+def test_ffv1_lossless_chain():
+    """FFV1 default mode is lossless: bit-exact roundtrip required
+    (decoder dims pre-set from caps — ffv1 carries no extradata)."""
+    import gstreamer_tpu.elements  # noqa: F401
+    from gstreamer_tpu.core.element import _REGISTRY
+    if "avenc_ffv1" not in _REGISTRY:
+        pytest.skip("ffv1 unavailable")
+    p = parse_launch(SRC + "avenc_ffv1 ! avdec_ffv1 ! appsink name=out")
+    p.run()
+    frames = _pull_video(p)
+    g = parse_launch(SRC + "appsink name=out")
+    g.run()
+    gold = _pull_video(g)
+    assert len(frames) == len(gold) == 5
+    for a, b in zip(gold, frames):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
