@@ -175,7 +175,8 @@ class _AvVideoEnc(TransformElement):
             global_header=self.GLOBAL_HEADER)
         self._pending_buf = True
 
-    def _emit(self, pkts) -> Optional[Buffer]:
+    def _emit(self, pkts, pts=None,
+              duration=None) -> Optional[Buffer]:
         if not pkts:
             return None
         blobs = [np.frombuffer(p, np.uint8) for p, _ in pkts]
@@ -184,7 +185,8 @@ class _AvVideoEnc(TransformElement):
         if cd:
             meta["codec_data"] = cd
         return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
-                      batch=len(blobs), meta=meta)
+                      batch=len(blobs), meta=meta, pts=pts,
+                      duration=duration)
 
     def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
         if buf is None:
@@ -199,7 +201,7 @@ class _AvVideoEnc(TransformElement):
         pkts = []
         for k in range(y.shape[0]):
             pkts.extend(self._enc.encode((y[k], u[k], v[k])))
-        return self._emit(pkts)
+        return self._emit(pkts, pts=buf.pts, duration=buf.duration)
 
 
 class _AvAudioDec(TransformElement):
@@ -331,7 +333,7 @@ class _AvAudioEnc(TransformElement):
             return samples.astype(np.float32) / 32768.0
         return samples.astype(np.float32)
 
-    def _emit(self, pkts) -> Optional[Buffer]:
+    def _emit(self, pkts, pts=None) -> Optional[Buffer]:
         if not pkts:
             return None
         blobs = [np.frombuffer(p, np.uint8) for p in pkts]
@@ -340,7 +342,7 @@ class _AvAudioEnc(TransformElement):
         if cd:
             meta["codec_data"] = cd
         return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
-                      batch=len(blobs), meta=meta)
+                      batch=len(blobs), meta=meta, pts=pts)
 
     def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
         if buf is None:
@@ -359,7 +361,7 @@ class _AvAudioEnc(TransformElement):
         if samples.ndim == 1:
             samples = samples[:, None]
         self._acc = np.concatenate([self._acc, samples], axis=0)
-        return self._emit(self._encode_frames())
+        return self._emit(self._encode_frames(), pts=buf.pts)
 
     def _encode_frames(self, flush_tail: bool = False):
         enc = self._enc
