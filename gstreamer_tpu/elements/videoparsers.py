@@ -22,11 +22,14 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import struct
+
 import numpy as np
 
 from ..core.baseparse import BaseParse
 from ..core.caps import Caps
-from ..core.element import PadDirection, PadTemplate, register_element
+from ..core.element import (PadDirection, PadTemplate,
+                            TransformElement, register_element)
 from .audioparsers import _ParserBase
 
 
@@ -393,3 +396,264 @@ class IvfParse(_ParserBase):
         if pts0 is not None:
             buf = buf.with_(pts=pts0)
         return buf
+
+
+@register_element
+class H265Parse(_ParserBase):
+    """h265parse (gst-plugins-bad/gst/videoparsers/gsth265parse.c):
+    Annex-B NAL walk, AU split on VPS/SPS/PPS/AUD/prefix-SEI or a
+    first-slice VCL NAL (first_slice_segment_in_pic_flag)."""
+    FACTORY = "h265parse"
+    DESCRIPTION = "Parses H.265 streams"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC,
+                    "video/x-h265, stream-format=byte-stream, "
+                    "alignment=au"),
+    ]
+    _SRC_CAPS = ("video/x-h265, stream-format=byte-stream, "
+                 "alignment=au")
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(6)
+
+    def _is_au_start(self, data: bytes, off: int) -> bool:
+        p = off + 3
+        if p + 2 >= len(data):
+            return False
+        ntype = (data[p] >> 1) & 0x3F
+        if ntype in (32, 33, 34, 35, 39):
+            return True
+        if ntype <= 31:                     # VCL
+            # first_slice_segment_in_pic_flag is the MSB after the
+            # 2-byte NAL header
+            return bool(data[p + 2] & 0x80)
+        return False
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        nals = _nal_positions(raw)
+        if not nals:
+            return 0, max(0, len(raw) - 2)
+        if nals[0] > (1 if raw[0] == 0 else 0):
+            lead = nals[0] - (1 if raw[nals[0] - 1] == 0 else 0)
+            if lead > 0:
+                return 0, lead
+        saw_vcl = False
+        for off in nals:
+            p = off + 3
+            if p >= len(raw):
+                break
+            ntype = (raw[p] >> 1) & 0x3F
+            if saw_vcl and self._is_au_start(raw, off):
+                return off - (1 if raw[off - 1] == 0 else 0), 0
+            if ntype <= 31:
+                saw_vcl = True
+        if self.draining and saw_vcl:
+            return len(raw), 0
+        return 0, 0
+
+
+@register_element
+class Mpeg4VideoParse(_ParserBase):
+    """mpeg4videoparse (gstmpeg4videoparse.c): frames split at VOP
+    start codes (0xB6) with preceding VOS/VO/VOL headers attached."""
+    FACTORY = "mpeg4videoparse"
+    DESCRIPTION = "Parses MPEG-4 Part 2 elementary video streams"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC,
+                    "video/mpeg, mpegversion=4, systemstream=false, "
+                    "parsed=true"),
+    ]
+    _SRC_CAPS = ("video/mpeg, mpegversion=4, systemstream=false, "
+                 "parsed=true")
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(5)
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        starts = []
+        pos = 0
+        while True:
+            i = raw.find(b"\x00\x00\x01", pos)
+            if i < 0 or i + 3 >= len(raw):
+                break
+            starts.append((i, raw[i + 3]))
+            pos = i + 3
+        if not starts:
+            return 0, max(0, len(raw) - 2)
+        if starts[0][0] > 0:
+            return 0, starts[0][0]
+        saw_vop = False
+        for off, code in starts:
+            if saw_vop:
+                return off, 0
+            if code == 0xB6:
+                saw_vop = True
+        if self.draining and saw_vop:
+            return len(raw), 0
+        return 0, 0
+
+
+@register_element
+class Av1Parse(_ParserBase):
+    """av1parse (gstav1parse.c): temporal units split at temporal
+    delimiter OBUs (type 2) in the low-overhead stream."""
+    FACTORY = "av1parse"
+    DESCRIPTION = "Parses AV1 streams"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, "video/x-av1"),
+    ]
+    _SRC_CAPS = "video/x-av1"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(2)
+
+    @staticmethod
+    def _obu_walk(raw: bytes):
+        """-> [(offset, type, end)] for sized OBUs."""
+        out = []
+        pos = 0
+        while pos < len(raw):
+            b0 = raw[pos]
+            if b0 & 0x80:                   # forbidden bit
+                break
+            otype = (b0 >> 3) & 0xF
+            p = pos + 1 + (1 if b0 & 0x04 else 0)
+            if not b0 & 0x02:               # unsized: rest of data
+                out.append((pos, otype, len(raw)))
+                break
+            size = 0
+            shift = 0
+            ok = False
+            while p < len(raw):
+                byte = raw[p]
+                p += 1
+                size |= (byte & 0x7F) << shift
+                shift += 7
+                if not byte & 0x80:
+                    ok = True
+                    break
+            if not ok:
+                break
+            out.append((pos, otype, p + size))
+            pos = p + size
+        return out
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        obus = self._obu_walk(raw)
+        if not obus:
+            return 0, 1
+        saw_payload = False
+        for off, otype, end in obus:
+            if otype == 2 and saw_payload:
+                return off, 0
+            if otype != 2:
+                saw_payload = True
+        if self.draining and saw_payload:
+            return obus[-1][2], 0
+        return 0, 0
+
+
+@register_element
+class Vp9Parse(TransformElement):
+    """vp9parse (gstvp9parse.c): splits VP9 superframes into
+    individual frames via the trailing superframe index."""
+    FACTORY = "vp9parse"
+    DESCRIPTION = "Parses VP9 streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-vp9"),
+        PadTemplate("src", PadDirection.SRC, "video/x-vp9"),
+    ]
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("video/x-vp9")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    @staticmethod
+    def split_superframe(raw: bytes):
+        if not raw:
+            return [raw]
+        marker = raw[-1]
+        if (marker & 0xE0) != 0xC0:
+            return [raw]
+        nframes = (marker & 0x7) + 1
+        mag = ((marker >> 3) & 0x3) + 1
+        index_size = 2 + mag * nframes
+        if len(raw) < index_size or raw[-index_size] != marker:
+            return [raw]
+        sizes = []
+        pos = len(raw) - index_size + 1
+        for _ in range(nframes):
+            sizes.append(int.from_bytes(raw[pos:pos + mag], "little"))
+            pos += mag
+        frames = []
+        off = 0
+        for sz in sizes:
+            frames.append(raw[off:off + sz])
+            off += sz
+        return frames if off <= len(raw) - index_size else [raw]
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        import numpy as _np
+        blobs = buf.data if isinstance(buf.data, list) else [buf.data]
+        out = []
+        for b in blobs:
+            raw = (bytes(b) if isinstance(b, (bytes, bytearray))
+                   else _np.asarray(b).tobytes())
+            out.extend(self.split_superframe(raw))
+        arrs = [_np.frombuffer(f, _np.uint8) for f in out if f]
+        if not arrs:
+            return None
+        return buf.with_(data=arrs if len(arrs) > 1 else arrs[0],
+                         batch=len(arrs))
+
+
+@register_element
+class PngParse(_ParserBase):
+    """pngparse (gstpngparse.c): one whole PNG (signature through
+    IEND) per frame, dims from IHDR."""
+    FACTORY = "pngparse"
+    DESCRIPTION = "Parses PNG files"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, Caps.any()),
+        PadTemplate("src", PadDirection.SRC, "image/png"),
+    ]
+    _SRC_CAPS = "image/png"
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.set_min_frame_size(8)
+
+    def handle_frame(self, view) -> Tuple[int, int]:
+        raw = bytes(view)
+        i = raw.find(self._SIG)
+        if i < 0:
+            return 0, max(1, len(raw) - 7)
+        if i > 0:
+            return 0, i
+        pos = 8
+        while pos + 8 <= len(raw):
+            ln = struct.unpack(">I", raw[pos:pos + 4])[0]
+            tag = raw[pos + 4:pos + 8]
+            pos += 12 + ln
+            if tag == b"IEND":
+                return min(pos, len(raw)), 0
+        return 0, 0
