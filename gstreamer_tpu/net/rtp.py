@@ -32,16 +32,27 @@ RTP_VERSION = 2
 
 
 def rtp_header(payload_type: int, seq: int, timestamp: int, ssrc: int,
-               marker: bool = False) -> bytes:
-    """12-byte RTP fixed header (RFC 3550)."""
-    b0 = RTP_VERSION << 6
+               marker: bool = False, extension: bytes = b"") -> bytes:
+    """12-byte RTP fixed header (RFC 3550); `extension` is a
+    pre-built header-extension block (profile + length + data, e.g.
+    from net/rtp_hdrext.py) and sets the X bit."""
+    b0 = (RTP_VERSION << 6) | (0x10 if extension else 0)
     b1 = (0x80 if marker else 0) | (payload_type & 0x7F)
     return struct.pack("!BBHII", b0, b1, seq & 0xFFFF,
-                       timestamp & 0xFFFFFFFF, ssrc & 0xFFFFFFFF)
+                       timestamp & 0xFFFFFFFF,
+                       ssrc & 0xFFFFFFFF) + extension
 
 
 def parse_rtp_header(pkt: bytes):
     b0, b1, seq, ts, ssrc = struct.unpack("!BBHII", pkt[:12])
+    pos = 12 + 4 * (b0 & 0x0F)               # skip CSRCs
+    ext_profile = None
+    ext_data = b""
+    if b0 & 0x10 and pos + 4 <= len(pkt):    # X bit (RFC 3550 §5.3.1)
+        ext_profile, ext_words = struct.unpack("!HH",
+                                               pkt[pos:pos + 4])
+        ext_data = pkt[pos + 4:pos + 4 + 4 * ext_words]
+        pos += 4 + 4 * ext_words
     return {
         "version": b0 >> 6,
         "padding": bool(b0 & 0x20),
@@ -50,7 +61,9 @@ def parse_rtp_header(pkt: bytes):
         "seq": seq,
         "timestamp": ts,
         "ssrc": ssrc,
-        "payload": pkt[12:],
+        "extension_profile": ext_profile,
+        "extension_data": ext_data,
+        "payload": pkt[pos:],
     }
 
 

@@ -1165,7 +1165,9 @@ class RtpRtxQueue(RtpRtxSend):
 
 class _FramePayBase(TransformElement):
     """Shared frame-fragmenting payloader: a 1..n-byte payload
-    descriptor prefixes each fragment; marker closes the frame."""
+    descriptor prefixes each fragment; marker closes the frame.
+    `add_extension()` attaches RFC 8285 header extensions
+    (gst_rtp_base_payload_add_extension analog)."""
     HOST_ELEMENT = True
     _CLOCK = 90000
     PROPERTIES = {
@@ -1177,6 +1179,17 @@ class _FramePayBase(TransformElement):
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._seq = 0
+        self._extensions = []
+
+    def add_extension(self, ext) -> None:
+        self._extensions.append(ext)
+
+    def _ext_block(self) -> bytes:
+        if not self._extensions:
+            return b""
+        from .rtp_hdrext import build_one_byte_extensions
+        return build_one_byte_extensions(
+            [(e.ext_id, e.write()) for e in self._extensions])
 
     def transform_caps(self, direction, caps, filter=None):
         res = (Caps.from_string("application/x-rtp")
@@ -1205,7 +1218,8 @@ class _FramePayBase(TransformElement):
             off += len(chunk)
             last = off >= len(frame)
             hdr = rtp_header(self.props["pt"], self._seq, ts,
-                             self.props["ssrc"], marker=last)
+                             self.props["ssrc"], marker=last,
+                             extension=self._ext_block())
             self._seq = (self._seq + 1) & 0xFFFF
             pkts.append(hdr + self._descriptor(first) + chunk)
             first = False
@@ -1341,7 +1355,8 @@ class RtpVP9Pay(_FramePayBase):
             desc = bytes([(0x08 if first else 0)   # B bit
                           | (0x04 if last else 0)])  # E bit
             hdr = rtp_header(self.props["pt"], self._seq, ts,
-                             self.props["ssrc"], marker=last)
+                             self.props["ssrc"], marker=last,
+                             extension=self._ext_block())
             self._seq = (self._seq + 1) & 0xFFFF
             pkts.append(hdr + desc + chunk)
             first = False
@@ -1408,7 +1423,8 @@ class RtpOpusPay(_FramePayBase):
 
     def _pay_frame(self, frame: bytes, ts: int) -> List[bytes]:
         hdr = rtp_header(self.props["pt"], self._seq, ts,
-                         self.props["ssrc"], marker=True)
+                         self.props["ssrc"], marker=True,
+                         extension=self._ext_block())
         self._seq = (self._seq + 1) & 0xFFFF
         return [hdr + frame]
 
