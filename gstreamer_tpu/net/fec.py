@@ -40,22 +40,27 @@ def build_fec_packet(media: List[bytes], fec_pt: int, fec_seq: int,
     hdrs = [parse_rtp_header(p) for p in media]
     sn_base = hdrs[0]["seq"]
     pt_rec = 0
+    m_rec = 0
     ts_rec = 0
     len_rec = 0
     payload_xor = b""
     for h, p in zip(hdrs, media):
         pt_rec ^= h["payload_type"]
+        m_rec ^= 1 if h["marker"] else 0
         ts_rec ^= h["timestamp"]
         len_rec ^= len(h["payload"])
         payload_xor = _xor_bytes(payload_xor, h["payload"])
     # RFC 2733 FEC header with the ST 2022-1 E=1 extension:
     # SNBase(16) lenRec(16) E|PTrec(8) mask(24) TSrec(32)
     # X|D|type(3)|index(3) offset(8) NA(8) SNBase-ext(8)
+    # (marker recovery rides bit 7 of the otherwise-zero SNBase-ext
+    # byte — RFC 2733's E bit displaces M in the PT-recovery byte)
     fec_hdr = struct.pack(
         ">HHB3sI", sn_base & 0xFFFF, len_rec & 0xFFFF,
         0x80 | (pt_rec & 0x7F), b"\x00\x00\x00",
         ts_rec & 0xFFFFFFFF)
-    fec_hdr += struct.pack(">BBBB", 0x00, 1, len(media), 0)
+    fec_hdr += struct.pack(">BBBB", 0x00, 1, len(media),
+                           0x80 if m_rec else 0x00)
     ts = hdrs[-1]["timestamp"]
     return rtp_header(fec_pt, fec_seq, ts, fec_ssrc) \
         + fec_hdr + payload_xor
@@ -69,8 +74,9 @@ def parse_fec_packet(pkt: bytes) -> Optional[dict]:
     sn_base, len_rec, e_pt = struct.unpack(">HHB", body[:5])
     ts_rec = struct.unpack(">I", body[8:12])[0]
     offset, na = body[13], body[14] if len(body) > 14 else 0
+    m_rec = bool(body[15] & 0x80) if len(body) > 15 else False
     return {"sn_base": sn_base, "len_rec": len_rec,
-            "pt_rec": e_pt & 0x7F, "ts_rec": ts_rec,
+            "pt_rec": e_pt & 0x7F, "m_rec": m_rec, "ts_rec": ts_rec,
             "offset": max(offset, 1), "na": na,
             "payload_xor": body[16:], "seq": h["seq"]}
 
@@ -166,6 +172,7 @@ class RtpSt2022FecDec(TransformElement):
             return None
         pay = fec["payload_xor"]
         pt = fec["pt_rec"]
+        marker = 1 if fec["m_rec"] else 0
         ts = fec["ts_rec"]
         length = fec["len_rec"]
         for s in run:
@@ -173,14 +180,15 @@ class RtpSt2022FecDec(TransformElement):
                 h = parse_rtp_header(self._media[s])
                 pay = _xor_bytes(pay, h["payload"])
                 pt ^= h["payload_type"]
+                marker ^= 1 if h["marker"] else 0
                 ts ^= h["timestamp"]
                 length ^= len(h["payload"])
         pay = pay[:length]
         self.recovered += 1
         return rtp_header(pt, missing[0], ts,
                           parse_rtp_header(
-                              next(iter(self._media.values())))["ssrc"]
-                          ) + pay
+                              next(iter(self._media.values())))["ssrc"],
+                          marker=bool(marker)) + pay
 
     def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
         if buf is None:
