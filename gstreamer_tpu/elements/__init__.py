@@ -80,6 +80,7 @@ from . import vpx_elements       # noqa: F401
 from . import libav              # noqa: F401
 from . import mpegps             # noqa: F401
 from . import hlssink            # noqa: F401
+from . import aes_misc           # noqa: F401
 from . import transcode          # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401

@@ -130,3 +130,43 @@ class HlsSink(HlsSink2):
     pre-muxed TS input goes through an octet pad."""
     FACTORY = "hlssink"
     DESCRIPTION = "HTTP Live Streaming sink"
+
+
+@register_element
+class DashSink(HlsSink2):
+    """dashsink (gst-plugins-bad/ext/dash/gstdashsink.c reduced):
+    same rotating-TS-segment writer, static-MPD manifest with a
+    SegmentList (pairs with dashdemux's SegmentList walk)."""
+    FACTORY = "dashsink"
+    DESCRIPTION = "Dynamic Adaptive Streaming over HTTP sink"
+    PROPERTIES = dict(
+        HlsSink2.PROPERTIES,
+        **{"mpd-filename": (str, "manifest.mpd", "manifest path")})
+
+    def stop(self):
+        self._close_segment(self._last_end_ns)
+        total = sum(d for _, d in self._segments)
+        maxd = max((d for _, d in self._segments), default=1.0)
+        root = self.props["playlist-root"]
+        urls = []
+        for path, _d in self._segments:
+            name = os.path.basename(path)
+            uri = f"{root.rstrip('/')}/{name}" if root else name
+            urls.append(f'      <SegmentURL media="{uri}"/>')
+        mpd = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"\n'
+            f'     mediaPresentationDuration="PT{total:.3f}S"\n'
+            '     profiles="urn:mpeg:dash:profile:isoff-main:2011">\n'
+            ' <Period>\n'
+            '  <AdaptationSet mimeType="video/mp2t">\n'
+            '   <Representation id="1" bandwidth="1000000">\n'
+            f'    <SegmentList duration="{maxd:.0f}">\n'
+            + "\n".join(urls) + "\n"
+            '    </SegmentList>\n'
+            '   </Representation>\n'
+            '  </AdaptationSet>\n'
+            ' </Period>\n'
+            '</MPD>\n')
+        with open(self.props["mpd-filename"], "w") as f:
+            f.write(mpd)

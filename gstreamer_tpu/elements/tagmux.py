@@ -77,3 +77,11 @@ class Id3v2Mux(TransformElement):
             else np.asarray(b).tobytes() for b in blobs)
         return buf.with_(data=np.frombuffer(tag + flat, np.uint8),
                          batch=1)
+
+
+@register_element
+class Id3Mux(Id3v2Mux):
+    """id3mux (gst-plugins-bad/gst/id3tag/gstid3mux.c): same writer,
+    v1+v2 capable element name."""
+    FACTORY = "id3mux"
+    DESCRIPTION = "Adds ID3 tags to mp3 streams"

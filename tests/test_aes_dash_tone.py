@@ -1,0 +1,110 @@
+"""aesenc/aesdec (ext/aes), tonegeneratesrc (ext/spandsp reduced),
+dashsink (ext/dash) and the id3mux alias."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.core.buffer import Buffer
+from gstreamer_tpu.core.parse import parse_launch
+from gstreamer_tpu.elements.aes_misc import aes_available
+from gstreamer_tpu.native import av as native_av
+
+needs_aes = pytest.mark.skipif(not aes_available(),
+                               reason="libcrypto missing")
+needs_av = pytest.mark.skipif(not native_av.available(),
+                              reason="libavcodec shim unavailable")
+
+KEY128 = "00112233445566778899aabbccddeeff"
+KEY256 = KEY128 * 2
+IV = "000102030405060708090a0b0c0d0e0f"
+
+
+@needs_aes
+@pytest.mark.parametrize("key", [KEY128, KEY256])
+def test_aes_roundtrip(key):
+    p = parse_launch(
+        f"appsrc name=in ! application/octet-stream ! "
+        f"aesenc key={key} iv={IV} ! aesdec key={key} ! "
+        "appsink name=out")
+    msg = b"secret payload 123" * 7
+    p.get_by_name("in").push_buffer(Buffer(
+        data=np.frombuffer(msg, np.uint8), pts=0))
+    p.get_by_name("in").end_of_stream()
+    p.run()
+    out = p.get_by_name("out").pull_sample()
+    assert np.asarray(out.buffer.data).tobytes() == msg
+
+
+@needs_aes
+def test_aes_wrong_key_fails():
+    p = parse_launch(
+        f"appsrc name=in ! application/octet-stream ! "
+        f"aesenc key={KEY128} iv={IV} ! "
+        f"aesdec key={'ff' * 16} ! appsink name=out")
+    p.get_by_name("in").push_buffer(Buffer(
+        data=np.frombuffer(b"x" * 64, np.uint8), pts=0))
+    p.get_by_name("in").end_of_stream()
+    with pytest.raises(ValueError):
+        p.run()
+
+
+@needs_aes
+def test_aes_ciphertext_differs_and_iv_serialized():
+    p = parse_launch(
+        f"appsrc name=in ! application/octet-stream ! "
+        f"aesenc key={KEY128} iv={IV} ! appsink name=out")
+    msg = b"hello aes" * 4
+    p.get_by_name("in").push_buffer(Buffer(
+        data=np.frombuffer(msg, np.uint8), pts=0))
+    p.get_by_name("in").end_of_stream()
+    p.run()
+    ct = np.asarray(p.get_by_name("out").pull_sample().buffer.data
+                    ).tobytes()
+    assert ct[:16] == bytes.fromhex(IV)       # serialize-iv default
+    assert msg not in ct
+
+
+def test_tonegeneratesrc_dtmf():
+    p = parse_launch("tonegeneratesrc freq=697 freq2=1209 "
+                     "num-buffers=4 ! appsink name=out")
+    p.run()
+    sink = p.get_by_name("out")
+    chunks = []
+    while (s := sink.pull_sample()) is not None:
+        chunks.append(np.asarray(s.buffer.data))
+    pcm = np.concatenate(chunks)[:, 0].astype(float)
+    spec = np.abs(np.fft.rfft(pcm[:4096]))
+    freqs = np.fft.rfftfreq(4096, 1 / 8000)
+    top = freqs[np.argsort(spec)[-4:]]
+    assert any(abs(f - 697) < 10 for f in top)
+    assert any(abs(f - 1209) < 10 for f in top)
+
+
+@needs_av
+def test_dashsink_roundtrip(tmp_path):
+    seg = tmp_path / "seg%05d.ts"
+    mpd = tmp_path / "manifest.mpd"
+    p = parse_launch(
+        f"dashsink name=h location={seg} mpd-filename={mpd} "
+        "target-duration=1 ! fakesink "
+        "videotestsrc num-buffers=60 pattern=gradient ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "x264enc ! h.sink_0")
+    p.run()
+    text = mpd.read_text()
+    assert "SegmentList" in text and text.count("SegmentURL") == 2
+    d = parse_launch(f"dashdemux uri={mpd} stream=video ! "
+                     "appsink name=out")
+    d.run()
+    sink = d.get_by_name("out")
+    n = 0
+    while (s := sink.pull_sample()) is not None:
+        n += np.asarray(s.buffer.data[0]).shape[0]
+    assert n == 60
+
+
+def test_id3mux_alias():
+    from gstreamer_tpu.core.element import factory_exists
+    assert factory_exists("id3mux")
