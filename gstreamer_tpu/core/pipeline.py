@@ -752,6 +752,8 @@ class Pipeline(Bin):
                 import numpy as _np
 
                 def _stage(x):
+                    if isinstance(x, (str, bytes, bytearray)):
+                        return x             # text cues stay on host
                     if isinstance(x, _np.ndarray) \
                             and not x.flags["C_CONTIGUOUS"]:
                         # strided views (plane slices) hit a slow

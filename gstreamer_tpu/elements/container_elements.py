@@ -642,6 +642,8 @@ class AviDemux(SourceElement):
                 return Caps.any()
         if not self._loaded:
             caps = Caps.any()
+        elif getattr(self, "_caps_override", None) is not None:
+            caps = self._caps_override
         elif getattr(self, "_coded", None):
             caps = self._coded_caps()
         else:
@@ -656,6 +658,14 @@ class AviDemux(SourceElement):
 
     def create(self, n_frames: int) -> Optional[Buffer]:
         info = self._info
+        if getattr(self, "_cues", None) is not None:
+            if self._pos >= len(self._cues):
+                return None
+            s_ns, e_ns, txt = self._cues[self._pos]
+            self._pos += 1
+            return Buffer(data=[txt], batch=1, pts=s_ns,
+                          duration=e_ns - s_ns,
+                          meta={"cues": [(s_ns, e_ns, txt)]})
         if self._adata is not None:
             if self._pos >= len(self._adata):
                 return None
@@ -764,6 +774,9 @@ BIT_DEPTH = 0x6264
 CLUSTER = 0x1F43B675
 CLUSTER_TS = 0xE7
 SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
+BLOCK_DURATION = 0x9B
 CODEC_PRIVATE = 0x63A2
 
 
@@ -786,6 +799,9 @@ class MatroskaMux(AggregatorElement):
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved; "
                     "audio/mpeg, mpegversion=4, stream-format=raw",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("subtitle_%u", PadDirection.SINK,
+                    "text/x-raw, format=utf8",
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/x-matroska"),
     ]
@@ -834,6 +850,8 @@ class MatroskaMux(AggregatorElement):
                     self._vinfo = True
                 else:
                     self._vinfo = VideoInfo.from_caps_structure(s)
+            elif pad_name.startswith("subtitle"):
+                self._sinfo = True
             else:
                 if s.name == "audio/mpeg":
                     # coded AAC passthrough (A_AAC, ASC CodecPrivate)
@@ -950,6 +968,14 @@ class MatroskaMux(AggregatorElement):
                 ebml_uint(TRACK_NUMBER, 2) + ebml_uint(TRACK_UID, 2)
                 + ebml_uint(TRACK_TYPE, 2) + codec
                 + ebml_elem(AUDIO, audio))
+        if getattr(self, "_sinfo", None):
+            # S_TEXT/UTF8 subtitle track (matroska-mux.c subtitle
+            # pads; cues carried as BlockGroup + BlockDuration)
+            entries += ebml_elem(
+                TRACK_ENTRY,
+                ebml_uint(TRACK_NUMBER, 3) + ebml_uint(TRACK_UID, 3)
+                + ebml_uint(TRACK_TYPE, 0x11)
+                + ebml_str(CODEC_ID, "S_TEXT/UTF8"))
         return ebml_elem(TRACKS, entries)
 
     def start(self):
@@ -1054,6 +1080,32 @@ class MatroskaMux(AggregatorElement):
                         ebml_size(1) + struct.pack(">h", rel) + b"\x80"
                         + raw[k].tobytes())
                     self._vframes += 1
+            elif pad_name.startswith("subtitle"):
+                cues = (buf.meta or {}).get("cues")
+                if cues is None:
+                    texts = (buf.data if isinstance(buf.data, list)
+                             else [buf.data])
+                    start = buf.pts or 0
+                    dur = buf.duration or 1_000_000_000
+                    cues = [(start, start + dur,
+                             t if isinstance(t, str)
+                             else np.asarray(t).tobytes().decode(
+                                 "utf-8", "replace"))
+                            for t in texts]
+                for s_ns, e_ns, txt in cues:
+                    ts_ms = int(s_ns // 1_000_000)
+                    dur_ms = max(int((e_ns - s_ns) // 1_000_000), 1)
+                    block = (ebml_size(3) + struct.pack(">h", 0)
+                             + b"\x00" + txt.encode("utf-8"))
+                    group = ebml_elem(
+                        BLOCK_GROUP,
+                        ebml_elem(BLOCK, block)
+                        + ebml_uint(BLOCK_DURATION, dur_ms))
+                    # one cluster per cue keeps relative timestamps
+                    # within int16 range
+                    self._file.write(ebml_elem(
+                        CLUSTER, ebml_uint(CLUSTER_TS, ts_ms)
+                        + group))
             elif self._acodec == "aac":
                 ai = self._ainfo
                 for blob in _video_blobs(buf):
@@ -1192,7 +1244,7 @@ def _parse_matroska(path: str):
     with open(path, "rb") as f:
         data = f.read()
     tracks = []
-    blocks = []         # (track_number, abs_ts_ms, offset, size)
+    blocks = []   # (track_number, abs_ts_ms, offset, size, dur_ms)
 
     def walk(pos, end, cluster_ts=0):
         while pos < end and pos + 2 <= len(data):
@@ -1214,7 +1266,28 @@ def _parse_matroska(path: str):
                 rel = struct.unpack(">h", data[p2:p2 + 2])[0]
                 payload = p2 + 3
                 blocks.append((tno, cluster_ts + rel, payload,
-                               body + size - payload))
+                               body + size - payload, None))
+            elif eid == BLOCK_GROUP:
+                bpos, bend = body, body + size
+                binfo = None
+                bdur = None
+                while bpos < bend:
+                    sid, bpos = _ebml_read_id(data, bpos)
+                    ssz, bpos2 = _ebml_read_size(data, bpos)
+                    bpos = bpos2
+                    if sid == BLOCK:
+                        tno, p2 = _ebml_read_size(data, bpos)
+                        rel = struct.unpack(">h",
+                                            data[p2:p2 + 2])[0]
+                        payload = p2 + 3
+                        binfo = (tno, cluster_ts + rel, payload,
+                                 bpos + ssz - payload)
+                    elif sid == BLOCK_DURATION:
+                        bdur = int.from_bytes(data[bpos:bpos + ssz],
+                                              "big")
+                    bpos += ssz
+                if binfo is not None:
+                    blocks.append(binfo + (bdur,))
             pos = body + size
 
     walk(0, len(data))
@@ -1299,16 +1372,38 @@ class MatroskaDemux(SourceElement):
         for tr in tracks:
             if sel == str(tr.get("number")) or \
                (sel == "video" and tr.get("type") == 1) or \
-               (sel == "audio" and tr.get("type") == 2):
+               (sel == "audio" and tr.get("type") == 2) or \
+               (sel in ("subtitle", "text")
+                    and tr.get("type") == 0x11):
                 track = tr
                 break
         if track is None:
             raise ValueError(f"matroskademux: no stream {sel!r}")
         self._track = track
-        self._blocks = [(ts, off, size) for tno, ts, off, size in blocks
+        self._blocks = [(ts, off, size)
+                        for tno, ts, off, size, _dur in blocks
                         if tno == track["number"]]
+        self._block_durs = [dur for tno, _, _, _, dur in blocks
+                            if tno == track["number"]]
         self._data = data
         self._coded = None
+        if track.get("type") == 0x11:
+            self._cues = [
+                (ts * 1_000_000,
+                 (ts + (dur if dur is not None else 1000))
+                 * 1_000_000,
+                 data[off:off + size].decode("utf-8", "replace"))
+                for (ts, off, size), dur
+                in zip(self._blocks, self._block_durs)]
+            from ..core.structure import Structure
+            self._info = None
+            self._caps_override = Caps([Structure(
+                "text/x-raw", {"format": "utf8"})])
+            # text cues are host data — keep this instance out of
+            # the fused device program
+            self.HOST_ELEMENT = True
+            self._loaded = True
+            return
         if track.get("type") == 1:
             codec = track.get("codec")
             fd = track.get("frame_dur", 40_000_000)
@@ -1494,6 +1589,8 @@ class MatroskaDemux(SourceElement):
                 return Caps.any()
         if not self._loaded:
             caps = Caps.any()
+        elif getattr(self, "_caps_override", None) is not None:
+            caps = self._caps_override
         elif getattr(self, "_coded", None):
             caps = self._coded_caps()
         else:
@@ -1508,6 +1605,14 @@ class MatroskaDemux(SourceElement):
 
     def create(self, n_frames: int) -> Optional[Buffer]:
         info = self._info
+        if getattr(self, "_cues", None) is not None:
+            if self._pos >= len(self._cues):
+                return None
+            s_ns, e_ns, txt = self._cues[self._pos]
+            self._pos += 1
+            return Buffer(data=[txt], batch=1, pts=s_ns,
+                          duration=e_ns - s_ns,
+                          meta={"cues": [(s_ns, e_ns, txt)]})
         if self._adata is not None:
             if self._pos >= len(self._adata):
                 return None

@@ -283,6 +283,8 @@ class SubParse(TransformElement):
                     "text/x-raw, format=utf8"),
     ]
 
+    _decouple = True                     # EOS drain flushes held cues
+
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._acc = b""
@@ -299,7 +301,26 @@ class SubParse(TransformElement):
         self._acc = b""
         self._emitted = 0
 
-    def host_process(self, buf: Buffer) -> Optional[Buffer]:
+    @property
+    def _pending_buf(self):
+        return True if self._acc else None
+
+    def _emit(self, new, base: Buffer) -> Optional[Buffer]:
+        if not new:
+            return None
+        self._emitted += len(new)
+        start, end, _ = new[0]
+        return base.with_(data=[t for (_, _, t) in new],
+                          pts=start, duration=end - start,
+                          batch=len(new),
+                          meta=dict(base.meta or {}, cues=new))
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:                  # EOS drain: flush held cues
+            text = self._acc.decode("utf-8", errors="replace")
+            cues = _SUB_PARSERS[detect_sub_format(text)](text)
+            return self._emit(cues[self._emitted:],
+                              Buffer(data=[], batch=0))
         data = buf.data
         leaves = data if isinstance(data, (tuple, list)) else (data,)
         for leaf in leaves:
@@ -307,18 +328,12 @@ class SubParse(TransformElement):
         text = self._acc.decode("utf-8", errors="replace")
         cues = _SUB_PARSERS[detect_sub_format(text)](text)
         new = cues[self._emitted:]
-        # hold back the final cue unless the block is clearly terminated
-        # (more bytes may extend it)
-        if new and not text.rstrip().endswith(("\n", ".")) \
+        # hold back the final cue when the text may still be growing
+        # (no trailing terminator); the EOS drain flushes it
+        if new and not text.endswith(("\n", "\r", ".")) \
                 and len(new) > 1:
             new = new[:-1]
-        if not new:
-            return None
-        self._emitted += len(new)
-        start, end, _ = new[0]
-        return buf.with_(data=[t for (_, _, t) in new],
-                         pts=start, duration=end - start, batch=len(new),
-                         meta=dict(buf.meta, cues=new))
+        return self._emit(new, buf)
 
 
 @register_element

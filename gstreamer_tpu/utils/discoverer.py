@@ -105,7 +105,7 @@ class Discoverer:
         from ..elements.container_elements import (FOURCC_VIDEO,
                                                    _parse_matroska)
         tracks, blocks, _ = _parse_matroska(path)
-        last_ts = max((ts for _, ts, _, _ in blocks), default=0)
+        last_ts = max((b[1] for b in blocks), default=0)
         info.duration_ns = last_ts * 1_000_000 or None
         for tr in tracks:
             if tr.get("type") == 1:

@@ -246,7 +246,8 @@ def test_mux_demux_theora_bit_exact_vs_libtheoradec(tmp_path):
     assert track["codec"] == "V_THEORA"
     assert track["width"] == 64 and track["height"] == 48
     headers = ce._parse_xiph_private(track["codec_private"])
-    packets = [data[off:off + size] for _, _, off, size in blocks]
+    packets = [data[off:off + size]
+               for _, _, off, size, _d in blocks]
     gold, _info = to.decode_packets(headers, packets)
     pd = parse_launch(
         f"matroskademux location={path} stream=video ! appsink name=out")
@@ -282,3 +283,74 @@ def test_mux_demux_theora_vorbis_av(tmp_path):
     pa.run()
     pcm = _pull_audio(pa)
     assert len(pcm) > 4096 and pcm.dtype == np.float32
+
+
+def test_mkv_subtitle_track_roundtrip(tmp_path):
+    """S_TEXT/UTF8 subtitle tracks: subparse cues muxed as
+    BlockGroup + BlockDuration, demuxed with exact timing
+    (matroska-mux.c subtitle pads / matroska-demux.c)."""
+    path = tmp_path / "s.mkv"
+    srt = (b"1\n00:00:00,000 --> 00:00:01,000\nHello world\n\n"
+           b"2\n00:00:01,000 --> 00:00:02,500\nSecond cue\n")
+    p = parse_launch(
+        f"matroskamux name=m location={path} ! fakesink "
+        "videotestsrc num-buffers=3 ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "m.video_0 "
+        "appsrc name=subs ! application/octet-stream ! subparse ! "
+        "m.subtitle_0")
+    from gstreamer_tpu.core.buffer import Buffer
+    p.get_by_name("subs").push_buffer(Buffer(
+        data=np.frombuffer(srt, np.uint8), pts=0))
+    p.get_by_name("subs").end_of_stream()
+    p.run()
+    assert b"S_TEXT/UTF8" in path.read_bytes()
+    d = parse_launch(f"matroskademux location={path} "
+                     "stream=subtitle ! appsink name=out")
+    d.run()
+    sink = d.get_by_name("out")
+    cues = []
+    while (s := sink.pull_sample()) is not None:
+        cues.append((s.buffer.pts, s.buffer.duration,
+                     s.buffer.data[0]))
+    assert cues == [(0, 1_000_000_000, "Hello world"),
+                    (1_000_000_000, 1_500_000_000, "Second cue")]
+
+
+def test_blockgroup_parsing(tmp_path):
+    """BlockGroup/Block/BlockDuration clusters (real-world muxers use
+    them) parse alongside SimpleBlocks."""
+    path = tmp_path / "bg.mkv"
+    header = (ce.ebml_uint(0x4286, 1) + ce.ebml_uint(0x42F7, 1)
+              + ce.ebml_uint(0x42F2, 4) + ce.ebml_uint(0x42F3, 8)
+              + ce.ebml_str(0x4282, "matroska")
+              + ce.ebml_uint(0x4287, 2) + ce.ebml_uint(0x4285, 2))
+    entry = (ce.ebml_uint(ce.TRACK_NUMBER, 1)
+             + ce.ebml_uint(ce.TRACK_UID, 1)
+             + ce.ebml_uint(ce.TRACK_TYPE, 0x11)
+             + ce.ebml_str(ce.CODEC_ID, "S_TEXT/UTF8"))
+    block = (ce.ebml_size(1) + struct.pack(">h", 5) + b"\x00"
+             + b"via blockgroup")
+    group = ce.ebml_elem(
+        ce.BLOCK_GROUP,
+        ce.ebml_elem(ce.BLOCK, block)
+        + ce.ebml_uint(ce.BLOCK_DURATION, 750))
+    cluster = ce.ebml_elem(ce.CLUSTER,
+                           ce.ebml_uint(ce.CLUSTER_TS, 100) + group)
+    seg = (ce.ebml_elem(ce.SEG_INFO,
+                        ce.ebml_uint(ce.TIMESTAMP_SCALE, 1_000_000))
+           + ce.ebml_elem(ce.TRACKS,
+                          ce.ebml_elem(ce.TRACK_ENTRY, entry))
+           + cluster)
+    path.write_bytes(ce.ebml_elem(ce.EBML_HEADER, header)
+                     + ce.ebml_id(ce.SEGMENT) + b"\xFF" + seg)
+    tracks, blocks, data = ce._parse_matroska(str(path))
+    assert blocks[0][0] == 1 and blocks[0][1] == 105
+    assert blocks[0][4] == 750
+    d = parse_launch(f"matroskademux location={path} "
+                     "stream=subtitle ! appsink name=out")
+    d.run()
+    s = d.get_by_name("out").pull_sample()
+    assert s.buffer.data[0] == "via blockgroup"
+    assert s.buffer.pts == 105_000_000
+    assert s.buffer.duration == 750_000_000
