@@ -82,6 +82,7 @@ from . import mpegps             # noqa: F401
 from . import hlssink            # noqa: F401
 from . import aes_misc           # noqa: F401
 from . import transcode          # noqa: F401
+from . import cc_sei             # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401
