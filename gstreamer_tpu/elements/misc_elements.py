@@ -24,7 +24,8 @@ import numpy as np
 
 from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
-from ..core.element import (PadDirection, PadTemplate, TransformElement,
+from ..core.element import (AggregatorElement, PadDirection,
+                            PadTemplate, TransformElement,
                             register_element)
 from ..video.info import VideoInfo
 
@@ -252,3 +253,107 @@ class AudioBufferSplit(TransformElement):
         self._out_count += take
         return buf.with_(data=out, pts=pts,
                          duration=take * 1_000_000_000 // rate)
+
+
+@register_element
+class VideoFrameAudioLevel(AggregatorElement):
+    """videoframe_audiolevel (gst-plugins-bad/gst/videoframe_audiolevel/
+    gstvideoframe-audiolevel.c): passes video through while posting one
+    RMS-per-channel message for the audio that accompanies each video
+    frame."""
+    FACTORY = "videoframe_audiolevel"
+    DESCRIPTION = "Synchronized audio/video RMS messages"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("video", PadDirection.SINK, "video/x-raw"),
+        PadTemplate("audio", PadDirection.SINK,
+                    "audio/x-raw, format={ S16LE, F32LE }, "
+                    "layout=interleaved"),
+        PadTemplate("src", PadDirection.SRC, "video/x-raw"),
+    ]
+
+    def negotiate_output(self, in_caps, allowed):
+        return in_caps.get("video")
+
+    def host_aggregate(self, ins):
+        import numpy as _np
+        vbuf = ins.get("video")
+        abuf = ins.get("audio")
+        if abuf is not None:
+            x = _np.asarray(abuf.data)
+            if x.ndim == 1:
+                x = x[:, None]
+            if x.dtype == _np.int16:
+                x = x.astype(_np.float64) / 32768.0
+            rms = _np.sqrt((x.astype(_np.float64) ** 2).mean(axis=0))
+            root = self
+            while getattr(root, "parent", None) is not None:
+                root = root.parent
+            bus = getattr(root, "bus", None)
+            if bus is not None:
+                from ..core.pipeline import Message
+                bus.post(Message("element", self.name, {
+                    "type": "videoframe-audiolevel",
+                    "rms": [float(r) for r in rms],
+                    "timestamp": vbuf.pts if vbuf is not None
+                    else abuf.pts}))
+        return vbuf if vbuf is not None else abuf
+
+
+@register_element
+class SpanPlc(TransformElement):
+    """spanplc (gst-plugins-bad/ext/spandsp/gstspanplc.c reduced):
+    packet loss concealment — GAP buffers (flagged or zero-length
+    meta 'gap') are filled by pitch-repeating the last good audio,
+    with a linear fade toward silence."""
+    FACTORY = "spanplc"
+    DESCRIPTION = "Packet loss concealment for audio"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "audio/x-raw, format=S16LE, layout=interleaved"),
+        PadTemplate("src", PadDirection.SRC,
+                    "audio/x-raw, format=S16LE, layout=interleaved"),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._history = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string(
+            "audio/x-raw, format=S16LE, layout=interleaved")
+        if caps is not None and not caps.is_any and len(caps):
+            res = caps
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._history = None
+
+    def host_process(self, buf):
+        import numpy as _np
+        if buf is None:
+            return None
+        is_gap = bool((buf.meta or {}).get("gap"))
+        x = _np.asarray(buf.data)
+        if x.ndim == 1:
+            x = x[:, None]
+        if not is_gap and x.size and _np.any(x):
+            self._history = x[-2048:].copy()
+            return buf
+        n = x.shape[0]
+        if self._history is None or not len(self._history):
+            return buf
+        # repeat the history tail and fade to silence over the gap
+        reps = -(-n // len(self._history))
+        fill = _np.tile(self._history, (reps, 1))[:n].astype(
+            _np.float64)
+        fade = _np.linspace(1.0, 0.0, n)[:, None]
+        out = _np.clip(_np.round(fill * fade), -32768,
+                       32767).astype(_np.int16)
+        return buf.with_(data=out)

@@ -108,3 +108,36 @@ def test_dashsink_roundtrip(tmp_path):
 def test_id3mux_alias():
     from gstreamer_tpu.core.element import factory_exists
     assert factory_exists("id3mux")
+
+
+def test_videoframe_audiolevel_messages():
+    p = parse_launch(
+        "videoframe_audiolevel name=v ! fakesink "
+        "videotestsrc num-buffers=3 ! "
+        "video/x-raw,format=I420,width=32,height=32,framerate=30/1 ! "
+        "v.video "
+        "audiotestsrc num-buffers=3 samplesperbuffer=1470 ! v.audio")
+    p.run()
+    msgs = [m for m in p.bus.messages()
+            if m.type == "element"
+            and m.data.get("type") == "videoframe-audiolevel"]
+    assert len(msgs) == 3
+    # audiotestsrc default 0.8 sine -> RMS 0.8/sqrt(2)
+    assert abs(msgs[0].data["rms"][0] - 0.8 / np.sqrt(2)) < 0.01
+
+
+def test_spanplc_conceals_gap():
+    from gstreamer_tpu.elements.misc_elements import SpanPlc
+    plc = SpanPlc()
+    plc.start()
+    t = np.arange(2048) / 8000
+    good = np.clip(np.round(np.sin(2 * np.pi * 400 * t) * 10000),
+                   -32768, 32767).astype(np.int16)[:, None]
+    plc.host_process(Buffer(data=good, batch=1))
+    gap = plc.host_process(Buffer(data=np.zeros((800, 1), np.int16),
+                                  batch=1, meta={"gap": True}))
+    out = np.asarray(gap.data)[:, 0].astype(float)
+    head = np.sqrt((out[:100] ** 2).mean())
+    tail = np.sqrt((out[-100:] ** 2).mean())
+    assert head > 3000          # concealment energy present
+    assert tail < head / 4      # fading toward silence
