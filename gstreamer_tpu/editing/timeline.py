@@ -128,8 +128,14 @@ class UriClip(Clip):
         loc = self.location
         if loc.endswith(".avi"):
             return f"avidemux location={loc} stream={kind}"
-        if loc.endswith(".mkv"):
+        if loc.endswith((".mkv", ".webm")):
             return f"matroskademux location={loc} stream={kind}"
+        if loc.endswith((".mp4", ".mov")):
+            return f"qtdemux location={loc} stream={kind}"
+        if loc.endswith((".ts", ".m2ts")):
+            return f"tsdemux location={loc}"
+        if loc.endswith((".ogg", ".ogv", ".oga")):
+            return f"oggdemux location={loc} stream={kind}"
         if kind == "audio":
             return f"wavparse location={loc}"
         return f"filesrc location={loc}"
@@ -139,6 +145,30 @@ class UriClip(Clip):
 
     def audio_launch(self, track):
         return self._src_for("audio") + self._effect_chain()
+
+
+@dataclass
+class TitleClip(Clip):
+    """ges-title-clip.c (reduced): rendered text over a solid
+    background via the textoverlay family."""
+    text: str = ""
+    background: str = "black"        # videotestsrc pattern
+    font_size: int = 24
+    valignment: str = "center"
+    halignment: str = "center"
+
+    def video_launch(self, track):
+        text = self.text.replace("\"", "")
+        return (f"videotestsrc pattern={self.background} ! "
+                f"textoverlay text=\"{text}\" "
+                f"font-size={self.font_size} "
+                f"valignment={self.valignment} "
+                f"halignment={self.halignment}"
+                + self._effect_chain())
+
+    def audio_launch(self, track):
+        return ("audiotestsrc wave=silence"
+                + self._effect_chain())
 
 
 @dataclass

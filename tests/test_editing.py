@@ -210,3 +210,38 @@ class TestKeyframedEffects:
         head = np.abs(pcm[: n // 8]).max()
         tail = np.abs(pcm[-n // 8:]).max()
         assert head > 3 * max(tail, 1e-9), (head, tail)
+
+
+def test_title_clip_renders_text():
+    """ges-title-clip.c analog: text over a solid background
+    (64x48: the bitmap font needs room beyond textoverlay's default
+    padding)."""
+    from gstreamer_tpu.editing.timeline import TitleClip
+    tracks = (VideoTrack(width=64, height=48, fps=Fraction(10, 1)),
+              AudioTrack(rate=8000, channels=1))
+    tl = Timeline(*tracks)
+    layer = tl.append_layer()
+    layer.add_clip(TitleClip(start=0, duration=NS, text="HI",
+                             background="black", font_size=20))
+    frames = render_video(tl)
+    y = np.asarray(frames[0][0])
+    assert (y > 128).sum() > 0           # glyph pixels on black
+    # a blank title on black has no bright pixels
+    tl2 = Timeline(VideoTrack(width=64, height=48,
+                              fps=Fraction(10, 1)),
+                   AudioTrack(rate=8000, channels=1))
+    tl2.append_layer().add_clip(TitleClip(
+        start=0, duration=NS, text="", background="black"))
+    y2 = np.asarray(render_video(tl2)[0][0])
+    assert (y2 > 128).sum() == 0
+
+
+def test_uri_clip_mp4_route(tmp_path):
+    """UriClip routes .mp4 through qtdemux."""
+    from gstreamer_tpu.editing.timeline import UriClip
+    clip = UriClip(start=0, duration=NS, location="/x/a.mp4")
+    assert "qtdemux" in clip.video_launch(None)
+    clip = UriClip(start=0, duration=NS, location="/x/a.webm")
+    assert "matroskademux" in clip.video_launch(None)
+    clip = UriClip(start=0, duration=NS, location="/x/a.ogv")
+    assert "oggdemux" in clip.video_launch(None)
