@@ -777,6 +777,11 @@ SIMPLE_BLOCK = 0xA3
 BLOCK_GROUP = 0xA0
 BLOCK = 0xA1
 BLOCK_DURATION = 0x9B
+BLOCK_ADDITIONS = 0x75A1
+BLOCK_MORE = 0xA6
+BLOCK_ADD_ID = 0xEE
+BLOCK_ADDITIONAL = 0xA5
+MAX_BLOCK_ADDITION_ID = 0x55EE
 CODEC_PRIVATE = 0x63A2
 
 
@@ -791,7 +796,7 @@ class MatroskaMux(AggregatorElement):
     DOCTYPE = "matroska"
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
-                    "video/x-raw, format={ I420, YUY2, UYVY }"
+                    "video/x-raw, format={ I420, YUY2, UYVY, A420 }"
                     + _CODED_VIDEO_CAPS
                     + "; video/x-h265, stream-format=byte-stream, "
                       "alignment=au; video/x-av1",
@@ -867,9 +872,10 @@ class MatroskaMux(AggregatorElement):
         vc = self.props.get("video-codec")
         if vc in ("theora", "vp8", "vp9") \
                 and self._vinfo is not None and not self._vcodec:
-            if self._vinfo.finfo.name != "I420":
+            ok = ("I420",) if vc == "theora" else ("I420", "A420")
+            if self._vinfo.finfo.name not in ok:
                 raise ValueError(
-                    f"matroskamux: {vc} needs I420 input")
+                    f"matroskamux: {vc} needs {'/'.join(ok)} input")
             self._venc = vc
         if self._acodec == "vorbis" and self._vcodec:
             raise ValueError("matroskamux: audio-codec=vorbis cannot "
@@ -925,6 +931,8 @@ class MatroskaMux(AggregatorElement):
                 if self._venc == "theora":
                     codec += ebml_elem(CODEC_PRIVATE,
                                        _xiph_lace(self._thdrs))
+                elif vi.finfo.name == "A420":
+                    codec += ebml_uint(MAX_BLOCK_ADDITION_ID, 1)
                 entries += ebml_elem(
                     TRACK_ENTRY,
                     ebml_uint(TRACK_NUMBER, 1) + ebml_uint(TRACK_UID, 1)
@@ -1158,12 +1166,30 @@ class MatroskaMux(AggregatorElement):
             from ..codecs import vpx as pvpx
             vi = self._vinfo
             fps = vi.fps
+            has_alpha = len(self._vraw[0]) == 4
+            color = [f[:3] for f in self._vraw]
             pkts = pvpx.encode_frames(
-                self._venc, self._vraw, vi.width, vi.height,
+                self._venc, color, vi.width, vi.height,
                 (fps.num, fps.denom))
+            apkts = None
+            if has_alpha:
+                grey = [(f[3],
+                         np.full(((vi.height + 1) // 2,
+                                  (vi.width + 1) // 2), 128,
+                                 np.uint8),
+                         np.full(((vi.height + 1) // 2,
+                                  (vi.width + 1) // 2), 128,
+                                 np.uint8)) for f in self._vraw]
+                apkts = [p for p, _ in pvpx.encode_frames(
+                    self._venc, grey, vi.width, vi.height,
+                    (fps.num, fps.denom))]
             for i, (pkt, key) in enumerate(pkts):
                 ts = i * 1000 * fps.denom // fps.num
-                blocks.append((ts, 1, 0x80 if key else 0x00, pkt))
+                extra = (apkts[i] if apkts and i < len(apkts)
+                         else None)
+                blocks.append((ts, 1, 0x80 if key else 0x00, pkt)
+                              + ((extra,) if extra is not None
+                                 else ()))
         elif self._vinfo is not None and self._vraw:
             fps = self._vinfo.fps
             for i, raw in enumerate(self._vraw):
@@ -1197,11 +1223,21 @@ class MatroskaMux(AggregatorElement):
             cts = blocks[pos][0]
             body = ebml_uint(CLUSTER_TS, cts)
             while pos < len(blocks) and blocks[pos][0] - cts < 1000:
-                ts, tno, flags, payload = blocks[pos]
-                body += ebml_elem(
-                    SIMPLE_BLOCK,
-                    ebml_size(tno) + struct.pack(">h", ts - cts)
-                    + bytes([flags]) + payload)
+                entry = blocks[pos]
+                ts, tno, flags, payload = entry[:4]
+                raw = (ebml_size(tno) + struct.pack(">h", ts - cts)
+                       + bytes([flags]) + payload)
+                if len(entry) > 4:           # alpha BlockAdditional
+                    more = ebml_elem(
+                        BLOCK_MORE,
+                        ebml_uint(BLOCK_ADD_ID, 1)
+                        + ebml_elem(BLOCK_ADDITIONAL, entry[4]))
+                    body += ebml_elem(
+                        BLOCK_GROUP,
+                        ebml_elem(BLOCK, raw)
+                        + ebml_elem(BLOCK_ADDITIONS, more))
+                else:
+                    body += ebml_elem(SIMPLE_BLOCK, raw)
                 pos += 1
             self._file.write(ebml_elem(CLUSTER, body))
 
@@ -1240,11 +1276,12 @@ def _ebml_read_size(data: bytes, pos: int) -> Tuple[Optional[int], int]:
     return val, pos + length
 
 
-def _parse_matroska(path: str):
+def _parse_matroska(path: str, with_additions: bool = False):
     with open(path, "rb") as f:
         data = f.read()
     tracks = []
     blocks = []   # (track_number, abs_ts_ms, offset, size, dur_ms)
+    additions = []  # per-block: None or (offset, size) of additional
 
     def walk(pos, end, cluster_ts=0):
         while pos < end and pos + 2 <= len(data):
@@ -1267,10 +1304,12 @@ def _parse_matroska(path: str):
                 payload = p2 + 3
                 blocks.append((tno, cluster_ts + rel, payload,
                                body + size - payload, None))
+                additions.append(None)
             elif eid == BLOCK_GROUP:
                 bpos, bend = body, body + size
                 binfo = None
                 bdur = None
+                badd = None
                 while bpos < bend:
                     sid, bpos = _ebml_read_id(data, bpos)
                     ssz, bpos2 = _ebml_read_size(data, bpos)
@@ -1285,12 +1324,31 @@ def _parse_matroska(path: str):
                     elif sid == BLOCK_DURATION:
                         bdur = int.from_bytes(data[bpos:bpos + ssz],
                                               "big")
+                    elif sid == BLOCK_ADDITIONS:
+                        apos, aend = bpos, bpos + ssz
+                        while apos < aend:
+                            aid, apos = _ebml_read_id(data, apos)
+                            asz, apos = _ebml_read_size(data, apos)
+                            if aid == BLOCK_MORE:
+                                mpos, mend = apos, apos + asz
+                                while mpos < mend:
+                                    mid, mpos = _ebml_read_id(
+                                        data, mpos)
+                                    msz, mpos = _ebml_read_size(
+                                        data, mpos)
+                                    if mid == BLOCK_ADDITIONAL:
+                                        badd = (mpos, msz)
+                                    mpos += msz
+                            apos += asz
                     bpos += ssz
                 if binfo is not None:
                     blocks.append(binfo + (bdur,))
+                    additions.append(badd)
             pos = body + size
 
     walk(0, len(data))
+    if with_additions:
+        return tracks, blocks, data, additions
     return tracks, blocks, data
 
 
@@ -1366,7 +1424,8 @@ class MatroskaDemux(SourceElement):
     def _load(self):
         if self._loaded:
             return
-        tracks, blocks, data = _parse_matroska(self.props["location"])
+        tracks, blocks, data, additions = _parse_matroska(
+            self.props["location"], with_additions=True)
         sel = self.props["stream"]
         track = None
         for tr in tracks:
@@ -1380,11 +1439,13 @@ class MatroskaDemux(SourceElement):
         if track is None:
             raise ValueError(f"matroskademux: no stream {sel!r}")
         self._track = track
-        self._blocks = [(ts, off, size)
-                        for tno, ts, off, size, _dur in blocks
-                        if tno == track["number"]]
-        self._block_durs = [dur for tno, _, _, _, dur in blocks
-                            if tno == track["number"]]
+        picked = [k for k, b in enumerate(blocks)
+                  if b[0] == track["number"]]
+        self._blocks = [(blocks[k][1], blocks[k][2], blocks[k][3])
+                        for k in picked]
+        self._block_durs = [blocks[k][4] for k in picked]
+        self._block_adds = [additions[k] if k < len(additions)
+                            else None for k in picked]
         self._data = data
         self._coded = None
         if track.get("type") == 0x11:
@@ -1524,16 +1585,35 @@ class MatroskaDemux(SourceElement):
     def _load_vpx(self, track: dict, frame_dur: int,
                   codec: str) -> None:
         """V_VP8 / V_VP9 (WebM tracks): one packet per block, no
-        CodecPrivate; decoded by the libvpx-backed codecs/vpx.py
-        (matroska-demux.c vp8/vp9 handling)."""
+        CodecPrivate; decoded by the libvpx-backed codecs/vpx.py.
+        BlockAdditions carry an alpha VP8/VP9 stream (the WebM
+        transparency convention; codec-alpha in the reference) —
+        decoded as a second stream whose luma becomes the A plane
+        (matroska-demux.c vp8/vp9 + codecalpha handling)."""
         from ..codecs import vpx as pvpx
         self._frames = pvpx.decode_packets(codec, self._payloads())
         if not self._frames:
             raise ValueError("matroskademux: empty vpx track")
+        fmt = "I420"
+        if any(a is not None for a in self._block_adds):
+            adec = pvpx.VpxDecoder(codec)
+            alphas = []
+            for (off, size), frame in zip(
+                    (a or (0, 0) for a in self._block_adds),
+                    self._frames):
+                if size:
+                    outs = adec.decode(self._data[off:off + size])
+                    alphas.append(outs[0][0] if outs
+                                  else np.full_like(frame[0], 255))
+                else:
+                    alphas.append(np.full_like(frame[0], 255))
+            self._frames = [f + (a,) for f, a in
+                            zip(self._frames, alphas)]
+            fmt = "A420"
         h, w = self._frames[0][0].shape
         fps = (Fraction(1_000_000_000, frame_dur) if frame_dur
                else Fraction(30, 1))
-        self._info = VideoInfo(format="I420",
+        self._info = VideoInfo(format=fmt,
                                width=track.get("width", w),
                                height=track.get("height", h), fps=fps)
 

@@ -145,3 +145,37 @@ def test_ivf_parse_errors():
     hdr = vpx.ivf_header("vp8", 64, 48, (30, 1), 0)
     codec, w, h, fps, pkts = vpx.parse_ivf(hdr)
     assert (codec, w, h, pkts) == ("vp8", 64, 48, [])
+
+
+@needs_vpx
+def test_webm_alpha_roundtrip(tmp_path):
+    """WebM transparency: the alpha plane travels as a second VP8
+    stream in BlockAdditions (the codec-alpha convention —
+    gst-plugins-bad/gst/codecalpha; matroska-mux/demux BlockMore)."""
+    from gstreamer_tpu.core.buffer import Buffer
+    path = tmp_path / "alpha.webm"
+    rng = np.random.default_rng(0)
+    W, H, N = 64, 48, 4
+    y = rng.integers(0, 256, (N, H, W), np.uint8)
+    u = np.full((N, H // 2, W // 2), 100, np.uint8)
+    v = np.full((N, H // 2, W // 2), 200, np.uint8)
+    a = np.zeros((N, H, W), np.uint8)
+    a[:, :, :W // 2] = 255                    # left half opaque
+    p = parse_launch(
+        f"webmmux name=m location={path} video-codec=vp8 ! fakesink "
+        "appsrc name=in caps=video/x-raw,format=A420,width=64,"
+        "height=48,framerate=30/1 ! m.video_0")
+    p.get_by_name("in").push_buffer(Buffer(
+        data=(y, u, v, a), batch=N, pts=0, duration=33_333_333))
+    p.get_by_name("in").end_of_stream()
+    p.run()
+    d = parse_launch(f"matroskademux location={path} stream=video ! "
+                     "appsink name=out")
+    d.run()
+    s = d.get_by_name("out").pull_sample()
+    assert s.caps[0]["format"] == "A420"
+    planes = [np.asarray(q) for q in s.buffer.data]
+    assert len(planes) == 4
+    alpha = planes[3]
+    assert float(alpha[..., :W // 2].mean()) > 250
+    assert float(alpha[..., W // 2:].mean()) < 5
