@@ -230,3 +230,57 @@ class H265CcExtractor(_CcExtractor):
         PadTemplate("sink", PadDirection.SINK, _H265_CAPS),
         PadTemplate("src", PadDirection.SRC, _H265_CAPS),
     ]
+
+
+@register_element
+class AlphaCombine(TransformElement):
+    """alpha_combine (gst-plugins-bad/gst/codecalpha/
+    gstalphacombine.c): joins a color stream and an alpha stream
+    (its luma) into A420.  Aggregator-style: `sink` carries color,
+    `alpha` the transparency video."""
+    FACTORY = "alpha_combine"
+    DESCRIPTION = "Combine color and alpha video streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "video/x-raw, format=I420"),
+        PadTemplate("alpha", PadDirection.SINK,
+                    "video/x-raw, format={ I420, GRAY8 }"),
+        PadTemplate("src", PadDirection.SRC,
+                    "video/x-raw, format=A420"),
+    ]
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {"format": "A420"}
+            if caps is not None and len(caps):
+                for k in ("width", "height", "framerate"):
+                    v = caps[0].get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            res = Caps([Structure("video/x-raw", f)])
+        else:
+            res = Caps.from_string("video/x-raw, format=I420")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def host_process(self, buf):
+        # color on the chain pad; alpha frames arrive via the second
+        # pad's peer buffer (pipeline delivers per-pad in aggregate
+        # mode) — in transform mode the alpha rides buf.meta["alpha"]
+        if buf is None:
+            return None
+        alpha = (buf.meta or {}).get("alpha")
+        y = np.asarray(buf.data[0])
+        if alpha is None:
+            alpha = np.full_like(y, 255)
+        else:
+            alpha = np.asarray(alpha)
+            if alpha.ndim == y.ndim - 1:
+                alpha = np.broadcast_to(alpha, y.shape)
+        return buf.with_(data=tuple(buf.data) + (alpha,))

@@ -567,3 +567,11 @@ def _interleave_fields(xp, first, second):
     """(NF, F, W) x2 -> (2*NF, F, W), time-interleaved."""
     st = xp.stack([first, second], axis=1)
     return st.reshape((first.shape[0] * 2,) + first.shape[1:])
+
+
+@register_element
+class AutoDeinterlace(Deinterlace):
+    """autodeinterlace (gst-plugins-bad autoconvert family): the
+    auto-mode deinterlacer under its own factory name."""
+    FACTORY = "autodeinterlace"
+    DESCRIPTION = "Deinterlace video automatically"

@@ -573,3 +573,10 @@ if native_av.available():
         if native_av.have_codec(_c, encoder=True):
             _make_enc(_f, _c, _caps, _d, _o,
                       _entry[5] if len(_entry) > 5 else False)
+
+
+if native_av.available() and native_av.have_codec("mpeg2video",
+                                                  encoder=True):
+    _make_enc("mpeg2enc", "mpeg2video",
+              "video/mpeg, mpegversion=2, systemstream=false",
+              "MPEG-2 video encoder (mpeg2enc analog)", "")

@@ -280,3 +280,11 @@ class MpegPsDemux(SourceElement):
         return Buffer(data=blobs if len(blobs) > 1 else blobs[0],
                       batch=len(blobs),
                       meta={"caps": self._caps})
+
+
+@register_element
+class Mplex(MpegPsMux):
+    """mplex (gst-plugins-bad/ext/mplex): the classic mjpegtools
+    program-stream multiplexer name — same writer."""
+    FACTORY = "mplex"
+    DESCRIPTION = "High-quality MPEG multiplexer"

@@ -141,3 +141,25 @@ def test_spanplc_conceals_gap():
     tail = np.sqrt((out[-100:] ** 2).mean())
     assert head > 3000          # concealment energy present
     assert tail < head / 4      # fading toward silence
+
+
+def test_alias_elements_registered():
+    from gstreamer_tpu.core.element import factory_exists
+    for f in ("mplex", "mpeg2enc", "autodeinterlace",
+              "alpha_combine"):
+        assert factory_exists(f), f
+
+
+def test_alpha_combine_meta_path():
+    from gstreamer_tpu.elements.cc_sei import AlphaCombine
+    y = np.zeros((1, 8, 8), np.uint8)
+    u = np.zeros((1, 4, 4), np.uint8)
+    out = AlphaCombine().host_process(Buffer(
+        data=(y, u, u.copy()), batch=1,
+        meta={"alpha": np.full((1, 8, 8), 200, np.uint8)}))
+    assert len(out.data) == 4
+    assert float(np.asarray(out.data[3]).mean()) == 200.0
+    # no alpha meta -> fully opaque plane
+    out2 = AlphaCombine().host_process(Buffer(
+        data=(y, u, u.copy()), batch=1))
+    assert float(np.asarray(out2.data[3]).mean()) == 255.0
