@@ -655,17 +655,119 @@ def _parse_esds(ext: bytes) -> Tuple[int, bytes]:
     raise ValueError("qtdemux: mp4a entry without esds")
 
 
+def _parse_trex(data, moov_a, moov_b):
+    """mvex/trex defaults -> {track_id: (dur, size)}."""
+    out = {}
+    mvex = _find(data, moov_a, moov_b, b"mvex")
+    if mvex is None:
+        return out
+    for tag, a, b in _walk_boxes(data, *mvex):
+        if tag == b"trex" and b - a >= 24:
+            tid, _sdi, ddur, dsize, _dfl = struct.unpack(
+                ">IIIII", data[a + 4:a + 24])
+            out[tid] = (ddur, dsize)
+    return out
+
+
+def _parse_fragments(data, trex):
+    """movie-fragment walk (ISO 14496-12 §8.8; qtdemux.c
+    gst_qtdemux_parse_moof): moof/traf/tfhd+trun -> per-track
+    (offset, size) sample lists and default durations."""
+    frag_samples = {}
+    frag_durs = {}
+    for tag, a, b in _walk_boxes(data, 0, len(data)):
+        if tag != b"moof":
+            continue
+        moof_start = a - 8
+        for ttag, ta, tb in _walk_boxes(data, a, b):
+            if ttag != b"traf":
+                continue
+            tid = None
+            base = moof_start
+            d_dur = d_size = None
+            for ftag, fa, fb in _walk_boxes(data, ta, tb):
+                if ftag == b"tfhd":
+                    flags = int.from_bytes(data[fa + 1:fa + 4],
+                                           "big")
+                    tid = struct.unpack(">I",
+                                        data[fa + 4:fa + 8])[0]
+                    p = fa + 8
+                    if flags & 0x1:          # base-data-offset
+                        base = struct.unpack(">Q",
+                                             data[p:p + 8])[0]
+                        p += 8
+                    if flags & 0x2:          # sample-desc index
+                        p += 4
+                    if flags & 0x8:
+                        d_dur = struct.unpack(">I",
+                                              data[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x10:
+                        d_size = struct.unpack(">I",
+                                               data[p:p + 4])[0]
+                        p += 4
+                elif ftag == b"trun" and tid is not None:
+                    ver = data[fa]
+                    flags = int.from_bytes(data[fa + 1:fa + 4],
+                                           "big")
+                    count = struct.unpack(">I",
+                                          data[fa + 4:fa + 8])[0]
+                    p = fa + 8
+                    off = base
+                    if flags & 0x1:
+                        off += struct.unpack(
+                            ">i", data[p:p + 4])[0]
+                        p += 4
+                    if flags & 0x4:          # first-sample-flags
+                        p += 4
+                    tdef = trex.get(tid, (0, 0))
+                    dur_default = (d_dur if d_dur is not None
+                                   else tdef[0])
+                    size_default = (d_size if d_size is not None
+                                    else tdef[1])
+                    for _ in range(count):
+                        dur = dur_default
+                        size = size_default
+                        if flags & 0x100:
+                            dur = struct.unpack(
+                                ">I", data[p:p + 4])[0]
+                            p += 4
+                        if flags & 0x200:
+                            size = struct.unpack(
+                                ">I", data[p:p + 4])[0]
+                            p += 4
+                        if flags & 0x400:
+                            p += 4
+                        if flags & 0x800:
+                            p += 4
+                        frag_samples.setdefault(tid, []).append(
+                            (off, size))
+                        frag_durs.setdefault(tid, []).append(dur)
+                        off += size
+    return frag_samples, frag_durs
+
+
 def _parse_qt(path: str):
-    """-> list of track dicts."""
+    """-> list of track dicts (fragmented movies have their moof/trun
+    runs appended to the sample lists)."""
     with open(path, "rb") as f:
         data = f.read()
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("qtdemux: no moov box")
+    trex = _parse_trex(data, *moov)
+    frag_samples, frag_durs = (_parse_fragments(data, trex)
+                               if trex or
+                               _find(data, 0, len(data), b"moof")
+                               else ({}, {}))
     tracks = []
+    tid = 0
     for tag, a, b in _walk_boxes(data, *moov):
         if tag != b"trak":
             continue
+        tk = _find(data, a, b, b"tkhd")
+        track_id = (struct.unpack(">I", data[tk[0] + 12:tk[0] + 16])[0]
+                    if tk else tid + 1)
         mdia = _find(data, a, b, b"mdia")
         mh = _find(data, *mdia, b"mdhd")
         timescale, duration = struct.unpack(
@@ -675,11 +777,18 @@ def _parse_qt(path: str):
         stbl = _find(data, *mdia, b"minf", b"stbl")
         fourcc, entry, samples, stts = _parse_sample_table(
             data, *stbl)
+        if track_id in frag_samples:
+            samples = samples + frag_samples[track_id]
+            durs = frag_durs[track_id]
+            if not stts and durs:
+                stts = [(len(durs), durs[0] or 1)]
+            duration = duration or sum(durs)
         tracks.append({
             "handler": handler, "fourcc": fourcc, "entry": entry,
             "samples": samples, "stts": stts,
             "timescale": timescale, "duration": duration,
         })
+        tid += 1
     return tracks, data
 
 

@@ -248,13 +248,27 @@ class WebRTCBin(SinkElement):
         try:
             self._dtls.pump()
             deadline = _time.time() + 10.0
+            last_flight = b""
             while not self._dtls.complete and _time.time() < deadline:
                 out = self._dtls.take_outgoing()
                 if out:
+                    last_flight = out
                     self._send_sock.sendto(out, dest)
                 try:
                     data, _ = self._recv_sock.recvfrom(65536)
                 except (socket.timeout, OSError):
+                    # memory-BIO DTLS has no timer-driven
+                    # retransmission: re-pump and re-send the last
+                    # flight so a lost datagram (or a peer whose
+                    # receive thread started late) can't stall the
+                    # handshake until the deadline
+                    self._dtls.pump()
+                    more = self._dtls.take_outgoing()
+                    if more:
+                        last_flight = more
+                        self._send_sock.sendto(more, dest)
+                    elif last_flight:
+                        self._send_sock.sendto(last_flight, dest)
                     continue
                 if data and 20 <= data[0] <= 63:
                     self._dtls.feed_incoming(data)

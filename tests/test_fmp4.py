@@ -1,0 +1,116 @@
+"""Fragmented MP4 (CMAF/DASH-style moof/trun movies) read support
+(ISO 14496-12 §8.8; qtdemux.c gst_qtdemux_parse_moof)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gstreamer_tpu.core.parse import parse_launch
+from gstreamer_tpu.elements.isomp4 import _box, _full
+from gstreamer_tpu.native import av as native_av
+
+needs_av = pytest.mark.skipif(not native_av.available(),
+                              reason="libavcodec shim unavailable")
+
+
+def _build_fmp4(path, samples, avcc, groups=2):
+    entry = (b"\0" * 6 + struct.pack(">H", 1)
+             + struct.pack(">HH4sIIHH", 0, 0, b"\0\0\0\0", 0, 0,
+                           64, 48)
+             + struct.pack(">IIIHB", 0x00480000, 0x00480000, 0, 1, 0)
+             + b"\0" * 31 + struct.pack(">Hh", 24, -1)
+             + _box(b"avcC", avcc))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(b"avc1", entry))
+    stbl = _box(b"stbl", stsd
+                + _full(b"stts", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                + _full(b"stco", 0, 0, struct.pack(">I", 0)))
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIIIHH", 0, 0, 30, 0, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\0" * 4 + b"vide" + b"\0" * 13)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(">IIII", 0, 0, 1, 0)
+                 + b"\0" * 12 + b"\0" * 36
+                 + struct.pack(">II", 64 << 16, 48 << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvex = _box(b"mvex", _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, 1, 0, 0)))
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, 600, 0) + b"\0" * 80)
+    moov = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512)
+                + b"iso6mp41")
+    out = bytearray(ftyp + moov)
+    per = max(1, len(samples) // groups)
+    seq = 1
+    for lo in range(0, len(samples), per):
+        group = samples[lo:lo + per]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        seq += 1
+        tfhd = _full(b"tfhd", 0, 0x20000,      # default-base-is-moof
+                     struct.pack(">I", 1))
+        trun_flags = 0x1 | 0x200               # data-offset + sizes
+        trun = _box(b"trun", struct.pack(
+            ">B3s", 0, trun_flags.to_bytes(3, "big"))
+            + struct.pack(">I", len(group)) + struct.pack(">i", 0)
+            + b"".join(struct.pack(">I", len(x)) for x in group))
+        moof = bytearray(_box(b"moof", mfhd
+                              + _box(b"traf", tfhd + trun)))
+        ti = bytes(moof).find(b"trun")
+        struct.pack_into(">i", moof, ti + 12, len(moof) + 8)
+        out += bytes(moof) + _box(b"mdat", b"".join(group))
+    path.write_bytes(bytes(out))
+
+
+def _h264_samples(n=4):
+    from gstreamer_tpu.elements.container_elements import (
+        _annexb_to_lenpref, _harvest_params, _make_avcc)
+    from gstreamer_tpu.native.av import AvVideoEncoder
+    enc = AvVideoEncoder("libx264", 64, 48, (30, 1), 300000,
+                         "preset=veryfast:tune=zerolatency")
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (48, 64), np.uint8)
+    u = np.full((24, 32), 128, np.uint8)
+    aus = []
+    for i in range(n):
+        y = np.clip(base.astype(int) + i, 0, 255).astype(np.uint8)
+        aus += [p for p, _ in enc.encode((y, u, u))]
+    aus += [p for p, _ in enc.flush()]
+    cfg = {}
+    _harvest_params(aus[0], cfg)
+    return ([_annexb_to_lenpref(a) for a in aus],
+            _make_avcc(cfg["sps"], cfg.get("pps")))
+
+
+@needs_av
+def test_fragmented_mp4_decodes(tmp_path):
+    samples, avcc = _h264_samples()
+    path = tmp_path / "frag.mp4"
+    _build_fmp4(path, samples, avcc)
+    p = parse_launch(f"qtdemux location={path} stream=video ! "
+                     "avdec_h264 ! appsink name=out")
+    p.run()
+    sink = p.get_by_name("out")
+    n = 0
+    while (s := sink.pull_sample()) is not None:
+        n += np.asarray(s.buffer.data[0]).shape[0]
+    assert n == len(samples)
+
+
+@needs_av
+def test_fragment_caps_use_trex_duration(tmp_path):
+    samples, avcc = _h264_samples()
+    path = tmp_path / "frag.mp4"
+    _build_fmp4(path, samples, avcc)
+    d = parse_launch(f"qtdemux location={path} stream=video ! "
+                     "appsink name=out")
+    dem = [e for e in d.iterate_elements()
+           if e.FACTORY == "qtdemux"][0]
+    caps = dem.get_caps()
+    s = caps[0]
+    assert s["width"] == 64 and s["height"] == 48
+    fr = s["framerate"]
+    assert (fr.num, fr.denom) == (30, 1)   # timescale 30, dur 1
