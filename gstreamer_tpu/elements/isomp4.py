@@ -1032,3 +1032,194 @@ class QtDemux(SourceElement):
         return Buffer(data=arr, batch=1,
                       duration=arr.shape[0] * 1_000_000_000
                       // info.rate)
+
+
+@register_element
+class CmafMux(AggregatorElement):
+    """cmafmux / fmp4mux: fragmented-MP4 (CMAF) writer — init segment
+    (ftyp + moov with mvex/trex, empty sample tables) followed by one
+    moof+mdat pair per aggregate tick.
+
+    Reference behavior: the fmp4mux element family
+    (gst-plugins-rs fmp4; structurally ISO 14496-12 §8.8 like
+    qtmux's fragmented modes).  Video: H.264 byte-stream input
+    (avcC from harvested parameter sets, length-prefixed samples);
+    audio: raw AAC AUs (esds).
+    """
+    FACTORY = "cmafmux"
+    DESCRIPTION = "Fragmented MP4/CMAF muxer"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("video_%u", PadDirection.SINK,
+                    "video/x-h264, stream-format=byte-stream, "
+                    "alignment=au",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("audio_%u", PadDirection.SINK,
+                    "audio/mpeg, mpegversion=4, stream-format=raw",
+                    presence=PadPresence.REQUEST),
+        PadTemplate("src", PadDirection.SRC, "video/quicktime"),
+    ]
+    PROPERTIES = {"location": (str, "out.cmaf.mp4", "output path")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._file = None
+        self._tracks: Dict[str, dict] = {}
+        self._seq = 1
+
+    def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
+        self._tracks = {}
+        tid = 1
+        for pad_name in sorted(in_caps):
+            s = in_caps[pad_name].fixate()[0]
+            if pad_name.startswith("video"):
+                fps = s.get("framerate") or Fraction(30, 1)
+                self._tracks[pad_name] = {
+                    "id": tid, "kind": "video",
+                    "w": s.get("width") or 0,
+                    "h": s.get("height") or 0,
+                    "timescale": fps.num, "delta": fps.denom,
+                    "cfg": {},
+                }
+            else:
+                self._tracks[pad_name] = {
+                    "id": tid, "kind": "audio",
+                    "rate": s["rate"], "ch": s["channels"],
+                    "timescale": s["rate"], "delta": 1024,
+                }
+            tid += 1
+        return Caps.from_string("video/quicktime, variant=cmaf")
+
+    def start(self):
+        self._file = open(self.props["location"], "wb")
+        self._seq = 1
+        self._header_done = False
+
+    def _write_init(self):
+        traks = b""
+        trexs = b""
+        for pad_name in sorted(self._tracks):
+            t = self._tracks[pad_name]
+            if t["kind"] == "video":
+                from .container_elements import _make_avcc
+                entry = (b"\0" * 6 + struct.pack(">H", 1)
+                         + struct.pack(">HH4sIIHH", 0, 0,
+                                       b"\0\0\0\0", 0, 0,
+                                       t["w"], t["h"])
+                         + struct.pack(">IIIHB", 0x00480000,
+                                       0x00480000, 0, 1, 0)
+                         + b"\0" * 31 + struct.pack(">Hh", 24, -1)
+                         + _box(b"avcC",
+                                _make_avcc(t["cfg"]["sps"],
+                                           t["cfg"].get("pps"))))
+                stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                             + _box(b"avc1", entry))
+                hdlr = _full(b"hdlr", 0, 0,
+                             b"\0" * 4 + b"vide" + b"\0" * 13)
+            else:
+                entry = (b"\0" * 6 + struct.pack(">H", 1)
+                         + struct.pack(">HH4sHHHHI", 0, 0,
+                                       b"\0\0\0\0", t["ch"], 16,
+                                       0, 0, t["rate"] << 16)
+                         + _make_esds(t["rate"], t["ch"]))
+                stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                             + _box(b"mp4a", entry))
+                hdlr = _full(b"hdlr", 0, 0,
+                             b"\0" * 4 + b"soun" + b"\0" * 13)
+            stbl = _box(
+                b"stbl", stsd
+                + _full(b"stts", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                + _full(b"stco", 0, 0, struct.pack(">I", 0)))
+            mdhd = _full(b"mdhd", 0, 0, struct.pack(
+                ">IIIIHH", 0, 0, t["timescale"], 0, 0x55C4, 0))
+            mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+            wh = ((t["w"] << 16, t["h"] << 16)
+                  if t["kind"] == "video" else (0, 0))
+            tkhd = _full(b"tkhd", 0, 3,
+                         struct.pack(">IIII", 0, 0, t["id"], 0)
+                         + b"\0" * 12 + b"\0" * 36
+                         + struct.pack(">II", *wh))
+            traks += _box(b"trak", tkhd + mdia)
+            trexs += _full(b"trex", 0, 0, struct.pack(
+                ">IIIII", t["id"], 1, t["delta"], 0, 0))
+        mvhd = _full(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, 600, 0) + b"\0" * 80)
+        moov = _box(b"moov", mvhd + traks + _box(b"mvex", trexs))
+        ftyp = _box(b"ftyp", b"cmfc" + struct.pack(">I", 0)
+                    + b"iso6cmfc")
+        self._file.write(ftyp + moov)
+        self._header_done = True
+
+    def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
+        from .container_elements import (_annexb_to_lenpref,
+                                         _harvest_params)
+        from .container_elements import _video_blobs
+        per_track = {}
+        for pad_name in sorted(ins):
+            t = self._tracks[pad_name]
+            buf = ins[pad_name]
+            blobs = _video_blobs(buf)
+            if t["kind"] == "video":
+                if not self._header_done:
+                    for b in blobs:
+                        _harvest_params(b, t["cfg"])
+                blobs = [x for x in
+                         (_annexb_to_lenpref(b) for b in blobs) if x]
+            per_track[pad_name] = blobs
+        if not self._header_done:
+            self._write_init()
+        trafs = b""
+        mdat = bytearray()
+        pending = []                     # (trun offset fixups)
+        for pad_name in sorted(per_track):
+            t = self._tracks[pad_name]
+            group = per_track[pad_name]
+            if not group:
+                continue
+            tfhd = _full(b"tfhd", 0, 0x20000,
+                         struct.pack(">I", t["id"]))
+            flags = 0x1 | 0x200
+            trun = _box(b"trun", struct.pack(
+                ">B3s", 0, flags.to_bytes(3, "big"))
+                + struct.pack(">I", len(group))
+                + struct.pack(">i", 0)
+                + b"".join(struct.pack(">I", len(x))
+                           for x in group))
+            pending.append((len(trafs), len(tfhd), len(mdat)))
+            trafs += _box(b"traf", tfhd + trun)
+            for x in group:
+                mdat += x
+        if not trafs:
+            first = next(iter(ins.values()))
+            return first.with_(data=np.zeros(1, np.uint8))
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", self._seq))
+        self._seq += 1
+        moof = bytearray(_box(b"moof", mfhd + trafs))
+        # fix trun data offsets: moof size + mdat header + payload pos
+        base = len(moof) + 8
+        traf_region = 8 + len(mfhd)
+        for traf_start, tfhd_len, payload_off in pending:
+            # moof hdr(8) + mfhd + prior trafs + traf hdr(8) + tfhd
+            # + trun hdr(8) + ver/flags(4) + count(4) -> data_offset
+            p = traf_region + traf_start + 8 + tfhd_len + 16
+            struct.pack_into(">i", moof, p, base + payload_off)
+        self._file.write(bytes(moof) + _box(b"mdat", bytes(mdat)))
+        first = next(iter(ins.values()))
+        return first.with_(data=np.zeros(1, np.uint8))
+
+    def stop(self):
+        if self._file is not None:
+            if not self._header_done:
+                for t in self._tracks.values():
+                    t.setdefault("cfg", {}).setdefault("sps", b"\0")
+                self._write_init()
+            self._file.close()
+            self._file = None
+
+
+@register_element
+class Fmp4Mux(CmafMux):
+    FACTORY = "fmp4mux"
+    DESCRIPTION = "Fragmented MP4 muxer"

@@ -114,3 +114,38 @@ def test_fragment_caps_use_trex_duration(tmp_path):
     assert s["width"] == 64 and s["height"] == 48
     fr = s["framerate"]
     assert (fr.num, fr.denom) == (30, 1)   # timescale 30, dur 1
+
+
+@needs_av
+def test_cmafmux_write_read_roundtrip(tmp_path):
+    """cmafmux writes init + per-tick moof/mdat; our fragmented
+    reader decodes both tracks back."""
+    path = tmp_path / "c.mp4"
+    p = parse_launch(
+        f"cmafmux name=m location={path} ! fakesink "
+        "videotestsrc num-buffers=6 pattern=gradient ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "x264enc ! m.video_0 "
+        "audiotestsrc num-buffers=6 samplesperbuffer=4096 ! "
+        "avenc_aac ! m.audio_0")
+    p.run()
+    data = path.read_bytes()
+    assert b"cmfc" in data[:20]
+    assert data.count(b"moof") >= 6
+    pv = parse_launch(f"qtdemux location={path} stream=video ! "
+                      "avdec_h264 ! appsink name=out")
+    pv.run()
+    sink = pv.get_by_name("out")
+    n = 0
+    while (s := sink.pull_sample()) is not None:
+        n += np.asarray(s.buffer.data[0]).shape[0]
+    assert n == 6
+    pa = parse_launch(f"qtdemux location={path} stream=audio ! "
+                      "appsink name=out")
+    pa.run()
+    sink = pa.get_by_name("out")
+    chunks = []
+    while (s := sink.pull_sample()) is not None:
+        chunks.append(np.asarray(s.buffer.data))
+    pcm = np.concatenate(chunks)
+    assert pcm.shape[0] > 20000 and pcm.shape[1] == 1
