@@ -22,7 +22,8 @@ from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
 from ..core.caps import Caps
 from ..core.element import (PadDirection, PadTemplate, SinkElement,
-                            SourceElement, register_element)
+                            SourceElement, TransformElement,
+                            register_element)
 
 _RAW_SINK = ("audio/x-raw, format={ F32LE, S16LE }, "
              "rate=[1,655350], channels=[1,8], layout=interleaved")
@@ -292,3 +293,114 @@ class TheoraEnc(SinkElement):
         with open(self.props["location"], "wb") as f:
             f.write(blob)
         self._frames = []
+
+
+@register_element
+class TheoraParse(TransformElement):
+    """theoraparse (gst-plugins-base/ext/theora/gsttheoraparse.c):
+    passes framed theora packets through, attaching caps parsed from
+    the ident header (packets arrive framed from the demuxers in
+    this model)."""
+    FACTORY = "theoraparse"
+    DESCRIPTION = "parse raw theora streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-theora"),
+        PadTemplate("src", PadDirection.SRC, "video/x-theora"),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._caps = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("video/x-theora")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        import numpy as np
+        blobs = buf.data if isinstance(buf.data, list) else [buf.data]
+        for b in blobs:
+            raw = (bytes(b) if isinstance(b, (bytes, bytearray))
+                   else np.asarray(b).tobytes())
+            if raw.startswith(b"\x80theora"):
+                from ..codecs.theora import TheoraDecoder
+                try:
+                    dec = TheoraDecoder.__new__(TheoraDecoder)
+                    dec._parse_ident(raw)
+                    from ..core.structure import Structure
+                    from ..core.value import Fraction
+                    self._caps = Caps([Structure("video/x-theora", {
+                        "width": dec.pic_width,
+                        "height": dec.pic_height,
+                        "framerate": Fraction(dec.fps_n,
+                                              dec.fps_d)})])
+                except Exception:
+                    pass
+        if self._caps is not None:
+            return buf.with_(meta=dict(buf.meta or {},
+                                       caps=self._caps))
+        return buf
+
+
+@register_element
+class OpusParse(TransformElement):
+    """opusparse (gst-plugins-base/ext/opus/gstopusparse.c):
+    passthrough for framed opus packets with duration derived from
+    the TOC byte (RFC 6716 §3.1)."""
+    FACTORY = "opusparse"
+    DESCRIPTION = "parses opus audio"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "audio/x-opus"),
+        PadTemplate("src", PadDirection.SRC, "audio/x-opus"),
+    ]
+
+    _FRAME_MS = [10, 20, 40, 60]
+
+    @staticmethod
+    def packet_duration_ns(pkt: bytes) -> int:
+        """Opus packet duration from the TOC byte (RFC 6716)."""
+        if not pkt:
+            return 0
+        toc = pkt[0]
+        config = toc >> 3
+        code = toc & 0x3
+        if config < 12:                  # SILK: 10/20/40/60 ms
+            ms = [10, 20, 40, 60][config % 4]
+        elif config < 16:                # hybrid: 10/20 ms
+            ms = [10, 20][config % 2]
+        else:                            # CELT: 2.5/5/10/20 ms
+            ms = [2.5, 5, 10, 20][config % 4]
+        nframes = {0: 1, 1: 2, 2: 2}.get(code)
+        if nframes is None:
+            nframes = pkt[1] & 0x3F if len(pkt) > 1 else 1
+        return int(ms * nframes * 1_000_000)
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("audio/x-opus")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        import numpy as np
+        blobs = buf.data if isinstance(buf.data, list) else [buf.data]
+        total = 0
+        for b in blobs:
+            raw = (bytes(b) if isinstance(b, (bytes, bytearray))
+                   else np.asarray(b).tobytes())
+            total += self.packet_duration_ns(raw)
+        return buf.with_(duration=total or buf.duration)

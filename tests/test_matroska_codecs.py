@@ -354,3 +354,35 @@ def test_blockgroup_parsing(tmp_path):
     assert s.buffer.data[0] == "via blockgroup"
     assert s.buffer.pts == 105_000_000
     assert s.buffer.duration == 750_000_000
+
+
+def test_opusparse_toc_durations():
+    """RFC 6716 TOC durations (gstopusparse.c)."""
+    from gstreamer_tpu.elements.xiph import OpusParse
+    # config 0 (SILK NB 10ms), code 0
+    assert OpusParse.packet_duration_ns(bytes([0x00, 1])) == 10_000_000
+    # config 3 (SILK NB 60ms)
+    assert OpusParse.packet_duration_ns(bytes([3 << 3, 1])) == 60_000_000
+    # code 1: two frames
+    assert OpusParse.packet_duration_ns(bytes([0x01, 1])) == 20_000_000
+    # CELT FB 20ms (config 31)
+    assert OpusParse.packet_duration_ns(
+        bytes([31 << 3, 1])) == 20_000_000
+
+
+def test_theoraparse_attaches_caps():
+    import numpy as np
+    import theora_oracle as to
+    if not to.have_theora():
+        pytest.skip("libtheora missing")
+    from gstreamer_tpu.codecs import theora_enc
+    frames = [(np.zeros((48, 64), np.uint8),
+               np.full((24, 32), 128, np.uint8),
+               np.full((24, 32), 128, np.uint8))]
+    headers, _pkts = theora_enc.encode_packets(frames, 64, 48, (30, 1))
+    from gstreamer_tpu.core.buffer import Buffer
+    from gstreamer_tpu.elements.xiph import TheoraParse
+    out = TheoraParse().host_process(Buffer(
+        data=[np.frombuffer(headers[0], np.uint8)], batch=1))
+    caps = out.meta["caps"]
+    assert caps[0]["width"] == 64 and caps[0]["height"] == 48
