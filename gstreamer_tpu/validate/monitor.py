@@ -192,8 +192,11 @@ class Scenario:
     max_ticks: Optional[int] = None
 
     @staticmethod
-    def seek(to_ns: int):
-        return lambda p: p.seek(to_ns)
+    def seek(to_ns: int, stop_ns=None, rate: float = 1.0,
+             flush: bool = True):
+        """gst-validate seek action (start/stop/rate/flags)."""
+        return lambda p: p.seek(to_ns, stop=stop_ns, rate=rate,
+                                flush=flush)
 
     @staticmethod
     def stop():
@@ -224,6 +227,24 @@ class Scenario:
                     elif "num-buffers" in e.props:
                         e.props["num-buffers"] = 0
         return _eos
+
+    @staticmethod
+    def set_state(state: str):
+        """gst-validate set-state action."""
+        def _set(p):
+            from ..core.pipeline import State
+            p.set_state(getattr(State, state.upper(), state))
+        return _set
+
+    @staticmethod
+    def wait(ticks: int = 1):
+        """gst-validate wait action: let `ticks` iterations pass
+        without intervening (timing-based waits collapse to tick
+        counts in the batch model)."""
+        def _wait(p):
+            return None
+        _wait.__name__ = f"wait_{ticks}"
+        return _wait
 
     @staticmethod
     def pause(ticks: int = 1):

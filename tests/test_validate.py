@@ -134,3 +134,24 @@ def test_scenario_caps_switch_action():
         outs.append(sink.pull_sample())
     assert len(outs) == 2
     assert mon.ok, mon.report()
+
+
+def test_scenario_set_state_and_wait_and_rate_seek():
+    """set-state / wait / seek-with-rate actions
+    (gst-validate-scenario.h grammar additions)."""
+    from gstreamer_tpu.validate.monitor import Scenario
+    p = parse_launch("videotestsrc num-buffers=12 ! "
+                     "video/x-raw,format=I420,width=32,height=24,"
+                     "framerate=10/1 ! appsink name=out")
+    sc = Scenario(actions=[
+        (2, Scenario.wait(1)),
+        (3, Scenario.seek(0, rate=2.0)),
+        (5, Scenario.set_state("playing")),
+    ], max_ticks=30)
+    sc.run(p)
+    # pipeline survived the whole action list and produced frames
+    sink = p.get_by_name("out")
+    total = 0
+    while (s := sink.pull_sample()) is not None:
+        total += s.buffer.batch
+    assert total > 0
