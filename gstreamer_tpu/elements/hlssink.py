@@ -141,7 +141,79 @@ class DashSink(HlsSink2):
     DESCRIPTION = "Dynamic Adaptive Streaming over HTTP sink"
     PROPERTIES = dict(
         HlsSink2.PROPERTIES,
-        **{"mpd-filename": (str, "manifest.mpd", "manifest path")})
+        **{"mpd-filename": (str, "manifest.mpd", "manifest path"),
+           "segment-format": (str, "ts", "ts | fmp4 (CMAF)")})
+
+    def _fmp4(self) -> bool:
+        return self.props.get("segment-format") == "fmp4"
+
+    def negotiate_output(self, in_caps, allowed):
+        if not self._fmp4():
+            return super().negotiate_output(in_caps, allowed)
+        from .isomp4 import CmafMux
+        self._in_caps = in_caps
+        self._cmux = CmafMux()
+        self._cmux.negotiate_output(in_caps, allowed)
+        return Caps.from_string("video/quicktime, variant=cmaf")
+
+    def _init_path(self) -> str:
+        import os as _os
+        return _os.path.join(
+            _os.path.dirname(self.props["mpd-filename"]) or ".",
+            "init.mp4")
+
+    def _open_segment(self):
+        if not self._fmp4():
+            return super()._open_segment()
+        path = self._segment_path()
+        self._cmux._file = open(path, "wb")
+        if not getattr(self._cmux, "_header_done", False):
+            self._cmux._seq = getattr(self._cmux, "_seq", 1)
+            self._cmux._init_file = open(self._init_path(), "wb")
+        self._seg_start_ns = None
+
+    def _close_segment(self, end_ns: int):
+        if not self._fmp4():
+            return super()._close_segment(end_ns)
+        f = getattr(self._cmux, "_file", None)
+        if f is None:
+            return
+        f.close()
+        self._cmux._file = None
+        dur = max((end_ns - (self._seg_start_ns or 0)) / 1e9, 0.001)
+        self._segments.append((self._segment_path(), dur))
+        self._seg_index += 1
+
+    def start(self):
+        if not self._fmp4():
+            return super().start()
+        self._segments = []
+        self._seg_index = 0
+        self._last_end_ns = 0
+        self._cmux._seq = 1
+        self._cmux._header_done = False
+        self._cmux._init_file = None
+        self._cmux._file = None
+        self._open_segment()
+
+    def host_aggregate(self, ins):
+        if not self._fmp4():
+            return super().host_aggregate(ins)
+        first = next(iter(ins.values()))
+        pts = first.pts or self._last_end_ns
+        if self._seg_start_ns is None:
+            self._seg_start_ns = pts
+        target_ns = self.props["target-duration"] * 1_000_000_000
+        if pts - self._seg_start_ns >= target_ns:
+            self._close_segment(pts)
+            self._open_segment()
+            self._seg_start_ns = pts
+        self._cmux.host_aggregate(ins)
+        end = pts
+        if first.duration:
+            end += first.duration * max(first.batch, 1)
+        self._last_end_ns = max(self._last_end_ns, end)
+        return first.with_(data=np.zeros(1, np.uint8))
 
     def stop(self):
         self._close_segment(self._last_end_ns)
@@ -153,15 +225,23 @@ class DashSink(HlsSink2):
             name = os.path.basename(path)
             uri = f"{root.rstrip('/')}/{name}" if root else name
             urls.append(f'      <SegmentURL media="{uri}"/>')
+        mime = "video/mp4" if self._fmp4() else "video/mp2t"
+        init_line = ""
+        if self._fmp4():
+            iname = os.path.basename(self._init_path())
+            iuri = (f"{root.rstrip('/')}/{iname}" if root else iname)
+            init_line = (f'      <Initialization '
+                         f'sourceURL="{iuri}"/>\n')
         mpd = (
             '<?xml version="1.0" encoding="UTF-8"?>\n'
             '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"\n'
             f'     mediaPresentationDuration="PT{total:.3f}S"\n'
             '     profiles="urn:mpeg:dash:profile:isoff-main:2011">\n'
             ' <Period>\n'
-            '  <AdaptationSet mimeType="video/mp2t">\n'
+            f'  <AdaptationSet mimeType="{mime}">\n'
             '   <Representation id="1" bandwidth="1000000">\n'
             f'    <SegmentList duration="{maxd:.0f}">\n'
+            + init_line
             + "\n".join(urls) + "\n"
             '    </SegmentList>\n'
             '   </Representation>\n'

@@ -1072,7 +1072,8 @@ class CmafMux(AggregatorElement):
         tid = 1
         for pad_name in sorted(in_caps):
             s = in_caps[pad_name].fixate()[0]
-            if pad_name.startswith("video"):
+            if pad_name.startswith("video") \
+                    or s.name.startswith(("video", "image")):
                 fps = s.get("framerate") or Fraction(30, 1)
                 self._tracks[pad_name] = {
                     "id": tid, "kind": "video",
@@ -1094,6 +1095,7 @@ class CmafMux(AggregatorElement):
         self._file = open(self.props["location"], "wb")
         self._seq = 1
         self._header_done = False
+        self._init_file = None          # separate init-segment target
 
     def _write_init(self):
         traks = b""
@@ -1149,7 +1151,11 @@ class CmafMux(AggregatorElement):
         moov = _box(b"moov", mvhd + traks + _box(b"mvex", trexs))
         ftyp = _box(b"ftyp", b"cmfc" + struct.pack(">I", 0)
                     + b"iso6cmfc")
-        self._file.write(ftyp + moov)
+        target = self._init_file or self._file
+        target.write(ftyp + moov)
+        if self._init_file is not None:
+            self._init_file.close()
+            self._init_file = None
         self._header_done = True
 
     def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:

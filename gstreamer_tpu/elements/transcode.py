@@ -16,11 +16,8 @@ subset `container-caps:video-caps:audio-caps`, e.g.
 
 from __future__ import annotations
 
-from typing import Optional
-
-from ..core.caps import Caps
-from ..core.element import (PadTemplate, SinkElement,
-                            element_factory_make, register_element)
+from ..core.element import (SinkElement, element_factory_make,
+                            register_element)
 from ..utils.typefind import decodable_for, type_find_file
 from .playback import _decoder_for_caps
 

@@ -114,15 +114,31 @@ class _AdaptiveSrc(SourceElement):
             self._load()
         first = (self._segments[0][1].split("?")[0].lower()
                  if self._segments else "")
+        want = self.props["stream"]
+        blob = b"".join(_fetch(uri) for _, uri in self._segments)
+        if first.endswith((".mp4", ".m4s", ".m4v", ".cmfv",
+                           ".cmfa", ".mov")):
+            # fMP4/CMAF segments: init + moof fragments concatenate
+            # into one fragmented movie (the qtdemux moof walk)
+            fd, path = tempfile.mkstemp(suffix=".mp4")
+            with os.fdopen(fd, "wb") as f:
+                f.write(blob)
+            self._tmppath = path
+            probe = element_factory_make("qtdemux", location=path,
+                                         stream=want)
+            caps = probe.get_caps()
+            dec = _decoder_for_caps(caps)
+            desc = (f"qtdemux location={path} stream={want}"
+                    + (f" ! {dec}" if dec else ""))
+            self._inner = _ChainSrc(description=desc)
+            return
         if not first.endswith(".ts"):
             raise ValueError(f"{self.FACTORY}: stream= decode "
-                             "supports TS segments only")
-        blob = b"".join(_fetch(uri) for _, uri in self._segments)
+                             "supports TS or fMP4 segments")
         fd, path = tempfile.mkstemp(suffix=".ts")
         with os.fdopen(fd, "wb") as f:
             f.write(blob)
         self._tmppath = path
-        want = self.props["stream"]
         sel = None
         caps = None
         for idx in range(16):
@@ -132,8 +148,11 @@ class _AdaptiveSrc(SourceElement):
             if caps is None or caps.is_any or not len(caps):
                 break
             name = caps[0].name
-            if want == str(idx)                     or (want == "video"
-                        and name.startswith(("video/", "image/")))                     or (want == "audio" and name.startswith("audio/")):
+            if (want == str(idx)
+                    or (want == "video"
+                        and name.startswith(("video/", "image/")))
+                    or (want == "audio"
+                        and name.startswith("audio/"))):
                 sel = idx
                 break
         if sel is None:
@@ -142,7 +161,8 @@ class _AdaptiveSrc(SourceElement):
         parser = ""
         if caps[0].name == "video/x-h264":
             parser = " ! h264parse"
-        elif caps[0].name == "audio/mpeg"                 and caps[0].get("mpegversion") == 4:
+        elif (caps[0].name == "audio/mpeg"
+                and caps[0].get("mpegversion") == 4):
             parser = " ! aacparse"
         elif caps[0].name == "audio/mpeg":
             parser = " ! mpegaudioparse"

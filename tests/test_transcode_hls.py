@@ -108,3 +108,28 @@ def test_uritranscodebin_bad_profile(tmp_path):
         "profile": "application/x-nope:video/x-h264"})
     with pytest.raises(ValueError):
         tb.transcode()
+
+
+@needs_av
+def test_dashsink_cmaf_roundtrip(tmp_path):
+    """segment-format=fmp4: init.mp4 + .m4s moof segments with an
+    Initialization MPD entry, decoded back via the fragment-aware
+    qtdemux path."""
+    seg = tmp_path / "seg%05d.m4s"
+    mpd = tmp_path / "manifest.mpd"
+    p = parse_launch(
+        f"dashsink name=h location={seg} mpd-filename={mpd} "
+        "segment-format=fmp4 target-duration=1 ! fakesink "
+        "videotestsrc num-buffers=60 pattern=gradient ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "x264enc ! h.sink_0")
+    p.run()
+    text = mpd.read_text()
+    assert 'mimeType="video/mp4"' in text
+    assert "Initialization" in text
+    assert (tmp_path / "init.mp4").exists()
+    assert len(list(tmp_path.glob("*.m4s"))) == 2
+    d = parse_launch(f"dashdemux uri={mpd} stream=video ! "
+                     "appsink name=out")
+    d.run()
+    assert _frames(d) == 60
