@@ -671,10 +671,12 @@ def _parse_trex(data, moov_a, moov_b):
 
 def _parse_fragments(data, trex):
     """movie-fragment walk (ISO 14496-12 §8.8; qtdemux.c
-    gst_qtdemux_parse_moof): moof/traf/tfhd+trun -> per-track
-    (offset, size) sample lists and default durations."""
+    gst_qtdemux_parse_moof): moof/traf/tfhd+tfdt+trun -> per-track
+    (offset, size) sample lists, default durations, and fragment
+    base decode times (tfdt §8.8.12)."""
     frag_samples = {}
     frag_durs = {}
+    frag_tfdts = {}          # tid -> [(sample_index, base_time)]
     for tag, a, b in _walk_boxes(data, 0, len(data)):
         if tag != b"moof":
             continue
@@ -684,6 +686,7 @@ def _parse_fragments(data, trex):
                 continue
             tid = None
             base = moof_start
+            cursor = None    # running end-offset within this traf
             d_dur = d_size = None
             for ftag, fa, fb in _walk_boxes(data, ta, tb):
                 if ftag == b"tfhd":
@@ -706,6 +709,12 @@ def _parse_fragments(data, trex):
                         d_size = struct.unpack(">I",
                                                data[p:p + 4])[0]
                         p += 4
+                elif ftag == b"tfdt" and tid is not None:
+                    bt = (struct.unpack(">Q", data[fa + 4:fa + 12])[0]
+                          if data[fa] == 1 else
+                          struct.unpack(">I", data[fa + 4:fa + 8])[0])
+                    frag_tfdts.setdefault(tid, []).append(
+                        (len(frag_samples.get(tid, [])), bt))
                 elif ftag == b"trun" and tid is not None:
                     ver = data[fa]
                     flags = int.from_bytes(data[fa + 1:fa + 4],
@@ -713,9 +722,11 @@ def _parse_fragments(data, trex):
                     count = struct.unpack(">I",
                                           data[fa + 4:fa + 8])[0]
                     p = fa + 8
-                    off = base
+                    # §8.8.8: a trun without data-offset continues
+                    # where the previous run in the same traf ended
+                    off = base if cursor is None else cursor
                     if flags & 0x1:
-                        off += struct.unpack(
+                        off = base + struct.unpack(
                             ">i", data[p:p + 4])[0]
                         p += 4
                     if flags & 0x4:          # first-sample-flags
@@ -744,7 +755,8 @@ def _parse_fragments(data, trex):
                             (off, size))
                         frag_durs.setdefault(tid, []).append(dur)
                         off += size
-    return frag_samples, frag_durs
+                    cursor = off
+    return frag_samples, frag_durs, frag_tfdts
 
 
 def _parse_qt(path: str):
@@ -756,10 +768,10 @@ def _parse_qt(path: str):
     if moov is None:
         raise ValueError("qtdemux: no moov box")
     trex = _parse_trex(data, *moov)
-    frag_samples, frag_durs = (_parse_fragments(data, trex)
-                               if trex or
-                               _find(data, 0, len(data), b"moof")
-                               else ({}, {}))
+    frag_samples, frag_durs, frag_tfdts = (
+        _parse_fragments(data, trex)
+        if trex or _find(data, 0, len(data), b"moof")
+        else ({}, {}, {}))
     tracks = []
     tid = 0
     for tag, a, b in _walk_boxes(data, *moov):
@@ -777,16 +789,40 @@ def _parse_qt(path: str):
         stbl = _find(data, *mdia, b"minf", b"stbl")
         fourcc, entry, samples, stts = _parse_sample_table(
             data, *stbl)
+        frag_base_times = []
         if track_id in frag_samples:
+            n_static = len(samples)
             samples = samples + frag_samples[track_id]
             durs = frag_durs[track_id]
+            tfdts = frag_tfdts.get(track_id, [])
+            # tfdt anchors fragment decode time; when per-sample
+            # durations are absent (no trex default, no trun
+            # durations), derive them from consecutive tfdt deltas
+            if tfdts and durs and not any(durs):
+                for (i0, t0), (i1, t1) in zip(tfdts, tfdts[1:]):
+                    if i1 > i0 and t1 > t0:
+                        per = (t1 - t0) // (i1 - i0)
+                        for k in range(i0, i1):
+                            durs[k] = per
+                if len(tfdts) >= 2 and durs:
+                    tail = [d for d in durs if d]
+                    fill = tail[-1] if tail else 1
+                    for k in range(tfdts[-1][0], len(durs)):
+                        durs[k] = durs[k] or fill
+            frag_base_times = [(n_static + i, t) for i, t in tfdts]
             if not stts and durs:
                 stts = [(len(durs), durs[0] or 1)]
             duration = duration or sum(durs)
+            if tfdts and durs:
+                # authoritative total: last anchor + its samples
+                last_i, last_t = tfdts[-1]
+                duration = max(duration,
+                               last_t + sum(durs[last_i:]))
         tracks.append({
             "handler": handler, "fourcc": fourcc, "entry": entry,
             "samples": samples, "stts": stts,
             "timescale": timescale, "duration": duration,
+            "frag_base_times": frag_base_times,
         })
         tid += 1
     return tracks, data
@@ -1186,6 +1222,14 @@ class CmafMux(AggregatorElement):
                 continue
             tfhd = _full(b"tfhd", 0, 0x20000,
                          struct.pack(">I", t["id"]))
+            # tfdt (ISO 14496-12 §8.8.12, required by CMAF): the
+            # track's accumulated decode time anchors each fragment
+            # for seeking/live-edge alignment (isomp4 atoms.c writes
+            # one per traf).  Version 1 = 64-bit baseMediaDecodeTime.
+            tfdt = _full(b"tfdt", 1, 0,
+                         struct.pack(">Q", t.setdefault(
+                             "decode_time", 0)))
+            t["decode_time"] += len(group) * t["delta"]
             flags = 0x1 | 0x200
             trun = _box(b"trun", struct.pack(
                 ">B3s", 0, flags.to_bytes(3, "big"))
@@ -1193,8 +1237,9 @@ class CmafMux(AggregatorElement):
                 + struct.pack(">i", 0)
                 + b"".join(struct.pack(">I", len(x))
                            for x in group))
-            pending.append((len(trafs), len(tfhd), len(mdat)))
-            trafs += _box(b"traf", tfhd + trun)
+            pending.append((len(trafs), len(tfhd) + len(tfdt),
+                            len(mdat)))
+            trafs += _box(b"traf", tfhd + tfdt + trun)
             for x in group:
                 mdat += x
         if not trafs:

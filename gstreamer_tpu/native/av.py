@@ -173,13 +173,14 @@ class AvAudioDecoder:
         rate = ctypes.c_int()
         ch = ctypes.c_int()
         while True:
+            # cap is in FLOATS (total interleaved capacity); the C
+            # side returns -(n*channels) when it would not fit, so a
+            # stream with any channel count resizes safely.
             r = lib.gtpu_avdec_recv_audio(
-                self._h, self._buf.ctypes.data,
-                len(self._buf) // max(self.channels or 8, 1),
+                self._h, self._buf.ctypes.data, len(self._buf),
                 ctypes.byref(rate), ctypes.byref(ch))
             if r < 0:
-                self._buf = np.empty(-r * max(ch.value, 8) * 2,
-                                     np.float32)
+                self._buf = np.empty(-r * 2, np.float32)
                 continue
             if r == 0:
                 break

@@ -179,6 +179,28 @@ class DtlsConnection:
         self._crypto.BIO_write(self._rbio, data, len(data))
         self.pump()
 
+    def peer_fingerprint(self) -> Optional[str]:
+        """SHA-256 digest of the certificate the peer actually
+        presented, in SDP a=fingerprint form ("sha-256 AB:CD:…"), or
+        None when no peer certificate is available.  Callers compare
+        this against the signalled a=fingerprint (RFC 8122 / RFC 5763
+        §5) — the reference dtls plugin does the same check in
+        gstdtlsconnection.c."""
+        s, c = self._sslmod, self._crypto
+        s.SSL_get1_peer_certificate.restype = ctypes.c_void_p
+        x = ctypes.c_void_p(s.SSL_get1_peer_certificate(self._conn))
+        if not x:
+            return None
+        try:
+            buf = ctypes.create_string_buffer(64)
+            ln = ctypes.c_uint()
+            c.X509_digest(x, ctypes.c_void_p(c.EVP_sha256()),
+                          buf, ctypes.byref(ln))
+            raw = buf.raw[:ln.value]
+            return "sha-256 " + ":".join(f"{b:02X}" for b in raw)
+        finally:
+            c.X509_free(x)
+
     # -- SRTP keying (RFC 5764 §4.2) ---------------------------------------
     def export_srtp_keys(self) -> Tuple[bytes, bytes, bytes, bytes]:
         """-> (client_key, server_key, client_salt, server_salt)."""

@@ -72,6 +72,18 @@ def srtp_kdf(master_key: bytes, master_salt: bytes, label: int,
     return _aes_cm_keystream(master_key, x << 16, n)
 
 
+def _rtp_header_len(pkt: bytes) -> int:
+    """Unencrypted RTP header length (§3.1): fixed 12 + CSRCs, plus
+    the RFC 8285 header-extension block when the X bit is set — RFC
+    3711 excludes the extension from encryption (it is authenticated
+    but sent in the clear, like the reference's libsrtp)."""
+    hdr = 12 + 4 * (pkt[0] & 0x0F)
+    if pkt[0] & 0x10 and len(pkt) >= hdr + 4:         # X bit
+        ext_words = struct.unpack(">H", pkt[hdr + 2:hdr + 4])[0]
+        hdr += 4 + 4 * ext_words
+    return min(hdr, len(pkt))
+
+
 class SrtpSession:
     """One direction of an SRTP session (one master key/salt)."""
 
@@ -116,7 +128,7 @@ class SrtpSession:
         ssrc = struct.unpack(">I", pkt[8:12])[0]
         seq = struct.unpack(">H", pkt[2:4])[0]
         index = self._index(ssrc, seq, update=True)
-        hdr_len = 12 + 4 * (pkt[0] & 0x0F)            # CSRCs
+        hdr_len = _rtp_header_len(pkt)
         ks = _aes_cm_keystream(self.enc_key,
                                self._keystream_iv(ssrc, index),
                                len(pkt) - hdr_len)
@@ -141,7 +153,7 @@ class SrtpSession:
         if not hmac.compare_digest(tag, want[:self.AUTH_TAG_LEN]):
             return None
         self._index(ssrc, seq, update=True)
-        hdr_len = 12 + 4 * (body[0] & 0x0F)
+        hdr_len = _rtp_header_len(body)
         ks = _aes_cm_keystream(self.enc_key,
                                self._keystream_iv(ssrc, index),
                                len(body) - hdr_len)

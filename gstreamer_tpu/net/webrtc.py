@@ -12,10 +12,14 @@ plumbing, host ICE candidates on 127.0.0.1, and DTLS-SRTP transport
 security (RFC 5764): offers carry a=fingerprint/a=setup, the DTLS
 handshake runs over the media ports (net/dtls.py, OpenSSL-backed like
 the reference ext/dtls) and media is SRTP-protected with the exported
-keys (clean-room RFC 3711 cipher, net/srtp.py).  STUN/TURN remains
-out (host candidates only); with enable-dtls=false — or libssl absent
-— media flows as plain RTP as before.  Signalling is the
-application's job, exactly as with the reference element."""
+keys (clean-room RFC 3711 cipher, net/srtp.py).  The certificate the
+peer presents is verified against the SDP a=fingerprint (RFC 8122 /
+5763 §5); a mismatch fails the connection.  While enable-dtls=true
+(the default) the bin NEVER sends plain RTP — if libssl is absent or
+the peer offers no fingerprint the connection fails; plain-RTP
+transport requires an explicit enable-dtls=false on both sides.
+Signalling is the application's job, exactly as with the reference
+element."""
 
 from __future__ import annotations
 
@@ -226,6 +230,14 @@ class WebRTCBin(SinkElement):
             for rm in self.remote_description.sdp.medias:
                 if rm.get_attribute_val("fingerprint"):
                     remote_dtls = True
+        if self.props.get("enable-dtls", True) and (
+                agent is None or not remote_dtls):
+            # Never degrade to unencrypted media while DTLS is
+            # requested (the default): the reference webrtcbin refuses
+            # to send plain RTP.  Plain-RTP transport requires an
+            # explicit enable-dtls=false on BOTH sides.
+            self.connection_state = "failed"
+            return
         if agent is not None and remote_dtls:
             self.connection_state = "connecting"
             # answerer (a=setup:active) is the DTLS client
@@ -276,6 +288,9 @@ class WebRTCBin(SinkElement):
             if out:
                 self._send_sock.sendto(out, dest)
             if self._dtls.complete:
+                if not self._verify_peer_fingerprint():
+                    self.connection_state = "failed"
+                    return
                 from .srtp import SrtpSession
                 (sk, ss), (rk, rs) = self._dtls.srtp_send_recv_keys()
                 self._srtp_send = SrtpSession(sk, ss)
@@ -285,6 +300,23 @@ class WebRTCBin(SinkElement):
                 self.connection_state = "failed"
         except Exception:
             self.connection_state = "failed"
+
+    def _verify_peer_fingerprint(self) -> bool:
+        """RFC 8122 / RFC 5763 §5: the certificate presented in the
+        DTLS handshake MUST match the a=fingerprint signalled in the
+        remote SDP; an on-path attacker presenting its own cert is
+        rejected here (the reference verifies the digest in its dtls
+        plugin, gstdtlsconnection.c)."""
+        presented = self._dtls.peer_fingerprint()
+        if presented is None or self.remote_description is None:
+            return False
+        def norm(fp: str) -> str:
+            return " ".join(fp.strip().split()).upper()
+        for rm in self.remote_description.sdp.medias:
+            sig = rm.get_attribute_val("fingerprint")
+            if sig and norm(sig) == norm(presented):
+                return True
+        return False
 
     def render(self, buf: Buffer) -> str:
         if self.connection_state != "connected":

@@ -150,8 +150,10 @@ long gtpu_avdec_recv_video(void *h, unsigned char *buf, long cap,
 }
 
 // Pull one audio frame as interleaved float.  Returns sample count
-// (per channel); 0 = none; negative = -(needed samples).
-long gtpu_avdec_recv_audio(void *h, float *buf, long cap_samples,
+// (per channel); 0 = none; negative = -(needed FLOATS, i.e. the
+// total interleaved n*channels size) so the caller can size the
+// buffer without guessing the channel count up front.
+long gtpu_avdec_recv_audio(void *h, float *buf, long cap_floats,
                            int *rate, int *ch) {
     Dec *d = (Dec *)h;
     if (!d->pending) {
@@ -163,7 +165,7 @@ long gtpu_avdec_recv_audio(void *h, float *buf, long cap_samples,
     *rate = fr->sample_rate;
     *ch = C;
     long n = fr->nb_samples;
-    if (cap_samples < n) return -n;
+    if (cap_floats < n * C) return -(n * C);
     for (long i = 0; i < n; i++)
         for (int k = 0; k < C; k++) {
             float v = 0.f;

@@ -151,3 +151,123 @@ class TestWebRTCDtlsSrtp:
         assert got and got[0] == pkt
         a.stop()
         b.stop()
+
+
+@needs_ssl
+class TestSrtpHeaderExtension:
+    KEY = bytes(range(16))
+    SALT = bytes(range(14))
+
+    def make_ext_rtp(self, seq, ext_words=2):
+        """RTP with X=1 and an RFC 8285 one-byte-header extension."""
+        hdr = struct.pack("!BBHII", 0x90, 96, seq & 0xFFFF, 1000,
+                          0x1234)
+        ext = struct.pack("!HH", 0xBEDE, ext_words) \
+            + bytes(range(4 * ext_words))
+        return hdr + ext + b"\x5A" * 33
+
+    def test_extension_stays_cleartext(self):
+        """RFC 3711 §3.1: the header extension is authenticated but
+        NOT encrypted — required for libsrtp/reference interop."""
+        tx = SrtpSession(self.KEY, self.SALT)
+        rx = SrtpSession(self.KEY, self.SALT)
+        pkt = self.make_ext_rtp(5)
+        prot = tx.protect(pkt)
+        ext_end = 12 + 4 + 8                  # hdr + ext hdr + 2 words
+        assert prot[:ext_end] == pkt[:ext_end]
+        assert prot[ext_end:-10] != pkt[ext_end:]   # payload encrypted
+        assert rx.unprotect(prot) == pkt
+
+    def test_csrc_plus_extension(self):
+        tx = SrtpSession(self.KEY, self.SALT)
+        rx = SrtpSession(self.KEY, self.SALT)
+        hdr = struct.pack("!BBHII", 0x92, 96, 9, 1000, 0x1234)
+        hdr += struct.pack("!II", 0xC0FFEE, 0xBEEF)    # 2 CSRCs
+        hdr += struct.pack("!HH", 0xBEDE, 1) + b"\x01\x02\x03\x04"
+        pkt = hdr + b"\x77" * 20
+        prot = tx.protect(pkt)
+        assert prot[:len(hdr)] == hdr
+        assert rx.unprotect(prot) == pkt
+
+
+@needs_ssl
+class TestWebRTCSecurity:
+    def test_fingerprint_mismatch_fails(self):
+        """A peer presenting a cert that doesn't match the signalled
+        a=fingerprint must be rejected (RFC 8122 / 5763 §5)."""
+        from gstreamer_tpu.core.element import element_factory_make
+        a = element_factory_make("webrtcbin")
+        b = element_factory_make("webrtcbin")
+        a.add_transceiver("sendrecv", "audio", pt=0,
+                          encoding_name="PCMU", clock_rate=8000)
+        offer = a.create_offer()
+        a.set_local_description(offer)
+        b.set_remote_description(offer)
+        answer = b.create_answer()
+        b.set_local_description(answer)
+        # tamper: swap the fingerprint the answerer signalled
+        bogus = "sha-256 " + ":".join(["00"] * 32)
+        for m in answer.sdp.medias:
+            m.attributes = [
+                (k, bogus if k == "fingerprint" else v)
+                for k, v in m.attributes]
+        a.set_remote_description(answer)
+        for _ in range(100):
+            if a.connection_state in ("connected", "failed"):
+                break
+            time.sleep(0.05)
+        assert a.connection_state == "failed"
+        a.stop()
+        b.stop()
+
+    def test_no_remote_fingerprint_refuses_plaintext(self):
+        """enable-dtls=true (default) never degrades to plain RTP."""
+        from gstreamer_tpu.core.element import element_factory_make
+        from gstreamer_tpu.net.sdp import SDPMessage
+        from gstreamer_tpu.net.webrtc import WebRTCSessionDescription
+        a = element_factory_make("webrtcbin")
+        a.add_transceiver("sendrecv", "audio", pt=0,
+                          encoding_name="PCMU", clock_rate=8000)
+        offer = a.create_offer()
+        a.set_local_description(offer)
+        # strip fingerprints from the "answer" (plain-RTP peer)
+        b = element_factory_make("webrtcbin", **{"enable-dtls": False})
+        b.set_remote_description(offer)
+        answer = b.create_answer()
+        for m in answer.sdp.medias:
+            m.attributes = [(k, v) for k, v in m.attributes
+                            if k not in ("fingerprint", "setup")]
+        a.set_remote_description(answer)
+        time.sleep(0.2)
+        assert a.connection_state == "failed"
+        a.stop()
+        b.stop()
+
+    def test_plain_rtp_requires_explicit_optout(self):
+        """Both sides enable-dtls=false -> plain RTP still works."""
+        from gstreamer_tpu.core.buffer import Buffer
+        from gstreamer_tpu.core.element import element_factory_make
+        a = element_factory_make("webrtcbin", **{"enable-dtls": False})
+        b = element_factory_make("webrtcbin", **{"enable-dtls": False})
+        a.add_transceiver("sendrecv", "audio", pt=0,
+                          encoding_name="PCMU", clock_rate=8000)
+        offer = a.create_offer()
+        assert "fingerprint" not in offer.as_text()
+        a.set_local_description(offer)
+        b.set_remote_description(offer)
+        answer = b.create_answer()
+        b.set_local_description(answer)
+        a.set_remote_description(answer)
+        time.sleep(0.1)
+        assert a.connection_state == "connected"
+        pkt = make_rtp(3)
+        a.render(Buffer(data=[pkt], batch=1))
+        got = []
+        for _ in range(10):
+            got = b.pull_received()
+            if got:
+                break
+            time.sleep(0.05)
+        assert got and got[0] == pkt
+        a.stop()
+        b.stop()

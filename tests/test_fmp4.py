@@ -149,3 +149,84 @@ def test_cmafmux_write_read_roundtrip(tmp_path):
         chunks.append(np.asarray(s.buffer.data))
     pcm = np.concatenate(chunks)
     assert pcm.shape[0] > 20000 and pcm.shape[1] == 1
+
+
+@needs_av
+def test_cmafmux_writes_tfdt(tmp_path):
+    """CMAF (ISO 23000-19) requires a tfdt per traf; decode times
+    must accumulate across fragments (isomp4 atoms.c)."""
+    path = tmp_path / "t.mp4"
+    p = parse_launch(
+        f"cmafmux name=m location={path} ! fakesink "
+        "videotestsrc num-buffers=6 ! "
+        "video/x-raw,format=I420,width=64,height=48,framerate=30/1 ! "
+        "x264enc ! m.video_0")
+    p.run()
+    data = path.read_bytes()
+    from gstreamer_tpu.elements.isomp4 import _walk_boxes
+    times = []
+    for tag, a, b in _walk_boxes(data, 0, len(data)):
+        if tag != b"moof":
+            continue
+        for t2, a2, b2 in _walk_boxes(data, a, b):
+            if t2 != b"traf":
+                continue
+            for t3, a3, b3 in _walk_boxes(data, a2, b2):
+                if t3 == b"tfdt":
+                    assert data[a3] == 1          # version 1, 64-bit
+                    times.append(struct.unpack(
+                        ">Q", data[a3 + 4:a3 + 12])[0])
+    assert len(times) >= 2
+    assert times[0] == 0
+    assert times == sorted(times) and times[-1] > 0
+
+
+def test_multi_trun_continuation(tmp_path):
+    """§8.8.8: a trun without a data-offset continues at the previous
+    run's end, not back at the traf base."""
+    from gstreamer_tpu.elements.isomp4 import _parse_fragments
+    s1, s2, s3 = b"AAAA", b"BBBBBB", b"CC"
+    mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 1))
+    tfhd = _full(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+    def trun(sizes, data_offset=None):
+        flags = 0x200 | (0x1 if data_offset is not None else 0)
+        body = struct.pack(">B3s", 0, flags.to_bytes(3, "big"))
+        body += struct.pack(">I", len(sizes))
+        if data_offset is not None:
+            body += struct.pack(">i", data_offset)
+        body += b"".join(struct.pack(">I", n) for n in sizes)
+        return _box(b"trun", body)
+    t1 = trun([len(s1)], data_offset=0)     # patched below
+    t2 = trun([len(s2), len(s3)])           # NO offset: continues
+    traf = _box(b"traf", tfhd + t1 + t2)
+    moof = bytearray(_box(b"moof", mfhd + traf))
+    ti = bytes(moof).find(b"trun")
+    struct.pack_into(">i", moof, ti + 12, len(moof) + 8)
+    blob = bytes(moof) + _box(b"mdat", s1 + s2 + s3)
+    samples, durs, tfdts = _parse_fragments(blob, {1: (1, 0)})
+    got = [blob[o:o + n] for o, n in samples[1]]
+    assert got == [s1, s2, s3]
+
+
+def test_parse_fragments_reads_tfdt():
+    """tfdt base decode times are surfaced and, when no durations
+    exist anywhere, consecutive tfdt deltas recover them."""
+    from gstreamer_tpu.elements.isomp4 import _parse_fragments
+    blob = bytearray()
+    for i, (bt, payload) in enumerate([(0, b"XX"), (3000, b"YY")]):
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", i + 1))
+        tfhd = _full(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", bt))
+        flags = 0x1 | 0x200
+        trun = _box(b"trun", struct.pack(
+            ">B3s", 0, flags.to_bytes(3, "big"))
+            + struct.pack(">I", 1) + struct.pack(">i", 0)
+            + struct.pack(">I", len(payload)))
+        moof = bytearray(_box(b"moof",
+                              mfhd + _box(b"traf", tfhd + tfdt + trun)))
+        ti = bytes(moof).find(b"trun")
+        struct.pack_into(">i", moof, ti + 12, len(moof) + 8)
+        blob += bytes(moof) + _box(b"mdat", payload)
+    samples, durs, tfdts = _parse_fragments(bytes(blob), {1: (0, 0)})
+    assert tfdts[1] == [(0, 0), (1, 3000)]
+    assert len(samples[1]) == 2

@@ -496,3 +496,28 @@ def test_ffv1_lossless_chain():
     for a, b in zip(gold, frames):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+@needs_av
+def test_audio_decode_small_buffer_resizes_safely():
+    """Regression: the recv-audio capacity is counted in total floats
+    (n*channels), so an undersized buffer grows instead of the C side
+    writing past it (heap overflow with >8-channel streams)."""
+    import numpy as np
+    from gstreamer_tpu.native.av import AvAudioDecoder, AvAudioEncoder
+    enc = AvAudioEncoder("libmp3lame", 48000, 2, 128000)
+    t = np.arange(4800) / 48000.0
+    pcm = np.stack([np.sin(2 * np.pi * 440 * t),
+                    np.sin(2 * np.pi * 880 * t)], 1).astype(np.float32)
+    pkts = enc.encode_all(pcm)
+    dec = AvAudioDecoder("mp3")
+    dec._buf = np.empty(16, np.float32)       # force the resize path
+    frames = []
+    for p in pkts:
+        frames += dec.decode(p)
+    frames += dec.flush()
+    got = np.concatenate(frames) if frames else np.empty((0, 2))
+    assert got.shape[0] > 1000 and got.shape[1] == 2
+    # the buffer grew to hold one interleaved frame (1152 x 2 ch)
+    assert dec._buf.size >= 1152 * 2
+    assert np.isfinite(got).all()
