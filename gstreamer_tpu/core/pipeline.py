@@ -591,9 +591,32 @@ class Pipeline(Bin):
                             values[sp] = v
                 return outputs, new_states
 
-            self._device_step = jax.jit(
+            jitted = jax.jit(
                 self._maybe_shard(device_step, mesh),
                 donate_argnums=(0,) if donate_inputs else ())
+            if donate_inputs:
+                # Donation is best-effort HBM recycling: XLA aliases a
+                # donated input into an output only when shape/dtype
+                # match.  A convert+scale input (e.g. 1080p Y plane ->
+                # 224x224 RGB out) has no aliasing target; the failed
+                # donation is free (the staging buffer is released
+                # either way, no extra copy happens), so the advisory
+                # "donated buffers were not usable" warning is noise
+                # here — silence just that message.
+                import functools
+                import warnings as _warnings
+
+                @functools.wraps(jitted)
+                def _quiet(*a, **kw):
+                    with _warnings.catch_warnings():
+                        _warnings.filterwarnings(
+                            "ignore",
+                            message="Some donated buffers were not "
+                                    "usable")
+                        return jitted(*a, **kw)
+                self._device_step = _quiet
+            else:
+                self._device_step = jitted
         else:
             # host elements present: per-element execution — each pure
             # element's fn is jitted on its own (still device compute,

@@ -1,17 +1,23 @@
-"""webrtcbin (reduced) — RTCPeerConnection-style offer/answer over
-the SDP library with plain-RTP localhost transport.
+"""webrtcbin — JSEP offer/answer over the SDP library with ICE/STUN
+candidate transport and DTLS-SRTP media security.
 
 References: gst-plugins-bad/gst-libs/gst/webrtc/ (session
-description/transceiver/ICE types) and ext/webrtc/gstwebrtcbin.c
+description/transceiver/ICE types), ext/webrtc/gstwebrtcbin.c
 (create-offer / create-answer / set-local-description /
 set-remote-description signalling state machine, transceivers with
-direction, on-negotiation-needed).
+direction, on-negotiation-needed, add-ice-candidate /
+on-ice-candidate trickle signals) and
+gst-libs/gst/webrtc/nice/gstwebrtcnice.c (the agent integration this
+module replaces with the clean-room net/ice.py).
 
-Scope: the JSEP state machine, SDP generation/parsing, transceiver
-plumbing, host ICE candidates on 127.0.0.1, and DTLS-SRTP transport
-security (RFC 5764): offers carry a=fingerprint/a=setup, the DTLS
-handshake runs over the media ports (net/dtls.py, OpenSSL-backed like
-the reference ext/dtls) and media is SRTP-protected with the exported
+Scope: the JSEP state machine, SDP generation/parsing with
+ice-ufrag/ice-pwd/candidate attributes, transceiver plumbing, a real
+ICE agent per bin (host + server-reflexive candidates via the
+stun-server property, UDP connectivity checks, aggressive
+nomination), and DTLS-SRTP transport security (RFC 5764): offers
+carry a=fingerprint/a=setup, the DTLS handshake runs over the
+nominated candidate pair (net/dtls.py, OpenSSL-backed like the
+reference ext/dtls) and media is SRTP-protected with the exported
 keys (clean-room RFC 3711 cipher, net/srtp.py).  The certificate the
 peer presents is verified against the SDP a=fingerprint (RFC 8122 /
 5763 §5); a mismatch fails the connection.  While enable-dtls=true
@@ -23,16 +29,17 @@ element."""
 
 from __future__ import annotations
 
-import socket
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+import threading
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..core.buffer import Buffer, FlowReturn
-from ..core.caps import Caps
 from ..core.element import (PadDirection, PadTemplate, SinkElement,
-                            element_factory_make, register_element)
+                            register_element)
+from .ice import IceAgent, IceCandidate
 from .sdp import SDPMedia, SDPMessage
 
 
@@ -53,22 +60,25 @@ class WebRTCRTPTransceiver:
     encoding_name: str = ""
     clock_rate: int = 90000
     mline: int = -1
-    local_port: int = 0
-    remote_port: int = 0
 
 
-def _free_port() -> int:
-    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+def _parse_stun_uri(uri: str) -> Optional[Tuple[str, int]]:
+    """stun://host:port (the reference's stun-server property
+    format, gstwebrtcbin.c)."""
+    if not uri:
+        return None
+    body = uri.split("://", 1)[-1]
+    host, _, port = body.partition(":")
+    try:
+        return (host, int(port or 3478))
+    except ValueError:
+        return None
 
 
 @register_element
 class WebRTCBin(SinkElement):
     """webrtcbin: JSEP endpoint.  Feed application/x-rtp on the sink
-    pad (sent over the negotiated transport); received packets are
+    pad (sent over the nominated ICE pair); received packets are
     available via `pull_received()` / the receive queue — the batch
     model's analog of the dynamic src pads."""
     FACTORY = "webrtcbin"
@@ -76,7 +86,8 @@ class WebRTCBin(SinkElement):
     PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
                                  "application/x-rtp")]
     PROPERTIES = {
-        "stun-server": (str, "", "ignored (host candidates only)"),
+        "stun-server": (str, "", "stun://host:port for srflx "
+                                 "candidate gathering"),
         "latency": (int, 200, ""),
         "enable-dtls": (bool, True, "DTLS-SRTP transport (RFC 5764)"),
     }
@@ -90,14 +101,16 @@ class WebRTCBin(SinkElement):
             WebRTCSessionDescription] = None
         self.signaling_state = "stable"
         self.connection_state = "new"
+        self.ice_connection_state = "new"
         self.on_negotiation_needed = None
-        self._send_sock: Optional[socket.socket] = None
-        self._recv_sock: Optional[socket.socket] = None
+        self.on_ice_candidate = None     # (mline, "candidate:…")
+        self._ice: Optional[IceAgent] = None
         self._agent = None
         self._dtls = None
         self._srtp_send = None
         self._srtp_recv = None
         self._hs_thread = None
+        self._connect_started = False
 
     # -- DTLS-SRTP ---------------------------------------------------------
     def _dtls_enabled(self) -> bool:
@@ -109,6 +122,34 @@ class WebRTCBin(SinkElement):
             from .dtls import DtlsAgent
             self._agent = DtlsAgent()
         return self._agent
+
+    # -- ICE ---------------------------------------------------------------
+    def _ensure_ice(self, controlling: bool) -> IceAgent:
+        if self._ice is None:
+            self._ice = IceAgent(
+                controlling=controlling,
+                stun_server=_parse_stun_uri(
+                    self.props.get("stun-server", "")))
+
+            def _on_cand(c: IceCandidate) -> None:
+                self.ice_connection_state = self._ice.state
+                if self.on_ice_candidate:
+                    self.on_ice_candidate(0, "candidate:" + c.to_sdp())
+
+            def _on_state(s: str) -> None:
+                self.ice_connection_state = s
+
+            self._ice.on_candidate = _on_cand
+            self._ice.on_state = _on_state
+            self._ice.gather()
+        return self._ice
+
+    def add_ice_candidate(self, mline: int, candidate: str) -> None:
+        """Trickle a remote candidate in (the reference's
+        add-ice-candidate signal)."""
+        c = IceCandidate.from_sdp(candidate)
+        if c is not None and self._ice is not None:
+            self._ice.add_remote_candidate(c)
 
     # -- transceivers ------------------------------------------------------
     def add_transceiver(self, direction: str, kind: str,
@@ -127,10 +168,10 @@ class WebRTCBin(SinkElement):
 
     # -- JSEP --------------------------------------------------------------
     def _media_for(self, t: WebRTCRTPTransceiver) -> SDPMedia:
-        if not t.local_port:
-            t.local_port = _free_port()
+        ice = self._ensure_ice(
+            controlling=self.remote_description is None)
         agent = self._ensure_agent()
-        m = SDPMedia(media=t.kind, port=t.local_port,
+        m = SDPMedia(media=t.kind, port=ice.port,
                      proto=("UDP/TLS/RTP/SAVPF" if agent
                             else "RTP/AVP"),
                      formats=[str(t.pt)])
@@ -138,6 +179,8 @@ class WebRTCBin(SinkElement):
         m.attributes.append(
             ("rtpmap", f"{t.pt} {t.encoding_name}/{t.clock_rate}"))
         m.attributes.append((t.direction, ""))
+        m.attributes.append(("ice-ufrag", ice.local_ufrag))
+        m.attributes.append(("ice-pwd", ice.local_pwd))
         if agent is not None:
             m.attributes.append(("fingerprint", agent.fingerprint()))
             # offerer is actpass; answerer takes the active role and
@@ -145,10 +188,8 @@ class WebRTCBin(SinkElement):
             role = ("actpass" if self.remote_description is None
                     else "active")
             m.attributes.append(("setup", role))
-        m.attributes.append(
-            ("candidate",
-             f"1 1 UDP 2113937151 127.0.0.1 {t.local_port} "
-             f"typ host"))
+        for c in ice.local_candidates:
+            m.attributes.append(("candidate", c.to_sdp()))
         return m
 
     def create_offer(self) -> WebRTCSessionDescription:
@@ -181,7 +222,6 @@ class WebRTCBin(SinkElement):
                     encoding_name=enc, clock_rate=rate,
                     mline=len(self.transceivers))
                 self.transceivers.append(t)
-            t.remote_port = rm.port
             msg.medias.append(self._media_for(t))
         return WebRTCSessionDescription("answer", msg)
 
@@ -197,33 +237,28 @@ class WebRTCBin(SinkElement):
     def set_remote_description(
             self, desc: WebRTCSessionDescription) -> None:
         self.remote_description = desc
-        for i, rm in enumerate(desc.sdp.medias):
-            if i < len(self.transceivers):
-                self.transceivers[i].remote_port = rm.port
+        ice = self._ensure_ice(controlling=desc.type == "answer")
+        for rm in desc.sdp.medias:
+            uf = rm.get_attribute_val("ice-ufrag")
+            pw = rm.get_attribute_val("ice-pwd")
+            if uf and pw:
+                ice.set_remote_credentials(uf, pw)
+            for k, v in rm.attributes:
+                if k == "candidate":
+                    c = IceCandidate.from_sdp(v)
+                    if c is not None:
+                        ice.add_remote_candidate(c)
         if desc.type == "offer":
             self.signaling_state = "have-remote-offer"
         else:
             self.signaling_state = "stable"
             self._connect()
 
-    # -- transport (reduced: plain RTP over the candidate ports) -----------
+    # -- transport ---------------------------------------------------------
     def _connect(self) -> None:
-        if not self.transceivers:
+        if self._connect_started or not self.transceivers:
             return
-        t = self.transceivers[0]
-        if self._recv_sock is None and t.local_port:
-            self._recv_sock = socket.socket(socket.AF_INET,
-                                            socket.SOCK_DGRAM)
-            self._recv_sock.setsockopt(socket.SOL_SOCKET,
-                                       socket.SO_REUSEADDR, 1)
-            try:
-                self._recv_sock.bind(("127.0.0.1", t.local_port))
-            except OSError:
-                pass
-            self._recv_sock.settimeout(0.5)
-        if self._send_sock is None:
-            self._send_sock = socket.socket(socket.AF_INET,
-                                            socket.SOCK_DGRAM)
+        self._connect_started = True
         agent = self._ensure_agent()
         remote_dtls = False
         if self.remote_description is not None:
@@ -238,55 +273,80 @@ class WebRTCBin(SinkElement):
             # explicit enable-dtls=false on BOTH sides.
             self.connection_state = "failed"
             return
+        self.connection_state = "connecting"
+        ice = self._ensure_ice(
+            controlling=self.local_description is not None
+            and self.local_description.type == "offer")
+        ice.start()
         if agent is not None and remote_dtls:
-            self.connection_state = "connecting"
             # answerer (a=setup:active) is the DTLS client
             is_client = (self.local_description is not None
                          and self.local_description.type == "answer")
             self._dtls = agent.connection(is_client)
-            import threading
             self._hs_thread = threading.Thread(
                 target=self._dtls_handshake_loop, daemon=True)
             self._hs_thread.start()
         else:
-            self.connection_state = "connected"
+            self._hs_thread = threading.Thread(
+                target=self._wait_ice_connected, daemon=True)
+            self._hs_thread.start()
+
+    def _wait_ice_connected(self) -> None:
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            if self._ice.state == "connected":
+                self.connection_state = "connected"
+                return
+            if self._ice.state == "failed":
+                break
+            time.sleep(0.02)
+        self.connection_state = "failed"
 
     def _dtls_handshake_loop(self):
-        """Pump the DTLS handshake over the media ports (RFC 5764
-        demultiplexes by first byte: DTLS 20..63, RTP 128..191)."""
-        import time as _time
-        t = self.transceivers[0]
-        dest = ("127.0.0.1", t.remote_port)
+        """Wait for ICE nomination, then pump the DTLS handshake over
+        the selected pair (RFC 5764 demultiplexes by first byte:
+        STUN 0..3, DTLS 20..63, RTP 128..191 — STUN is consumed by
+        the ICE agent's receive loop)."""
         try:
+            deadline = time.time() + 10.0
+            while time.time() < deadline:
+                if self._ice.state == "connected":
+                    break
+                if self._ice.state == "failed":
+                    self.connection_state = "failed"
+                    return
+                time.sleep(0.02)
+            else:
+                self.connection_state = "failed"
+                return
             self._dtls.pump()
-            deadline = _time.time() + 10.0
             last_flight = b""
-            while not self._dtls.complete and _time.time() < deadline:
+            while not self._dtls.complete and time.time() < deadline:
                 out = self._dtls.take_outgoing()
                 if out:
                     last_flight = out
-                    self._send_sock.sendto(out, dest)
-                try:
-                    data, _ = self._recv_sock.recvfrom(65536)
-                except (socket.timeout, OSError):
+                    self._ice.send(out)
+                data = self._ice.recv(timeout=0.3)
+                if data is None:
                     # memory-BIO DTLS has no timer-driven
                     # retransmission: re-pump and re-send the last
-                    # flight so a lost datagram (or a peer whose
-                    # receive thread started late) can't stall the
+                    # flight so a lost datagram can't stall the
                     # handshake until the deadline
                     self._dtls.pump()
                     more = self._dtls.take_outgoing()
                     if more:
                         last_flight = more
-                        self._send_sock.sendto(more, dest)
+                        self._ice.send(more)
                     elif last_flight:
-                        self._send_sock.sendto(last_flight, dest)
+                        self._ice.send(last_flight)
                     continue
                 if data and 20 <= data[0] <= 63:
                     self._dtls.feed_incoming(data)
+                elif data:
+                    self._ice.media_queue.put((data, ("", 0)))
             out = self._dtls.take_outgoing()
             if out:
-                self._send_sock.sendto(out, dest)
+                self._ice.send(out)
             if self._dtls.complete:
                 if not self._verify_peer_fingerprint():
                     self.connection_state = "failed"
@@ -310,6 +370,7 @@ class WebRTCBin(SinkElement):
         presented = self._dtls.peer_fingerprint()
         if presented is None or self.remote_description is None:
             return False
+
         def norm(fp: str) -> str:
             return " ".join(fp.strip().split()).upper()
         for rm in self.remote_description.sdp.medias:
@@ -321,28 +382,28 @@ class WebRTCBin(SinkElement):
     def render(self, buf: Buffer) -> str:
         if self.connection_state != "connected":
             return FlowReturn.OK
-        t = self.transceivers[0]
         d = buf.data
         for b in (d if isinstance(d, (list, tuple)) else [d]):
             raw = (bytes(b) if isinstance(b, (bytes, bytearray))
                    else np.asarray(b).tobytes())
             if self._srtp_send is not None:
                 raw = self._srtp_send.protect(raw)
-            self._send_sock.sendto(raw,
-                                   ("127.0.0.1", t.remote_port))
+            try:
+                self._ice.send(raw)
+            except OSError:
+                return FlowReturn.ERROR
         return FlowReturn.OK
 
     def pull_received(self, max_packets: int = 64) -> List[bytes]:
         out = []
-        if self._recv_sock is None \
+        if self._ice is None \
                 or self.connection_state == "connecting":
             return out
         for _ in range(max_packets):
-            try:
-                data, _ = self._recv_sock.recvfrom(65536)
-            except socket.timeout:
+            data = self._ice.recv(timeout=0.5 if not out else 0.05)
+            if data is None:
                 break
-            if data and 20 <= data[0] <= 63:
+            if 20 <= data[0] <= 63:
                 continue                      # stray DTLS retransmit
             if self._srtp_recv is not None:
                 data = self._srtp_recv.unprotect(data)
@@ -352,7 +413,6 @@ class WebRTCBin(SinkElement):
         return out
 
     def stop(self):
-        for s in (self._send_sock, self._recv_sock):
-            if s is not None:
-                s.close()
-        self._send_sock = self._recv_sock = None
+        if self._ice is not None:
+            self._ice.close()
+            self._ice = None
