@@ -237,9 +237,14 @@ class Element:
         for p in self.pads:
             if p.name == name:
                 return p
-        # request pads ("sink_%u")
+        # request pads ("sink_%u") — and sometimes-pads (a demuxer's
+        # "video_%u": in the trace-time model asking for the pad by
+        # name IS the stream-exposure event, the analog of the
+        # reference's pad-added signal after stream discovery)
         for t in self.PAD_TEMPLATES:
-            if t.presence == PadPresence.REQUEST and _template_match(t.name, name):
+            if t.presence in (PadPresence.REQUEST,
+                              PadPresence.SOMETIMES) \
+                    and _template_match(t.name, name):
                 pad = t.instantiate(self, name)
                 self.pads.append(pad)
                 return pad
@@ -454,6 +459,43 @@ class SourceElement(Element):
             q.result.setdefault("max-latency", -1)
             return True
         return super().query(q)
+
+
+class MultiStreamSourceElement(SourceElement):
+    """Demuxer scaffold: ONE container parse exposes a pad per track
+    (the sometimes-pads analog of qtdemux.c / matroska-demux.c — the
+    reference demuxer adds video_0/audio_0/... pads after discovering
+    streams; here linking `demux.video_0` in the launch string exposes
+    the stream, and all exposed pads are fed from a single parse).
+
+    Subclasses implement:
+      - `get_caps_for_pad(pad, filter)` — per-stream caps;
+      - `create_multi(n) -> Optional[Dict[pad_name, Buffer]]` — one
+        batch per exposed pad (omit pads whose stream ended; None when
+        every stream is exhausted);
+    and keep the single-pad `get_caps`/`create` path working for the
+    backward-compatible `stream=` selection on the ALWAYS "src" pad.
+    """
+
+    MULTI_STREAM = True
+
+    def multi_pads(self) -> List["Pad"]:
+        """The exposed per-stream pads (linked sometimes-pads)."""
+        return [p for p in self.src_pads()
+                if p.peer is not None and p.name != "src"]
+
+    def is_multi(self) -> bool:
+        return bool(self.multi_pads())
+
+    def get_caps_for_pad(self, pad: "Pad",
+                         filter: Optional[Caps] = None) -> Caps:
+        raise NotImplementedError
+
+    def fixate_for_pad(self, pad: "Pad", caps: Caps) -> Caps:
+        return caps.fixate()
+
+    def create_multi(self, n_frames: int):
+        raise NotImplementedError
 
 
 class TransformElement(Element):

@@ -295,6 +295,27 @@ class Pipeline(Bin):
             for p in elem.pads:
                 p.caps = None
         for elem in order:
+            if getattr(elem, "MULTI_STREAM", False) and elem.is_multi():
+                # one-parse multi-stream demuxer: each exposed
+                # sometimes-pad negotiates its own stream caps
+                # (qtdemux.c pad-per-track analog)
+                for srcpad in elem.multi_pads():
+                    allowed = self._downstream_allowed(srcpad)
+                    caps_space = elem.get_caps_for_pad(
+                        srcpad, filter=allowed)
+                    if caps_space.is_empty:
+                        raise NegotiationError(
+                            f"{elem.name}.{srcpad.name}: no common "
+                            f"caps with downstream")
+                    fixed = elem.fixate_for_pad(srcpad, caps_space)
+                    if not fixed.is_fixed():
+                        raise NegotiationError(
+                            f"{elem.name}.{srcpad.name}: could not "
+                            f"fixate {fixed!r}")
+                    srcpad.caps = fixed
+                    log.info("%s.%s: negotiated %s", elem.name,
+                             srcpad.name, fixed)
+                continue
             if isinstance(elem, SourceElement):
                 srcpad = elem.src_pads()[0]
                 allowed = self._downstream_allowed(srcpad)
@@ -556,6 +577,13 @@ class Pipeline(Bin):
                 new_states: Dict[str, Any] = {}
                 for e in order:
                     if isinstance(e, SourceElement):
+                        if getattr(e, "MULTI_STREAM", False) \
+                                and e.is_multi():
+                            for sp in e.src_pads():
+                                key = f"{e.name}:{sp.name}"
+                                if key in inputs:
+                                    values[sp] = inputs[key]
+                            continue
                         v = inputs[e.name]
                         if fns[e] is not None:
                             v = fns[e](v)
@@ -563,7 +591,7 @@ class Pipeline(Bin):
                             values[sp] = v
                     elif isinstance(e, SinkElement):
                         pad = e.sink_pads()[0]
-                        if pad.peer is not None:
+                        if pad.peer is not None and pad.peer in values:
                             outputs[e.name] = values[pad.peer]
                     elif isinstance(e, AggregatorElement):
                         ins = {p.name: values[p.peer] for p in e.sink_pads()
@@ -572,7 +600,9 @@ class Pipeline(Bin):
                         for sp in e.src_pads():
                             values[sp] = v
                     else:
-                        pads = [p for p in e.sink_pads() if p.peer is not None]
+                        pads = [p for p in e.sink_pads()
+                                if p.peer is not None
+                                and p.peer in values]
                         if not pads:
                             continue
                         v = values[pads[0].peer]
@@ -752,40 +782,49 @@ class Pipeline(Bin):
         self._distribute_sticky()
         self.bus.post(Message("caps-changed", self.name))
 
+    def _stage_buf(self, buf: Buffer) -> Buffer:
+        """Device-stage a pulled buffer (shard under a mesh; async H2D
+        in the fused path so dispatch never consumes an in-flight host
+        transfer — measured 6.6 -> 447 fps on the dev tunnel)."""
+        if self._mesh is not None:
+            return buf.with_(data=self._shard_inputs(buf.data))
+        if not self._fused:
+            return buf
+        import jax
+        import numpy as _np
+
+        def _stage(x):
+            if isinstance(x, (str, bytes, bytearray)):
+                return x             # text cues stay on host
+            if isinstance(x, _np.ndarray) \
+                    and not x.flags["C_CONTIGUOUS"]:
+                # strided views (plane slices) hit a slow
+                # element-wise transfer path; a host memcpy
+                # first is ~10x cheaper than the difference
+                x = _np.ascontiguousarray(x)
+            return jax.device_put(x)
+        return buf.with_(data=jax.tree_util.tree_map(_stage, buf.data))
+
     def _pull_sources(self, sources):
         """Pull one batch from every source, device-staging the data.
-        Returns (inputs, metas) or None at EOS."""
+        Returns (inputs, metas) or None at EOS.  Multi-stream demuxers
+        contribute one entry per exposed pad, keyed "name:pad"."""
         inputs: Dict[str, Any] = {}
         metas: Dict[str, Buffer] = {}
         for s in sources:
+            if getattr(s, "MULTI_STREAM", False) and s.is_multi():
+                bufs = s.create_multi(self._batch)
+                if bufs is None:
+                    return None
+                for pname, buf in bufs.items():
+                    buf = self._stage_buf(buf)
+                    inputs[f"{s.name}:{pname}"] = buf.data
+                    metas[f"{s.name}:{pname}"] = buf
+                continue
             buf = s.create(self._batch)
             if buf is None:
                 return None
-            if self._mesh is not None:
-                buf = buf.with_(data=self._shard_inputs(buf.data))
-            elif self._fused:
-                # explicit staging: issue the H2D now (async) so the
-                # dispatch below never consumes an in-flight host
-                # buffer — some transports serialize pathologically
-                # when a program is enqueued against unfinished
-                # transfers (measured 6.6 -> 447 fps on the dev
-                # tunnel); with prefetch=True this already overlapped
-                # the previous tick's compute
-                import jax
-                import numpy as _np
-
-                def _stage(x):
-                    if isinstance(x, (str, bytes, bytearray)):
-                        return x             # text cues stay on host
-                    if isinstance(x, _np.ndarray) \
-                            and not x.flags["C_CONTIGUOUS"]:
-                        # strided views (plane slices) hit a slow
-                        # element-wise transfer path; a host memcpy
-                        # first is ~10x cheaper than the difference
-                        x = _np.ascontiguousarray(x)
-                    return jax.device_put(x)
-                buf = buf.with_(data=jax.tree_util.tree_map(
-                    _stage, buf.data))
+            buf = self._stage_buf(buf)
             inputs[s.name] = buf.data
             metas[s.name] = buf
         return inputs, metas
@@ -901,6 +940,12 @@ class Pipeline(Bin):
             if isinstance(e, SourceElement):
                 if drain:
                     continue
+                if getattr(e, "MULTI_STREAM", False) and e.is_multi():
+                    for sp in e.src_pads():
+                        m = metas.get(f"{e.name}:{sp.name}")
+                        if m is not None:
+                            buf_by_pad[sp] = m
+                    continue
                 buf = metas[e.name]
                 if not self._fused and self._fns.get(e) is not None:
                     buf = buf.with_(data=self._elem_jit[e](buf.data))
@@ -912,6 +957,8 @@ class Pipeline(Bin):
                     continue
                 buf = buf_by_pad[pad.peer]
                 if self._fused:
+                    if e.name not in outputs:
+                        continue      # upstream stream ended this tick
                     buf = buf.with_(data=outputs[e.name])
                 buf = e.process_meta(buf)
                 if hooks.active:

@@ -36,8 +36,9 @@ from ..audio import format as afmt
 from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
 from ..core.caps import Caps
-from ..core.element import (AggregatorElement, PadDirection, PadPresence,
-                            PadTemplate, SourceElement, register_element)
+from ..core.element import (AggregatorElement, MultiStreamSourceElement,
+                            PadDirection, PadPresence, PadTemplate,
+                            SourceElement, register_element)
 from ..core.value import Fraction
 from ..video.format import format_info, frame_size, from_bytes, to_bytes
 from ..video.info import VideoInfo
@@ -1404,15 +1405,34 @@ class WebMMux(MatroskaMux):
 
 
 @register_element
-class MatroskaDemux(SourceElement):
-    """matroskademux (source-style, one stream per instance)."""
+class MatroskaDemux(MultiStreamSourceElement):
+    """matroskademux.
+
+    Two modes, matching the reference's matroska-demux.c:
+    - single-stream (backward compatible): the ALWAYS "src" pad with
+      the `stream=` property selects one track;
+    - one-parse multi-stream: linking sometimes-pads
+      (`demux.video_0 ! …  demux.audio_0 ! …`) exposes a pad per
+      track from a SINGLE file read + EBML parse — the pad-per-track
+      behavior of the reference demuxer (sometimes src pads added on
+      stream discovery, matroska-demux.c / qtdemux.c)."""
     FACTORY = "matroskademux"
     DESCRIPTION = "Demuxes Matroska/WebM streams into video/audio"
-    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+        PadTemplate("video_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+        PadTemplate("audio_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+        PadTemplate("subtitle_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+    ]
     PROPERTIES = {
         "location": (str, "", "mkv file path"),
         "stream": (str, "video", "video | audio | track number"),
     }
+
+    _TRACK_KINDS = {1: "video", 2: "audio", 0x11: "subtitle"}
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
@@ -1420,12 +1440,72 @@ class MatroskaDemux(SourceElement):
         self._pos = 0
         self._adata = None              # decoded audio (n, ch) f32
         self._frames = None             # decoded video plane tuples
+        self._children = None           # multi-stream per-pad readers
 
+    # -- one-parse multi-stream mode --------------------------------------
+    def _ensure_children(self) -> None:
+        """Create per-pad track readers for every exposed pad; the
+        container is read+parsed ONCE and shared (incrementally — a
+        pad linked after the first exposure reuses the parse)."""
+        if self._children is None:
+            self._children = {}
+        missing = [p for p in self.multi_pads()
+                   if p.name not in self._children]
+        if not missing:
+            return
+        parsed = getattr(self, "_parsed_shared", None)
+        if parsed is None:
+            parsed = _parse_matroska(self.props["location"],
+                                     with_additions=True)
+            self._parsed_shared = parsed
+        tracks = parsed[0]
+        by_kind = {}
+        for tr in tracks:
+            kind = self._TRACK_KINDS.get(tr.get("type"))
+            if kind:
+                by_kind.setdefault(kind, []).append(tr)
+        for pad in missing:
+            kind, _, idx = pad.name.rpartition("_")
+            group = by_kind.get(kind, [])
+            if int(idx) >= len(group):
+                raise ValueError(
+                    f"matroskademux: no {kind} track {idx} in "
+                    f"{self.props['location']!r}")
+            child = MatroskaDemux(
+                name=f"{self.name}.{pad.name}",
+                location=self.props["location"],
+                stream=str(group[int(idx)]["number"]))
+            child._preparsed = parsed
+            child._load()
+            if getattr(child, "HOST_ELEMENT", False):
+                self.HOST_ELEMENT = True    # text cues are host data
+            self._children[pad.name] = child
+
+    def get_caps_for_pad(self, pad, filter=None):
+        self._ensure_children()
+        return self._children[pad.name].get_caps(filter)
+
+    def create_multi(self, n_frames: int):
+        self._ensure_children()
+        out = {}
+        for pname, child in self._children.items():
+            buf = child.create(n_frames)
+            if buf is not None:
+                out[pname] = buf
+        return out or None
+
+    def preview_blob_for_pad(self, pad_name: str):
+        self._ensure_children()
+        return self._children[pad_name].preview_blob()
+
+    # -- single-stream mode (and per-track child readers) ------------------
     def _load(self):
         if self._loaded:
             return
-        tracks, blocks, data, additions = _parse_matroska(
-            self.props["location"], with_additions=True)
+        pre = getattr(self, "_preparsed", None)
+        tracks, blocks, data, additions = (
+            pre if pre is not None else _parse_matroska(
+                self.props["location"], with_additions=True))
         sel = self.props["stream"]
         track = None
         for tr in tracks:
@@ -1680,6 +1760,11 @@ class MatroskaDemux(SourceElement):
         return caps
 
     def start(self):
+        if self.is_multi():
+            self._ensure_children()
+            for c in self._children.values():
+                c.start()
+            return
         self._load()
         self._pos = 0
 

@@ -34,8 +34,9 @@ from ..audio import format as afmt
 from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
 from ..core.caps import Caps
-from ..core.element import (AggregatorElement, PadDirection, PadPresence,
-                            PadTemplate, SourceElement, register_element)
+from ..core.element import (AggregatorElement, MultiStreamSourceElement,
+                            PadDirection, PadPresence, PadTemplate,
+                            SourceElement, register_element)
 from ..core.value import Fraction
 from ..video.format import from_bytes, to_bytes
 from ..video.info import VideoInfo
@@ -829,10 +830,22 @@ def _parse_qt(path: str):
 
 
 @register_element
-class QtDemux(SourceElement):
+class QtDemux(MultiStreamSourceElement):
+    """qtdemux.
+
+    Single-stream mode (`stream=` on the plain src pad) or one-parse
+    multi-stream: linking `demux.video_0` / `demux.audio_0`
+    sometimes-pads exposes a pad per track from a SINGLE file read +
+    moov parse — qtdemux.c's pad-per-track behavior."""
     FACTORY = "qtdemux"
     DESCRIPTION = "Demultiplex a QuickTime file into audio and video"
-    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+        PadTemplate("video_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+        PadTemplate("audio_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+    ]
     PROPERTIES = {
         "location": (str, "", "mov/mp4 file path"),
         "stream": (str, "video", "video | audio | stream index"),
@@ -842,11 +855,66 @@ class QtDemux(SourceElement):
         super().__init__(name=name, **props)
         self._loaded = False
         self._pos = 0
+        self._children = None
+
+    # -- one-parse multi-stream mode --------------------------------------
+    def _ensure_children(self) -> None:
+        """Per-pad track readers over ONE shared moov parse
+        (incremental: pads linked later reuse the parse)."""
+        if self._children is None:
+            self._children = {}
+        missing = [p for p in self.multi_pads()
+                   if p.name not in self._children]
+        if not missing:
+            return
+        parsed = getattr(self, "_parsed_shared", None)
+        if parsed is None:
+            parsed = _parse_qt(self.props["location"])
+            self._parsed_shared = parsed
+        tracks = parsed[0]
+        by_kind = {"video": [], "audio": []}
+        for idx, t in enumerate(tracks):
+            if t["handler"] == b"vide":
+                by_kind["video"].append(idx)
+            elif t["handler"] == b"soun":
+                by_kind["audio"].append(idx)
+        for pad in missing:
+            kind, _, n = pad.name.rpartition("_")
+            group = by_kind.get(kind, [])
+            if int(n) >= len(group):
+                raise ValueError(
+                    f"qtdemux: no {kind} track {n} in "
+                    f"{self.props['location']!r}")
+            child = QtDemux(name=f"{self.name}.{pad.name}",
+                            location=self.props["location"],
+                            stream=str(group[int(n)]))
+            child._preparsed = parsed
+            child._load()
+            self._children[pad.name] = child
+
+    def get_caps_for_pad(self, pad, filter=None):
+        self._ensure_children()
+        return self._children[pad.name].get_caps(filter)
+
+    def create_multi(self, n_frames: int):
+        self._ensure_children()
+        out = {}
+        for pname, child in self._children.items():
+            buf = child.create(n_frames)
+            if buf is not None:
+                out[pname] = buf
+        return out or None
+
+    def preview_blob_for_pad(self, pad_name: str):
+        self._ensure_children()
+        return self._children[pad_name].preview_blob()
 
     def _load(self):
         if self._loaded:
             return
-        tracks, data = _parse_qt(self.props["location"])
+        pre = getattr(self, "_preparsed", None)
+        tracks, data = (pre if pre is not None
+                        else _parse_qt(self.props["location"]))
         sel = self.props["stream"]
         want = None
         for idx, t in enumerate(tracks):
@@ -998,6 +1066,11 @@ class QtDemux(SourceElement):
         return caps
 
     def start(self):
+        if self.is_multi():
+            self._ensure_children()
+            for c in self._children.values():
+                c.start()
+            return
         self._load()
         self._pos = 0
 

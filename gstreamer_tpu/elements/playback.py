@@ -17,7 +17,8 @@ from typing import Optional
 
 from ..core.buffer import Buffer
 from ..core.caps import Caps
-from ..core.element import (Element, PadDirection, PadTemplate,
+from ..core.element import (Element, MultiStreamSourceElement,
+                            PadDirection, PadPresence, PadTemplate,
                             SinkElement, SourceElement, TransformElement,
                             element_factory_make, register_element)
 from ..utils.typefind import DECODABLE, decodable_for, type_find_file
@@ -136,17 +137,111 @@ class TypeFindElement(TransformElement):
         return buf
 
 
+def _build_multi_decode(path: str, factory: str, pad_names):
+    """One demuxer instance in multi-stream mode feeding one decode
+    branch per requested pad — the decodebin3 single-parse graph
+    (gstdecodebin3.c builds exactly this over qtdemux's
+    sometimes-pads).  Returns (pipeline, {pad_name: appsink})."""
+    from ..core.pipeline import Pipeline
+    from ..core.pipeline import link as _link
+    d = element_factory_make(factory, name="__uds_demux",
+                             location=path)
+    if not getattr(d, "MULTI_STREAM", False):
+        raise ValueError(
+            f"uridecodebin: {factory} has no multi-stream mode")
+    pipe = Pipeline()
+    pipe.add(d)
+    sinks = {}
+    for pname in pad_names:
+        sink = element_factory_make("appsink", name=f"__uds_{pname}")
+        pipe.add(sink)
+        _link(d, sink, srcpad=pname)
+        sinks[pname] = sink
+    # caps are now discoverable from the single parse; splice a
+    # decoder into branches carrying coded streams
+    for pname in pad_names:
+        dpad = d.get_pad(pname)
+        caps = d.get_caps_for_pad(dpad)
+        dec = _decoder_for_caps(caps)
+        if dec is not None:
+            sink = sinks[pname]
+            spad = sink.sink_pads()[0]
+            dpad.peer = None
+            spad.peer = None
+            decel = element_factory_make(dec,
+                                         name=f"__uds_dec_{pname}")
+            pipe.add(decel)
+            _link(d, decel, srcpad=pname)
+            _link(decel, sink)
+    return pipe, sinks
+
+
 @register_element
-class UriDecodeBin(SourceElement):
-    """uridecodebin: uri -> raw stream via autoplugging."""
+class UriDecodeBin(MultiStreamSourceElement):
+    """uridecodebin: uri -> raw stream via autoplugging.
+
+    Single-stream (`! sink` on the plain src pad) as before, or
+    one-parse multi-stream: linking `uridecodebin.video_0` /
+    `.audio_0` builds ONE internal demuxer in multi-stream mode with
+    a decode branch per track (gsturidecodebin3.c + gstdecodebin3.c
+    over the demuxer's sometimes-pads)."""
     FACTORY = "uridecodebin"
     DESCRIPTION = "Autoplug a URI to raw media"
-    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+        PadTemplate("video_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+        PadTemplate("audio_%u", PadDirection.SRC, Caps.any(),
+                    PadPresence.SOMETIMES),
+    ]
     PROPERTIES = {"uri": (str, "", "file:// URI or path")}
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._inner: Optional[SourceElement] = None
+        self._multi = None              # pad -> (buffers, caps)
+        self._multi_pos = None
+
+    # -- one-parse multi-stream mode --------------------------------------
+    def _ensure_multi(self):
+        if self._multi is not None:
+            return
+        uri = self.props["uri"]
+        path = uri[7:] if uri.startswith("file://") else uri
+        mtype, _prob = type_find_file(path)
+        factory = decodable_for(mtype)
+        if factory is None or "!" in factory:
+            raise ValueError(
+                f"uridecodebin: no multi-stream demuxer for "
+                f"{mtype!r}")
+        names = [p.name for p in self.multi_pads()]
+        pipe, sinks = _build_multi_decode(path, factory, names)
+        pipe.run()
+        self._multi = {}
+        for pname, sink in sinks.items():
+            bufs, caps = [], None
+            while (s := sink.pull_sample()) is not None:
+                caps = s.caps
+                bufs.append(s.buffer)
+            self._multi[pname] = (bufs, caps)
+        self._multi_pos = {p: 0 for p in self._multi}
+
+    def get_caps_for_pad(self, pad, filter=None):
+        self._ensure_multi()
+        caps = self._multi[pad.name][1] or Caps.any()
+        if filter is not None and not caps.is_any:
+            caps = caps.intersect(filter)
+        return caps
+
+    def create_multi(self, n_frames: int):
+        self._ensure_multi()
+        out = {}
+        for pname, (bufs, _caps) in self._multi.items():
+            i = self._multi_pos[pname]
+            if i < len(bufs):
+                out[pname] = bufs[i]
+                self._multi_pos[pname] = i + 1
+        return out or None
 
     def _ensure_inner(self):
         if self._inner is not None:
@@ -182,6 +277,10 @@ class UriDecodeBin(SourceElement):
         self._inner.set_info(incaps, outcaps)
 
     def start(self):
+        if self.is_multi():
+            self._ensure_multi()
+            self._multi_pos = {p: 0 for p in self._multi}
+            return
         self._ensure_inner()
         self._inner.start()
 
@@ -251,3 +350,36 @@ class PlayBin(SinkElement):
                         f"appsink name=playsink")
         pipe = parse_launch(desc)
         return pipe, pipe.get_by_name("playsink")
+
+    def build_pipeline_av(self):
+        """playbin3-style A/V playback from one parse: the container
+        demuxer runs in multi-stream mode (gstplaybin3.c over
+        decodebin3's single-parse graph).  Returns
+        (pipeline, {"video": appsink, "audio": appsink}) with only
+        the tracks the container has."""
+        uri = self.props["uri"]
+        path = uri[7:] if uri.startswith("file://") else uri
+        mtype, _ = type_find_file(path)
+        factory = decodable_for(mtype)
+        if factory is None or "!" in factory:
+            raise ValueError(f"playbin: cannot A/V-play {mtype!r}")
+        probe = element_factory_make(factory, location=path)
+        if not getattr(probe, "MULTI_STREAM", False):
+            raise ValueError(
+                f"playbin: {factory} has no multi-stream mode")
+        names = []
+        for kind in ("video", "audio"):
+            try:
+                pad = probe.get_pad(f"{kind}_0")
+                fake = element_factory_make(
+                    "fakesink", name=f"__pb_probe_{kind}")
+                pad.link(fake.sink_pads()[0])
+                probe.get_caps_for_pad(pad)
+                names.append(f"{kind}_0")
+            except (ValueError, KeyError, IndexError):
+                continue
+        if not names:
+            raise ValueError(f"playbin: no playable tracks in {path}")
+        pipe, sinks = _build_multi_decode(path, factory, names)
+        pipe.run()
+        return pipe, {n.rsplit("_", 1)[0]: s for n, s in sinks.items()}
