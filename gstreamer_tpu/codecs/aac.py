@@ -11,8 +11,12 @@ one dense kernel per window size.
 
 Supported: ADTS and raw (AudioSpecificConfig) streams, SCE/CPE/LFE
 elements, window grouping, M/S and intensity stereo, PNS, TNS and
-pulse data.  Not supported: MAIN/LTP prediction, SBR/PS extensions
-(HE-AAC decodes as plain LC core), CCE coupling.
+pulse data, and HE-AAC v1: SBR extension payloads in FIL elements
+are decoded by the clean-room codecs/sbr.py (QMF filterbanks as
+batched matmuls) producing 2x-rate output.  Not supported:
+MAIN/LTP prediction, CCE coupling, and PS (HE-AAC v2) — a PS
+extension is detected and flagged (`ps_present`), decoding SBR-only,
+never silently wrong-rate audio.
 
 Parity: >=60 dB vs the system libavcodec native decoder on
 libavcodec-encoded streams (tests/test_aac.py, tests/aac_oracle.py).
@@ -40,6 +44,8 @@ SCE, CPE, CCE, LFE, DSE, PCE, FIL, END = range(8)
 # section codebooks
 ZERO_HCB, NOISE_HCB, INTENSITY_HCB2, INTENSITY_HCB = 0, 13, 14, 15
 ESC_HCB = 11
+# FIL extension types (Table 4.51)
+EXT_SBR_DATA, EXT_SBR_DATA_CRC = 0xD, 0xE
 
 
 class EndOfData(Exception):
@@ -201,6 +207,17 @@ class AACDecoder:
         self._prev_shape: List[int] = []
         self._prev_seq: List[int] = []
         self._rng = np.random.default_rng(0x41414343)
+        self._sbr: Dict[Tuple[int, int], object] = {}
+        self._plain_up: Dict[int, object] = {}
+        self._last_key: Optional[Tuple[Tuple[int, int], int]] = None
+        self.sbr_present = False
+        self.ps_present = False
+
+    @property
+    def output_rate(self) -> int:
+        """PCM rate of decode_frame output: 2x the core rate once an
+        SBR extension has been seen (HE-AAC), else the core rate."""
+        return self.rate * 2 if self._sbr else self.rate
 
     # ------------------------------------------------------------ ics
     def _ics_info(self, br: Bits, ics: _ICS) -> None:
@@ -536,6 +553,7 @@ class AACDecoder:
                     elem: int) -> None:
         tag = br.read(4)
         (ch,) = self._alloc((elem, tag), 1)
+        self._last_key = ((elem, tag), 1)
         ics, q = self._ics_stream(br, False, None)
         x = self._dequant(ics, q)
         self._apply_pns(ics, x)
@@ -545,6 +563,7 @@ class AACDecoder:
     def _decode_cpe(self, br: Bits, out: Dict[int, np.ndarray]) -> None:
         tag = br.read(4)
         chl, chr = self._alloc((CPE, tag), 2)
+        self._last_key = ((CPE, tag), 2)
         common = br.read1()
         ms_mask = 0
         ms_used = None
@@ -632,11 +651,45 @@ class AACDecoder:
         br.align()
         br.read(8 * br.read(8))                  # comment field
 
-    def _skip_fil(self, br: Bits) -> None:
+    def _read_fil(self, br: Bits) -> None:
+        """FIL element: SBR extension payloads (EXT_SBR_DATA,
+        Table 4.51) are routed to the SBR decoder of the preceding
+        SCE/CPE; everything else is skipped."""
         cnt = br.read(4)
         if cnt == 15:
             cnt += br.read(8) - 1
-        br.read(8 * cnt)
+        if cnt == 0:
+            return
+        bits_left = 8 * cnt
+        ext = br.read(4)
+        bits_left -= 4
+        if ext in (EXT_SBR_DATA, EXT_SBR_DATA_CRC) \
+                and self._last_key is not None:
+            payload = bytearray()
+            acc = nb = 0
+            for _ in range(bits_left):
+                acc = (acc << 1) | br.read1()
+                nb += 1
+                if nb == 8:
+                    payload.append(acc)
+                    acc = nb = 0
+            if nb:
+                payload.append(acc << (8 - nb))
+            key, n_ch = self._last_key
+            dec = self._sbr.get(key)
+            if dec is None:
+                from .sbr import SbrDecoder
+                dec = SbrDecoder(self.rate, n_ch)
+                self._sbr[key] = dec
+            try:
+                dec.parse_payload(Bits(bytes(payload)),
+                                  crc=(ext == EXT_SBR_DATA_CRC))
+                self.sbr_present = True
+                self.ps_present |= dec.ps_present
+            except (EndOfData, ValueError, IndexError):
+                pass                       # keep the LC core output
+        else:
+            br.read(bits_left)
 
     def decode_frame(self, br: Bits) -> np.ndarray:
         """One raw_data_block -> (1024, nch) float64 in [-1, 1]."""
@@ -654,13 +707,36 @@ class AACDecoder:
             elif elem == PCE:
                 self._skip_pce(br)
             elif elem == FIL:
-                self._skip_fil(br)
+                self._read_fil(br)
             else:
                 raise ValueError(f"aac: element {elem} unsupported")
         nch = max(self._nch, 1)
         frame = np.zeros((1024, nch))
         for ch, pcm in out.items():
             frame[:, ch] = pcm
+        if self._sbr:
+            # HE-AAC: SBR upsamples each element's channels to 2x;
+            # channels without SBR data are plainly interpolated so
+            # all channels share the output rate
+            up = np.zeros((2048, nch))
+            covered = set()
+            for key, dec in self._sbr.items():
+                chans = self._slots.get(key, [])
+                if not chans:
+                    continue
+                up[:, chans] = dec.process(frame[:, chans])
+                covered.update(chans)
+            if len(covered) < nch:
+                from .sbr import Upsampler2x
+                for ch in range(nch):
+                    if ch in covered:
+                        continue
+                    u = self._plain_up.get(ch)
+                    if u is None:
+                        u = self._plain_up[ch] = Upsampler2x()
+                    up[:, ch] = u.process(frame[:, ch])
+            frame = up
+        self._end_bitpos = br.pos - 3
         perm = _CHAN_ORDER.get(self.chan_config)
         if perm is not None and len(perm) == nch:
             frame = frame[:, perm]
@@ -714,7 +790,31 @@ def decode_adts(data: bytes) -> Tuple[np.ndarray, int, int]:
     nch = max(f.shape[1] for f in frames)
     frames = [np.pad(f, ((0, 0), (0, nch - f.shape[1])))
               if f.shape[1] < nch else f for f in frames]
-    return np.concatenate(frames, axis=0), dec.rate, nch
+    rate = dec.rate
+    if dec.sbr_present:
+        rate *= 2
+        frames = _fix_mixed_rate(frames)
+    return np.concatenate(frames, axis=0), rate, nch
+
+
+def _fix_mixed_rate(frames: List[np.ndarray]) -> List[np.ndarray]:
+    """Upsample any 1024-sample frames decoded before the first SBR
+    payload appeared so the stream is uniformly 2x."""
+    from .sbr import Upsampler2x
+    ups: Dict[int, Upsampler2x] = {}
+    out = []
+    for f in frames:
+        if f.shape[0] == 1024:
+            g = np.empty((2048, f.shape[1]))
+            for c in range(f.shape[1]):
+                u = ups.get(c)
+                if u is None:
+                    u = ups[c] = Upsampler2x()
+                g[:, c] = u.process(f[:, c])
+            out.append(g)
+        else:
+            out.append(f)
+    return out
 
 
 def parse_audio_specific_config(asc: bytes) -> Tuple[int, int, int]:
@@ -754,4 +854,8 @@ def decode_raw(asc: bytes, packets: List[bytes]
     nch = max(f.shape[1] for f in frames)
     frames = [np.pad(f, ((0, 0), (0, nch - f.shape[1])))
               if f.shape[1] < nch else f for f in frames]
-    return np.concatenate(frames, axis=0), SAMPLE_RATES[sfi], nch
+    rate = SAMPLE_RATES[sfi]
+    if dec.sbr_present:
+        frames = _fix_mixed_rate(frames)
+        rate *= 2
+    return np.concatenate(frames, axis=0), rate, nch

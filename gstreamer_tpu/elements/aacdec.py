@@ -71,17 +71,31 @@ class Faad(TransformElement):
                         break
                     probe = pads[0].peer.element
             if self._peeked is not None:
-                from ..codecs.aac import (SAMPLE_RATES,
-                                          parse_adts_header)
+                from ..codecs import aac as A
                 blob = bytes(self._peeked)
                 for pos in range(min(len(blob), 4096)):
-                    hdr = parse_adts_header(blob, pos)
+                    hdr = A.parse_adts_header(blob, pos)
                     if hdr is not None:
-                        _fl, sfi, cc, _p, _hl = hdr
+                        fl, sfi, cc, _p, hl = hdr
                         ch = max(cc, 1)
+                        rate = A.SAMPLE_RATES[sfi]
+                        # decode the first frame to detect an SBR
+                        # extension (HE-AAC doubles the output rate;
+                        # gstfaad.c:1 learns this from faad's first
+                        # frame the same way)
+                        try:
+                            probe_dec = A.AACDecoder(sfi, cc)
+                            frame = probe_dec.decode_frame(
+                                A.Bits(blob[pos + hl:pos + fl]))
+                            if probe_dec.sbr_present:
+                                rate *= 2
+                            ch = max(frame.shape[1], ch)
+                        except (A.EndOfData, ValueError,
+                                IndexError):
+                            pass
                         res = Caps.from_string(
                             "audio/x-raw, format=F32LE, "
-                            f"rate={SAMPLE_RATES[sfi]}, "
+                            f"rate={rate}, "
                             f"channels={ch}, layout=interleaved")
                         break
             if res is None:
@@ -122,7 +136,7 @@ class Faad(TransformElement):
         chunks = [np.pad(f, ((0, 0), (0, nch - f.shape[1])))
                   if f.shape[1] < nch else f for f in chunks]
         out = np.concatenate(chunks, axis=0).astype(np.float32)
-        rate = self._dec.rate
+        rate = self._dec.output_rate
         pts = self._nout * 1_000_000_000 // rate
         self._nout += len(out)
         return Buffer(data=out, batch=1, pts=pts,
