@@ -156,6 +156,12 @@ class MpegTsMux(AggregatorElement):
         "location": (str, "out.ts", "output path"),
         "pmt-pid": (int, 0x1000, ""),
         "start-pid": (int, 0x41, "first elementary PID"),
+        "scte-35-pid": (int, 0, "PID for SCTE-35 splice sections "
+                        "(0 = no splice stream; reference mpegtsmux "
+                        "scte-35-pid property)"),
+        "service-name": (str, "", "SDT service name (write an SDT "
+                         "when set)"),
+        "provider-name": (str, "gstreamer-tpu", "SDT provider name"),
     }
 
     def __init__(self, name=None, **props):
@@ -166,6 +172,7 @@ class MpegTsMux(AggregatorElement):
         self._types: Dict[str, int] = {}
         self._adts: Dict[str, tuple] = {}
         self._packets = 0
+        self._pending_splices: List = []
 
     def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
         pid = self.props["start-pid"]
@@ -188,29 +195,65 @@ class MpegTsMux(AggregatorElement):
         self._cc = {}
         self._packets = 0
         self._write_psi()
+        self._flush_splices()
 
     def _next_cc(self, pid):
         cc = self._cc.get(pid, 0)
         self._cc[pid] = (cc + 1) & 0xF
         return cc
 
+    def _write_section(self, pid: int, sec_bytes: bytes) -> None:
+        from ..utils.mpegts_sections import packetize_section
+        ts = packetize_section(sec_bytes, pid,
+                               cc_start=self._cc.get(pid, 0))
+        self._cc[pid] = (self._cc.get(pid, 0) + len(ts) // PKT) & 0xF
+        self._file.write(ts)
+        self._packets += len(ts) // PKT
+
     def _write_psi(self):
+        from ..utils import mpegts_sections as S
         pmt_pid = self.props["pmt-pid"]
-        pat_body = struct.pack(">HH", 1, 0xE000 | pmt_pid)
-        self._file.write(_ts_packet(
-            0, _psi_section(0x00, 1, pat_body), True,
-            self._next_cc(0)))
+        self._write_section(0, S.Pat(
+            transport_stream_id=1,
+            programs=[(1, pmt_pid)]).to_bytes())
         first_pid = min(self._pids.values()) if self._pids else 0x41
-        streams = b""
+        pmt = S.Pmt(program_number=1, pcr_pid=first_pid)
         for pad_name in sorted(self._pids):
-            streams += bytes([self._types[pad_name]]) \
-                + struct.pack(">HH", 0xE000 | self._pids[pad_name],
-                              0xF000)
-        pmt_body = (struct.pack(">HH", 0xE000 | first_pid, 0xF000)
-                    + streams)
-        self._file.write(_ts_packet(
-            pmt_pid, _psi_section(0x02, 1, pmt_body), True,
-            self._next_cc(pmt_pid)))
+            pmt.streams.append(S.PmtStream(
+                self._types[pad_name], self._pids[pad_name]))
+        scte_pid = self.props["scte-35-pid"]
+        if scte_pid:
+            # splice stream: stream_type 0x86 with the CUEI
+            # registration descriptor (SCTE-35 §8.1; reference
+            # gst/mpegtsmux/gstmpegtsmux.c scte-35-pid)
+            pmt.streams.append(S.PmtStream(
+                0x86, scte_pid,
+                [S.Descriptor.registration(b"CUEI")]))
+        self._write_section(pmt_pid, pmt.to_bytes())
+        if self.props["service-name"]:
+            sdt = S.Sdt(transport_stream_id=1, original_network_id=1,
+                        services=[S.SdtService(
+                            service_id=1,
+                            descriptors=[S.Descriptor.service(
+                                0x01, self.props["provider-name"],
+                                self.props["service-name"])])])
+            self._write_section(0x11, sdt.to_bytes())
+
+    def send_splice(self, sit) -> None:
+        """Queue an SCTE-35 SIT (utils.mpegts_sections.ScteSit) for
+        injection on the scte-35-pid — the element-message/event
+        analog of the reference mpegtsmux "scte-35" custom event."""
+        if not self.props["scte-35-pid"]:
+            raise ValueError("mpegtsmux: scte-35-pid not configured")
+        self._pending_splices.append(sit)
+        if self._file is not None:
+            self._flush_splices()
+
+    def _flush_splices(self) -> None:
+        pid = self.props["scte-35-pid"]
+        while self._pending_splices:
+            sit = self._pending_splices.pop(0)
+            self._write_section(pid, sit.to_bytes())
 
     def _write_pes(self, pid: int, stype: int, payload: bytes,
                    pts_ns: Optional[int]):
@@ -271,15 +314,19 @@ class TsDemux(SourceElement):
         super().__init__(name=name, **props)
         self._units = None
         self._pos = 0
+        self.sections: List = []          # parsed PSI sections
+        self.scte35_sits: List[tuple] = []  # (ScteSit, section)
 
     def _load(self):
         if self._units is not None:
             return
+        from ..utils import mpegts_sections as S
         with open(self.props["location"], "rb") as f:
             data = f.read()
         # PID -> raw PES bytes, in PUSI-delimited units
         pmt_pid = None
         streams: Dict[int, int] = {}      # pid -> stream_type
+        scte_pids: set = set()
         pes_units: Dict[int, List[bytes]] = {}
         open_unit: Dict[int, bytearray] = {}
         for pos in range(0, len(data) - PKT + 1, PKT):
@@ -313,8 +360,14 @@ class TsDemux(SourceElement):
                     stype = body[i]
                     spid = ((body[i + 1] & 0x1F) << 8) | body[i + 2]
                     eslen = ((body[i + 3] & 0x0F) << 8) | body[i + 4]
-                    streams[spid] = stype
-                    pes_units.setdefault(spid, [])
+                    if stype == 0x86:
+                        # SCTE-35 splice stream: carries sections,
+                        # not PES (SCTE-35 §8; reference tsdemux.c
+                        # creates a meta/event source, not a pad)
+                        scte_pids.add(spid)
+                    else:
+                        streams[spid] = stype
+                        pes_units.setdefault(spid, [])
                     i += 5 + eslen
             elif pid in streams:
                 if pusi:
@@ -326,6 +379,21 @@ class TsDemux(SourceElement):
         for pid, acc in open_unit.items():
             if acc:
                 pes_units[pid].append(bytes(acc))
+
+        # second pass: typed PSI sections (PAT/PMT/CAT + DVB SI on
+        # their fixed PIDs + SCTE-35 splice PIDs) through the
+        # sections library, posted on the bus at start()
+        self.sections = []
+        self.scte35_sits = []
+        si_pids = {0, 0x01, 0x10, 0x11, 0x12, 0x14}
+        if pmt_pid is not None:
+            si_pids.add(pmt_pid)
+        for pid in sorted(si_pids | scte_pids):
+            for sec in S.sections_from_packets(data, pid):
+                self.sections.append((pid, sec))
+                if sec.table_id == S.TABLE_ID_SCTE_SPLICE \
+                        and sec.table is not None:
+                    self.scte35_sits.append((sec.table, sec))
 
         pids = sorted(streams)
         sel = int(self.props["stream"])
@@ -369,6 +437,28 @@ class TsDemux(SourceElement):
     def start(self):
         self._load()
         self._pos = 0
+        self._post_sections()
+
+    def _post_sections(self) -> None:
+        """Post every PSI section as an element message (the
+        gst_message_new_mpegts_section analog) and re-emit SCTE-35
+        SITs as custom downstream events named "scte-35" (reference
+        tsdemux.c emits gst_event_new_custom the same way)."""
+        root = self
+        while getattr(root, "parent", None) is not None:
+            root = root.parent
+        if hasattr(root, "bus"):
+            from ..core.pipeline import Message
+            for pid, sec in self.sections:
+                root.bus.post(Message("element", self.name, {
+                    "section": sec, "pid": pid,
+                    "section-type": sec.section_type}))
+        if self.scte35_sits:
+            from ..core.events import Event, EventType
+            for sit, sec in self.scte35_sits:
+                self.send_event(Event(EventType.CUSTOM_DOWNSTREAM, {
+                    "name": "scte-35", "sit": sit,
+                    "section": sec}))
 
     def create(self, n_frames: int) -> Optional[Buffer]:
         if self._pos >= len(self._units):
