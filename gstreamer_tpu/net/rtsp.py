@@ -155,6 +155,9 @@ class RTSPTransport:
     ssrc: Optional[int] = None
     destination: Optional[str] = None
     interleaved: Optional[Tuple[int, int]] = None
+    ttl: Optional[int] = None
+    mode: Optional[str] = None           # PLAY / RECORD (RFC 2326 12.39)
+    port: Tuple[int, int] = (0, 0)       # multicast port pair
 
     @classmethod
     def parse(cls, text: str) -> "RTSPTransport":
@@ -180,6 +183,13 @@ class RTSPTransport:
             elif p.startswith("interleaved="):
                 a, _, b = p[12:].partition("-")
                 t.interleaved = (int(a), int(b or int(a) + 1))
+            elif p.startswith("ttl="):
+                t.ttl = int(p[4:])
+            elif p.startswith("mode="):
+                t.mode = p[5:].strip('"').upper()
+            elif p.startswith("port="):
+                a, _, b = p[5:].partition("-")
+                t.port = (int(a), int(b or int(a) + 1))
         return t
 
     def to_string(self) -> str:
@@ -192,9 +202,15 @@ class RTSPTransport:
         if self.server_port != (0, 0):
             out.append(f"server_port={self.server_port[0]}-"
                        f"{self.server_port[1]}")
+        if self.port != (0, 0):
+            out.append(f"port={self.port[0]}-{self.port[1]}")
+        if self.ttl is not None:
+            out.append(f"ttl={self.ttl}")
         if self.interleaved is not None:
             out.append(f"interleaved={self.interleaved[0]}-"
                        f"{self.interleaved[1]}")
+        if self.mode is not None:
+            out.append(f"mode={self.mode}")
         if self.ssrc is not None:
             out.append(f"ssrc={self.ssrc:08X}")
         return ";".join(out)
@@ -211,6 +227,8 @@ class RTSPUrl:
     host: str = "127.0.0.1"
     port: int = 554
     abspath: str = "/"
+    user: Optional[str] = None
+    password: Optional[str] = None
 
     @classmethod
     def parse(cls, location: str) -> "RTSPUrl":
@@ -219,7 +237,13 @@ class RTSPUrl:
         else:
             rest = location
         hostport, slash, path = rest.partition("/")
+        user = password = None
+        if "@" in hostport:
+            userinfo, _, hostport = hostport.rpartition("@")
+            user, _, password = userinfo.partition(":")
+            password = password or None
         host, _, port = hostport.partition(":")
         return cls(host=host or "127.0.0.1",
                    port=int(port) if port else 554,
-                   abspath="/" + path if slash else "/")
+                   abspath="/" + path if slash else "/",
+                   user=user, password=password)
