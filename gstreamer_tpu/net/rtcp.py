@@ -18,6 +18,9 @@ TYPE_SR = 200
 TYPE_RR = 201
 TYPE_SDES = 202
 TYPE_BYE = 203
+TYPE_APP = 204
+TYPE_RTPFB = 205            # transport-layer feedback (RFC 4585)
+RTPFB_FMT_NACK = 1          # Generic NACK (RFC 4585 §6.2.1)
 
 
 @dataclass
@@ -66,6 +69,13 @@ class RtcpPacket:
     sdes: List[Tuple[int, str]] = field(default_factory=list)
     # BYE only:
     bye_ssrcs: List[int] = field(default_factory=list)
+    # APP only (RFC 3550 6.7; carries RIST range NACKs):
+    app_name: str = ""
+    app_data: bytes = b""
+    # RTPFB only (RFC 4585; count field is the FMT):
+    fb_fmt: int = 0
+    fb_media_ssrc: int = 0
+    fci: bytes = b""
 
     def pack(self) -> bytes:
         if self.ptype == TYPE_SR:
@@ -91,6 +101,17 @@ class RtcpPacket:
         elif self.ptype == TYPE_BYE:
             body = b"".join(struct.pack(">I", s) for s in self.bye_ssrcs)
             count = len(self.bye_ssrcs)
+        elif self.ptype == TYPE_APP:
+            name = self.app_name.encode()[:4].ljust(4, b" ")
+            data = self.app_data
+            data += b"\x00" * ((4 - len(data) % 4) % 4)
+            body = struct.pack(">I", self.ssrc) + name + data
+            count = self.fb_fmt & 0x1F          # APP subtype
+        elif self.ptype == TYPE_RTPFB:
+            fci = self.fci + b"\x00" * ((4 - len(self.fci) % 4) % 4)
+            body = struct.pack(">II", self.ssrc,
+                               self.fb_media_ssrc) + fci
+            count = self.fb_fmt & 0x1F
         else:
             raise ValueError(f"rtcp: unsupported type {self.ptype}")
         length = len(body) // 4     # in 32-bit words minus one, hdr adds 1
@@ -142,6 +163,15 @@ def parse_compound(data: bytes) -> List[RtcpPacket]:
             for k in range(count):
                 pkt.bye_ssrcs.append(struct.unpack(
                     ">I", body[4 * k:4 * k + 4])[0])
+        elif pt == TYPE_APP:
+            pkt.ssrc = struct.unpack(">I", body[:4])[0]
+            pkt.app_name = body[4:8].decode("ascii", "replace").strip()
+            pkt.app_data = body[8:]
+            pkt.fb_fmt = count
+        elif pt == TYPE_RTPFB:
+            pkt.ssrc, pkt.fb_media_ssrc = struct.unpack(">II", body[:8])
+            pkt.fci = body[8:]
+            pkt.fb_fmt = count
         out.append(pkt)
         pos += 4 + length * 4
     return out
@@ -195,3 +225,59 @@ def build_rr(sender_ssrc: int, sources, prev_expected=None,
             jitter=int(src.jitter)))
     return RtcpPacket(ptype=TYPE_RR, ssrc=sender_ssrc,
                       reports=reports).pack()
+
+
+def build_generic_nack(sender_ssrc: int, media_ssrc: int,
+                       seqnums) -> bytes:
+    """Generic NACK feedback (RFC 4585 §6.2.1; rtpsession.c
+    rtp_session_on_sending_nacks FB path): each FCI entry covers a
+    PID plus a 16-packet BLP bitmask."""
+    seqs = sorted(set(s & 0xFFFF for s in seqnums))
+    fci = b""
+    i = 0
+    while i < len(seqs):
+        pid = seqs[i]
+        blp = 0
+        j = i + 1
+        while j < len(seqs) and ((seqs[j] - pid) & 0xFFFF) <= 16:
+            blp |= 1 << (((seqs[j] - pid) & 0xFFFF) - 1)
+            j += 1
+        fci += struct.pack(">HH", pid, blp)
+        i = j
+    return RtcpPacket(ptype=TYPE_RTPFB, ssrc=sender_ssrc,
+                      fb_fmt=RTPFB_FMT_NACK, fb_media_ssrc=media_ssrc,
+                      fci=fci).pack()
+
+
+def parse_generic_nack(pkt: RtcpPacket) -> List[int]:
+    """Expand a Generic NACK packet's FCI into requested seqnums."""
+    seqs: List[int] = []
+    for k in range(0, len(pkt.fci) - 3, 4):
+        pid, blp = struct.unpack(">HH", pkt.fci[k:k + 4])
+        seqs.append(pid)
+        for bit in range(16):
+            if blp & (1 << bit):
+                seqs.append((pid + bit + 1) & 0xFFFF)
+    return seqs
+
+
+def build_rist_nack(media_ssrc: int, ranges) -> bytes:
+    """RIST range NACK: APP packet named "RIST" whose data words are
+    (start_seq << 16) | extra_count (VSF TR-06-1 §5.3.4; the reference
+    builds these in gstristsrc.c gst_rist_src_on_sending_nacks)."""
+    data = b"".join(struct.pack(">I", ((start & 0xFFFF) << 16)
+                                | (extra & 0xFFFF))
+                    for start, extra in ranges)
+    return RtcpPacket(ptype=TYPE_APP, ssrc=media_ssrc,
+                      app_name="RIST", app_data=data).pack()
+
+
+def parse_rist_nack(pkt: RtcpPacket) -> List[int]:
+    """Expand a RIST APP range NACK into requested seqnums."""
+    seqs: List[int] = []
+    for k in range(0, len(pkt.app_data) - 3, 4):
+        word = struct.unpack(">I", pkt.app_data[k:k + 4])[0]
+        start, extra = word >> 16, word & 0xFFFF
+        for d in range(extra + 1):
+            seqs.append((start + d) & 0xFFFF)
+    return seqs
