@@ -70,7 +70,9 @@ def bench_convert():
 def bench_audio():
     libs = gst_ref._load()
     gst = libs["gst"]
-    audio = ctypes.CDLL("libgstaudio-1.0.so.0", mode=ctypes.RTLD_GLOBAL)
+    # RTLD_LOCAL: libgstreamer's dep tree includes libunwind, whose
+    # _Unwind_* symbols must not shadow libgcc's (see tests/gst_ref.py)
+    audio = ctypes.CDLL("libgstaudio-1.0.so.0")
     audio.gst_audio_info_from_caps.restype = ctypes.c_bool
     audio.gst_audio_info_from_caps.argtypes = [ctypes.c_void_p,
                                                ctypes.c_void_p]

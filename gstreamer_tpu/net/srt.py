@@ -214,17 +214,25 @@ class _SrtCommon:
             raise RuntimeError(f"srt_listen: {_err()}")
 
     def _connect(self, sock: int, host: str, port: int,
-                 retries: int = 20):
+                 retries: int = 20) -> int:
+        """Connect, retrying with a FRESH socket per attempt — an SRT
+        socket is single-shot: after a rejected/failed handshake it is
+        broken and must not be srt_connect'ed again.  Returns the
+        connected socket (which may differ from `sock`)."""
         lib = _load()
         sa = _sockaddr_in(host, port)
-        _set_int(sock, SRTO_CONNTIMEO, 1000)
         for k in range(retries):
+            _set_int(sock, SRTO_CONNTIMEO, 1000)
             if lib.srt_connect(sock, sa, len(sa)) != SRT_ERROR:
-                return
-            if k == retries - 1:
+                return sock
+            err = _err()
+            lib.srt_close(sock)
+            if k == retries - 1 or "rejected" in err:
                 raise RuntimeError(
-                    f"srt_connect {host}:{port}: {_err()}")
+                    f"srt_connect {host}:{port}: {err}")
             time.sleep(0.1)
+            sock = self._new_socket()
+        raise RuntimeError(f"srt_connect {host}:{port}: {_err()}")
 
 
 @register_element
@@ -262,7 +270,7 @@ class SRTSink(_SrtCommon, SinkElement):
                 target=self._accept_loop, daemon=True)
             self._accept_thread.start()
         else:
-            self._connect(self._sock, host, port)
+            self._sock = self._connect(self._sock, host, port)
 
     def _accept_loop(self):
         lib = _load()
@@ -361,7 +369,7 @@ class SRTSrc(_SrtCommon, SourceElement):
             self._bind_listen(self._sock, host, port)
             self.bound_port = port
         else:
-            self._connect(self._sock, host, port)
+            self._sock = self._connect(self._sock, host, port)
             self._conn = self._sock
             _set_int(self._conn, SRTO_RCVTIMEO, 200)
 

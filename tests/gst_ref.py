@@ -21,8 +21,15 @@ def _load():
     if _libs:
         return _libs
     try:
-        gst = ctypes.CDLL("libgstreamer-1.0.so.0", mode=ctypes.RTLD_GLOBAL)
-        video = ctypes.CDLL("libgstvideo-1.0.so.0", mode=ctypes.RTLD_GLOBAL)
+        # RTLD_LOCAL (the default) is load-bearing: libgstreamer links
+        # libunwind, whose _Unwind_* symbols would otherwise enter the
+        # global namespace and shadow libgcc's unwinder for libraries
+        # dlopened later — breaking C++ exception propagation in them
+        # (libsrt-gnutls aborts in __gxx_personality_v0 on its first
+        # internally-thrown exception).  libgstvideo resolves its
+        # libgstreamer symbols through its own DT_NEEDED chain.
+        gst = ctypes.CDLL("libgstreamer-1.0.so.0")
+        video = ctypes.CDLL("libgstvideo-1.0.so.0")
     except OSError:
         return None
     gst.gst_init(None, None)

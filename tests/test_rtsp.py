@@ -118,7 +118,7 @@ class TestEndToEnd:
     def test_rtspsrc_receives_video(self, server):
         srv, port = server
         p = parse_launch(
-            f"rtspsrc location=rtsp://127.0.0.1:{port}/test timeout=0.5 "
+            f"rtspsrc location=rtsp://127.0.0.1:{port}/test timeout=1.0 "
             "eos-timeouts=3 ! rtpvrawdepay ! appsink name=out")
         p.run()
         sink = p.get_by_name("out")
@@ -144,7 +144,7 @@ class TestRtcp:
         srv, port = server
         p = parse_launch(
             f"rtspsrc name=src location=rtsp://127.0.0.1:{port}/test "
-            "timeout=0.5 eos-timeouts=3 ! rtpvrawdepay ! "
+            "timeout=1.0 eos-timeouts=3 ! rtpvrawdepay ! "
             "appsink name=out")
         p.run()
         src = p.get_by_name("src")
@@ -185,7 +185,7 @@ class TestTcpInterleaved:
         srv, port = server
         p = parse_launch(
             f"rtspsrc name=src location=rtsp://127.0.0.1:{port}/test "
-            "protocols=tcp timeout=0.5 eos-timeouts=3 ! "
+            "protocols=tcp timeout=1.0 eos-timeouts=3 ! "
             "rtpvrawdepay ! appsink name=out")
         p.run()
         sink = p.get_by_name("out")
