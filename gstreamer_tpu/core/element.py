@@ -484,6 +484,21 @@ class MultiStreamSourceElement(SourceElement):
         return [p for p in self.src_pads()
                 if p.peer is not None and p.name != "src"]
 
+    # -- stream selection (decodebin3 SELECT_STREAMS analog) ---------------
+    def select_streams(self, names) -> None:
+        """Restrict which exposed streams carry data (the
+        GST_EVENT_SELECT_STREAMS analog, gstdecodebin3.c).  Batch-model
+        reduction: compiled programs have static input signatures, so
+        deselected pads keep ticking but deliver ZEROED buffers
+        (muted/black) instead of vanishing; selection may change
+        mid-stream without a recompile.  Pass None to reselect all."""
+        self._selected_streams = (None if names is None
+                                  else {str(n) for n in names})
+
+    def stream_selected(self, pad_name: str) -> bool:
+        sel = getattr(self, "_selected_streams", None)
+        return sel is None or pad_name in sel
+
     def is_multi(self) -> bool:
         return bool(self.multi_pads())
 

@@ -817,6 +817,17 @@ class Pipeline(Bin):
                 if bufs is None:
                     return None
                 for pname, buf in bufs.items():
+                    if not s.stream_selected(pname):
+                        # deselected stream: zero the payload, keep
+                        # the static input signature (see
+                        # MultiStreamSourceElement.select_streams)
+                        import numpy as _np
+
+                        def _zero(x):
+                            if isinstance(x, (tuple, list)):
+                                return type(x)(_zero(v) for v in x)
+                            return _np.zeros_like(_np.asarray(x))
+                        buf = buf.with_(data=_zero(buf.data))
                     buf = self._stage_buf(buf)
                     inputs[f"{s.name}:{pname}"] = buf.data
                     metas[f"{s.name}:{pname}"] = buf

@@ -289,6 +289,65 @@ class Scenario:
             p.get_by_name(source_name).set_caps(caps)
         return _set
 
+    @staticmethod
+    def select_streams(element_name: str, streams):
+        """gst-validate switch-track / select-streams action
+        (gst-validate-scenario.c execute_switch_track): restrict a
+        multi-stream element (decodebin3/uridecodebin/demuxer) to the
+        named streams; pass None to reselect all."""
+        def _sel(p):
+            e = p.get_by_name(element_name)
+            if e is None or not hasattr(e, "select_streams"):
+                raise ValueError(
+                    f"no stream-selectable element {element_name!r}")
+            e.select_streams(streams)
+        return _sel
+
+    @staticmethod
+    def appsrc_push(source_name: str, data, pts=None):
+        """gst-validate appsrc-push action: feed one buffer into a
+        named appsrc (gst-validate-scenario.c _execute_appsrc_push)."""
+        def _push(p):
+            import numpy as np
+
+            from ..core.buffer import Buffer
+            e = p.get_by_name(source_name)
+            if e is None or not hasattr(e, "push_buffer"):
+                raise ValueError(f"no appsrc {source_name!r}")
+            if isinstance(data, Buffer):
+                buf = data
+            elif isinstance(data, (tuple, list)):
+                buf = Buffer(data=type(data)(np.asarray(x)
+                                             for x in data),
+                             batch=1, pts=pts)
+            else:
+                buf = Buffer(data=np.asarray(data), batch=1, pts=pts)
+            e.push_buffer(buf)
+        return _push
+
+    @staticmethod
+    def appsrc_eos(source_name: str):
+        """gst-validate appsrc-eos action."""
+        def _eos(p):
+            e = p.get_by_name(source_name)
+            if e is None or not hasattr(e, "end_of_stream"):
+                raise ValueError(f"no appsrc {source_name!r}")
+            e.end_of_stream()
+        return _eos
+
+    @staticmethod
+    def check_position(expected_ns: int, tolerance_ns: int = 0):
+        """gst-validate check-position action: assert the pipeline's
+        position query (gst-validate-scenario.c
+        _execute_check_position)."""
+        def _chk(p):
+            pos = p.query_position()
+            if pos is None or abs(pos - expected_ns) > tolerance_ns:
+                raise AssertionError(
+                    f"position {pos} != {expected_ns} "
+                    f"(±{tolerance_ns})")
+        return _chk
+
     def run(self, pipeline, monitor=None) -> None:
         pending = sorted(self.actions, key=lambda a: a[0])
         n = 0

@@ -155,3 +155,84 @@ def test_scenario_set_state_and_wait_and_rate_seek():
     while (s := sink.pull_sample()) is not None:
         total += s.buffer.batch
     assert total > 0
+
+
+def test_scenario_appsrc_push_eos_and_check_position():
+    """appsrc-push / appsrc-eos / check-position actions
+    (gst-validate-scenario.c _execute_appsrc_push,
+    _execute_check_position)."""
+    from gstreamer_tpu.validate.monitor import Scenario
+    rng = np.random.default_rng(5)
+
+    def frame():
+        return (rng.integers(0, 256, (1, 32, 32), np.uint8),
+                rng.integers(0, 256, (1, 16, 16), np.uint8),
+                rng.integers(0, 256, (1, 16, 16), np.uint8))
+
+    p = parse_launch(
+        "appsrc name=in caps=video/x-raw,format=I420,width=32,height=32,"
+        "framerate=30/1 ! videoconvert ! video/x-raw,format=RGB ! "
+        "appsink name=s")
+    src = p.get_by_name("in")
+    src.push_buffer(Buffer(data=frame(), pts=0, batch=1))
+    checked = []
+
+    def record_position(pipeline):
+        checked.append(pipeline.query_position())
+
+    sc = Scenario(actions=[
+        (1, Scenario.appsrc_push("in", frame(),
+                                 pts=33_333_333)),
+        (2, record_position),
+        (2, Scenario.check_position(66_666_666,
+                                    tolerance_ns=70_000_000)),
+        (2, Scenario.appsrc_eos("in")),
+    ], max_ticks=10)
+    sc.run(p)
+    sink = p.get_by_name("s")
+    total = 0
+    while (s := sink.pull_sample()) is not None:
+        total += s.buffer.batch
+    assert total == 2               # both pushed frames came through
+    assert checked and checked[0] is not None
+    # a failing check raises
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        Scenario.check_position(10**12, tolerance_ns=0)(p)
+
+
+def test_scenario_select_streams_zeroes_deselected(tmp_path):
+    """select-streams action (switch-track analog): a deselected
+    stream keeps its pad ticking but carries zeroed (muted) data —
+    the batch-model reduction of decodebin3 SELECT_STREAMS."""
+    from gstreamer_tpu.validate.monitor import Scenario
+    path = tmp_path / "av.mkv"
+    p = parse_launch(
+        f"matroskamux name=m location={path} ! fakesink "
+        "videotestsrc num-buffers=8 pattern=gradient ! "
+        "video/x-raw,format=I420,width=32,height=32,framerate=25/1 ! "
+        "m.video_0 "
+        "audiotestsrc num-buffers=8 samplesperbuffer=1024 wave=sine ! "
+        "audio/x-raw,format=S16LE,rate=48000,channels=2 ! m.audio_0")
+    p.run()
+
+    p2 = parse_launch(
+        f"matroskademux name=d location={path} "
+        "d.video_0 ! appsink name=v "
+        "d.audio_0 ! appsink name=a")
+    sc = Scenario(actions=[
+        (0, Scenario.select_streams("d", ["video_0"])),
+    ], max_ticks=50)
+    sc.run(p2)
+    abufs, vbufs = [], []
+    while (s := p2.get_by_name("a").pull_sample()) is not None:
+        abufs.append(np.asarray(s.buffer.data))
+    while (s := p2.get_by_name("v").pull_sample()) is not None:
+        vbufs.append(np.asarray(s.buffer.data[0]))
+    assert abufs and vbufs
+    assert all(not a.any() for a in abufs)      # muted audio
+    assert any(v.any() for v in vbufs)          # video unaffected
+    # reselect-all restores data
+    d = p2.get_by_name("d")
+    d.select_streams(None)
+    assert d.stream_selected("audio_0")
