@@ -123,24 +123,38 @@ def main():
     from gstreamer_tpu.core.parse import parse_launch
     from gstreamer_tpu.core.pipeline import State
 
+    def probe_ceiling_fps() -> float:
+        """One H2D transfer -> equivalent 1080p-I420 fps ceiling."""
+        t0 = time.perf_counter()
+        jax.device_put(x).block_until_ready()
+        gbs = x.nbytes / (time.perf_counter() - t0)
+        return gbs / FRAME
+
     p = parse_launch(
         f"filesrc location={Y4M} ! videoconvert ! videoscale ! "
         "video/x-raw,format=RGB,width=224,height=224 ! fakesink")
     p.compile(batch=batch, donate_inputs=True, prefetch=True)
     p.set_state(State.PLAYING)
-    n_ticks = 0
-    t0 = time.perf_counter()
-    while p.tick():
-        n_ticks += 1
-    dt = time.perf_counter() - t0
-    rates2 = [n_ticks * batch / dt]
-    for _rep in range(2):
-        p.seek(0)
+    # bracket every pass with link probes: the tunnel rate swings >10x
+    # in-session, so the ">=90% of ceiling" criterion is only
+    # meaningful against the CONCURRENT link state (VERDICT r3 #9)
+    rates2 = []
+    ratios = []
+    first = True
+    for _rep in range(3):
+        if not first:
+            p.seek(0)
+        first = False
+        pre = probe_ceiling_fps()
         n_ticks = 0
         t0 = time.perf_counter()
         while p.tick():
             n_ticks += 1
-        rates2.append(n_ticks * batch / (time.perf_counter() - t0))
+        fps_pass = n_ticks * batch / (time.perf_counter() - t0)
+        post = probe_ceiling_fps()
+        ceiling = float(np.median([pre, post]))
+        rates2.append(fps_pass)
+        ratios.append(fps_pass / ceiling if ceiling > 0 else 0.0)
     fps2 = float(np.median(rates2))
     print(json.dumps({
         "metric": "e2e_pipeline_filesrc_donated_prefetch",
@@ -149,6 +163,12 @@ def main():
                 "staged-transfer barrier before dispatch + prefetch "
                 "(gstbufferpool/queue analogs); link-rate variance "
                 "dominates on this rig"}))
+    print(json.dumps({
+        "metric": "e2e_fraction_of_concurrent_ceiling",
+        "value": round(float(np.median(ratios)), 3), "unit": "ratio",
+        "note": "pipeline fps / H2D-ceiling fps measured by probes "
+                "bracketing the SAME pass (criterion: >=0.9); "
+                f"per-pass ratios {[round(r, 3) for r in ratios]}"}))
 
 
 if __name__ == "__main__":

@@ -17,10 +17,12 @@ fragments spliced into the clip's sub-pipeline, exactly like GES
 effects wrap element descriptions.
 """
 
-from .timeline import (AudioTrack, Clip, Effect, Layer, TestClip, Timeline,
-                       TimelineAudioSrc, TimelineVideoSrc, UriClip,
-                       VideoTrack)
+from .timeline import (AudioTrack, Clip, Effect, Group, Layer,
+                       NestedTimelineClip, TestClip, Timeline,
+                       TimelineAudioSrc, TimelineVideoSrc, TitleClip,
+                       UriClip, VideoTrack, register_timeline)
 
 __all__ = ["Timeline", "Layer", "Clip", "TestClip", "UriClip", "Effect",
            "VideoTrack", "AudioTrack", "TimelineVideoSrc",
-           "TimelineAudioSrc"]
+           "TimelineAudioSrc", "Group", "NestedTimelineClip",
+           "TitleClip", "register_timeline"]

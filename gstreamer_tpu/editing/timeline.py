@@ -262,6 +262,86 @@ class Timeline:
         return None
 
 
+class Group:
+    """ges-group.c: a container spanning clips — possibly across
+    layers — edited as one unit.  Moving the group (`group.start = t`
+    or `shift(delta)`) translates every member, preserving their
+    relative offsets; `ungroup()` dissolves it (ges_container_ungroup).
+    """
+
+    def __init__(self, clips: List[Clip]):
+        if not clips:
+            raise ValueError("group needs at least one clip")
+        self.clips = list(clips)
+
+    @classmethod
+    def group(cls, clips: List[Clip]) -> "Group":
+        """ges_container_group."""
+        return cls(clips)
+
+    @property
+    def start(self) -> int:
+        return min(c.start for c in self.clips)
+
+    @start.setter
+    def start(self, t: int) -> None:
+        self.shift(t - self.start)
+
+    @property
+    def end(self) -> int:
+        return max(c.end for c in self.clips)
+
+    @property
+    def duration(self) -> int:
+        return self.end - self.start
+
+    def shift(self, delta_ns: int) -> None:
+        if delta_ns < -self.start:
+            raise ValueError("group cannot move before t=0")
+        for c in self.clips:
+            c.start += delta_ns
+
+    def ungroup(self) -> List[Clip]:
+        clips, self.clips = self.clips, []
+        return clips
+
+
+# registry letting launch strings reference Timeline objects by id —
+# the seam nested timelines use to appear inside a clip's sub-pipeline
+_TIMELINES: Dict[int, Timeline] = {}
+
+
+def register_timeline(tl: Timeline) -> int:
+    tid = id(tl)
+    _TIMELINES[tid] = tl
+    return tid
+
+
+@dataclass
+class NestedTimelineClip(Clip):
+    """Nested timeline (ges-timeline.c used as a clip source — the
+    reference composes timelines inside timelines through nleComposition
+    / the `ges://` URI of ges/ges-uri-clip.c): the clip's media is
+    another Timeline, rendered by the timeline source elements inside
+    the clip's sub-pipeline.  inpoint/duration/effects behave exactly
+    as for any other clip."""
+    timeline: Optional[Timeline] = None
+
+    def video_launch(self, track):
+        if self.timeline is None or self.timeline.video_track is None:
+            return None
+        tid = register_timeline(self.timeline)
+        return f"timelinevideosrc timeline-id={tid}" \
+            + self._effect_chain()
+
+    def audio_launch(self, track):
+        if self.timeline is None or self.timeline.audio_track is None:
+            return None
+        tid = register_timeline(self.timeline)
+        return f"timelineaudiosrc timeline-id={tid}" \
+            + self._effect_chain()
+
+
 class _ClipStream:
     """Sequential frame/sample reader over a clip's sub-pipeline."""
 
@@ -338,7 +418,11 @@ class TimelineVideoSrc(SourceElement):
     FACTORY = "timelinevideosrc"
     DESCRIPTION = "GES-equivalent timeline video source"
     PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, "video/x-raw")]
-    PROPERTIES = {"timeline": (object, None, "editing.Timeline")}
+    PROPERTIES = {
+        "timeline": (object, None, "editing.Timeline"),
+        "timeline-id": (int, 0, "registered timeline id (launch-"
+                        "string seam; see register_timeline)"),
+    }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
@@ -347,7 +431,8 @@ class TimelineVideoSrc(SourceElement):
 
     @property
     def _tl(self) -> Timeline:
-        return self.props["timeline"]
+        return (self.props["timeline"]
+                or _TIMELINES[self.props["timeline-id"]])
 
     def get_caps(self, filter=None):
         caps = Caps.from_string(self._tl.video_track.caps_string())
@@ -435,6 +520,8 @@ class TimelineAudioSrc(SourceElement):
     PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, "audio/x-raw")]
     PROPERTIES = {
         "timeline": (object, None, "editing.Timeline"),
+        "timeline-id": (int, 0, "registered timeline id (launch-"
+                        "string seam; see register_timeline)"),
         "blocksize": (int, 1024, "sample frames per buffer"),
     }
 
@@ -445,7 +532,8 @@ class TimelineAudioSrc(SourceElement):
 
     @property
     def _tl(self) -> Timeline:
-        return self.props["timeline"]
+        return (self.props["timeline"]
+                or _TIMELINES[self.props["timeline-id"]])
 
     def get_caps(self, filter=None):
         caps = Caps.from_string(self._tl.audio_track.caps_string())

@@ -245,3 +245,84 @@ def test_uri_clip_mp4_route(tmp_path):
     assert "matroskademux" in clip.video_launch(None)
     clip = UriClip(start=0, duration=NS, location="/x/a.ogv")
     assert "oggdemux" in clip.video_launch(None)
+
+
+class TestGroups:
+    """ges-group.c: cross-layer clip containers."""
+
+    def test_group_shift_moves_members(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        l0, l1 = tl.append_layer(), tl.append_layer()
+        c1 = l0.add_clip(TestClip(start=0, duration=NS))
+        c2 = l1.add_clip(TestClip(start=NS // 2, duration=NS))
+        from gstreamer_tpu.editing import Group
+        g = Group.group([c1, c2])
+        assert g.start == 0 and g.end == NS * 3 // 2
+        assert g.duration == NS * 3 // 2
+        g.start = NS                  # move the whole group
+        assert c1.start == NS and c2.start == NS * 3 // 2
+        assert g.duration == NS * 3 // 2      # offsets preserved
+        g.shift(-NS // 2)
+        assert c1.start == NS // 2
+        with pytest.raises(ValueError):
+            g.shift(-NS)              # before t=0
+        clips = g.ungroup()
+        assert clips == [c1, c2] and not g.clips
+
+    def test_group_move_changes_render(self):
+        v, a = small_tracks()
+        tl = Timeline(video=v, audio=a)
+        layer = tl.append_layer()
+        c = layer.add_clip(TestClip(start=0, duration=NS // 2,
+                                    pattern="white"))
+        from gstreamer_tpu.editing import Group
+        Group.group([c]).start = NS // 2
+        frames = render_video(tl)
+        # first half is gap (black), second half is the white clip
+        assert len(frames) == 10
+        assert frames[0][0].mean() < 32          # black gap
+        assert frames[-1][0].mean() > 200        # white clip
+
+
+class TestNestedTimelines:
+    """Nested timeline used as a clip (ges:// URI analog)."""
+
+    def test_nested_video_renders_inside_outer(self):
+        v, a = small_tracks()
+        inner = Timeline(video=VideoTrack(width=16, height=16,
+                                          fps=Fraction(10, 1)),
+                         audio=None)
+        il = inner.append_layer()
+        il.add_clip(TestClip(start=0, duration=NS, pattern="white"))
+
+        from gstreamer_tpu.editing import NestedTimelineClip
+        outer = Timeline(video=v, audio=a)
+        ol = outer.append_layer()
+        ol.add_clip(NestedTimelineClip(start=NS // 2, duration=NS,
+                                       timeline=inner))
+        frames = render_video(outer)
+        assert len(frames) == 15                  # 1.5 s at 10 fps
+        assert frames[0][0].mean() < 32           # gap before the clip
+        # center of the last frame shows the nested white media (the
+        # 16x16 source is aspect-fit into 32x24 with borders)
+        assert frames[-1][0][12, 16] > 200
+        assert frames[-1][0].shape == (24, 32)
+
+    def test_nested_inpoint_and_audio(self):
+        inner = Timeline(video=None,
+                         audio=AudioTrack(rate=8000, channels=1))
+        il = inner.append_layer()
+        il.add_clip(TestClip(start=0, duration=NS, wave="square",
+                             freq=400.0, volume=1.0))
+
+        from gstreamer_tpu.editing import NestedTimelineClip
+        outer = Timeline(video=None,
+                         audio=AudioTrack(rate=8000, channels=1))
+        ol = outer.append_layer()
+        ol.add_clip(NestedTimelineClip(start=0, duration=NS // 2,
+                                       inpoint=NS // 4,
+                                       timeline=inner))
+        samples = render_audio(outer)
+        assert samples.shape[0] == 4000           # 0.5 s at 8 kHz
+        assert np.abs(samples.astype(np.int32)).max() > 10000  # audible
