@@ -34,7 +34,8 @@ from ..audio import format as afmt
 from ..audio.info import AudioInfo
 from ..core.buffer import Buffer
 from ..core.caps import Caps
-from ..core.element import (AggregatorElement, PadDirection,
+from ..core.element import (AggregatorElement,
+                            MultiStreamSourceElement, PadDirection,
                             PadPresence, PadTemplate, SourceElement,
                             register_element)
 from ..core.value import Fraction
@@ -73,7 +74,11 @@ SET_SEQUENCE = 0x0F
 SET_SOURCE_CLIP = 0x11
 SET_MULTIPLE_DESCRIPTOR = 0x44
 SET_CDCI_DESCRIPTOR = 0x28
+SET_RGBA_DESCRIPTOR = 0x29
 SET_WAVE_DESCRIPTOR = 0x48
+SET_AES3_DESCRIPTOR = 0x47
+SET_GENERIC_SOUND = 0x42
+SET_MPEG_DESCRIPTOR = 0x51
 
 # data definitions (SMPTE 331M/377M track data kinds)
 DD_PICTURE = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x01,
@@ -88,6 +93,7 @@ ESSENCE_PREFIX = bytes((0x06, 0x0E, 0x2B, 0x34, 0x01, 0x02, 0x01,
                         0x01, 0x0D, 0x01, 0x03, 0x01))
 TRACKNUM_PICTURE = 0x15010500        # CP picture, uncompressed
 TRACKNUM_SOUND = 0x16010100          # CP sound, wave PCM
+TRACKNUM_MPEG = 0x15010600           # GC picture, MPEG/AVC frame-wrap
 
 # essence container labels (379M/382M/384M family)
 ECL_UNC_PICTURE = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01,
@@ -95,12 +101,36 @@ ECL_UNC_PICTURE = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01,
                          0x01, 0x01))
 ECL_BWF = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x01,
                  0x0D, 0x01, 0x03, 0x01, 0x02, 0x06, 0x01, 0x00))
+# 381M MPEG-ES frame-wrapped / 381-3 AVC byte-stream
+ECL_MPEG_ES = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x02,
+                     0x0D, 0x01, 0x03, 0x01, 0x02, 0x04, 0x60, 0x01))
+ECL_AVC = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x0A,
+                 0x0D, 0x01, 0x03, 0x01, 0x02, 0x10, 0x60, 0x01))
 
 # picture/sound essence coding labels
 PEC_UNC = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x01,
                  0x04, 0x01, 0x02, 0x01, 0x7F, 0x00, 0x00, 0x00))
+PEC_MPEG2 = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x03,
+                   0x04, 0x01, 0x02, 0x02, 0x01, 0x01, 0x11, 0x00))
+PEC_AVC = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x0A,
+                 0x04, 0x01, 0x02, 0x02, 0x01, 0x31, 0x11, 0x01))
 SEC_PCM = bytes((0x06, 0x0E, 0x2B, 0x34, 0x04, 0x01, 0x01, 0x01,
                  0x04, 0x02, 0x02, 0x01, 0x00, 0x00, 0x00, 0x00))
+
+# operational pattern ULs (377M annex; byte 13-14 = item/package
+# complexity): exposed by the demuxer as a string
+_OP_NAMES = {
+    (0x01, 0x01): "op1a", (0x01, 0x02): "op1b", (0x01, 0x03): "op1c",
+    (0x02, 0x01): "op2a", (0x02, 0x02): "op2b", (0x02, 0x03): "op2c",
+    (0x03, 0x01): "op3a", (0x03, 0x02): "op3b", (0x03, 0x03): "op3c",
+    (0x10, 0x00): "opatom",
+}
+
+
+def op_name(ul: bytes) -> str:
+    if len(ul) == 16 and ul[:12] == UL_OP1A[:12]:
+        return _OP_NAMES.get((ul[12], ul[13]), ul.hex())
+    return ul.hex() if ul else "unknown"
 
 
 def ber(n: int) -> bytes:
@@ -210,7 +240,9 @@ class MxfMux(AggregatorElement):
     HOST_ELEMENT = True
     PAD_TEMPLATES = [
         PadTemplate("video_%u", PadDirection.SINK,
-                    "video/x-raw, format=UYVY",
+                    "video/x-raw, format=UYVY; video/mpeg, "
+                    "mpegversion=2; video/x-h264, "
+                    "stream-format=byte-stream",
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved",
@@ -224,6 +256,8 @@ class MxfMux(AggregatorElement):
         super().__init__(name=name, **props)
         self._vinfo: Optional[VideoInfo] = None
         self._ainfo: Optional[AudioInfo] = None
+        self._vcoded: Optional[str] = None   # video/mpeg | video/x-h264
+        self._vgeom = (0, 0, 25, 1)          # coded w/h/fps
         self._file = None
         self._vframes = 0
         self._asamples = 0
@@ -232,15 +266,34 @@ class MxfMux(AggregatorElement):
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
-                self._vinfo = VideoInfo.from_caps_structure(s)
+                if s.name in ("video/mpeg", "video/x-h264"):
+                    # coded picture essence (381M MPEG / 381-3 AVC)
+                    self._vcoded = s.name
+                    fps = s.get("framerate") or Fraction(25, 1)
+                    self._vgeom = (int(s.get("width") or 0),
+                                   int(s.get("height") or 0),
+                                   fps.num, fps.denom)
+                else:
+                    self._vinfo = VideoInfo.from_caps_structure(s)
             else:
                 self._ainfo = AudioInfo.from_caps_structure(s)
         return Caps.from_string("application/mxf")
 
+    @property
+    def _has_video(self) -> bool:
+        return self._vinfo is not None or self._vcoded is not None
+
+    def _video_ecl(self) -> bytes:
+        if self._vcoded == "video/mpeg":
+            return ECL_MPEG_ES
+        if self._vcoded == "video/x-h264":
+            return ECL_AVC
+        return ECL_UNC_PICTURE
+
     def _containers(self) -> List[bytes]:
         out = []
-        if self._vinfo is not None:
-            out.append(ECL_UNC_PICTURE)
+        if self._has_video:
+            out.append(self._video_ecl())
         if self._ainfo is not None:
             out.append(ECL_BWF)
         return out
@@ -249,14 +302,18 @@ class MxfMux(AggregatorElement):
         if self._vinfo is not None:
             fps = self._vinfo.fps
             return fps.num, fps.denom
+        if self._vcoded is not None:
+            return self._vgeom[2], self._vgeom[3]
         return self._ainfo.rate, 1
 
     def _track_descs(self):
         """[(track_id, track_number, data_def)] for essence tracks."""
         out = []
         tid = 2                        # 1 reserved for timecode-ish
-        if self._vinfo is not None:
-            out.append((tid, TRACKNUM_PICTURE, DD_PICTURE))
+        if self._has_video:
+            tnum = (TRACKNUM_MPEG if self._vcoded
+                    else TRACKNUM_PICTURE)
+            out.append((tid, tnum, DD_PICTURE))
             tid += 1
         if self._ainfo is not None:
             out.append((tid, TRACKNUM_SOUND, DD_SOUND))
@@ -347,7 +404,26 @@ class MxfMux(AggregatorElement):
         # descriptors
         sub = []
         for (tid, tnum, dd), sub_uid in zip(tracks, uid_subdescs):
-            if dd == DD_PICTURE:
+            if dd == DD_PICTURE and self._vcoded is not None:
+                # MPEG video descriptor (381M; mxfmpeg.c): CDCI-
+                # inherited geometry + the coded PictureEssenceCoding
+                w, h, _, _ = self._vgeom
+                pec = (PEC_MPEG2 if self._vcoded == "video/mpeg"
+                       else PEC_AVC)
+                d = _local(TAG_INSTANCE_UID, sub_uid)
+                d += _local(TAG_LINKED_TRACK_ID,
+                            struct.pack(">I", tid))
+                d += _local(TAG_SAMPLE_RATE,
+                            struct.pack(">II", er_n, er_d))
+                d += _local(TAG_ESSENCE_CONTAINER, self._video_ecl())
+                d += _local(TAG_STORED_WIDTH, struct.pack(">I", w))
+                d += _local(TAG_STORED_HEIGHT, struct.pack(">I", h))
+                d += _local(TAG_FRAME_LAYOUT, b"\x00")
+                d += _local(TAG_ASPECT_RATIO,
+                            struct.pack(">II", max(w, 1), max(h, 1)))
+                d += _local(TAG_PICTURE_CODING, pec)
+                sets.append(klv(_meta_ul(SET_MPEG_DESCRIPTOR), d))
+            elif dd == DD_PICTURE:
                 vi = self._vinfo
                 d = _local(TAG_INSTANCE_UID, sub_uid)
                 d += _local(TAG_LINKED_TRACK_ID,
@@ -405,6 +481,12 @@ class MxfMux(AggregatorElement):
         for pad_name in sorted(ins):
             buf = ins[pad_name]
             if pad_name.startswith("video"):
+                if self._vcoded is not None:
+                    from .container_elements import _video_blobs
+                    for blob in _video_blobs(buf):
+                        self._essence.append((TRACKNUM_MPEG, blob))
+                        self._vframes += 1
+                    continue
                 vi = self._vinfo
                 raw = to_bytes(vi.finfo,
                                tuple(np.asarray(p) for p in buf.data),
@@ -459,13 +541,28 @@ class MxfMux(AggregatorElement):
 # mxfdemux
 # ---------------------------------------------------------------------------
 
+_VIDEO_DESC_SETS = {SET_CDCI_DESCRIPTOR: "video",
+                    SET_RGBA_DESCRIPTOR: "video",
+                    SET_MPEG_DESCRIPTOR: "video"}
+_AUDIO_DESC_SETS = {SET_WAVE_DESCRIPTOR: "audio",
+                    SET_AES3_DESCRIPTOR: "audio",
+                    SET_GENERIC_SOUND: "audio"}
+
+
 def _parse_mxf(path: str):
+    """One KLV walk: essence keyed by track number, every known
+    descriptor family (CDCI/RGBA/MPEG picture, WAVE/AES3/generic
+    sound), timeline-track metadata (track id -> essence track
+    number, edit rate), and the preface's operational pattern —
+    mirroring mxfdemux.c's metadata resolve, reduced."""
     with open(path, "rb") as f:
         data = f.read()
     pos = 0
-    descriptors = []
+    descriptors = []            # (kind, set_id, locals)
     tracks: Dict[int, List[bytes]] = {}
-    edit_rate = (25, 1)
+    track_meta: Dict[int, Dict[str, object]] = {}  # track_id -> info
+    op_ul = b""
+    meta_prefix = _meta_ul(0)[:14]
     while pos + 17 <= len(data):
         key = data[pos:pos + 16]
         length, vpos = read_ber(data, pos + 16)
@@ -473,16 +570,32 @@ def _parse_mxf(path: str):
         if key[:12] == ESSENCE_PREFIX:
             tnum = struct.unpack(">I", key[12:16])[0]
             tracks.setdefault(tnum, []).append(value)
-        elif key[:14] == _meta_ul(SET_CDCI_DESCRIPTOR)[:14] \
-                and key[14] == SET_CDCI_DESCRIPTOR:
-            d = _parse_locals(value)
-            descriptors.append(("video", d))
-        elif key[:14] == _meta_ul(SET_WAVE_DESCRIPTOR)[:14] \
-                and key[14] == SET_WAVE_DESCRIPTOR:
-            d = _parse_locals(value)
-            descriptors.append(("audio", d))
+        elif key[:14] == meta_prefix:
+            set_id = key[14]
+            if set_id in _VIDEO_DESC_SETS or set_id in _AUDIO_DESC_SETS:
+                kind = _VIDEO_DESC_SETS.get(
+                    set_id, _AUDIO_DESC_SETS.get(set_id))
+                descriptors.append((kind, set_id,
+                                    _parse_locals(value)))
+            elif set_id == SET_TIMELINE_TRACK:
+                d = _parse_locals(value)
+                if TAG_TRACK_ID in d and TAG_TRACK_NUMBER in d:
+                    tid = struct.unpack(">I", d[TAG_TRACK_ID])[0]
+                    tnum = struct.unpack(">I",
+                                         d[TAG_TRACK_NUMBER])[0]
+                    info: Dict[str, object] = {"number": tnum}
+                    if TAG_EDIT_RATE in d:
+                        info["edit_rate"] = struct.unpack(
+                            ">II", d[TAG_EDIT_RATE])
+                    # essence track numbers are non-zero only on the
+                    # source package's tracks
+                    if tnum:
+                        track_meta[tid] = info
+            elif set_id == SET_PREFACE:
+                d = _parse_locals(value)
+                op_ul = d.get(TAG_OPERATIONAL_PATTERN, b"")
         pos = vpos + length
-    return descriptors, tracks
+    return descriptors, tracks, track_meta, op_ul
 
 
 def _parse_locals(value: bytes) -> Dict[int, bytes]:
@@ -495,58 +608,159 @@ def _parse_locals(value: bytes) -> Dict[int, bytes]:
     return out
 
 
+class _MxfStream:
+    """One demuxed essence stream: descriptor-derived caps + frames."""
+
+    def __init__(self, kind: str, set_id: int, d: Dict[int, bytes],
+                 frames: List[bytes]):
+        self.kind = kind
+        self.frames = frames
+        self.coded: Optional[str] = None
+        if kind == "video":
+            w = struct.unpack(">I", d[TAG_STORED_WIDTH])[0]
+            h = struct.unpack(">I", d[TAG_STORED_HEIGHT])[0]
+            n, den = struct.unpack(">II", d[TAG_SAMPLE_RATE])
+            self.fps = Fraction(n, den)
+            pec = d.get(TAG_PICTURE_CODING, b"")
+            if set_id == SET_MPEG_DESCRIPTOR or pec in (PEC_MPEG2,
+                                                        PEC_AVC):
+                self.coded = ("video/x-h264" if pec == PEC_AVC
+                              else "video/mpeg")
+                self.w, self.h = w, h
+                self.info = None
+            else:
+                fmt = ("RGB" if set_id == SET_RGBA_DESCRIPTOR
+                       else "UYVY")
+                self.info = VideoInfo(format=fmt, width=w, height=h,
+                                      fps=self.fps)
+        else:
+            rate = struct.unpack(">II", d[TAG_AUDIO_RATE])[0]
+            ch = struct.unpack(">I", d[TAG_CHANNEL_COUNT])[0]
+            bits = struct.unpack(
+                ">I", d.get(TAG_QUANT_BITS, b"\0\0\0\x10"))[0]
+            fmt = {16: "S16LE", 24: "S24LE", 32: "S32LE"}.get(
+                bits, "S16LE")
+            self.info = AudioInfo(format=fmt, rate=rate, channels=ch)
+
+    def caps(self) -> Caps:
+        if self.coded:
+            extra = (", mpegversion=2, systemstream=false"
+                     if self.coded == "video/mpeg"
+                     else ", stream-format=byte-stream, "
+                          "alignment=au")
+            return Caps.from_string(
+                f"{self.coded}, width={self.w}, height={self.h}, "
+                f"framerate={self.fps.num}/{self.fps.denom}" + extra)
+        return Caps([self.info.to_caps_structure()])
+
+    def buffer_at(self, pos: int, n: int) -> Tuple[Buffer, int]:
+        """Buffer for frames[pos:pos+n] and the new position."""
+        if self.kind == "video" and self.coded is None:
+            info = self.info
+            take = self.frames[pos:pos + max(1, n)]
+            raws = np.stack([np.frombuffer(f, np.uint8)
+                             for f in take])
+            planes = from_bytes(info.finfo, raws, info.width,
+                                info.height)
+            fps = info.fps
+            pts = pos * 1_000_000_000 * fps.denom // fps.num
+            dur = 1_000_000_000 * fps.denom // fps.num
+            return Buffer(data=planes, pts=pts, duration=dur,
+                          batch=len(take)), pos + len(take)
+        if self.kind == "video":
+            fps = self.fps
+            pts = pos * 1_000_000_000 * fps.denom // fps.num
+            return Buffer(
+                data=np.frombuffer(self.frames[pos], np.uint8),
+                pts=pts,
+                duration=1_000_000_000 * fps.denom // fps.num,
+                batch=1), pos + 1
+        info = self.info
+        raw = self.frames[pos]
+        samples = afmt.from_bytes(
+            info.finfo, np.frombuffer(raw, np.uint8), info.channels)
+        return Buffer(data=samples, batch=1,
+                      duration=samples.shape[0] * 1_000_000_000
+                      // info.rate), pos + 1
+
+
 @register_element
-class MxfDemux(SourceElement):
+class MxfDemux(MultiStreamSourceElement):
+    """mxfdemux (mxfdemux.c, reduced): single-stream `stream=` mode on
+    the always pad, or one-parse multi-stream via `video_0`/`audio_0`
+    sometimes-pads; caps resolve from the descriptor family (CDCI/
+    RGBA/MPEG picture, WAVE/AES3 sound), essence tracks resolve
+    through the source package's timeline-track metadata, and the
+    preface's operational pattern is exposed as a property."""
     FACTORY = "mxfdemux"
     DESCRIPTION = "Demux MXF files"
-    PAD_TEMPLATES = [PadTemplate("src", PadDirection.SRC, Caps.any())]
+    PAD_TEMPLATES = [
+        PadTemplate("src", PadDirection.SRC, Caps.any()),
+        PadTemplate("video_%u", PadDirection.SRC, Caps.any(),
+                    presence=PadPresence.SOMETIMES),
+        PadTemplate("audio_%u", PadDirection.SRC, Caps.any(),
+                    presence=PadPresence.SOMETIMES),
+    ]
     PROPERTIES = {
         "location": (str, "", "mxf file path"),
-        "stream": (str, "video", "video | audio"),
+        "stream": (str, "video", "video | audio (single-pad mode)"),
     }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._loaded = False
-        self._pos = 0
+        self._pos: Dict[str, int] = {}
+        self.operational_pattern = "unknown"
 
     def _load(self):
         if self._loaded:
             return
-        descriptors, tracks = _parse_mxf(self.props["location"])
-        sel = self.props["stream"]
-        self._desc = None
-        for kind, d in descriptors:
-            if kind == sel:
-                self._desc = d
-                break
-        if self._desc is None:
-            raise ValueError(f"mxfdemux: no {sel!r} stream")
-        tnum = (TRACKNUM_PICTURE if sel == "video"
-                else TRACKNUM_SOUND)
-        self._frames = tracks.get(tnum, [])
-        d = self._desc
-        if sel == "video":
-            w = struct.unpack(">I", d[TAG_STORED_WIDTH])[0]
-            h = struct.unpack(">I", d[TAG_STORED_HEIGHT])[0]
-            n, den = struct.unpack(">II", d[TAG_SAMPLE_RATE])
-            self._info = VideoInfo(format="UYVY", width=w, height=h,
-                                   fps=Fraction(n, den))
-        else:
-            rate = struct.unpack(">II", d[TAG_AUDIO_RATE])[0]
-            ch = struct.unpack(">I", d[TAG_CHANNEL_COUNT])[0]
-            self._info = AudioInfo(format="S16LE", rate=rate,
-                                   channels=ch)
+        descriptors, tracks, track_meta, op_ul = _parse_mxf(
+            self.props["location"])
+        self.operational_pattern = op_name(op_ul)
+        # essence track numbers from the metadata, in track-id order,
+        # split by essence key item type (0x15 picture / 0x16 sound)
+        pic_nums = [m["number"] for _, m in sorted(track_meta.items())
+                    if (m["number"] >> 24) == 0x15]
+        snd_nums = [m["number"] for _, m in sorted(track_meta.items())
+                    if (m["number"] >> 24) == 0x16]
+        self._streams: Dict[str, _MxfStream] = {}
+        vi = ai = 0
+        for kind, set_id, d in descriptors:
+            if kind == "video":
+                nums = pic_nums[vi:vi + 1]
+                name = f"video_{vi}"
+                vi += 1
+            else:
+                nums = snd_nums[ai:ai + 1]
+                name = f"audio_{ai}"
+                ai += 1
+            # fall back to the fixed CP numbers for files without
+            # resolvable track metadata
+            tnum = nums[0] if nums else (
+                TRACKNUM_PICTURE if kind == "video" else TRACKNUM_SOUND)
+            frames = tracks.get(tnum, [])
+            if not frames and kind == "video":
+                frames = tracks.get(TRACKNUM_MPEG, [])
+            self._streams[name] = _MxfStream(kind, set_id, d, frames)
         self._loaded = True
 
+    def _stream_for(self, sel: str) -> _MxfStream:
+        for name, st in self._streams.items():
+            if name.startswith(sel):
+                return st
+        raise ValueError(f"mxfdemux: no {sel!r} stream")
+
+    # -- single-pad mode ------------------------------------------------------
     def get_caps(self, filter=None):
         if self.props["location"]:
             try:
                 self._load()
+                caps = self._stream_for(self.props["stream"]).caps()
             except (OSError, ValueError, KeyError):
                 return Caps.any()
-        caps = Caps([self._info.to_caps_structure()]) if self._loaded \
-            else Caps.any()
+        else:
+            return Caps.any()
         if filter is not None and not caps.is_any:
             caps = caps.intersect(filter)
         return caps
@@ -556,29 +770,33 @@ class MxfDemux(SourceElement):
 
     def start(self):
         self._load()
-        self._pos = 0
+        self._pos = {}
 
     def create(self, n_frames: int) -> Optional[Buffer]:
-        if self._pos >= len(self._frames):
+        st = self._stream_for(self.props["stream"])
+        pos = self._pos.get("src", 0)
+        if pos >= len(st.frames):
             return None
-        info = self._info
-        if isinstance(info, VideoInfo):
-            take = self._frames[self._pos:
-                                self._pos + max(1, n_frames)]
-            raws = np.stack([np.frombuffer(f, np.uint8)
-                             for f in take])
-            planes = from_bytes(info.finfo, raws, info.width,
-                                info.height)
-            fps = info.fps
-            pts = self._pos * 1_000_000_000 * fps.denom // fps.num
-            dur = 1_000_000_000 * fps.denom // fps.num
-            self._pos += len(take)
-            return Buffer(data=planes, pts=pts, duration=dur,
-                          batch=len(take))
-        raw = self._frames[self._pos]
-        self._pos += 1
-        samples = afmt.from_bytes(
-            info.finfo, np.frombuffer(raw, np.uint8), info.channels)
-        return Buffer(data=samples, batch=1,
-                      duration=samples.shape[0] * 1_000_000_000
-                      // info.rate)
+        buf, self._pos["src"] = st.buffer_at(pos, n_frames)
+        return buf
+
+    # -- one-parse multi-stream mode ------------------------------------------
+    def get_caps_for_pad(self, pad, filter=None):
+        self._load()
+        caps = self._streams[pad.name].caps()
+        if filter is not None:
+            caps = caps.intersect(filter)
+        return caps
+
+    def create_multi(self, n_frames: int):
+        out = {}
+        for pad in self.multi_pads():
+            st = self._streams.get(pad.name)
+            if st is None:
+                continue
+            pos = self._pos.get(pad.name, 0)
+            if pos >= len(st.frames):
+                continue
+            buf, self._pos[pad.name] = st.buffer_at(pos, n_frames)
+            out[pad.name] = buf
+        return out or None

@@ -137,3 +137,81 @@ class TestAvMux:
             count += 1
             pos = vpos + length
         assert count == 2
+
+
+class TestCodedEssence:
+    """381M MPEG / 381-3 AVC picture essence (mxfmpeg.c analog)."""
+
+    @pytest.mark.parametrize("caps,codec", [
+        ("video/x-h264,stream-format=byte-stream,alignment=au,"
+         "width=64,height=48,framerate=25/1", "video/x-h264"),
+        ("video/mpeg,mpegversion=2,systemstream=false,"
+         "width=64,height=48,framerate=25/1", "video/mpeg"),
+    ])
+    def test_coded_roundtrip(self, tmp_path, caps, codec):
+        from gstreamer_tpu.core.buffer import Buffer
+        from gstreamer_tpu.core.element import element_factory_make
+        path = tmp_path / "c.mxf"
+        rng = np.random.default_rng(9)
+        aus = [bytes(rng.integers(0, 256, 120 + 13 * k, np.uint8))
+               for k in range(4)]
+        p = parse_launch(f"appsrc name=in caps=\"{caps}\" ! "
+                         f"mxfmux location={path}")
+        src = p.get_by_name("in")
+        for k, au in enumerate(aus):
+            src.push_buffer(Buffer(
+                data=np.frombuffer(au, np.uint8),
+                pts=k * 40_000_000, batch=1))
+        src.end_of_stream()
+        p.run()
+        p.set_state("null")
+
+        d = parse_launch(f"mxfdemux location={path} stream=video ! "
+                         f"appsink name=out")
+        d.run()
+        frames = _pull(d)
+        got = [np.asarray(s.buffer.data).tobytes() for s in frames]
+        assert got == aus                      # byte-exact essence
+        st = frames[0].caps[0]
+        assert st.name == codec
+        assert st["width"] == 64 and st["height"] == 48
+        # MPEG video descriptor present, not CDCI
+        from gstreamer_tpu.elements.mxf import (SET_MPEG_DESCRIPTOR,
+                                                _meta_ul)
+        assert _meta_ul(SET_MPEG_DESCRIPTOR) in path.read_bytes()
+
+
+class TestMultiStream:
+    def test_one_parse_av_pads(self, tmp_path):
+        """video_0/audio_0 sometimes-pads from a single parse."""
+        path = tmp_path / "av.mxf"
+        p = parse_launch(
+            f"mxfmux name=m location={path} ! fakesink "
+            "videotestsrc num-buffers=4 ! video/x-raw,format=UYVY,"
+            "width=32,height=24,framerate=25/1 ! m.video_0 "
+            "audiotestsrc num-buffers=4 samplesperbuffer=1000 ! "
+            "audio/x-raw,format=S16LE,rate=48000,channels=2 ! "
+            "m.audio_0")
+        p.run()
+        p.set_state("null")
+
+        d = parse_launch(f"mxfdemux name=d location={path} "
+                         "d.video_0 ! appsink name=v "
+                         "d.audio_0 ! appsink name=a")
+        d.run()
+        vn = sum(s.buffer.batch or 1 for s in _pull(d, "v"))
+        an = sum(np.asarray(s.buffer.data).shape[0]
+                 for s in _pull(d, "a"))
+        assert vn == 4
+        assert an == 4000
+        assert d.get_by_name("d").operational_pattern == "op1a"
+
+
+class TestOperationalPattern:
+    def test_op_name_mapping(self):
+        from gstreamer_tpu.elements.mxf import UL_OP1A, op_name
+        assert op_name(UL_OP1A) == "op1a"
+        atom = bytearray(UL_OP1A)
+        atom[12], atom[13] = 0x10, 0x00
+        assert op_name(bytes(atom)) == "opatom"
+        assert op_name(b"") == "unknown"
