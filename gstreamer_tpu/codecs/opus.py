@@ -80,6 +80,43 @@ class OpusDecoder:
             pass
 
 
+class HybridOpusDecoder:
+    """Stream decoder preferring the clean-room CELT path.
+
+    CELT-only mono packets (TOC configs 16-31) decode natively through
+    codecs/celt.py — bit-parity with libopus float output (<1e-6, see
+    tests/test_celt.py) and no system-library dependency.  SILK,
+    hybrid, and stereo packets use libopus; the first such packet
+    switches the stream to libopus permanently (Opus streams rarely
+    change modes mid-stream, and a switch behaves like a decoder
+    reset, exactly as a real receiver joining mid-stream).  Disable
+    with GTPU_NATIVE_CELT=0."""
+
+    def __init__(self, channels: int):
+        import os
+        self.channels = channels
+        self._native = None
+        self._libdec: Optional[OpusDecoder] = None
+        self._use_native = (
+            channels == 1
+            and os.environ.get("GTPU_NATIVE_CELT", "1") != "0")
+
+    def decode(self, packet: bytes) -> np.ndarray:
+        if self._use_native and packet:
+            config = packet[0] >> 3
+            stereo = (packet[0] >> 2) & 1
+            from .celt import CELT_CONFIGS, OpusCeltDecoder
+            if config in CELT_CONFIGS and not stereo:
+                if self._native is None:
+                    self._native = OpusCeltDecoder()
+                out = self._native.decode(packet)
+                return out.astype(np.float32)[:, None]
+            self._use_native = False
+        if self._libdec is None:
+            self._libdec = OpusDecoder(self.channels)
+        return self._libdec.decode(packet)
+
+
 class OpusEncoder:
     def __init__(self, channels: int, bitrate: int = 64000,
                  frame_size: int = 960):
@@ -210,7 +247,7 @@ def decode_ogg(data: bytes) -> Tuple[np.ndarray, int, int]:
     audio = packets[1:]
     if audio and audio[0].startswith(b"OpusTags"):
         audio = audio[1:]
-    dec = OpusDecoder(ch)
+    dec = HybridOpusDecoder(ch)
     chunks = [dec.decode(p) for p in audio]
     pcm = (np.concatenate(chunks, axis=0) if chunks
            else np.zeros((0, ch), np.float32))

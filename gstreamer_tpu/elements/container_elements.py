@@ -1633,7 +1633,7 @@ class MatroskaDemux(MultiStreamSourceElement):
         from ..codecs import opus as popus
         priv = track.get("codec_private", b"")
         ch, pre_skip, _rate, gain = popus.parse_opus_head(priv)
-        dec = popus.OpusDecoder(ch)
+        dec = popus.HybridOpusDecoder(ch)
         chunks = [dec.decode(p) for p in self._payloads()]
         pcm = (np.concatenate(chunks, axis=0) if chunks
                else np.zeros((0, ch), np.float32))
