@@ -12,8 +12,8 @@ tables, cross-checked against the system libopus binary).  The MDCT
 runs as dense matmuls over the whole frame batch — the MXU shape this
 framework uses for every transform codec (vorbis/mp3/aac).
 
-Currently mono; stereo packets raise (the opusdec element falls back
-to libopus for them).
+Mono and stereo streams decode natively; SILK/hybrid packets raise
+and callers fall back to libopus.
 """
 
 from __future__ import annotations
@@ -914,6 +914,18 @@ def compute_theta(ctx, N, b, B, B0, LM, stereo):
                             * (qn + 2 - itheta)) >> 1)
             dec.update(fl, fl + fs, ft)
         itheta = (itheta * 16384) // qn
+    elif stereo:
+        # side-inversion flag for collapsed-theta stereo bands
+        if b > 2 << BITRES and ctx.remaining_bits > 2 << BITRES:
+            inv = dec.dec_bit_logp(2)
+        else:
+            inv = 0
+        if ctx.disable_inv:
+            inv = 0
+        itheta = 0
+        qalloc = dec.tell_frac() - tell
+        b -= qalloc
+        return 0, 32767, 0, -16384, qalloc, b, inv
     else:
         itheta = 0
     qalloc = dec.tell_frac() - tell
@@ -927,7 +939,7 @@ def compute_theta(ctx, N, b, B, B0, LM, stereo):
         iside = bitexact_cos(16384 - itheta)
         delta = _frac_mul16((N - 1) << 7,
                             bitexact_log2tan(iside, imid))
-    return itheta, imid, iside, delta, qalloc, b
+    return itheta, imid, iside, delta, qalloc, b, 0
 
 
 def quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill):
@@ -942,7 +954,7 @@ def quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill):
         if B == 1:
             fill = (fill & 1) | (fill << 1)
         B = (B + 1) >> 1
-        itheta, imid, iside, delta, qalloc, b = compute_theta(
+        itheta, imid, iside, delta, qalloc, b, _inv = compute_theta(
             ctx, N, b, B, B0, LM, 0)
         if B0 > 1 and (itheta & 0x3FFF):
             if itheta > 8192:
@@ -1103,25 +1115,130 @@ def quant_band(ctx, X, N, b, B, lowband, LM, lowband_out, gain,
     return cm & ((1 << B) - 1)
 
 
-def quant_all_bands(dec, start, end, X_full, pulses, shortBlocks,
-                    spread, tf_res, total_bits, balance, LM,
-                    codedBands, seed):
-    """bands.c quant_all_bands (decode, mono)."""
+def stereo_merge(X, Y, mid, N):
+    """bands.c stereo_merge (float): recover L/R from mid/side."""
+    xp = mid * float(np.dot(Y[:N], X[:N]))
+    side = float(np.dot(Y[:N], Y[:N]))
+    El = mid * mid + side - 2 * xp
+    Er = mid * mid + side + 2 * xp
+    if Er < 6e-4 or El < 6e-4:
+        Y[:N] = X[:N]
+        return
+    lgain = 1.0 / math.sqrt(El)
+    rgain = 1.0 / math.sqrt(Er)
+    left = mid * X[:N]
+    r = Y[:N].copy()
+    X[:N] = lgain * (left - r)
+    Y[:N] = rgain * (left + r)
+
+
+def quant_band_n1_stereo(ctx, X, Y, lowband_out):
+    """bands.c quant_band_n1 for two channels: a sign bit each."""
+    dec = ctx.dec
+    for chan in (X, Y):
+        if ctx.remaining_bits >= 1 << BITRES:
+            sign = dec.dec_bits(1)
+            ctx.remaining_bits -= 1 << BITRES
+        else:
+            sign = 0
+        chan[0] = -1.0 if sign else 1.0
+    if lowband_out is not None:
+        lowband_out[0] = X[0]
+    return 1
+
+
+def quant_band_stereo(ctx, X, Y, N, b, B, lowband, LM, lowband_out,
+                      lowband_scratch, fill):
+    """bands.c quant_band_stereo, decode/resynth side."""
+    dec = ctx.dec
+    if N == 1:
+        return quant_band_n1_stereo(ctx, X, Y, lowband_out)
+    B0 = B
+    itheta, imid, iside, delta, qalloc, b, inv = compute_theta(
+        ctx, N, b, B, B0, LM, 1)
+    if itheta == 0:
+        fill &= (1 << B) - 1
+    elif itheta == 16384:
+        fill &= ((1 << B) - 1) << B
+    mid = imid / 32768.0
+    side = iside / 32768.0
+    if N == 2:
+        mbits = b
+        sbits = (1 << BITRES) if (itheta != 0 and itheta != 16384) \
+            else 0
+        mbits -= sbits
+        c = 1 if itheta > 8192 else 0
+        ctx.remaining_bits -= qalloc + sbits
+        x2, y2 = (Y, X) if c else (X, Y)
+        sign = dec.dec_bits(1) if sbits else 0
+        sign = 1 - 2 * sign
+        cm = quant_partition(ctx, x2, N, mbits, B, lowband, LM, 1.0,
+                             fill)
+        y2[0] = -sign * x2[1]
+        y2[1] = sign * x2[0]
+        X[0] *= mid
+        X[1] *= mid
+        Y[0] *= side
+        Y[1] *= side
+        tmp = X[0]
+        X[0] = tmp - Y[0]
+        Y[0] = tmp + Y[0]
+        tmp = X[1]
+        X[1] = tmp - Y[1]
+        Y[1] = tmp + Y[1]
+    else:
+        mbits = max(0, min(b, _sudiv(b - delta, 2)))
+        sbits = b - mbits
+        ctx.remaining_bits -= qalloc
+        rebalance = ctx.remaining_bits
+        if mbits >= sbits:
+            cm = quant_band(ctx, X, N, mbits, B, lowband, LM,
+                            lowband_out, 1.0, lowband_scratch, fill)
+            rebalance = mbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 0:
+                sbits += rebalance - (3 << BITRES)
+            cm |= quant_band(ctx, Y, N, sbits, B, None, LM, None,
+                             side, None, fill >> B)
+        else:
+            cm = quant_band(ctx, Y, N, sbits, B, None, LM, None,
+                            side, None, fill >> B)
+            rebalance = sbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 16384:
+                mbits += rebalance - (3 << BITRES)
+            cm |= quant_band(ctx, X, N, mbits, B, lowband, LM,
+                             lowband_out, 1.0, lowband_scratch, fill)
+    if N != 2:
+        stereo_merge(X, Y, mid, N)
+    if inv:
+        Y[:N] = -Y[:N]
+    return cm
+
+
+def quant_all_bands(dec, start, end, X_full, Y_full, pulses,
+                    shortBlocks, spread, dual_stereo, intensity,
+                    tf_res, total_bits, balance, LM, codedBands,
+                    seed, disable_inv=False):
+    """bands.c quant_all_bands, decode/resynth side (C=1 or 2)."""
     eb = T.EBANDS
+    C = 1 if Y_full is None else 2
     M = 1 << LM
     B = M if shortBlocks else 1
     norm_offset = M * eb[start]
-    norm = np.zeros(M * eb[T.N_BANDS - 1] - norm_offset, np.float64)
+    norm_len = M * eb[T.N_BANDS - 1] - norm_offset
+    norm = np.zeros(norm_len, np.float64)
+    norm2 = np.zeros(norm_len, np.float64) if C == 2 else None
     lowband_scratch = np.zeros(M * (eb[T.N_BANDS] - eb[T.N_BANDS - 1]),
                                np.float64)
-    collapse_masks = [0] * T.N_BANDS
+    collapse_masks = [0] * (T.N_BANDS * C)
     lowband_offset = 0
     update_lowband = True
-    ctx = BandCtx(dec, 0, spread, 0, start, 0, seed)
+    ctx = BandCtx(dec, intensity, spread, 0, start, 0, seed,
+                  disable_inv)
     for i in range(start, end):
         ctx.i = i
         last = (i == end - 1)
         X = X_full[M * eb[i]:M * eb[i + 1]]
+        Y = Y_full[M * eb[i]:M * eb[i + 1]] if C == 2 else None
         N = M * eb[i + 1] - M * eb[i]
         tell = dec.tell_frac()
         if i != start:
@@ -1143,10 +1260,10 @@ def quant_all_bands(dec, start, end, X_full, pulses, shortBlocks,
         ctx.tf_change = tf_change
         effective_lowband = -1
         # with no fold source the band noise-fills: all fill bits set
-        x_cm = (1 << B) - 1
+        x_cm = y_cm = (1 << B) - 1
         if lowband_offset != 0 and (spread != SPREAD_AGGRESSIVE
                                     or B > 1 or tf_change < 0):
-            x_cm = 0
+            x_cm = y_cm = 0
             effective_lowband = max(0, M * eb[lowband_offset]
                                     - norm_offset - N)
             fold_start = lowband_offset
@@ -1162,17 +1279,45 @@ def quant_all_bands(dec, start, end, X_full, pulses, shortBlocks,
                         < effective_lowband + norm_offset + N):
                     break
             for fi in range(fold_start, fold_end):
-                x_cm |= collapse_masks[fi]
+                x_cm |= collapse_masks[fi * C + 0]
+                y_cm |= collapse_masks[fi * C + C - 1]
+        if dual_stereo and i == intensity:
+            # back to mid/side coding: average the fold history
+            dual_stereo = 0
+            norm[:M * eb[i] - norm_offset] = 0.5 * (
+                norm[:M * eb[i] - norm_offset]
+                + norm2[:M * eb[i] - norm_offset])
         lowband = None
         if effective_lowband != -1:
             lowband = norm[effective_lowband:effective_lowband + N]
         lowband_out = None
+        off = M * eb[i] - norm_offset
         if not last:
-            off = M * eb[i] - norm_offset
             lowband_out = norm[off:off + N]
-        x_cm = quant_band(ctx, X, N, b, B, lowband, LM, lowband_out,
-                          1.0, lowband_scratch, x_cm)
-        collapse_masks[i] = x_cm & 0xFF
+        if C == 2 and dual_stereo:
+            lowband2 = None
+            if effective_lowband != -1:
+                lowband2 = norm2[effective_lowband:
+                                 effective_lowband + N]
+            lowband2_out = None if last else norm2[off:off + N]
+            x_cm = quant_band(ctx, X, N, b // 2, B, lowband, LM,
+                              lowband_out, 1.0, lowband_scratch,
+                              x_cm)
+            y_cm = quant_band(ctx, Y, N, b // 2, B, lowband2, LM,
+                              lowband2_out, 1.0, lowband_scratch,
+                              y_cm)
+        elif C == 2:
+            x_cm = quant_band_stereo(ctx, X, Y, N, b, B, lowband, LM,
+                                     lowband_out, lowband_scratch,
+                                     x_cm | y_cm)
+            y_cm = x_cm
+        else:
+            x_cm = quant_band(ctx, X, N, b, B, lowband, LM,
+                              lowband_out, 1.0, lowband_scratch,
+                              x_cm | y_cm)
+            y_cm = x_cm
+        collapse_masks[i * C + 0] = x_cm & 0xFF
+        collapse_masks[i * C + C - 1] = y_cm & 0xFF
         balance += pulses[i] + tell
         update_lowband = b > (N << BITRES)
     return collapse_masks, ctx.seed
@@ -1271,33 +1416,38 @@ def comb_filter(buf, off, T0, T1, N, g0, g1, tapset0, tapset1,
             + g12 * (buf[p - T1 + 2] + buf[p - T1 - 2])
 
 
-def anti_collapse(X, collapse_masks, LM, C, size, start, end, logE,
+def anti_collapse(Xc, collapse_masks, LM, C, size, start, end, logE,
                   prev1logE, prev2logE, pulses, seed):
-    """bands.c anti_collapse (decode, mono)."""
+    """bands.c anti_collapse (decode); Xc = per-channel spectra."""
     eb = T.EBANDS
     for i in range(start, end):
         N0 = eb[i + 1] - eb[i]
         depth = ((1 + pulses[i]) // N0) >> LM
         thresh = 0.5 * (2.0 ** (-0.125 * depth))
         sqrt_1 = 1.0 / math.sqrt(N0 << LM)
-        c = 0
-        prev1 = max(prev1logE[i], prev1logE[T.N_BANDS + i])
-        prev2 = max(prev2logE[i], prev2logE[T.N_BANDS + i])
-        Ediff = max(0.0, logE[i] - min(prev1, prev2))
-        r = 2.0 * (2.0 ** (-Ediff))
-        if LM == 3:
-            r *= 1.41421356
-        r = min(thresh, r) * sqrt_1
-        band = X[eb[i] << LM:eb[i + 1] << LM]
-        renormalize = False
-        for k in range(1 << LM):
-            if not (collapse_masks[i] & (1 << k)):
-                renormalize = True
-                for j in range(N0):
-                    seed = celt_lcg_rand(seed)
-                    band[(j << LM) + k] = r if seed & 0x8000 else -r
-        if renormalize:
-            renormalise_vector(band, 1.0)
+        for c in range(C):
+            prev1 = prev1logE[c * T.N_BANDS + i]
+            prev2 = prev2logE[c * T.N_BANDS + i]
+            if C == 1:
+                prev1 = max(prev1, prev1logE[T.N_BANDS + i])
+                prev2 = max(prev2, prev2logE[T.N_BANDS + i])
+            Ediff = max(0.0, logE[c * T.N_BANDS + i]
+                        - min(prev1, prev2))
+            r = 2.0 * (2.0 ** (-Ediff))
+            if LM == 3:
+                r *= 1.41421356
+            r = min(thresh, r) * sqrt_1
+            band = Xc[c][eb[i] << LM:eb[i + 1] << LM]
+            renormalize = False
+            for k in range(1 << LM):
+                if not (collapse_masks[i * C + c] & (1 << k)):
+                    renormalize = True
+                    for j in range(N0):
+                        seed = celt_lcg_rand(seed)
+                        band[(j << LM) + k] = r if seed & 0x8000 \
+                            else -r
+            if renormalize:
+                renormalise_vector(band, 1.0)
     return seed
 
 
@@ -1306,9 +1456,11 @@ def anti_collapse(X, collapse_masks, LM, C, size, start, end, logE,
 # ---------------------------------------------------------------------------
 
 class CeltDecoder:
-    """48 kHz mono CELT decoder with cross-frame state."""
+    """48 kHz mono/stereo CELT decoder with cross-frame state."""
 
-    def __init__(self):
+    def __init__(self, channels: int = 1):
+        assert channels in (1, 2)
+        self.channels = channels
         self.window = np.array(
             [math.sin(0.5 * math.pi
                       * math.sin(0.5 * math.pi * (i + 0.5) / OVERLAP)
@@ -1319,8 +1471,9 @@ class CeltDecoder:
         self.oldBandE = np.zeros(2 * T.N_BANDS)
         self.oldLogE = np.full(2 * T.N_BANDS, -28.0)
         self.oldLogE2 = np.full(2 * T.N_BANDS, -28.0)
-        self.decode_mem = np.zeros(DECODE_BUFFER + OVERLAP)
-        self.preemph_mem = 0.0
+        self.decode_mem = np.zeros((self.channels,
+                                    DECODE_BUFFER + OVERLAP))
+        self.preemph_mem = [0.0] * self.channels
         self.rng = 0
         self.postfilter_period = 0
         self.postfilter_gain = 0.0
@@ -1336,7 +1489,7 @@ class CeltDecoder:
         LM = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
         M = 1 << LM
         N = frame_size
-        C = 1
+        C = self.channels
         start, end = 0, end_band
         eb = T.EBANDS
         total_bits = len(data) * 8
@@ -1381,6 +1534,7 @@ class CeltDecoder:
                                  postfilter_tapset)}
 
         X = np.zeros(M * eb[T.N_BANDS])
+        Y = np.zeros(M * eb[T.N_BANDS]) if C == 2 else None
         pulses = [0] * T.N_BANDS
         fine_quant = [0] * T.N_BANDS
         anti_collapse_on = 0
@@ -1428,7 +1582,7 @@ class CeltDecoder:
                 and bits >= ((LM + 2) << BITRES)) else 0
             bits -= anti_collapse_rsv
             (pulses, fine_quant, fine_priority, codedBands, balance,
-             _intensity, _dual) = clt_compute_allocation(
+             intensity, dual_stereo) = clt_compute_allocation(
                 start, end, offsets, cap, alloc_trim, bits, C, LM,
                 dec)
             self.last_info.update(
@@ -1440,8 +1594,9 @@ class CeltDecoder:
             unquant_fine_energy(dec, start, end, self.oldBandE,
                                 fine_quant, C)
             collapse_masks, self.rng = quant_all_bands(
-                dec, start, end, X, pulses, shortBlocks, spread,
-                tf_res, (len(data) * 8 << BITRES) - anti_collapse_rsv,
+                dec, start, end, X, Y, pulses, shortBlocks, spread,
+                dual_stereo, intensity, tf_res,
+                (len(data) * 8 << BITRES) - anti_collapse_rsv,
                 balance, LM, codedBands, self.rng)
             if anti_collapse_rsv > 0:
                 anti_collapse_on = dec.dec_bits(1)
@@ -1450,43 +1605,48 @@ class CeltDecoder:
                 fine_priority, len(data) * 8 - dec.tell(), C)
             if anti_collapse_on:
                 self.rng = anti_collapse(
-                    X, collapse_masks, LM, C, N, start, end,
-                    self.oldBandE, self.oldLogE, self.oldLogE2,
-                    pulses, self.rng)
+                    [X] if C == 1 else [X, Y], collapse_masks, LM, C,
+                    N, start, end, self.oldBandE, self.oldLogE,
+                    self.oldLogE2, pulses, self.rng)
         if silence:
             self.oldBandE[:] = -28.0
 
-        # synthesis into the rolling decode buffer; the full OVERLAP
+        # synthesis into the rolling decode buffers; the full OVERLAP
         # pending tail (windowed last samples of the previous frame's
         # final transform) shifts down with the history
-        self.decode_mem[:DECODE_BUFFER - N + OVERLAP] = \
-            self.decode_mem[N:DECODE_BUFFER + OVERLAP].copy()
-        out = self.decode_mem[DECODE_BUFFER - N:]
-        freq = np.zeros(N)
+        hist_off = DECODE_BUFFER - N
         if is_transient:
             B, NB = M, SHORT_MDCT
         else:
             B, NB = 1, SHORT_MDCT << LM
-        denormalise_bands(X, freq, self.oldBandE, start, end, M)
-        for b in range(B):
-            _Mdct.backward(freq[b::B], out[NB * b:NB * b + NB
-                                           + OVERLAP],
-                           self.window, OVERLAP)
+        for c in range(C):
+            self.decode_mem[c, :DECODE_BUFFER - N + OVERLAP] = \
+                self.decode_mem[c, N:DECODE_BUFFER + OVERLAP].copy()
+            out = self.decode_mem[c, DECODE_BUFFER - N:]
+            freq = np.zeros(N)
+            spec = X if c == 0 else Y
+            bandE = self.oldBandE[c * T.N_BANDS:(c + 1) * T.N_BANDS]
+            denormalise_bands(spec, freq, bandE, start, end, M)
+            for b in range(B):
+                _Mdct.backward(freq[b::B], out[NB * b:NB * b + NB
+                                               + OVERLAP],
+                               self.window, OVERLAP)
 
         # pitch post-filter (with crossfade from last frame's params)
-        hist_off = DECODE_BUFFER - N
-        buf = self.decode_mem
-        comb_filter(buf, hist_off, self.postfilter_period_old,
-                    self.postfilter_period, SHORT_MDCT,
-                    self.postfilter_gain_old, self.postfilter_gain,
-                    self.postfilter_tapset_old,
-                    self.postfilter_tapset, self.window, OVERLAP)
-        if LM != 0:
-            comb_filter(buf, hist_off + SHORT_MDCT,
-                        self.postfilter_period, postfilter_pitch,
-                        N - SHORT_MDCT, self.postfilter_gain,
-                        postfilter_gain, self.postfilter_tapset,
-                        postfilter_tapset, self.window, OVERLAP)
+        for c in range(C):
+            buf = self.decode_mem[c]
+            comb_filter(buf, hist_off, self.postfilter_period_old,
+                        self.postfilter_period, SHORT_MDCT,
+                        self.postfilter_gain_old,
+                        self.postfilter_gain,
+                        self.postfilter_tapset_old,
+                        self.postfilter_tapset, self.window, OVERLAP)
+            if LM != 0:
+                comb_filter(buf, hist_off + SHORT_MDCT,
+                            self.postfilter_period, postfilter_pitch,
+                            N - SHORT_MDCT, self.postfilter_gain,
+                            postfilter_gain, self.postfilter_tapset,
+                            postfilter_tapset, self.window, OVERLAP)
         self.postfilter_period_old = self.postfilter_period
         self.postfilter_gain_old = self.postfilter_gain
         self.postfilter_tapset_old = self.postfilter_tapset
@@ -1511,16 +1671,18 @@ class CeltDecoder:
                 self.oldLogE2[c * T.N_BANDS + i] = -28.0
         self.rng = dec.rng & _M32
 
-        # de-emphasis to PCM
-        pcm = np.empty(N)
-        m = self.preemph_mem
-        sig = buf[hist_off:hist_off + N]
-        for j in range(N):
-            tmp = sig[j] + m
-            m = PREEMPH * tmp
-            pcm[j] = tmp
-        self.preemph_mem = m
-        return pcm / 32768.0
+        # de-emphasis to PCM; (N,) mono or (N, 2) stereo
+        pcm = np.empty((N, C))
+        for c in range(C):
+            m = self.preemph_mem[c]
+            sig = self.decode_mem[c, hist_off:hist_off + N]
+            for j in range(N):
+                tmp = sig[j] + m
+                m = PREEMPH * tmp
+                pcm[j, c] = tmp
+            self.preemph_mem[c] = m
+        pcm /= 32768.0
+        return pcm[:, 0] if C == 1 else pcm
 
 
 # ---------------------------------------------------------------------------
@@ -1594,22 +1756,31 @@ def parse_opus_packet(pkt: bytes):
 
 
 class OpusCeltDecoder:
-    """Decode CELT-only Opus packets (mono).  SILK/hybrid configs and
-    stereo raise ValueError — callers fall back to libopus."""
+    """Decode CELT-only Opus packets (mono or stereo).  SILK/hybrid
+    configs raise ValueError — callers fall back to libopus."""
 
-    def __init__(self):
-        self._celt = CeltDecoder()
+    def __init__(self, channels: Optional[int] = None):
+        self._celt = CeltDecoder(channels) if channels else None
+        self._channels = channels
 
     def reset(self):
-        self._celt.reset()
+        if self._celt is not None:
+            self._celt.reset()
 
     def decode(self, pkt: bytes) -> np.ndarray:
+        """-> float64 PCM: (n,) mono, (n, 2) stereo."""
         config, stereo, frames = parse_opus_packet(pkt)
         if config not in CELT_CONFIGS:
             raise ValueError(f"not a CELT-only config: {config}")
-        if stereo:
-            raise ValueError("stereo CELT not implemented")
+        ch = 2 if stereo else 1
+        if self._celt is None:
+            self._celt = CeltDecoder(ch)
+            self._channels = ch
+        elif ch != self._channels:
+            raise ValueError("mono/stereo switch mid-stream")
         frame_size, end_band = CELT_CONFIGS[config]
         out = [self._celt.decode_frame(f, frame_size, end_band)
                for f in frames]
-        return np.concatenate(out) if out else np.zeros(0)
+        if out:
+            return np.concatenate(out)
+        return np.zeros((0, ch)) if ch == 2 else np.zeros(0)

@@ -83,14 +83,14 @@ class OpusDecoder:
 class HybridOpusDecoder:
     """Stream decoder preferring the clean-room CELT path.
 
-    CELT-only mono packets (TOC configs 16-31) decode natively through
-    codecs/celt.py — bit-parity with libopus float output (<1e-6, see
-    tests/test_celt.py) and no system-library dependency.  SILK,
-    hybrid, and stereo packets use libopus; the first such packet
-    switches the stream to libopus permanently (Opus streams rarely
-    change modes mid-stream, and a switch behaves like a decoder
-    reset, exactly as a real receiver joining mid-stream).  Disable
-    with GTPU_NATIVE_CELT=0."""
+    CELT-only packets (TOC configs 16-31, mono or stereo) decode
+    natively through codecs/celt.py — bit-parity with libopus float
+    output (<1e-6, see tests/test_celt.py) and no system-library
+    dependency.  SILK and hybrid packets use libopus; the first such
+    packet switches the stream to libopus permanently (Opus streams
+    rarely change modes mid-stream, and a switch behaves like a
+    decoder reset, exactly as a real receiver joining mid-stream).
+    Disable with GTPU_NATIVE_CELT=0."""
 
     def __init__(self, channels: int):
         import os
@@ -98,7 +98,7 @@ class HybridOpusDecoder:
         self._native = None
         self._libdec: Optional[OpusDecoder] = None
         self._use_native = (
-            channels == 1
+            channels in (1, 2)
             and os.environ.get("GTPU_NATIVE_CELT", "1") != "0")
 
     def decode(self, packet: bytes) -> np.ndarray:
@@ -106,11 +106,13 @@ class HybridOpusDecoder:
             config = packet[0] >> 3
             stereo = (packet[0] >> 2) & 1
             from .celt import CELT_CONFIGS, OpusCeltDecoder
-            if config in CELT_CONFIGS and not stereo:
+            if config in CELT_CONFIGS and stereo == (
+                    self.channels == 2):
                 if self._native is None:
-                    self._native = OpusCeltDecoder()
+                    self._native = OpusCeltDecoder(self.channels)
                 out = self._native.decode(packet)
-                return out.astype(np.float32)[:, None]
+                out = out.astype(np.float32)
+                return out[:, None] if out.ndim == 1 else out
             self._use_native = False
         if self._libdec is None:
             self._libdec = OpusDecoder(self.channels)

@@ -26,17 +26,19 @@ def _lib():
     return lib
 
 
-def _roundtrip(sig, frame, bitrate, bw):
+def _roundtrip(sig, frame, bitrate, bw, channels=1):
     lib = _lib()
     err = ctypes.c_int()
-    enc = lib.opus_encoder_create(48000, 1, 2051, ctypes.byref(err))
+    enc = lib.opus_encoder_create(48000, channels, 2051,
+                                  ctypes.byref(err))
     lib.opus_encoder_ctl(ctypes.c_void_p(enc), 4002,
                          ctypes.c_int(bitrate))
     lib.opus_encoder_ctl(ctypes.c_void_p(enc), 4008,
                          ctypes.c_int(BW[bw]))
-    dec = lib.opus_decoder_create(48000, 1, ctypes.byref(err))
+    dec = lib.opus_decoder_create(48000, channels, ctypes.byref(err))
     buf = ctypes.create_string_buffer(4000)
-    fbuf = np.zeros(frame, np.float32)
+    fbuf = np.zeros((frame, channels) if channels == 2 else frame,
+                    np.float32)
     ours = OpusCeltDecoder()
     worst = 0.0
     for k in range(len(sig) // frame):
@@ -156,7 +158,10 @@ def test_random_packet_differential_fuzz():
             d = CeltDecoder()
             o = d.decode_frame(body, 960, 21)
             total += 1
-            if np.abs(fbuf - o).max() > 1e-3:
+            # relative tolerance: garbage packets can decode to
+            # huge energies where float32 ulps exceed 1e-3 absolute
+            scale = max(1.0, float(np.abs(fbuf).max()))
+            if np.abs(fbuf - o).max() > 1e-3 * scale:
                 bad += 1
     assert total > 50
     assert bad == 0, f"{bad}/{total} random packets diverged"
@@ -164,9 +169,68 @@ def test_random_packet_differential_fuzz():
 
 # ----------------------------------------------------------- error handling
 
-def test_stereo_and_silk_raise():
+def test_silk_and_mode_switch_raise():
     d = OpusCeltDecoder()
     with pytest.raises(ValueError):
-        d.decode(bytes([(31 << 3) | 4, 0]))     # stereo flag
-    with pytest.raises(ValueError):
         d.decode(bytes([(0 << 3), 0]))          # SILK config
+    d2 = OpusCeltDecoder()
+    d2.decode(bytes([(31 << 3) | 4, 0]))        # stereo ok now
+    with pytest.raises(ValueError):
+        d2.decode(bytes([(31 << 3), 0]))        # mono switch rejected
+
+
+@needs_opus
+def test_parity_stereo():
+    rng = np.random.default_rng(11)
+    n = 24000
+    t = np.arange(n) / 48000.0
+    L = 0.4 * np.sin(2 * np.pi * 440 * t) \
+        + 0.05 * rng.standard_normal(n)
+    R = 0.3 * np.sin(2 * np.pi * 660 * t + 0.5) \
+        + 0.05 * rng.standard_normal(n)
+    stereo = np.stack([L, R], axis=1)
+    assert _roundtrip(stereo, 960, 96000, "fb", channels=2) < TOL
+    assert _roundtrip(stereo, 480, 64000, "fb", channels=2) < TOL
+    # near-mono (mid-dominant) and inverted (side/inv-flag) content
+    assert _roundtrip(np.stack([L, 0.99 * L], axis=1), 960, 64000,
+                      "fb", channels=2) < TOL
+    assert _roundtrip(np.stack([L, -L], axis=1), 960, 64000, "fb",
+                      channels=2) < TOL
+
+
+@needs_opus
+def test_stereo_random_packet_fuzz():
+    lib = _lib()
+    for f in ("opus_custom_mode_create", "opus_custom_decoder_create"):
+        getattr(lib, f).restype = ctypes.c_void_p
+    lib.opus_custom_decoder_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.opus_custom_decode_float.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
+    err = ctypes.c_int()
+    mode = lib.opus_custom_mode_create(48000, 960, ctypes.byref(err))
+    if not mode:
+        pytest.skip("no opus_custom support")
+    dec = lib.opus_custom_decoder_create(ctypes.c_void_p(mode), 2,
+                                         ctypes.byref(err))
+    fbuf = np.zeros((960, 2), np.float32)
+    rng = np.random.default_rng(7)
+    bad = total = 0
+    for size in (4, 8, 16, 32, 64, 120):
+        for _ in range(8):
+            body = bytes(rng.integers(0, 256, size, np.uint8))
+            pkt = bytes([(31 << 3) | 4]) + body
+            lib.opus_custom_decoder_ctl(ctypes.c_void_p(dec), 4028)
+            if lib.opus_custom_decode_float(
+                    ctypes.c_void_p(dec), pkt, len(pkt),
+                    fbuf.ctypes.data_as(ctypes.c_void_p), 960) != 960:
+                continue
+            d = CeltDecoder(2)
+            o = d.decode_frame(body, 960, 21)
+            total += 1
+            scale = max(1.0, float(np.abs(fbuf).max()))
+            if np.abs(fbuf - o).max() > 1e-3 * scale:
+                bad += 1
+    assert total > 30
+    assert bad == 0, f"{bad}/{total} stereo packets diverged"
