@@ -782,6 +782,24 @@ def bitexact_log2tan(isin, icos):
             - _frac_mul16(icos, _frac_mul16(icos, -2597) + 7932))
 
 
+
+_LCG_A = 1664525
+_LCG_C = 1013904223
+
+
+def _lcg_batch(seed: int, n: int):
+    """n sequential celt_lcg_rand states after `seed` (exact uint32),
+    as a numpy uint32 array plus the final state."""
+    a = _LCG_A
+    c = _LCG_C
+    states = np.empty(n, np.uint32)
+    s = seed
+    for j in range(n):
+        s = (a * s + c) & _M32
+        states[j] = s
+    return states, s
+
+
 def celt_lcg_rand(seed):
     return (1664525 * seed + 1013904223) & _M32
 
@@ -1015,19 +1033,15 @@ def quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill):
     if not fill:
         X[:] = 0.0
         return 0
+    states, ctx.seed = _lcg_batch(ctx.seed, N)
     if lowband is None:
-        # noise-fill from the decoder-synchronised LCG
-        for j in range(N):
-            ctx.seed = celt_lcg_rand(ctx.seed)
-            s = ctx.seed - (1 << 32) if ctx.seed & 0x80000000 \
-                else ctx.seed
-            X[j] = float(s >> 20)      # (opus_int32)seed >> 20
+        # noise-fill from the decoder-synchronised LCG:
+        # (opus_int32)seed >> 20 (arithmetic)
+        X[:] = (states.astype(np.int32) >> 20).astype(np.float64)
         cm = cm_mask
     else:
-        for j in range(N):
-            ctx.seed = celt_lcg_rand(ctx.seed)
-            tmp = 1.0 / 256 if ctx.seed & 0x8000 else -1.0 / 256
-            X[j] = lowband[j] + tmp
+        tmp = np.where(states & 0x8000, 1.0 / 256, -1.0 / 256)
+        X[:] = lowband[:N] + tmp
         cm = fill
     renormalise_vector(X, gain)
     return cm
@@ -1409,11 +1423,17 @@ def comb_filter(buf, off, T0, T1, N, g0, g1, tapset0, tapset1,
                    + g12 * (buf[p - T1 + 2] + buf[p - T1 - 2]))
     if g1 == 0.0:
         return
-    for i in range(ov, N):
-        p = off + i
-        buf[p] = buf[p] + g10 * buf[p - T1] \
-            + g11 * (buf[p - T1 + 1] + buf[p - T1 - 1]) \
-            + g12 * (buf[p - T1 + 2] + buf[p - T1 - 2])
+    # recursive comb, vectorized in blocks of T1-2: within a block no
+    # output depends on another output of the same block (lag >= T1-2)
+    L = T1 - 2
+    s = ov
+    while s < N:
+        e = min(N, s + L)
+        idx = np.arange(off + s, off + e)
+        buf[idx] += g10 * buf[idx - T1] \
+            + g11 * (buf[idx - T1 + 1] + buf[idx - T1 - 1]) \
+            + g12 * (buf[idx - T1 + 2] + buf[idx - T1 - 2])
+        s = e
 
 
 def anti_collapse(Xc, collapse_masks, LM, C, size, start, end, logE,
@@ -1671,16 +1691,17 @@ class CeltDecoder:
                 self.oldLogE2[c * T.N_BANDS + i] = -28.0
         self.rng = dec.rng & _M32
 
-        # de-emphasis to PCM; (N,) mono or (N, 2) stereo
+        # de-emphasis to PCM; (N,) mono or (N, 2) stereo.
+        # y[n] = x[n] + PREEMPH*y[n-1]: same recurrence as the scalar
+        # loop, evaluated by lfilter in float64
+        from scipy.signal import lfilter
         pcm = np.empty((N, C))
         for c in range(C):
-            m = self.preemph_mem[c]
             sig = self.decode_mem[c, hist_off:hist_off + N]
-            for j in range(N):
-                tmp = sig[j] + m
-                m = PREEMPH * tmp
-                pcm[j, c] = tmp
-            self.preemph_mem[c] = m
+            y, zf = lfilter([1.0], [1.0, -PREEMPH], sig,
+                            zi=[PREEMPH * self.preemph_mem[c]])
+            pcm[:, c] = y
+            self.preemph_mem[c] = y[-1]
         pcm /= 32768.0
         return pcm[:, 0] if C == 1 else pcm
 
