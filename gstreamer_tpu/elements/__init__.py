@@ -34,6 +34,7 @@ from . import visualizers        # noqa: F401
 from . import goom2k1            # noqa: F401
 from . import jpegformat         # noqa: F401
 from . import pcapparse          # noqa: F401
+from . import dvd                # noqa: F401  (dvdlpcmdec/dvdsubdec/dvdspu)
 from . import autoconvert        # noqa: F401
 from . import playback_extra     # noqa: F401
 from . import ipc_misc           # noqa: F401

@@ -325,3 +325,10 @@ class AsfParse(SourceElement):
                       channels=self._sinfo["channels"]).finfo,
             np.frombuffer(raw, np.uint8), self._sinfo["channels"])
         return Buffer(data=samples, pts=ms * 1_000_000, batch=1)
+
+
+@register_element
+class AsfDemux(AsfParse):
+    """asfdemux — the gst-plugins-ugly/gst/asfdemux element name for
+    the same reduced ASF reader (gstasfdemux.c)."""
+    FACTORY = "asfdemux"

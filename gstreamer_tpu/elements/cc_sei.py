@@ -284,3 +284,10 @@ class AlphaCombine(TransformElement):
             if alpha.ndim == y.ndim - 1:
                 alpha = np.broadcast_to(alpha, y.shape)
         return buf.with_(data=tuple(buf.data) + (alpha,))
+
+
+@register_element
+class AlphaCombineAlias(AlphaCombine):
+    """alphacombine — the reference's element name
+    (gst-plugins-bad/gst/codecalpha/gstalphacombine.c)."""
+    FACTORY = "alphacombine"
