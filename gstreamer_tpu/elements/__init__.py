@@ -58,6 +58,7 @@ from . import debug_elements     # noqa: F401
 from ..net import rtpmanager     # noqa: F401  (rtpsession/rtpbin)
 from ..net import rist           # noqa: F401  (ristsink/ristsrc)
 from ..net import srt            # noqa: F401  (srtsink/srtsrc)
+from ..net import rtmp           # noqa: F401  (rtmp2src/rtmp2sink)
 from ..net import srtp           # noqa: F401  (srtpenc/srtpdec)
 from . import law_elements       # noqa: F401
 from . import scaletempo         # noqa: F401
