@@ -35,6 +35,8 @@ from . import goom2k1            # noqa: F401
 from . import jpegformat         # noqa: F401
 from . import pcapparse          # noqa: F401
 from . import dvd                # noqa: F401  (dvdlpcmdec/dvdsubdec/dvdspu)
+from . import fieldanalysis      # noqa: F401
+from . import shout2             # noqa: F401  (shout2send)
 from . import autoconvert        # noqa: F401
 from . import playback_extra     # noqa: F401
 from . import ipc_misc           # noqa: F401
