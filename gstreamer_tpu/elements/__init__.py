@@ -38,6 +38,7 @@ from . import dvd                # noqa: F401  (dvdlpcmdec/dvdsubdec/dvdspu)
 from . import fieldanalysis      # noqa: F401
 from . import shout2             # noqa: F401  (shout2send)
 from . import dvbsub             # noqa: F401  (dvbsubenc/dvbsuboverlay)
+from . import camerabin          # noqa: F401
 from . import autoconvert        # noqa: F401
 from . import playback_extra     # noqa: F401
 from . import ipc_misc           # noqa: F401
