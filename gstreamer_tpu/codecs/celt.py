@@ -110,16 +110,22 @@ class RangeDecoder:
         return (1 << bits) - min(s + 1, 1 << bits)
 
     def update(self, fl: int, fh: int, ft: int) -> None:
+        if hasattr(self, "symlog"):
+            self.symlog.append(("u", fl, fh, ft))
         s = self.ext * (ft - fh)
         self.val -= s
         self.rng = self.ext * (fh - fl) if fl > 0 else self.rng - s
         self._normalize()
 
     def dec_bit_logp(self, logp: int) -> int:
+        if hasattr(self, "symlog"):
+            self.symlog.append(("b", logp))
         r = self.rng
         d = self.val
         s = r >> logp
         ret = 1 if d < s else 0
+        if hasattr(self, "symlog"):
+            self.symlog[-1] = ("b", logp, ret)
         if not ret:
             self.val = d - s
         self.rng = s if ret else r - s
@@ -139,6 +145,8 @@ class RangeDecoder:
                 break
         self.val = d - s
         self.rng = t - s
+        if hasattr(self, "symlog"):
+            self.symlog.append(("i", tuple(icdf[:ret + 1]), ret, ftb))
         self._normalize()
         return ret
 
@@ -150,6 +158,8 @@ class RangeDecoder:
                 window |= self._read_byte_from_end() << available
                 available += _EC_SYM_BITS
         ret = window & ((1 << bits) - 1)
+        if hasattr(self, "symlog"):
+            self.symlog.append(("raw", bits, ret))
         window >>= bits
         available -= bits
         self.end_window = window

@@ -1,0 +1,147 @@
+"""SILK bitstream decoder parity tests.
+
+Oracle: libopus (system library) final range — OPUS_GET_FINAL_RANGE
+returns the range coder's `rng` after the decoder consumed the packet;
+it matches ours iff every decoded symbol used identical probability
+windows (RFC 6716 #4.1.6.1 integrity check).
+
+Reference layer map: gst-plugins-base/ext/opus wraps libopus; here the
+SILK layer (RFC 6716 #4.2) is decoded clean-room.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+try:
+    _lib = ctypes.CDLL("libopus.so.0")
+    _lib.opus_encoder_create.restype = ctypes.c_void_p
+    _lib.opus_decoder_create.restype = ctypes.c_void_p
+    HAVE_OPUS = True
+except OSError:
+    HAVE_OPUS = False
+
+pytestmark = pytest.mark.skipif(not HAVE_OPUS, reason="libopus missing")
+
+OPUS_SET_FORCE_MODE = 11002
+MODE_SILK_ONLY = 1000
+OPUS_SET_BANDWIDTH = 4004
+OPUS_SET_BITRATE = 4002
+OPUS_SET_INBAND_FEC = 4012
+OPUS_SET_PACKET_LOSS_PERC = 4014
+OPUS_GET_FINAL_RANGE = 4031
+
+
+def _speechish(n, channels, seed=1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 48000.0
+    sig = (0.3 * np.sin(2 * np.pi * 155 * t)
+           * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+           + 0.1 * rng.standard_normal(n)
+           * (np.sin(2 * np.pi * 1.5 * t) > 0))
+    if channels == 2:
+        sig = np.stack([sig, np.roll(sig, 100) * 0.8], 1)
+    return sig
+
+
+def _parity(bw, frame, bitrate, channels=1, fec=False, seconds=1):
+    from gstreamer_tpu.codecs.celt import RangeDecoder, parse_opus_packet
+    from gstreamer_tpu.codecs.silk import SILK_CONFIGS, SilkDecoder
+
+    err = ctypes.c_int()
+    enc = _lib.opus_encoder_create(48000, channels, 2048,
+                                   ctypes.byref(err))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
+                          ctypes.c_int(MODE_SILK_ONLY))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BANDWIDTH,
+                          ctypes.c_int(bw))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BITRATE,
+                          ctypes.c_int(bitrate))
+    if fec:
+        _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_INBAND_FEC,
+                              ctypes.c_int(1))
+        _lib.opus_encoder_ctl(ctypes.c_void_p(enc),
+                              OPUS_SET_PACKET_LOSS_PERC,
+                              ctypes.c_int(30))
+    dec = _lib.opus_decoder_create(48000, channels, ctypes.byref(err))
+    n = 48000 * seconds
+    sig = _speechish(n, channels)
+    buf = ctypes.create_string_buffer(4000)
+    fbuf = np.zeros((frame, channels), np.float32)
+    silk = SilkDecoder(channels)
+    ok = bad = 0
+    for k in range(n // frame):
+        f = np.ascontiguousarray(sig[k * frame:(k + 1) * frame],
+                                 np.float32)
+        nb = _lib.opus_encode_float(
+            ctypes.c_void_p(enc), f.ctypes.data_as(ctypes.c_void_p),
+            frame, buf, 4000)
+        pkt = bytes(buf.raw[:nb])
+        config = pkt[0] >> 3
+        if config not in SILK_CONFIGS:
+            continue
+        _lib.opus_decode_float(
+            ctypes.c_void_p(dec), pkt, nb,
+            fbuf.ctypes.data_as(ctypes.c_void_p), frame, 0)
+        r = ctypes.c_uint32()
+        _lib.opus_decoder_ctl(ctypes.c_void_p(dec), OPUS_GET_FINAL_RANGE,
+                              ctypes.byref(r))
+        fs_khz, frame_ms = SILK_CONFIGS[config]
+        _, _, frames = parse_opus_packet(pkt)
+        last = None
+        for fr in frames:
+            rd = RangeDecoder(fr)
+            silk.decode_frame_bitstream(rd, fs_khz, frame_ms)
+            last = rd.rng & 0xFFFFFFFF
+        if last == r.value:
+            ok += 1
+        else:
+            bad += 1
+    assert ok > 0
+    assert bad == 0, f"{bad}/{ok + bad} packets had range mismatch"
+
+
+def test_wb_20ms_mono():
+    _parity(1103, 960, 24000)
+
+
+def test_nb_20ms_mono():
+    _parity(1101, 960, 12000)
+
+
+def test_mb_20ms_mono():
+    _parity(1102, 960, 16000)
+
+
+def test_wb_10ms_mono():
+    _parity(1103, 480, 24000)
+
+
+def test_wb_40ms_mono():
+    _parity(1103, 1920, 24000)
+
+
+def test_wb_60ms_mono():
+    _parity(1103, 2880, 32000)
+
+
+def test_wb_20ms_stereo():
+    _parity(1103, 960, 32000, channels=2)
+
+
+def test_nb_20ms_stereo():
+    _parity(1101, 960, 24000, channels=2)
+
+
+def test_wb_40ms_stereo():
+    _parity(1103, 1920, 32000, channels=2)
+
+
+def test_wb_20ms_mono_fec():
+    _parity(1103, 960, 32000, fec=True)
+
+
+def test_wb_20ms_stereo_fec():
+    # exercises LBRR frames + the mid-only side-skip flag
+    _parity(1103, 960, 32000, channels=2, fec=True)
