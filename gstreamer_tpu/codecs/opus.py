@@ -81,39 +81,75 @@ class OpusDecoder:
 
 
 class HybridOpusDecoder:
-    """Stream decoder preferring the clean-room CELT path.
+    """Stream decoder preferring the clean-room CELT and SILK paths.
 
     CELT-only packets (TOC configs 16-31, mono or stereo) decode
     natively through codecs/celt.py — bit-parity with libopus float
-    output (<1e-6, see tests/test_celt.py) and no system-library
-    dependency.  SILK and hybrid packets use libopus; the first such
-    packet switches the stream to libopus permanently (Opus streams
-    rarely change modes mid-stream, and a switch behaves like a
-    decoder reset, exactly as a real receiver joining mid-stream).
-    Disable with GTPU_NATIVE_CELT=0."""
+    output (<1e-6, see tests/test_celt.py).  SILK-only packets
+    (configs 0-11) decode through codecs/silk.py — bit-exact int16
+    parity with libopus including the resampler to 48 kHz (see
+    tests/test_silk.py).  Hybrid packets (configs 12-15) use libopus;
+    the first such packet switches the stream to libopus permanently
+    (a mode switch behaves like a decoder reset, exactly as a real
+    receiver joining mid-stream).  Disable with GTPU_NATIVE_CELT=0 /
+    GTPU_NATIVE_SILK=0."""
 
     def __init__(self, channels: int):
         import os
         self.channels = channels
         self._native = None
+        self._silk = None            # (SilkDecoder, [SilkResampler])
+        self._silk_rate = 0
         self._libdec: Optional[OpusDecoder] = None
         self._use_native = (
             channels in (1, 2)
             and os.environ.get("GTPU_NATIVE_CELT", "1") != "0")
+        self._use_native_silk = (
+            channels in (1, 2)
+            and os.environ.get("GTPU_NATIVE_SILK", "1") != "0")
+
+    def _decode_silk(self, packet: bytes) -> np.ndarray:
+        from .celt import RangeDecoder, parse_opus_packet
+        from .silk import SILK_CONFIGS, SilkDecoder, SilkResampler
+        config = packet[0] >> 3
+        fs_khz, frame_ms = SILK_CONFIGS[config]
+        if self._silk is None or self._silk_rate != fs_khz:
+            # internal-rate switch resets the decoder, like libopus
+            self._silk = (SilkDecoder(self.channels),
+                          [SilkResampler(fs_khz * 1000, 48000)
+                           for _ in range(self.channels)])
+            self._silk_rate = fs_khz
+        dec, resamplers = self._silk
+        _, _, frames = parse_opus_packet(packet)
+        outs = []
+        for fr in frames:
+            rd = RangeDecoder(fr)
+            pcm = dec.decode_packet(rd, fs_khz, frame_ms)
+            outs.append(np.stack(
+                [resamplers[c].process(pcm[:, c])
+                 for c in range(self.channels)], 1))
+        out = np.concatenate(outs).astype(np.float32) / 32768.0
+        return out
 
     def decode(self, packet: bytes) -> np.ndarray:
-        if self._use_native and packet:
+        if packet:
             config = packet[0] >> 3
             stereo = (packet[0] >> 2) & 1
-            from .celt import CELT_CONFIGS, OpusCeltDecoder
-            if config in CELT_CONFIGS and stereo == (
-                    self.channels == 2):
+            from .celt import CELT_CONFIGS
+            from .silk import SILK_CONFIGS
+            if (self._use_native and config in CELT_CONFIGS
+                    and stereo == (self.channels == 2)):
+                from .celt import OpusCeltDecoder
                 if self._native is None:
                     self._native = OpusCeltDecoder(self.channels)
                 out = self._native.decode(packet)
                 out = out.astype(np.float32)
                 return out[:, None] if out.ndim == 1 else out
+            if (self._use_native_silk and config in SILK_CONFIGS
+                    and stereo == (self.channels == 2)):
+                return self._decode_silk(packet)
             self._use_native = False
+            self._use_native_silk = False
         if self._libdec is None:
             self._libdec = OpusDecoder(self.channels)
         return self._libdec.decode(packet)

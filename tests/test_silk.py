@@ -145,3 +145,57 @@ def test_wb_20ms_mono_fec():
 def test_wb_20ms_stereo_fec():
     # exercises LBRR frames + the mid-only side-skip flag
     _parity(1103, 960, 32000, channels=2, fec=True)
+
+
+def _pcm_parity(bw, bitrate, channels, seconds=1):
+    """Full-chain parity: HybridOpusDecoder (native SILK + resampler)
+    must produce float PCM identical to libopus at 48 kHz."""
+    from gstreamer_tpu.codecs.opus import HybridOpusDecoder, OpusDecoder
+
+    err = ctypes.c_int()
+    enc = _lib.opus_encoder_create(48000, channels, 2048,
+                                   ctypes.byref(err))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
+                          ctypes.c_int(MODE_SILK_ONLY))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BANDWIDTH,
+                          ctypes.c_int(bw))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BITRATE,
+                          ctypes.c_int(bitrate))
+    n = 48000 * seconds
+    sig = _speechish(n, channels, seed=3)
+    buf = ctypes.create_string_buffer(4000)
+    hyb = HybridOpusDecoder(channels)
+    ref = OpusDecoder(channels)
+    mine, theirs = [], []
+    for k in range(n // 960):
+        f = np.ascontiguousarray(sig[k * 960:(k + 1) * 960],
+                                 np.float32)
+        nb = _lib.opus_encode_float(
+            ctypes.c_void_p(enc), f.ctypes.data_as(ctypes.c_void_p),
+            960, buf, 4000)
+        pkt = bytes(buf.raw[:nb])
+        if (pkt[0] >> 3) > 11:
+            continue
+        mine.append(hyb.decode(pkt))
+        theirs.append(ref.decode(pkt))
+    m = np.concatenate(mine)
+    r = np.concatenate(theirs)
+    assert m.shape == r.shape
+    assert np.array_equal(m, r), \
+        f"maxdiff {np.abs(m - r).max()}"
+
+
+def test_pcm_wb_mono():
+    _pcm_parity(1103, 24000, 1)
+
+
+def test_pcm_nb_mono():
+    _pcm_parity(1101, 14000, 1)
+
+
+def test_pcm_mb_mono():
+    _pcm_parity(1102, 16000, 1)
+
+
+def test_pcm_wb_stereo():
+    _pcm_parity(1103, 32000, 2)
