@@ -1280,6 +1280,16 @@ def quant_all_bands(dec, start, end, X_full, Y_full, pulses,
         if (M * eb[i] - N >= M * eb[start] or i == start + 1) and \
                 (update_lowband or lowband_offset == 0):
             lowband_offset = i
+        if i == start + 1:
+            # bands.c special_hybrid_folding: duplicate enough of the
+            # first band's folding data to fold the (wider) second
+            # band; copies nothing in CELT-only mode (start == 0)
+            n1 = M * (eb[start + 1] - eb[start])
+            n2 = M * (eb[start + 2] - eb[start + 1])
+            if n2 > n1:
+                norm[n1:n2] = norm[2 * n1 - n2:n1]
+                if dual_stereo:
+                    norm2[n1:n2] = norm2[2 * n1 - n2:n1]
         tf_change = tf_res[i]
         ctx.tf_change = tf_change
         effective_lowband = -1
@@ -1302,7 +1312,9 @@ def quant_all_bands(dec, start, end, X_full, Y_full, pulses,
                 if not (fold_end < i and M * eb[fold_end]
                         < effective_lowband + norm_offset + N):
                     break
-            for fi in range(fold_start, fold_end):
+            # bands.c uses do/while: the first fold band contributes
+            # even when fold_start == fold_end
+            for fi in range(fold_start, max(fold_end, fold_start + 1)):
                 x_cm |= collapse_masks[fi * C + 0]
                 y_cm |= collapse_masks[fi * C + C - 1]
         if dual_stereo and i == intensity:
@@ -1513,17 +1525,24 @@ class CeltDecoder:
         self.postfilter_tapset_old = 0
 
     def decode_frame(self, data: bytes, frame_size: int,
-                     end_band: int = 21) -> np.ndarray:
+                     end_band: int = 21, start_band: int = 0,
+                     rd: "RangeDecoder" = None) -> np.ndarray:
         """Decode one CELT frame of `frame_size` samples at 48 kHz.
-        Returns float64 PCM in [-1, 1]."""
+        Returns float64 PCM in [-1, 1].
+
+        For hybrid Opus (celt_decoder.c celt_decode_with_ec with a
+        caller-supplied ec_dec): pass the range decoder already
+        advanced past the SILK layer plus start_band=17; `data` must
+        be the same buffer `rd` was created over (total_bits and the
+        raw end-bits both derive from it)."""
         LM = {120: 0, 240: 1, 480: 2, 960: 3}[frame_size]
         M = 1 << LM
         N = frame_size
         C = self.channels
-        start, end = 0, end_band
+        start, end = start_band, end_band
         eb = T.EBANDS
         total_bits = len(data) * 8
-        dec = RangeDecoder(data)
+        dec = rd if rd is not None else RangeDecoder(data)
         tell = dec.tell()
 
         silence = 0

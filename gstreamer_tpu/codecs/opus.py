@@ -80,6 +80,10 @@ class OpusDecoder:
             pass
 
 
+class _Redundancy(Exception):
+    """Hybrid/SILK packet carries a redundant transition CELT frame."""
+
+
 class HybridOpusDecoder:
     """Stream decoder preferring the clean-room CELT and SILK paths.
 
@@ -88,10 +92,13 @@ class HybridOpusDecoder:
     output (<1e-6, see tests/test_celt.py).  SILK-only packets
     (configs 0-11) decode through codecs/silk.py — bit-exact int16
     parity with libopus including the resampler to 48 kHz (see
-    tests/test_silk.py).  Hybrid packets (configs 12-15) use libopus;
-    the first such packet switches the stream to libopus permanently
-    (a mode switch behaves like a decoder reset, exactly as a real
-    receiver joining mid-stream).  Disable with GTPU_NATIVE_CELT=0 /
+    tests/test_silk.py).  Hybrid packets (configs 12-15) decode
+    natively too: SILK WB plus CELT bands 17-21 sharing the packet's
+    range coder (<1e-6 float parity, tests/test_silk.py).  Packets
+    carrying a redundant transition CELT frame, and channel-count
+    mismatches, switch the stream to libopus permanently (the switch
+    behaves like a decoder reset, exactly as a real receiver joining
+    mid-stream).  Disable with GTPU_NATIVE_CELT=0 /
     GTPU_NATIVE_SILK=0."""
 
     def __init__(self, channels: int):
@@ -100,6 +107,7 @@ class HybridOpusDecoder:
         self._native = None
         self._silk = None            # (SilkDecoder, [SilkResampler])
         self._silk_rate = 0
+        self._hybrid = None          # (SilkDecoder, resamplers, Celt)
         self._libdec: Optional[OpusDecoder] = None
         self._use_native = (
             channels in (1, 2)
@@ -131,6 +139,43 @@ class HybridOpusDecoder:
         out = np.concatenate(outs).astype(np.float32) / 32768.0
         return out
 
+    def _decode_hybrid(self, packet: bytes) -> np.ndarray:
+        """Hybrid packets (configs 12-15): SILK WB + CELT bands 17-21
+        sharing one range coder (opus_decoder.c opus_decode_frame).
+        Raises _Redundancy when the packet carries a redundant CELT
+        frame (mode-transition packets) — caller falls back."""
+        from .celt import CeltDecoder, RangeDecoder, parse_opus_packet
+        from .silk import SilkDecoder, SilkResampler
+        config = packet[0] >> 3
+        frame_ms = 10 if config in (12, 14) else 20
+        end_band = 19 if config in (12, 13) else 21
+        if self._hybrid is None:
+            self._hybrid = (
+                SilkDecoder(self.channels),
+                [SilkResampler(16000, 48000)
+                 for _ in range(self.channels)],
+                CeltDecoder(self.channels))
+        dec, resamplers, celt = self._hybrid
+        _, _, frames = parse_opus_packet(packet)
+        outs = []
+        for fr in frames:
+            rd = RangeDecoder(fr)
+            pcm = dec.decode_packet(rd, 16, frame_ms)
+            silk48 = np.stack(
+                [resamplers[c].process(pcm[:, c])
+                 for c in range(self.channels)],
+                1).astype(np.float32) / 32768.0
+            redundancy = 0
+            if rd.tell() + 37 <= len(fr) * 8:
+                redundancy = rd.dec_bit_logp(12)
+            if redundancy:
+                raise _Redundancy()
+            cf = celt.decode_frame(fr, frame_ms * 48, end_band,
+                                   17, rd)
+            cf = cf[:, None] if cf.ndim == 1 else cf
+            outs.append(silk48 + cf.astype(np.float32))
+        return np.concatenate(outs)
+
     def decode(self, packet: bytes) -> np.ndarray:
         if packet:
             config = packet[0] >> 3
@@ -148,6 +193,13 @@ class HybridOpusDecoder:
             if (self._use_native_silk and config in SILK_CONFIGS
                     and stereo == (self.channels == 2)):
                 return self._decode_silk(packet)
+            if (self._use_native and self._use_native_silk
+                    and 12 <= config <= 15
+                    and stereo == (self.channels == 2)):
+                try:
+                    return self._decode_hybrid(packet)
+                except _Redundancy:
+                    pass   # transition packet: hand stream to libopus
             self._use_native = False
             self._use_native_silk = False
         if self._libdec is None:

@@ -199,3 +199,61 @@ def test_pcm_mb_mono():
 
 def test_pcm_wb_stereo():
     _pcm_parity(1103, 32000, 2)
+
+
+def _hybrid_parity(bw, frame48, channels, tol=1e-6):
+    """Native hybrid decode (SILK WB + CELT bands 17-21, shared range
+    coder) vs libopus float output."""
+    from gstreamer_tpu.codecs.opus import HybridOpusDecoder, OpusDecoder
+
+    err = ctypes.c_int()
+    enc = _lib.opus_encoder_create(48000, channels, 2048,
+                                   ctypes.byref(err))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_FORCE_MODE,
+                          ctypes.c_int(1001))   # MODE_HYBRID
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BANDWIDTH,
+                          ctypes.c_int(bw))
+    _lib.opus_encoder_ctl(ctypes.c_void_p(enc), OPUS_SET_BITRATE,
+                          ctypes.c_int(32000 * channels))
+    rng = np.random.default_rng(3)
+    t = np.arange(48000) / 48000.0
+    sig = (0.3 * np.sin(2 * np.pi * 155 * t)
+           * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+           + 0.08 * rng.standard_normal(48000)
+           + 0.05 * np.sin(2 * np.pi * 9000 * t))
+    if channels == 2:
+        sig = np.stack([sig, np.roll(sig, 120) * 0.7], 1)
+    buf = ctypes.create_string_buffer(4000)
+    hyb = HybridOpusDecoder(channels)
+    ref = OpusDecoder(channels)
+    mine, theirs = [], []
+    for k in range(48000 // frame48):
+        f = np.ascontiguousarray(sig[k * frame48:(k + 1) * frame48],
+                                 np.float32)
+        nb = _lib.opus_encode_float(
+            ctypes.c_void_p(enc), f.ctypes.data_as(ctypes.c_void_p),
+            frame48, buf, 4000)
+        pkt = bytes(buf.raw[:nb])
+        assert 12 <= (pkt[0] >> 3) <= 15
+        mine.append(hyb.decode(pkt))
+        theirs.append(ref.decode(pkt))
+    m = np.concatenate(mine)
+    r = np.concatenate(theirs)
+    assert m.shape == r.shape
+    assert np.abs(m - r).max() < tol
+
+
+def test_hybrid_swb_mono():
+    _hybrid_parity(1104, 960, 1)
+
+
+def test_hybrid_fb_mono():
+    _hybrid_parity(1105, 960, 1)
+
+
+def test_hybrid_fb_10ms_mono():
+    _hybrid_parity(1105, 480, 1)
+
+
+def test_hybrid_fb_stereo():
+    _hybrid_parity(1105, 960, 2)
