@@ -109,3 +109,6 @@ from . import inter_netsim       # noqa: F401
 from . import flxdec             # noqa: F401
 from . import dtmf_icy           # noqa: F401
 from . import videoparsers       # noqa: F401
+from . import bz2_elements      # noqa: F401  (bz2enc/bz2dec)
+from . import codecalpha        # noqa: F401  (alpha decode bins)
+from . import iqa               # noqa: F401

@@ -340,3 +340,64 @@ class DvdSpu(AggregatorElement):
                     regc * (1 - ah) + sch * ah, 0, 255
                 ).astype(np.uint8)
         return video.with_(data=tuple(planes))
+
+
+@register_element
+class DvdSubParse(TransformElement):
+    """dvdsubparse (gst-plugins-ugly/gst/dvdsub/gstdvdsubparse.c):
+    accumulate subpicture/x-dvd fragments into complete SPU packets.
+    The first two bytes of an SPU packet give its total size; output
+    buffers are whole packets with parsed=true caps."""
+    FACTORY = "dvdsubparse"
+    DESCRIPTION = "Parses and packetizes DVD subtitle streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "subpicture/x-dvd"),
+        PadTemplate("src", PadDirection.SRC,
+                    "subpicture/x-dvd, parsed=(boolean)true"),
+    ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._acc = b""
+        self._pts = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string(
+            "subpicture/x-dvd, parsed=(boolean)true"
+            if direction == PadDirection.SINK else "subpicture/x-dvd")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._acc = b""
+        self._pts = None
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        d = buf.data
+        raw = (b"".join(np.asarray(x).tobytes() for x in d)
+               if isinstance(d, (tuple, list))
+               else (bytes(d) if isinstance(d, (bytes, bytearray))
+                     else np.asarray(d).tobytes()))
+        if not self._acc:
+            self._pts = buf.pts
+        self._acc += raw
+        pkts = []
+        while len(self._acc) >= 2:
+            size = (self._acc[0] << 8) | self._acc[1]
+            if size == 0 or len(self._acc) < size:
+                break
+            pkts.append(self._acc[:size])
+            self._acc = self._acc[size:]
+        if not pkts:
+            return None
+        out = buf.with_(data=[np.frombuffer(p, np.uint8) for p in pkts],
+                        pts=self._pts)
+        self._pts = None
+        return out

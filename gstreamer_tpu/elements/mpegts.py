@@ -468,3 +468,46 @@ class TsDemux(SourceElement):
         return Buffer(
             data=np.frombuffer(payload, np.uint8), batch=1,
             pts=None if pts is None else pts * 1_000_000_000 // 90000)
+
+
+@register_element
+class AtscMux(MpegTsMux):
+    """atscmux (gst-plugins-bad/gst/mpegtsmux/gstatscmux.c): ATSC
+    variant of mpegtsmux.  E-AC3 uses the ATSC stream type 0x87 (vs
+    DVB's PES-private 0x06), the program carries the 'GA94'
+    registration descriptor, and AC-3 streams get the A/53 'AC-3'
+    registration descriptor the reference writes via
+    gst_atsc_mux_stream_get_es_descrs."""
+    FACTORY = "atscmux"
+    DESCRIPTION = "Multiplexes media streams into an ATSC-compliant " \
+                  "Transport Stream"
+
+    def negotiate_output(self, in_caps, allowed):
+        res = super().negotiate_output(in_caps, allowed)
+        for pad_name in self._types:
+            s = in_caps[pad_name].fixate()[0]
+            if s.name == "audio/x-eac3":
+                self._types[pad_name] = 0x87   # ATSC A/52 Annex G
+            elif s.name == "audio/x-ac3":
+                self._types[pad_name] = 0x81
+        return res
+
+    def _write_psi(self):
+        from ..utils import mpegts_sections as S
+        pmt_pid = self.props["pmt-pid"]
+        self._write_section(0, S.Pat(
+            transport_stream_id=1,
+            programs=[(1, pmt_pid)]).to_bytes())
+        first_pid = min(self._pids.values()) if self._pids else 0x41
+        pmt = S.Pmt(program_number=1, pcr_pid=first_pid,
+                    descriptors=[S.Descriptor.registration(b"GA94")])
+        for pad_name in sorted(self._pids):
+            stype = self._types[pad_name]
+            descs = []
+            if stype == 0x81:
+                descs.append(S.Descriptor.registration(b"AC-3"))
+            elif stype == 0x87:
+                descs.append(S.Descriptor.registration(b"EAC3"))
+            pmt.streams.append(S.PmtStream(
+                stype, self._pids[pad_name], descs))
+        self._write_section(pmt_pid, pmt.to_bytes())

@@ -416,3 +416,321 @@ class RistSrc(SourceElement):
             out = self._drain(time.monotonic())
             if out:
                 return Buffer(data=out, batch=1)
+
+
+# ---------------------------------------------------------------------------
+# RIST RTP header extension + retransmission elements
+# (gst-plugins-bad/gst/rist/gstristrtpext.c, gstristrtpdeext.c,
+#  gstristrtxsend.c, gstristrtxreceive.c — VSF TR-06-2 §5.3)
+# ---------------------------------------------------------------------------
+
+from ..core.element import TransformElement
+from .rtp import parse_rtp_header
+
+_RIST_EXT_PROFILE = (ord('R') << 8) | ord('I')
+_TS_NULL_PID = 0x1FFF
+
+
+def _rist_ext_seq(prev_ext, seqnum: int):
+    """gstrist.h gst_rist_rtp_ext_seq: extend a 16-bit RTP seqnum to
+    32 bits assuming jumps of less than 2^15."""
+    if prev_ext is None:
+        return seqnum & 0xFFFFFFFF
+    diff = (seqnum - (prev_ext & 0xFFFF)) & 0xFFFF
+    if diff < 0x8000:
+        return (prev_ext + diff) & 0xFFFFFFFF
+    return (prev_ext - (0x10000 - diff)) & 0xFFFFFFFF
+
+
+def _rebuild_rtp(h: dict, payload: bytes,
+                 ext: "Optional[bytes]") -> bytes:
+    """Reassemble an RTP packet from parsed header fields, a payload
+    and an optional (profile, data) header extension."""
+    b0 = (2 << 6) | (0x10 if ext is not None else 0)
+    b1 = (0x80 if h["marker"] else 0) | (h["payload_type"] & 0x7F)
+    head = struct.pack("!BBHII", b0, b1, h["seq"] & 0xFFFF,
+                       h["timestamp"] & 0xFFFFFFFF,
+                       h["ssrc"] & 0xFFFFFFFF)
+    if ext is not None:
+        assert len(ext) % 4 == 0
+        head += struct.pack("!HH", _RIST_EXT_PROFILE, len(ext) // 4)
+        head += ext
+    return head + payload
+
+
+def _pkt_list(buf: Buffer) -> List[bytes]:
+    data = buf.data if isinstance(buf.data, list) else [buf.data]
+    out = []
+    for p in data:
+        if isinstance(p, np.ndarray):
+            p = p.tobytes()
+        out.append(bytes(p))
+    return out
+
+
+@register_element
+class RistRtpExt(TransformElement):
+    """ristrtpext: add the RIST RTP header extension — optional null
+    MPEG-TS packet deletion (first 7 TS packets, flagged in the NPD
+    bits) and a 16-bit sequence-number roll-over counter."""
+    FACTORY = "ristrtpext"
+    DESCRIPTION = "Adds RIST TR-06-2 RTP header extension"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "drop-null-ts-packets": (bool, False,
+                                 "drop null MPEG-TS packets"),
+        "sequence-number-extension": (bool, False,
+                                      "add seqnum roll-over counter"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._ext_seq = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def _process_pkt(self, pkt: bytes) -> bytes:
+        drop_null = self.props["drop-null-ts-packets"]
+        add_seq = self.props["sequence-number-extension"]
+        if not drop_null and not add_seq:
+            return pkt
+        h = parse_rtp_header(pkt)
+        payload = h["payload"]
+        ts_size = 0
+        ts_count = 0
+        npd_bits = 0
+        use_drop = False
+        if drop_null and h["payload_type"] == 33:   # MP2T
+            if len(payload) and len(payload) % 188 == 0:
+                ts_size, ts_count = 188, len(payload) // 188
+                use_drop = True
+            elif len(payload) and len(payload) % 204 == 0:
+                ts_size, ts_count = 204, len(payload) // 204
+                use_drop = True
+        if use_drop:
+            kept = []
+            for i in range(ts_count):
+                tsp = payload[i * ts_size:(i + 1) * ts_size]
+                pid = ((tsp[1] & 0x1F) << 8) | tsp[2]
+                if i < 7 and tsp[0] == 0x47 and pid == _TS_NULL_PID:
+                    npd_bits |= 1 << (6 - i)
+                else:
+                    kept.append(tsp)
+            payload = b"".join(kept)
+        ext = bytearray(4)
+        ext[0] = (use_drop << 7) | (add_seq << 6)
+        if ts_count <= 7:
+            ext[0] |= (ts_count & 7) << 3
+        ext[1] = ((ts_size == 204) << 7) | (npd_bits & 0x7F)
+        if add_seq:
+            self._ext_seq = _rist_ext_seq(self._ext_seq, h["seq"])
+            struct.pack_into("!H", ext, 2, self._ext_seq >> 16)
+        return _rebuild_rtp(h, payload, bytes(ext))
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        return buf.with_(data=[self._process_pkt(p)
+                               for p in _pkt_list(buf)])
+
+
+@register_element
+class RistRtpDeext(TransformElement):
+    """ristrtpdeext: strip the RIST extension, reinserting deleted
+    null TS packets and tracking the extended sequence number
+    (max-ext-seqnum property mirrors the reference)."""
+    FACTORY = "ristrtpdeext"
+    DESCRIPTION = "Removes RIST TR-06-2 RTP header extension"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.max_ext_seqnum = 0
+        self.have_drop_null = False
+        self.have_ext_seqnum = False
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def _process_pkt(self, pkt: bytes) -> bytes:
+        h = parse_rtp_header(pkt)
+        if h["extension_profile"] != _RIST_EXT_PROFILE or \
+                len(h["extension_data"]) < 4:
+            return pkt
+        ext = h["extension_data"]
+        payload = h["payload"]
+        drop_null = bool(ext[0] & 0x80)
+        has_seq = bool(ext[0] & 0x40)
+        size_bits = (ext[0] >> 3) & 7
+        ts_size = 204 if ext[1] & 0x80 else 188
+        npd_bits = ext[1] & 0x7F
+        self.have_drop_null = self.have_drop_null or drop_null
+        self.have_ext_seqnum = self.have_ext_seqnum or has_seq
+        if drop_null and npd_bits:
+            null_pkt = bytes([0x47, 0x1F, 0xFF, 0x10]) \
+                + b"\xff" * (ts_size - 4)
+            rebuilt = []
+            pos = 0
+            count = size_bits if size_bits else 7
+            for i in range(count):
+                if npd_bits & (1 << (6 - i)):
+                    rebuilt.append(null_pkt)
+                else:
+                    rebuilt.append(payload[pos:pos + ts_size])
+                    pos += ts_size
+            rebuilt.append(payload[pos:])
+            payload = b"".join(rebuilt)
+        if has_seq:
+            hi = struct.unpack("!H", ext[2:4])[0]
+            extseq = (hi << 16) | h["seq"]
+            if extseq > self.max_ext_seqnum:
+                self.max_ext_seqnum = extseq
+        return _rebuild_rtp(h, payload, None)
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        return buf.with_(data=[self._process_pkt(p)
+                               for p in _pkt_list(buf)])
+
+
+@register_element
+class RistRtxSend(TransformElement):
+    """ristrtxsend: history + RIST-form retransmission.  Unlike RFC
+    4588 rtx, RIST resends the ORIGINAL packet unchanged except the
+    SSRC is the master SSRC + 1 (odd = retransmission)."""
+    FACTORY = "ristrtxsend"
+    DESCRIPTION = "Retransmit RTP packets when needed, in RIST form"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {
+        "max-size-packets": (int, 100, "history length"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._history = {}
+        self._order = []
+        self._pending = []
+        self.num_rtx_requests = 0
+        self.num_rtx_packets = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def start(self):
+        self._history = {}
+        self._order = []
+        self._pending = []
+
+    def request_retransmit(self, seq: int, ssrc: int = -1) -> bool:
+        self.num_rtx_requests += 1
+        pkt = self._history.get(seq & 0xFFFF)
+        if pkt is None:
+            return False
+        h = parse_rtp_header(pkt)
+        if ssrc not in (-1, h["ssrc"]):
+            return False
+        rtx = bytearray(pkt)
+        struct.pack_into("!I", rtx, 8, (h["ssrc"] + 1) & 0xFFFFFFFF)
+        self._pending.append(bytes(rtx))
+        self.num_rtx_packets += 1
+        return True
+
+    def src_event(self, pad, event) -> bool:
+        if getattr(event, "type", None) == "rtx-request":
+            d = event.data or {}
+            return self.request_retransmit(d.get("seqnum", -1),
+                                           d.get("ssrc", -1))
+        return super().src_event(pad, event)
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        pkts = _pkt_list(buf)
+        maxlen = self.props["max-size-packets"]
+        for pkt in pkts:
+            h = parse_rtp_header(pkt)
+            self._history[h["seq"]] = pkt
+            self._order.append(h["seq"])
+            while len(self._order) > maxlen:
+                self._history.pop(self._order.pop(0), None)
+        out = pkts + self._pending
+        self._pending = []
+        return buf.with_(data=out)
+
+
+@register_element
+class RistRtxReceive(TransformElement):
+    """ristrtxreceive: translate RIST retransmissions (odd SSRC =
+    master + 1) back to their original form."""
+    FACTORY = "ristrtxreceive"
+    DESCRIPTION = "Receive RIST-form retransmitted RTP packets"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-rtp"),
+        PadTemplate("src", PadDirection.SRC, "application/x-rtp"),
+    ]
+    PROPERTIES = {}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self.num_rtx_packets = 0
+        self.retransmitted_seqs = []
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string("application/x-rtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def _process_pkt(self, pkt: bytes) -> bytes:
+        h = parse_rtp_header(pkt)
+        if h["ssrc"] & 1:            # RIST rtx: master ssrc + 1
+            fixed = bytearray(pkt)
+            struct.pack_into("!I", fixed, 8,
+                             (h["ssrc"] - 1) & 0xFFFFFFFF)
+            self.num_rtx_packets += 1
+            self.retransmitted_seqs.append(h["seq"])
+            return bytes(fixed)
+        return pkt
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        return buf.with_(data=[self._process_pkt(p)
+                               for p in _pkt_list(buf)])
