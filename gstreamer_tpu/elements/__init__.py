@@ -112,3 +112,4 @@ from . import videoparsers       # noqa: F401
 from . import bz2_elements      # noqa: F401  (bz2enc/bz2dec)
 from . import codecalpha        # noqa: F401  (alpha decode bins)
 from . import iqa               # noqa: F401
+from . import realmedia          # noqa: F401  (rmdemux/rademux)

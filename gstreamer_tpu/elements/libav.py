@@ -257,9 +257,13 @@ class _AvAudioDec(TransformElement):
                 return None
             return self._emit(self._dec.flush())
         if self._dec is None:
-            cd = (buf.meta or {}).get("codec_data", b"")
+            meta = buf.meta or {}
+            cd = meta.get("codec_data", b"")
             self._dec = native_av.AvAudioDecoder(
-                self.AV_CODEC, bytes(cd))
+                self.AV_CODEC, bytes(cd),
+                rate=int(meta.get("rate", 0) or 0),
+                channels=int(meta.get("channels", 0) or 0),
+                block_align=int(meta.get("block_align", 0) or 0))
             self._pending_buf = True
         chunks = []
         for blob in _blobs_of(buf):
@@ -412,6 +416,14 @@ _DECODERS = [
      "libav FFV1 lossless decoder"),
     ("avdec_vp9", "vp9", "video/x-vp9",
      "libav VP9 decoder"),
+    ("avdec_rv10", "rv10", "video/x-pn-realvideo, rmversion=1",
+     "libav RealVideo 1.0 decoder"),
+    ("avdec_rv20", "rv20", "video/x-pn-realvideo, rmversion=2",
+     "libav RealVideo 2.0 decoder"),
+    ("avdec_rv30", "rv30", "video/x-pn-realvideo, rmversion=3",
+     "libav RealVideo 3.0 decoder"),
+    ("avdec_rv40", "rv40", "video/x-pn-realvideo, rmversion=4",
+     "libav RealVideo 4.0 decoder"),
 ]
 
 _AUDIO_DECODERS = [
@@ -437,6 +449,16 @@ _AUDIO_DECODERS = [
      "AMR narrowband decoder"),
     ("amrwbdec", "amrwb", "audio/AMR-WB",
      "AMR wideband decoder"),
+    ("avdec_real_144", "real_144", "audio/x-pn-realaudio, raversion=1",
+     "libav RealAudio 1.0 (14.4K) decoder"),
+    ("avdec_real_288", "real_288", "audio/x-pn-realaudio, raversion=2",
+     "libav RealAudio 2.0 (28.8K) decoder"),
+    ("avdec_cook", "cook", "audio/x-pn-realaudio, raversion=8",
+     "libav Cook (RealAudio G2) decoder"),
+    ("avdec_sipr", "sipr", "audio/x-pn-realaudio, raversion=4",
+     "libav RealAudio SIPR decoder"),
+    ("avdec_atrac3", "atrac3", "audio/x-atrac3",
+     "libav ATRAC3 decoder"),
 ]
 
 _ENCODERS = [

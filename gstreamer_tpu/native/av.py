@@ -31,7 +31,7 @@ def get_lib():
     _tried = True
     from ._build import ensure_built
     if not ensure_built(_SRC, _SO,
-                        ("-lavcodec", "-lavutil", "-lswscale")):
+                        ("-lavcodec", "-lavformat", "-lavutil", "-lswscale")):
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -41,6 +41,13 @@ def get_lib():
     lib.gtpu_avdec_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int]
+    lib.gtpu_avdec_new2.restype = ctypes.c_void_p
+    lib.gtpu_avdec_new2.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
+    lib.gtpu_av_write_rm.restype = ctypes.c_int
+    lib.gtpu_av_write_rm.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
     lib.gtpu_avdec_free.argtypes = [ctypes.c_void_p]
     lib.gtpu_avdec_send.restype = ctypes.c_int
     lib.gtpu_avdec_send.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -153,14 +160,16 @@ class AvVideoDecoder:
 class AvAudioDecoder:
     """Any libavcodec audio decoder -> float32 interleaved."""
 
-    def __init__(self, codec: str, extradata: bytes = b""):
+    def __init__(self, codec: str, extradata: bytes = b"",
+                 rate: int = 0, channels: int = 0,
+                 block_align: int = 0):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("av: libavcodec shim unavailable")
         self._lib = lib
-        self._h = ctypes.c_void_p(lib.gtpu_avdec_new(
+        self._h = ctypes.c_void_p(lib.gtpu_avdec_new2(
             codec.encode(), extradata or None, len(extradata),
-            0, 0))
+            rate, channels, block_align))
         if not self._h.value:
             raise RuntimeError(f"av: no decoder {codec!r}")
         self._buf = np.empty(1 << 18, np.float32)

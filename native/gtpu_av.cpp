@@ -14,8 +14,10 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/channel_layout.h>
 #include <libswscale/swscale.h>
 }
 
@@ -378,6 +380,136 @@ long gtpu_avenc_extradata(void *h, unsigned char *buf, long cap) {
     if (cap < need) return -need;
     memcpy(buf, e->ctx->extradata, need);
     return need;
+}
+
+
+// Audio decoder with full stream parameters (RealAudio cook/sipr and
+// other container-carried codecs need rate/channels/block_align set
+// on the context in addition to the extradata).
+void *gtpu_avdec_new2(const char *codec_name, const unsigned char *extra,
+                      int exlen, int rate, int channels,
+                      int block_align) {
+    const AVCodec *codec = avcodec_find_decoder_by_name(codec_name);
+    if (!codec) return nullptr;
+    Dec *d = new Dec();
+    d->ctx = avcodec_alloc_context3(codec);
+    if (rate > 0) d->ctx->sample_rate = rate;
+    if (channels > 0)
+        av_channel_layout_default(&d->ctx->ch_layout, channels);
+    if (block_align > 0) d->ctx->block_align = block_align;
+    if (extra && exlen > 0) {
+        d->ctx->extradata = (uint8_t *)av_mallocz(
+            exlen + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(d->ctx->extradata, extra, exlen);
+        d->ctx->extradata_size = exlen;
+    }
+    if (avcodec_open2(d->ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&d->ctx);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    return d;
+}
+
+// Test-oracle helper: author a genuine RealMedia file (RV20 video +
+// RealAudio 14.4 audio) through libavformat's rm muxer, so the
+// clean-room rmdemux can be validated against authentic containers.
+int gtpu_av_write_rm(const char *path, int w, int h, int nframes) {
+    AVFormatContext *oc = nullptr;
+    if (avformat_alloc_output_context2(&oc, nullptr, "rm", path) < 0)
+        return -1;
+    const AVCodec *vc = avcodec_find_encoder_by_name("rv20");
+    const AVCodec *ac = avcodec_find_encoder_by_name("real_144");
+    if (!vc || !ac) return -2;
+    AVStream *vs = avformat_new_stream(oc, nullptr);
+    AVStream *as = avformat_new_stream(oc, nullptr);
+    AVCodecContext *vctx = avcodec_alloc_context3(vc);
+    vctx->width = w; vctx->height = h;
+    vctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    vctx->time_base = {1, 25};
+    vctx->bit_rate = 200000;
+    AVCodecContext *actx = avcodec_alloc_context3(ac);
+    actx->sample_rate = 8000;
+    av_channel_layout_default(&actx->ch_layout, 1);
+    actx->sample_fmt = ac->sample_fmts ? ac->sample_fmts[0]
+                                       : AV_SAMPLE_FMT_S16;
+    actx->time_base = {1, 8000};
+    actx->bit_rate = 8000;
+    if (avcodec_open2(vctx, vc, nullptr) < 0) return -3;
+    if (avcodec_open2(actx, ac, nullptr) < 0) return -4;
+    avcodec_parameters_from_context(vs->codecpar, vctx);
+    avcodec_parameters_from_context(as->codecpar, actx);
+    vs->time_base = vctx->time_base;
+    as->time_base = actx->time_base;
+    if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) return -5;
+    if (avformat_write_header(oc, nullptr) < 0) return -6;
+    AVFrame *vf = av_frame_alloc();
+    vf->format = AV_PIX_FMT_YUV420P; vf->width = w; vf->height = h;
+    av_frame_get_buffer(vf, 0);
+    AVFrame *af = av_frame_alloc();
+    af->format = actx->sample_fmt;
+    af->nb_samples = actx->frame_size > 0 ? actx->frame_size : 160;
+    av_channel_layout_default(&af->ch_layout, 1);
+    af->sample_rate = 8000;
+    av_frame_get_buffer(af, 0);
+    AVPacket *pkt = av_packet_alloc();
+    long asamples = 0;
+    for (int i = 0; i < nframes; i++) {
+        av_frame_make_writable(vf);
+        for (int y = 0; y < h; y++)
+            memset(vf->data[0] + y * vf->linesize[0],
+                   (16 * i + y) & 0xFF, w);
+        memset(vf->data[1], 128, vf->linesize[1] * h / 2);
+        memset(vf->data[2], 128, vf->linesize[2] * h / 2);
+        vf->pts = i;
+        avcodec_send_frame(vctx, vf);
+        while (avcodec_receive_packet(vctx, pkt) == 0) {
+            av_packet_rescale_ts(pkt, vctx->time_base, vs->time_base);
+            pkt->stream_index = vs->index;
+            av_interleaved_write_frame(oc, pkt);
+        }
+        // ~1/25s of audio per video frame
+        while (asamples < (long)(i + 1) * 8000 / 25) {
+            av_frame_make_writable(af);
+            int16_t *s = (int16_t *)af->data[0];
+            for (int k = 0; k < af->nb_samples; k++)
+                s[k] = (int16_t)(6000.0 *
+                    __builtin_sinf(2 * 3.14159265f * 440.0f *
+                                   (asamples + k) / 8000.0f));
+            af->pts = asamples;
+            asamples += af->nb_samples;
+            avcodec_send_frame(actx, af);
+            while (avcodec_receive_packet(actx, pkt) == 0) {
+                av_packet_rescale_ts(pkt, actx->time_base,
+                                     as->time_base);
+                pkt->stream_index = as->index;
+                av_interleaved_write_frame(oc, pkt);
+            }
+        }
+    }
+    avcodec_send_frame(vctx, nullptr);
+    while (avcodec_receive_packet(vctx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, vctx->time_base, vs->time_base);
+        pkt->stream_index = vs->index;
+        av_interleaved_write_frame(oc, pkt);
+    }
+    avcodec_send_frame(actx, nullptr);
+    while (avcodec_receive_packet(actx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, actx->time_base, as->time_base);
+        pkt->stream_index = as->index;
+        av_interleaved_write_frame(oc, pkt);
+    }
+    av_write_trailer(oc);
+    avio_closep(&oc->pb);
+    av_packet_free(&pkt);
+    av_frame_free(&vf);
+    av_frame_free(&af);
+    avcodec_free_context(&vctx);
+    avcodec_free_context(&actx);
+    avformat_free_context(oc);
+    return 0;
 }
 
 }  // extern "C"
