@@ -291,3 +291,79 @@ class AlphaCombineAlias(AlphaCombine):
     """alphacombine — the reference's element name
     (gst-plugins-bad/gst/codecalpha/gstalphacombine.c)."""
     FACTORY = "alphacombine"
+
+
+def build_udu_sei_payload(uuid16: bytes, payload: bytes) -> bytes:
+    """SEI user_data_unregistered body (H.264 D.1.7 / H.265 D.2.7):
+    16-byte UUID + free-form data (type/size framing in _sei_nal)."""
+    return uuid16[:16].ljust(16, b"\x00") + payload
+
+
+class _SeiInserter(_CcInserter):
+    """h264seiinserter / h265seiinserter (gst-plugins-bad/gst/
+    closedcaption/gstcodecseiinserter.c): inserts closed-caption SEI
+    (like the ccinserter base) AND user-data-unregistered SEI from
+    buf.meta["sei-user-data"] = (uuid16, payload) or a list of them;
+    remove-caption-meta drops the metas after insertion."""
+    PROPERTIES = {
+        "remove-caption-meta": (bool, False,
+                                "drop the metas after inserting"),
+        "caption-meta-order": (str, "decode",
+                               "decode | display meta ordering"),
+    }
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        buf = super().host_process(buf)
+        if buf is None:
+            return None
+        udu = (buf.meta or {}).get("sei-user-data")
+        if udu:
+            if isinstance(udu, tuple):
+                udu = [udu]
+            seis = [_sei_nal(5, build_udu_sei_payload(bytes(u),
+                                                      bytes(p)),
+                             self.H265) for u, p in udu]
+            blobs = _blobs(buf)
+            out = []
+            for au in blobs:
+                rebuilt = bytearray()
+                inserted = False
+                for nal in _split_annexb(au):
+                    if not inserted and self._is_vcl(nal):
+                        for s in seis:
+                            rebuilt += b"\x00\x00\x00\x01" + s
+                        inserted = True
+                    rebuilt += b"\x00\x00\x00\x01" + nal
+                if not inserted:
+                    for s in seis:
+                        rebuilt += b"\x00\x00\x00\x01" + s
+                out.append(np.frombuffer(bytes(rebuilt), np.uint8))
+            buf = buf.with_(data=out if len(out) > 1 else out[0])
+        if self.props["remove-caption-meta"]:
+            meta = dict(buf.meta or {})
+            meta.pop("closedcaption", None)
+            meta.pop("sei-user-data", None)
+            buf = buf.with_(meta=meta)
+        return buf
+
+
+@register_element
+class H264SeiInserter(_SeiInserter):
+    FACTORY = "h264seiinserter"
+    DESCRIPTION = "Inserts SEI messages into H.264 streams"
+    H265 = False
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, _H264_CAPS),
+        PadTemplate("src", PadDirection.SRC, _H264_CAPS),
+    ]
+
+
+@register_element
+class H265SeiInserter(_SeiInserter):
+    FACTORY = "h265seiinserter"
+    DESCRIPTION = "Inserts SEI messages into H.265 streams"
+    H265 = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, _H265_CAPS),
+        PadTemplate("src", PadDirection.SRC, _H265_CAPS),
+    ]

@@ -419,3 +419,23 @@ class AudioLatency(TransformElement):
             _post(self, "latency", {
                 "last-latency": self.last_latency_ns})
         return buf
+
+
+@register_element
+class H265Timestamper(TransformElement):
+    """h265timestamper (gst-plugins-bad codectimestamper): same DTS
+    reconstruction reduction as h264timestamper for HEVC streams."""
+    FACTORY = "h265timestamper"
+    DESCRIPTION = "Timestamp correction element for H.265 streams"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "video/x-h265"),
+        PadTemplate("src", PadDirection.SRC, "video/x-h265"),
+    ]
+
+    def host_process(self, buf: Optional[Buffer]) -> Optional[Buffer]:
+        if buf is None:
+            return None
+        if buf.dts is None and buf.pts is not None:
+            buf = buf.with_(dts=buf.pts)
+        return buf

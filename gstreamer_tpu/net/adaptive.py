@@ -351,3 +351,85 @@ class DashDemux(_AdaptiveSrc):
                              "addressing (need SegmentList or "
                              "SegmentTemplate)")
         self._segments = segs
+
+
+@register_element
+class MssDemux(_AdaptiveSrc):
+    """mssdemux (gst-plugins-bad/ext/smoothstreaming/gstmssdemux.c):
+    Microsoft Smooth Streaming.  The Manifest is XML: StreamIndex
+    elements (Type video/audio) carry QualityLevel entries (bitrate,
+    fourcc, CodecPrivateData) and a timeline of `c` chunks (t=start,
+    d=duration, timescale default 10 MHz); fragment URIs come from
+    the Url template with {bitrate} and {start time} substituted.
+    Fragments are fMP4 moof+mdat pieces.
+
+    Reduction: highest-bitrate quality level of the selected stream
+    type; output is fragment bytes (video/quicktime, variant=mss-
+    fragmented) with the manifest codec data in `manifest_info`."""
+    FACTORY = "mssdemux"
+    DESCRIPTION = "Smooth Streaming demuxer"
+    PROPERTIES = dict(_AdaptiveSrc.PROPERTIES)
+    PROPERTIES["stream-type"] = (str, "video",
+                                 "StreamIndex Type to follow")
+
+    def _load(self) -> None:
+        import xml.etree.ElementTree as ET
+        base = self._uri()
+        text = _fetch(base).decode("utf-8-sig", "replace")
+        root = ET.fromstring(text)
+        want = self.props["stream-type"]
+        self.manifest_info = {}
+        segments: List[Tuple[float, str]] = []
+        for si in root:
+            if _strip_ns(si.tag) != "StreamIndex":
+                continue
+            if (si.get("Type") or "").lower() != want:
+                continue
+            timescale = int(si.get("TimeScale") or 10_000_000)
+            url_tpl = si.get("Url") or ""
+            best = None
+            for ql in si:
+                if _strip_ns(ql.tag) != "QualityLevel":
+                    continue
+                br = int(ql.get("Bitrate") or 0)
+                if best is None or br > best[0]:
+                    best = (br, ql)
+            if best is None:
+                continue
+            bitrate, ql = best
+            self.manifest_info = {
+                "bitrate": bitrate,
+                "fourcc": ql.get("FourCC") or "",
+                "codec_private": bytes.fromhex(
+                    ql.get("CodecPrivateData") or ""),
+                "width": int(ql.get("MaxWidth")
+                             or si.get("MaxWidth") or 0),
+                "height": int(ql.get("MaxHeight")
+                              or si.get("MaxHeight") or 0),
+                "rate": int(ql.get("SamplingRate") or 0),
+                "channels": int(ql.get("Channels") or 0),
+                "timescale": timescale,
+            }
+            t = 0
+            for c in si:
+                if _strip_ns(c.tag) != "c":
+                    continue
+                if c.get("t") is not None:
+                    t = int(c.get("t"))
+                d = int(c.get("d") or 0)
+                uri = url_tpl.replace(
+                    "{bitrate}", str(bitrate)).replace(
+                    "{Bitrate}", str(bitrate)).replace(
+                    "{start time}", str(t)).replace(
+                    "{start_time}", str(t))
+                segments.append((d / timescale, _resolve(base, uri)))
+                t += d
+            break
+        if not segments:
+            raise ValueError(
+                f"mssdemux: no {want!r} StreamIndex in manifest")
+        self._segments = segments
+
+    def _media_caps(self) -> Caps:
+        return Caps.from_string(
+            "video/quicktime, variant=mss-fragmented")

@@ -225,3 +225,65 @@ class TestHlsDecode:
             chunks.append(np.asarray(s.buffer.data))
         pcm = np.concatenate(chunks)
         assert pcm.shape[0] > 20000 and pcm.dtype == np.float32
+
+
+class TestMss:
+    MANIFEST = """<?xml version="1.0"?>
+<SmoothStreamingMedia MajorVersion="2" MinorVersion="0"
+    Duration="40000000">
+  <StreamIndex Type="video" TimeScale="10000000" Chunks="2"
+      Url="QualityLevels({bitrate})/Fragments(video={start time})"
+      MaxWidth="640" MaxHeight="480">
+    <QualityLevel Index="0" Bitrate="300000" FourCC="H264"
+        CodecPrivateData="0000000167" MaxWidth="320" MaxHeight="240"/>
+    <QualityLevel Index="1" Bitrate="900000" FourCC="H264"
+        CodecPrivateData="00000001675aff" MaxWidth="640"
+        MaxHeight="480"/>
+    <c d="20000000"/>
+    <c d="20000000"/>
+  </StreamIndex>
+  <StreamIndex Type="audio" TimeScale="10000000"
+      Url="QualityLevels({bitrate})/Fragments(audio={start time})">
+    <QualityLevel Index="0" Bitrate="64000" FourCC="AACL"
+        SamplingRate="44100" Channels="2" CodecPrivateData="1210"/>
+    <c t="0" d="20000000"/>
+    <c d="20000000"/>
+  </StreamIndex>
+</SmoothStreamingMedia>
+"""
+
+    def test_manifest_parse(self, tmp_path):
+        from gstreamer_tpu.core.element import element_factory_make
+        man = tmp_path / "Manifest"
+        man.write_text(self.MANIFEST)
+        frag_dir = tmp_path / "QualityLevels(900000)"
+        frag_dir.mkdir()
+        (frag_dir / "Fragments(video=0)").write_bytes(b"moofdata0")
+        (frag_dir / "Fragments(video=20000000)").write_bytes(
+            b"moofdata1")
+        d = element_factory_make("mssdemux", uri=str(man))
+        d.start()
+        assert d.manifest_info["bitrate"] == 900000
+        assert d.manifest_info["fourcc"] == "H264"
+        assert d.manifest_info["codec_private"].startswith(
+            b"\x00\x00\x00\x01")
+        assert len(d._segments) == 2
+        b0 = d.create(1)
+        import numpy as np
+        assert bytes(np.asarray(b0.data).tobytes()) == b"moofdata0"
+        assert abs(b0.duration - 2_000_000_000) < 2
+        b1 = d.create(1)
+        assert bytes(np.asarray(b1.data).tobytes()) == b"moofdata1"
+        assert d.create(1) is None
+
+    def test_audio_stream_type(self, tmp_path):
+        from gstreamer_tpu.core.element import element_factory_make
+        man = tmp_path / "Manifest"
+        man.write_text(self.MANIFEST)
+        d = element_factory_make("mssdemux", uri=str(man),
+                                 **{"stream-type": "audio"})
+        d._load()
+        assert d.manifest_info["rate"] == 44100
+        assert d.manifest_info["channels"] == 2
+        assert "audio=0" in d._segments[0][1]
+        assert "audio=20000000" in d._segments[1][1]

@@ -159,3 +159,33 @@ def test_vp8_alpha_decode_bin():
     planes = out.data
     assert len(planes) == 4            # A420
     assert abs(int(np.asarray(planes[3]).mean()) - 200) < 10
+
+
+def test_sei_inserter_udu():
+    from gstreamer_tpu.elements.cc_sei import _split_annexb, _parse_sei
+    # a fake AU: SPS-ish + one VCL slice nal
+    au = (b"\x00\x00\x00\x01\x67\x42\x00\x1e"
+          b"\x00\x00\x00\x01\x65\x88\x80\x10")
+    ins = make_element("h264seiinserter")
+    uuid = bytes(range(16))
+    out = ins.host_process(Buffer(
+        data=np.frombuffer(au, np.uint8), batch=1,
+        meta={"sei-user-data": (uuid, b"hello")}))
+    raw = np.asarray(out.data).tobytes()
+    nals = list(_split_annexb(raw))
+    types = [n[0] & 0x1F for n in nals]
+    assert 6 in types                       # SEI present
+    sei = nals[types.index(6)]
+    # NAL: [6][type 5][len][uuid16][payload]
+    assert sei[1] == 5
+    assert sei[3:19] == uuid
+    assert sei[19:24] == b"hello"
+    # SEI must precede the VCL nal
+    assert types.index(6) < types.index(5)
+
+
+def test_h265_timestamper():
+    t = make_element("h265timestamper")
+    out = t.host_process(Buffer(data=np.zeros(4, np.uint8), batch=1,
+                                pts=12345))
+    assert out.dts == 12345
