@@ -113,3 +113,6 @@ from . import bz2_elements      # noqa: F401  (bz2enc/bz2dec)
 from . import codecalpha        # noqa: F401  (alpha decode bins)
 from . import iqa               # noqa: F401
 from . import realmedia          # noqa: F401  (rmdemux/rademux)
+from . import ext_music         # noqa: F401  (gmedec/openmptdec)
+from . import bs2b              # noqa: F401
+from . import de265             # noqa: F401  (libde265dec)

@@ -276,3 +276,12 @@ class UnalignedVideoParse(RawVideoParse):
 class UnalignedAudioParse(RawAudioParse):
     FACTORY = "unalignedaudioparse"
     DESCRIPTION = "Parse unaligned raw audio data"
+
+
+@register_element
+class NeonHttpSrc(SoupHttpSrc):
+    """neonhttpsrc (gst-plugins-bad/ext/neon/gstneonhttpsrc.c): the
+    libneon-based HTTP source — same surface as souphttpsrc here."""
+    FACTORY = "neonhttpsrc"
+    DESCRIPTION = "Receive data as a client over the network via " \
+                  "HTTP using NEON"

@@ -189,3 +189,100 @@ def test_h265_timestamper():
     out = t.host_process(Buffer(data=np.zeros(4, np.uint8), batch=1,
                                 pts=12345))
     assert out.dts == 12345
+
+
+def _minimal_mod():
+    """Author a minimal 4-channel ProTracker MOD (31-instrument,
+    'M.K.') with one silent pattern and one square-wave sample."""
+    import struct as st
+    name = b"gtpu test mod".ljust(20, b"\x00")
+    smp = (b"square".ljust(22, b"\x00")
+           + st.pack(">H", 16)          # length in words (32 bytes)
+           + bytes([0])                 # finetune
+           + bytes([64])                # volume
+           + st.pack(">HH", 0, 1))      # repeat start/len
+    empties = b"".join(
+        bytes(22) + st.pack(">H", 0) + bytes([0, 0])
+        + st.pack(">HH", 0, 1) for _ in range(30))
+    head = (name + smp + empties
+            + bytes([1])                # song length
+            + bytes([127])              # restart
+            + bytes([0]) + bytes(127)   # pattern order
+            + b"M.K.")
+    pattern = bytearray(1024)
+    # row 0, channel 0: sample 1, period 428 (C-2), no effect
+    pattern[0] = (1 & 0xF0) | ((428 >> 8) & 0x0F)
+    pattern[1] = 428 & 0xFF
+    pattern[2] = (1 & 0x0F) << 4
+    sample = bytes((64 if i % 16 < 8 else 192) for i in range(32))
+    return head + bytes(pattern) + sample
+
+
+def test_openmptdec():
+    from gstreamer_tpu.elements import ext_music
+    if ext_music._get_mpt() is None:
+        pytest.skip("libopenmpt missing")
+    dec = make_element("openmptdec")
+    dec.start()
+    dec.host_process(Buffer(
+        data=np.frombuffer(_minimal_mod(), np.uint8), batch=1))
+    out = dec.host_process(None)
+    assert out is not None
+    pcm = np.asarray(out.data)
+    assert pcm.shape[1] == 2 and pcm.shape[0] > 1000
+    assert float(np.abs(pcm).max()) > 1e-4     # the note sounded
+
+
+def test_bs2b_crossfeed():
+    el = make_element("bs2b")
+    el._rate = 48000
+    # left-only low-frequency tone: the lowpass crossfeed bleeds it
+    # into the right at roughly the feed level (~ -6.75 dB for the
+    # default 4.5 dB setting)
+    t = np.arange(4800) / 48000.0
+    x = np.zeros((4800, 2), np.float32)
+    x[:, 0] = np.sin(2 * np.pi * 100 * t)
+    out = el.host_process(Buffer(data=x, batch=1))
+    y = np.asarray(out.data)[2400:]              # skip warmup
+    assert float(np.abs(y[:, 1]).max()) > 0.2    # bleed present
+    assert float(np.abs(y[:, 0]).max()) > float(np.abs(y[:, 1]).max())
+
+
+def test_libde265dec_matches_avdec():
+    from gstreamer_tpu.elements import de265
+    if not de265.available():
+        pytest.skip("libde265 missing")
+    from gstreamer_tpu.native import av as native_av
+    if native_av.get_lib() is None:
+        pytest.skip("libavcodec missing")
+    # encode a short HEVC stream with x265 via the existing element
+    p = parse_launch(
+        "videotestsrc num-buffers=5 ! video/x-raw,format=I420,"
+        "width=64,height=48,framerate=30/1 ! x265enc ! "
+        "appsink name=out")
+    p.run()
+    sink = p.get_by_name("out")
+    blobs = []
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = s.buffer.data
+        for b in (d if isinstance(d, list) else [d]):
+            blobs.append(np.asarray(b).tobytes())
+    stream = b"".join(blobs)
+    assert stream
+    dec = make_element("libde265dec")
+    dec.start()
+    outs = []
+    r = dec.host_process(Buffer(
+        data=np.frombuffer(stream, np.uint8), batch=1))
+    if r is not None:
+        outs.append(r)
+    r = dec.host_process(None)
+    if r is not None:
+        outs.append(r)
+    total = sum(o.batch for o in outs)
+    assert total == 5
+    y = np.asarray(outs[-1].data[0])
+    assert y.shape[-2:] == (48, 64)
