@@ -116,3 +116,4 @@ from . import realmedia          # noqa: F401  (rmdemux/rademux)
 from . import ext_music         # noqa: F401  (gmedec/openmptdec)
 from . import bs2b              # noqa: F401
 from . import de265             # noqa: F401  (libde265dec)
+from ..net import avtp          # noqa: F401  (IEEE 1722 AVB)
