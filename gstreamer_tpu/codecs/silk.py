@@ -830,7 +830,33 @@ def lpc_inverse_pred_gain(a_q12, order):
 
 
 def nlsf2a(nlsf, d):
-    """silk/NLSF2A.c: NLSF_Q15 -> AR coefs a_Q12 (list of int)."""
+    """silk/NLSF2A.c: NLSF_Q15 -> AR coefs a_Q12 (list of int).
+    Dispatches to the native shim when built; nlsf2a_py is the
+    bit-exact specification."""
+    from ..native.silk import get_lib
+    lib = get_lib()
+    if lib is None:
+        return nlsf2a_py(nlsf, d)
+    import ctypes
+    i32 = np.int32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if not hasattr(nlsf2a, "_tabs"):
+        nlsf2a._tabs = (
+            np.ascontiguousarray(T.LSF_COS_TAB_Q12, i32),
+            np.ascontiguousarray(T.NLSF2A_ORDER16, i32),
+            np.ascontiguousarray(T.NLSF2A_ORDER10, i32))
+    cos_tab, o16, o10 = nlsf2a._tabs
+    ordering = o16 if d == 16 else o10
+    nl = np.ascontiguousarray(nlsf, i32)
+    out = np.zeros(d, i32)
+    lib.gtpu_silk_nlsf2a(
+        nl.ctypes.data_as(i32p), d, cos_tab.ctypes.data_as(i32p),
+        ordering.ctypes.data_as(i32p), out.ctypes.data_as(i32p))
+    return [int(v) for v in out]
+
+
+def nlsf2a_py(nlsf, d):
+    """Pure-Python NLSF2A (the executable specification)."""
     ordering = (T.NLSF2A_ORDER16 if d == 16 else T.NLSF2A_ORDER10)
     clsf = [0] * d
     for k in range(d):
@@ -939,7 +965,50 @@ def lpc_analysis_filter(inp, b_q12, length, order):
 
 def decode_core(st: SilkChannelDecoder, ix: SideInfo,
                 ctl: DecoderControl, pulses) -> np.ndarray:
-    """silk/decode_core.c: excitation + LTP + LPC synthesis -> int16."""
+    """silk/decode_core.c: excitation + LTP + LPC synthesis -> int16.
+    Dispatches to the native shim (native/gtpu_silk.cpp) when built;
+    decode_core_py below is the bit-exact specification."""
+    from ..native.silk import get_lib
+    lib = get_lib()
+    if lib is None:
+        return decode_core_py(st, ix, ctl, pulses)
+    import ctypes
+    i32 = np.int32
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    pulses_a = np.ascontiguousarray(pulses, i32)
+    gains = np.ascontiguousarray(ctl.gains_q16, i32)
+    pred = np.zeros((2, MAX_LPC_ORDER), i32)
+    for h in range(2):
+        row = ctl.pred_coef_q12[h]
+        pred[h, :len(row)] = row
+    ltpc = np.ascontiguousarray(ctl.ltp_coef_q14, i32)
+    lags = np.ascontiguousarray(ctl.pitch_lags, i32)
+    exc = np.zeros(st.frame_length, i32)
+    s_lpc = np.ascontiguousarray(st.s_lpc_q14_buf, i32)
+    out_hist = np.ascontiguousarray(st.out_buf, i32)
+    scratch = np.zeros(st.ltp_mem_length + st.frame_length, i32)
+    xq = np.zeros(st.frame_length, i32)
+
+    def P(a):
+        return a.ctypes.data_as(i32p)
+
+    offset_q10 = T.QUANT_OFFSETS_Q10[ix.signal_type >> 1][
+        ix.quant_offset]
+    st.prev_gain_q16 = lib.gtpu_silk_decode_core(
+        P(pulses_a), st.frame_length, st.subfr_length, st.nb_subfr,
+        st.ltp_mem_length, st.lpc_order, ix.signal_type,
+        ix.quant_offset, ix.seed, ix.nlsf_interp_q2,
+        P(gains), P(pred), P(ltpc), P(lags),
+        ctl.ltp_scale_q14, st.prev_gain_q16, offset_q10,
+        P(exc), P(s_lpc), P(out_hist), P(scratch), P(xq))
+    st.s_lpc_q14_buf[:] = s_lpc
+    st.exc_q14[:st.frame_length] = exc
+    return xq.astype(np.int64)
+
+
+def decode_core_py(st: SilkChannelDecoder, ix: SideInfo,
+                   ctl: DecoderControl, pulses) -> np.ndarray:
+    """Pure-Python decode_core (the executable specification)."""
     xq = np.zeros(st.frame_length, np.int64)
     s_ltp = [0] * st.ltp_mem_length
     s_ltp_q15 = [0] * (st.ltp_mem_length + st.frame_length)
@@ -1139,6 +1208,9 @@ class SilkResampler:
             inp = seq[:len(seq) - self._delay]
         if self.mode == "copy":
             return np.asarray(inp, np.int64)
+        out = self._process_native(inp)
+        if out is not None:
+            return out
         buf = list(self.s_fir) + _up2_hq(self.s_iir, inp)
         n2 = 2 * len(inp)
         self.s_fir = buf[n2:n2 + self.ORDER_FIR]
@@ -1159,3 +1231,42 @@ class SilkResampler:
             out.append(SAT16(RSHIFT_ROUND(wrap32(acc), 15)))
             idx += inc
         return np.asarray(out, np.int64)
+
+    def _process_native(self, inp) -> "Optional[np.ndarray]":
+        """native/gtpu_silk.cpp resampler (bit-exact with the Python
+        loop above, which remains the specification)."""
+        from ..native.silk import get_lib
+        lib = get_lib()
+        if lib is None or not len(inp):
+            return None
+        import ctypes
+        i32 = np.int32
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        if not hasattr(self, "_c_state"):
+            self._c_state = (
+                np.zeros(6, i32), np.zeros(8, i32),
+                np.ascontiguousarray(
+                    np.asarray(T.RESAMPLER_FRAC_FIR_12,
+                               np.int16).reshape(-1)),
+                np.ascontiguousarray(T.RESAMPLER_UP2_HQ_0, i32),
+                np.ascontiguousarray(T.RESAMPLER_UP2_HQ_1, i32))
+            self._c_state[0][:] = self.s_iir
+            self._c_state[1][:] = self.s_fir
+        s_iir, s_fir, fir, hq0, hq1 = self._c_state
+        x = np.ascontiguousarray(inp, i32)
+        n = len(x)
+        scratch = np.zeros(8 + 2 * n, i32)
+        out = np.zeros(8 * n + 16, i32)   # up to 6x (8k->48k)
+
+        def P(a):
+            return a.ctypes.data_as(i32p)
+
+        n_out = lib.gtpu_silk_resample_iirfir(
+            P(s_iir), P(s_fir),
+            fir.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            P(hq0), P(hq1), self.inv_ratio_q16,
+            P(x), n, P(scratch), P(out))
+        # mirror back for mixed native/python use
+        self.s_iir = [int(v) for v in s_iir]
+        self.s_fir = [int(v) for v in s_fir]
+        return out[:n_out].astype(np.int64)
