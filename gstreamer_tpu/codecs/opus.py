@@ -64,11 +64,12 @@ class OpusDecoder:
             raise RuntimeError(f"opus: decoder_create failed {err.value}")
         self._buf = np.empty((5760, channels), np.float32)
 
-    def decode(self, packet: bytes) -> np.ndarray:
+    def decode(self, packet: bytes,
+               fec: bool = False) -> np.ndarray:
         got = self._lib.opus_decode_float(
             self._dec, packet, len(packet),
             self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            5760, 0)
+            5760, 1 if fec else 0)
         if got < 0:
             raise ValueError(f"opus: decode error {got}")
         return self._buf[:got].copy()
@@ -176,6 +177,58 @@ class HybridOpusDecoder:
             outs.append(silk48 + cf.astype(np.float32))
         return np.concatenate(outs)
 
+    def decode_fec(self, packet: bytes) -> Optional[np.ndarray]:
+        """Recover the PREVIOUS (lost) packet from this packet's
+        LBRR data (opus_decode(..., decode_fec=1)).  Native SILK
+        paths are bit-exact vs libopus; returns None when the packet
+        carries no redundancy (callers then use decode_plc)."""
+        if not packet:
+            return None
+        config = packet[0] >> 3
+        stereo = (packet[0] >> 2) & 1
+        from .silk import SILK_CONFIGS
+        if (self._use_native_silk and config in SILK_CONFIGS
+                and stereo == (self.channels == 2)):
+            from .celt import RangeDecoder, parse_opus_packet
+            from .silk import SilkDecoder, SilkResampler
+            fs_khz, frame_ms = SILK_CONFIGS[config]
+            if self._silk is None or self._silk_rate != fs_khz:
+                self._silk = (SilkDecoder(self.channels),
+                              [SilkResampler(fs_khz * 1000, 48000)
+                               for _ in range(self.channels)])
+                self._silk_rate = fs_khz
+            dec, resamplers = self._silk
+            _, _, frames = parse_opus_packet(packet)
+            rd = RangeDecoder(frames[0])
+            pcm = dec.decode_packet_fec(rd, fs_khz, frame_ms)
+            if pcm is None:
+                return None
+            out = np.stack(
+                [resamplers[c].process(pcm[:, c])
+                 for c in range(self.channels)],
+                1).astype(np.float32) / 32768.0
+            self._last_out = out
+            return out
+        if self._libdec is None:
+            self._libdec = OpusDecoder(self.channels)
+        return self._libdec.decode(packet, fec=True)
+
+    def decode_plc(self, frame_size: int = 960) -> np.ndarray:
+        """Conceal a lost packet with no available redundancy.
+        Reduction: a decaying repeat of the last output (the
+        reference opusdec gets libopus's LPC extrapolation; this
+        keeps energy continuity without the codec-state model)."""
+        last = getattr(self, "_last_out", None)
+        if last is None or not len(last):
+            return np.zeros((frame_size, self.channels), np.float32)
+        reps = int(np.ceil(frame_size / len(last)))
+        out = np.tile(last, (reps, 1))[:frame_size]
+        env = (0.9 ** (np.arange(frame_size)
+                       / max(len(last), 1))).astype(np.float32)
+        out = out * env[:, None]
+        self._last_out = out * 0.5
+        return out
+
     def decode(self, packet: bytes) -> np.ndarray:
         if packet:
             config = packet[0] >> 3
@@ -192,7 +245,9 @@ class HybridOpusDecoder:
                 return out[:, None] if out.ndim == 1 else out
             if (self._use_native_silk and config in SILK_CONFIGS
                     and stereo == (self.channels == 2)):
-                return self._decode_silk(packet)
+                out = self._decode_silk(packet)
+                self._last_out = out
+                return out
             if (self._use_native and self._use_native_silk
                     and 12 <= config <= 15
                     and stereo == (self.channels == 2)):

@@ -446,23 +446,41 @@ class SilkDecoder:
                     for i in range(n_frames):
                         st.lbrr_flags[i] = (sym >> i) & 1
 
-    def _decode_lbrr(self, rd: RangeDecoder, n_frames: int):
-        """Decode (and discard) LBRR frames to stay bit-synced."""
+    def _decode_lbrr(self, rd: RangeDecoder, n_frames: int,
+                     synth: bool = False):
+        """Decode LBRR frames — discarded on the normal path (bit
+        sync only), synthesized when FEC-decoding a lost packet
+        (dec_API.c lostFlag == FLAG_DECODE_LBRR)."""
+        out = []
         for i in range(n_frames):
+            mid_only = 0
+            pred = None
+            frame_x = [None] * self.channels
             for c in range(self.channels):
                 st = self.ch[c]
                 if not st.lbrr_flags[i]:
+                    if synth:
+                        frame_x[c] = np.zeros(st.frame_length,
+                                              np.int64)
                     continue
                 if self.channels == 2 and c == 0:
-                    decode_stereo_pred(rd)
+                    pred = decode_stereo_pred(rd)
                     if self.ch[1].lbrr_flags[i] == 0:
-                        rd.dec_icdf(T.STEREO_ONLY_CODE_MID_ICDF, 8)
+                        mid_only = rd.dec_icdf(
+                            T.STEREO_ONLY_CODE_MID_ICDF, 8)
                 cond = (CODE_CONDITIONALLY
                         if i > 0 and st.lbrr_flags[i - 1]
                         else CODE_INDEPENDENTLY)
                 ix = decode_indices(st, rd, i, True, cond)
-                decode_pulses(rd, ix.signal_type, ix.quant_offset,
-                              st.frame_length)
+                pulses = decode_pulses(rd, ix.signal_type,
+                                       ix.quant_offset,
+                                       st.frame_length)
+                if synth:
+                    frame_x[c] = decode_frame_synth(st, ix, pulses,
+                                                    cond)
+            if synth:
+                out.append((frame_x, pred, mid_only))
+        return out
 
     def decode_frame_bitstream(self, rd: RangeDecoder,
                                fs_khz: int, frame_ms: int):
@@ -480,6 +498,40 @@ class SilkDecoder:
         array; includes the 2-sample mid/side delay buffering, so the
         stream is delayed one sample like libopus's internal path."""
         return self._walk_packet(rd, fs_khz, frame_ms, synth=True)
+
+    def decode_packet_fec(self, rd: RangeDecoder, fs_khz: int,
+                          frame_ms: int) -> "Optional[np.ndarray]":
+        """dec_API.c silk_Decode with lostFlag=FLAG_DECODE_LBRR:
+        recover a LOST packet from the LBRR (low-bitrate redundancy)
+        frames carried by the FOLLOWING packet.  Returns PCM at the
+        internal rate, or None when the packet has no LBRR data."""
+        n_frames = 1 if frame_ms <= 20 else frame_ms // 20
+        nb_subfr = 2 if frame_ms == 10 else 4
+        for st in self.ch:
+            if st.fs_khz != fs_khz or st.nb_subfr != nb_subfr:
+                st.set_fs(fs_khz, nb_subfr)
+            st.n_frames_decoded = 0
+        self._header_flags(rd, n_frames)
+        self._lbrr_flags(rd, n_frames)
+        if not any(any(st.lbrr_flags[:n_frames]) for st in self.ch):
+            return None
+        frames = self._decode_lbrr(rd, n_frames, synth=True)
+        pcm = [[] for _ in range(self.channels)]
+        for frame_x, pred, mid_only in frames:
+            if self.channels == 2:
+                if frame_x[1] is None or mid_only:
+                    frame_x[1] = np.zeros(len(frame_x[0]), np.int64)
+                l, r = self._stereo_ms_to_lr(frame_x[0], frame_x[1],
+                                             pred or [0, 0])
+                pcm[0].append(l)
+                pcm[1].append(r)
+            else:
+                n = len(frame_x[0])
+                x = np.concatenate(
+                    [np.asarray(self._smid, np.int64), frame_x[0]])
+                self._smid = [int(x[n]), int(x[n + 1])]
+                pcm[0].append(x[1:1 + n])
+        return np.stack([np.concatenate(c) for c in pcm], 1)
 
     def _walk_packet(self, rd: RangeDecoder, fs_khz: int,
                      frame_ms: int, rows=None, synth: bool = False):

@@ -257,3 +257,92 @@ def test_hybrid_fb_10ms_mono():
 
 def test_hybrid_fb_stereo():
     _hybrid_parity(1105, 960, 2)
+
+
+def test_fec_recovery_bit_exact():
+    """Native LBRR (FEC) recovery of a lost packet matches
+    opus_decode(..., decode_fec=1) and leaves the decoder state
+    aligned for all subsequent packets."""
+    from gstreamer_tpu.codecs.celt import RangeDecoder, parse_opus_packet
+    from gstreamer_tpu.codecs.silk import SILK_CONFIGS, SilkDecoder
+
+    err = ctypes.c_int()
+    enc = _lib.opus_encoder_create(48000, 1, 2048, ctypes.byref(err))
+    for ctl, v in ((OPUS_SET_FORCE_MODE, MODE_SILK_ONLY),
+                   (OPUS_SET_BANDWIDTH, 1103),
+                   (OPUS_SET_BITRATE, 32000),
+                   (OPUS_SET_INBAND_FEC, 1),
+                   (OPUS_SET_PACKET_LOSS_PERC, 30)):
+        _lib.opus_encoder_ctl(ctypes.c_void_p(enc), ctl,
+                              ctypes.c_int(v))
+    sig = _speechish(48000, 1, seed=3)
+    buf = ctypes.create_string_buffer(4000)
+    pkts = []
+    for k in range(30):
+        f = np.ascontiguousarray(sig[k * 960:(k + 1) * 960],
+                                 np.float32)
+        nb = _lib.opus_encode_float(
+            ctypes.c_void_p(enc), f.ctypes.data_as(ctypes.c_void_p),
+            960, buf, 4000)
+        pkts.append(bytes(buf.raw[:nb]))
+    # find a packet carrying LBRR for its predecessor
+    lost = None
+    for k in range(3, len(pkts)):
+        sk = SilkDecoder(1)
+        _, _, frames = parse_opus_packet(pkts[k])
+        rd = RangeDecoder(frames[0])
+        sk.ch[0].set_fs(16, 4)
+        sk._header_flags(rd, 1)
+        sk._lbrr_flags(rd, 1)
+        if sk.ch[0].lbrr_flags[0]:
+            lost = k - 1
+            break
+    if lost is None:
+        pytest.skip("encoder produced no LBRR packets")
+    dec = _lib.opus_decoder_create(16000, 1, ctypes.byref(err))
+    fb = np.zeros(320, np.int16)
+    silk = SilkDecoder(1)
+    mine, ref = [], []
+    for k in range(lost + 4):
+        src = pkts[lost + 1] if k == lost else pkts[k]
+        fec = 1 if k == lost else 0
+        nd = _lib.opus_decode(ctypes.c_void_p(dec), src, len(src),
+                              fb.ctypes.data_as(ctypes.c_void_p),
+                              320, fec)
+        ref.append(fb[:nd].astype(np.int64).copy())
+        _, _, frames = parse_opus_packet(src)
+        rd = RangeDecoder(frames[0])
+        if k == lost:
+            pcm = silk.decode_packet_fec(rd, 16, 20)
+            assert pcm is not None
+        else:
+            pcm = silk.decode_packet(rd, 16, 20)
+        mine.append(pcm[:, 0])
+    m = np.concatenate(mine)
+    r = np.concatenate(ref)
+    D = 12                              # fixed libopus latency @16k
+    n = len(m) - D
+    assert np.array_equal(m[:n], r[D:D + n])
+
+
+def test_plc_fallback():
+    from gstreamer_tpu.codecs.opus import HybridOpusDecoder
+    err = ctypes.c_int()
+    enc = _lib.opus_encoder_create(48000, 1, 2048, ctypes.byref(err))
+    for ctl, v in ((OPUS_SET_FORCE_MODE, MODE_SILK_ONLY),
+                   (OPUS_SET_BANDWIDTH, 1103),
+                   (OPUS_SET_BITRATE, 24000)):
+        _lib.opus_encoder_ctl(ctypes.c_void_p(enc), ctl,
+                              ctypes.c_int(v))
+    sig = _speechish(4800, 1)
+    buf = ctypes.create_string_buffer(4000)
+    f = np.ascontiguousarray(sig[:960], np.float32)
+    nb = _lib.opus_encode_float(
+        ctypes.c_void_p(enc), f.ctypes.data_as(ctypes.c_void_p),
+        960, buf, 4000)
+    hyb = HybridOpusDecoder(1)
+    out = hyb.decode(bytes(buf.raw[:nb]))
+    plc = hyb.decode_plc(960)
+    assert plc.shape == out.shape
+    # concealment decays rather than repeating at full level
+    assert np.abs(plc).max() <= np.abs(out).max() + 1e-6
