@@ -331,8 +331,18 @@ def cwrsi(n: int, k: int, i: int) -> List[int]:
 
 
 def decode_pulses(dec: RangeDecoder, n: int, k: int) -> np.ndarray:
-    idx = dec.dec_uint(pvq_v(n, k))
-    return np.array(cwrsi(n, k, idx), np.float64)
+    from ..native.celt import get_lib
+    lib = get_lib()
+    if lib is None:
+        idx = dec.dec_uint(pvq_v(n, k))
+        return np.array(cwrsi(n, k, idx), np.float64)
+    import ctypes
+    idx = dec.dec_uint(int(lib.gtpu_celt_pvq_v(n, k)))
+    y = np.zeros(n, np.int32)
+    lib.gtpu_celt_cwrsi(n, k, idx,
+                        y.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)))
+    return y.astype(np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -715,6 +725,16 @@ def exp_rotation(X, n, direction, stride, K, spread):
     if 2 * K >= n or spread == SPREAD_NONE:
         return
     factor = SPREAD_FACTOR[spread - 1]
+    from ..native.celt import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        Xc = np.ascontiguousarray(X, np.float64)
+        lib.gtpu_celt_exp_rotation(
+            Xc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, direction, stride, K, factor)
+        X[:] = Xc
+        return
     gain = 1.0 * n / (n + factor * K)
     theta = 0.5 * gain * gain
     c = math.cos(0.5 * math.pi * theta)
@@ -1426,6 +1446,23 @@ def comb_filter(buf, off, T0, T1, N, g0, g1, tapset0, tapset1,
     i >= T is this filter's own output (recursive comb, exactly as
     libopus filters out_syn in place)."""
     if g0 == 0.0 and g1 == 0.0:
+        return
+    from ..native.celt import get_lib
+    _clib = get_lib()
+    if _clib is not None and isinstance(buf, np.ndarray) \
+            and buf.dtype == np.float64 \
+            and buf.flags["C_CONTIGUOUS"]:
+        import ctypes
+        f64p = ctypes.POINTER(ctypes.c_double)
+        g = T.POSTFILTER_GAINS
+        g0r = np.asarray(g[tapset0], np.float64)
+        g1r = np.asarray(g[tapset1], np.float64)
+        w2 = np.asarray(window, np.float64) ** 2
+        _clib.gtpu_celt_comb_filter(
+            buf.ctypes.data_as(f64p), off, T0, T1, N,
+            float(g0), float(g1), g0r.ctypes.data_as(f64p),
+            g1r.ctypes.data_as(f64p), w2.ctypes.data_as(f64p),
+            overlap, COMBFILTER_MINPERIOD)
         return
     g = T.POSTFILTER_GAINS
     g00, g01, g02 = (g0 * g[tapset0][k] for k in range(3))
