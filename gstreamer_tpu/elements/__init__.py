@@ -119,3 +119,4 @@ from . import de265             # noqa: F401  (libde265dec)
 from ..net import avtp          # noqa: F401  (IEEE 1722 AVB)
 from .. import mse              # noqa: F401  (msesrc + MediaSource API)
 from ..net import rfb           # noqa: F401  (rfbsrc VNC client)
+from ..net import sctp          # noqa: F401  (sctpenc/sctpdec)
