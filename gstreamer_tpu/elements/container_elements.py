@@ -800,7 +800,8 @@ class MatroskaMux(AggregatorElement):
                     "video/x-raw, format={ I420, YUY2, UYVY, A420 }"
                     + _CODED_VIDEO_CAPS
                     + "; video/x-h265, stream-format=byte-stream, "
-                      "alignment=au; video/x-av1",
+                      "alignment=au; video/x-av1; video/x-vp8; "
+                      "video/x-vp9",
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved; "
@@ -845,6 +846,10 @@ class MatroskaMux(AggregatorElement):
                     self._vcodec = "h265"
                 elif s.name == "video/x-av1":
                     self._vcodec = "av1"
+                elif s.name == "video/x-vp8":
+                    self._vcodec = "vp8"
+                elif s.name == "video/x-vp9":
+                    self._vcodec = "vp9"
                 elif s.name == "image/jpeg":
                     self._vcodec = "mjpeg"
                 if self._vcodec:
@@ -894,6 +899,8 @@ class MatroskaMux(AggregatorElement):
                 codec = {"h264": "V_MPEG4/ISO/AVC",
                          "h265": "V_MPEGH/ISO/HEVC",
                          "av1": "V_AV1",
+                         "vp8": "V_VP8",
+                         "vp9": "V_VP9",
                          "mjpeg": "V_MJPEG"}[self._vcodec]
                 entry = (ebml_uint(TRACK_NUMBER, 1)
                          + ebml_uint(TRACK_UID, 1)

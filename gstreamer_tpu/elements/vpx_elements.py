@@ -20,7 +20,8 @@ import numpy as np
 from ..core.buffer import Buffer
 from ..core.caps import Caps
 from ..core.element import (PadDirection, PadTemplate, SinkElement,
-                            SourceElement, register_element)
+                            SourceElement, TransformElement,
+                            register_element)
 
 
 class _VpxDec(SourceElement):
@@ -87,50 +88,94 @@ class _VpxDec(SourceElement):
                       duration=dur)
 
 
-class _VpxEnc(SinkElement):
-    """Shared accumulate-and-write encoder scaffold."""
+class _VpxEnc(TransformElement):
+    """Encoder element: raw I420 -> VP8/VP9 packet stream (the
+    reference's gstvpxenc.c shape).  `location` optionally dumps the
+    packets as an IVF file at EOS for the earlier sink-style use."""
     CODEC = ""
-    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
-                                 "video/x-raw, format=I420")]
+    HOST_ELEMENT = True
     PROPERTIES = {
-        "location": (str, "out.ivf", "output path"),
+        "location": (str, "", "optional IVF dump path"),
         "target-bitrate": (int, 256000, "bitrate in bits/sec"),
+        "deadline": (int, 1, "compatibility (unused)"),
     }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
-        self._frames = []
+        self._enc = None
         self._info = None
+        self._pkts = []
+        self._decouple = True
+        self._pending_buf = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            f = {}
+            if caps is not None and len(caps):
+                for k in ("width", "height", "framerate"):
+                    v = caps[0].get(k)
+                    if v is not None:
+                        f[k] = v
+            from ..core.structure import Structure
+            res = Caps([Structure(f"video/x-{self.CODEC}", f)])
+        else:
+            res = Caps.from_string("video/x-raw, format=I420")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
 
     def set_info(self, incaps, outcaps):
         from ..video.info import VideoInfo
         self._info = VideoInfo.from_caps_structure(incaps[0])
 
     def start(self):
-        self._frames = []
+        self._enc = None
+        self._pkts = []
+        self._pending_buf = True
 
-    def render(self, buf: Buffer) -> str:
+    def _ensure_enc(self):
+        if self._enc is None:
+            from ..codecs import vpx
+            fps = self._info.fps
+            fps = ((fps.num, fps.denom) if fps and fps.num
+                   else (30, 1))
+            self._fps = fps
+            self._enc = vpx.VpxEncoder(
+                self.CODEC, self._info.width, self._info.height,
+                fps, max(self.props["target-bitrate"] // 1000, 1))
+
+    def _emit(self, pkts, buf):
+        if self.props["location"]:
+            self._pkts.extend(p for p, _ in pkts)
+        if not pkts:
+            return None
+        data = [np.frombuffer(p, np.uint8) for p, _ in pkts]
+        if buf is not None:
+            return buf.with_(data=data)
+        return Buffer(data=data, batch=len(data))
+
+    def host_process(self, buf):
+        if buf is None:
+            self._pending_buf = None
+            if self._enc is None:
+                return None
+            pkts = self._enc.flush()
+            out = self._emit(pkts, None)
+            if self.props["location"]:
+                from ..codecs import vpx
+                vpx.write_ivf(self.props["location"], self.CODEC,
+                              self._info.width, self._info.height,
+                              self._fps, self._pkts)
+            self._enc = None
+            return out
+        self._ensure_enc()
         y, cb, cr = (np.asarray(p) for p in buf.data)
         if y.ndim == 2:
             y, cb, cr = y[None], cb[None], cr[None]
+        pkts = []
         for k in range(y.shape[0]):
-            self._frames.append((y[k], cb[k], cr[k]))
-        return "ok"
-
-    def stop(self):
-        if not self._frames or self._info is None:
-            return
-        from ..codecs import vpx
-        fps = self._info.fps
-        fps = ((fps.num, fps.denom) if fps and fps.num else (30, 1))
-        pkts = vpx.encode_frames(
-            self.CODEC, self._frames, self._info.width,
-            self._info.height, fps,
-            max(self.props["target-bitrate"] // 1000, 1))
-        vpx.write_ivf(self.props["location"], self.CODEC,
-                      self._info.width, self._info.height, fps,
-                      [p for p, _ in pkts])
-        self._frames = []
+            pkts.extend(self._enc.encode((y[k], cb[k], cr[k])))
+        return self._emit(pkts, buf)
 
 
 @register_element
@@ -152,6 +197,11 @@ class Vp8Enc(_VpxEnc):
     FACTORY = "vp8enc"
     DESCRIPTION = "Encode VP8 video streams"
     CODEC = "vp8"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "video/x-raw, format=I420"),
+        PadTemplate("src", PadDirection.SRC, "video/x-vp8"),
+    ]
 
 
 @register_element
@@ -159,3 +209,8 @@ class Vp9Enc(_VpxEnc):
     FACTORY = "vp9enc"
     DESCRIPTION = "Encode VP9 video streams"
     CODEC = "vp9"
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "video/x-raw, format=I420"),
+        PadTemplate("src", PadDirection.SRC, "video/x-vp9"),
+    ]

@@ -396,3 +396,29 @@ def test_sctp_reorder():
         if o is not None:
             got += [bytes(np.asarray(x).tobytes()) for x in o.data]
     assert b"first" in got and b"second" in got
+
+
+def test_vp8_matroska_roundtrip(tmp_path):
+    vpx = pytest.importorskip("gstreamer_tpu.codecs.vpx")
+    if not vpx.available():
+        pytest.skip("libvpx missing")
+    path = str(tmp_path / "v.mkv")
+    p = parse_launch(
+        "videotestsrc num-buffers=5 ! video/x-raw,format=I420,"
+        "width=64,height=48,framerate=25/1 ! vp8enc ! "
+        f"matroskamux location={path}")
+    p.run()
+    p.set_state("null")
+    assert b"V_VP8" in open(path, "rb").read()
+    q = parse_launch(f"matroskademux location={path} ! appsink name=o")
+    q.run()
+    sink = q.get_by_name("o")
+    n = 0
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        d = s.buffer.data
+        y = np.asarray(d[0] if isinstance(d, (tuple, list)) else d)
+        n += y.shape[0] if y.ndim == 3 else 1
+    assert n == 5
