@@ -422,3 +422,25 @@ def test_vp8_matroska_roundtrip(tmp_path):
         y = np.asarray(d[0] if isinstance(d, (tuple, list)) else d)
         n += y.shape[0] if y.ndim == 3 else 1
     assert n == 5
+
+
+def test_opusenc_stream(tmp_path):
+    from gstreamer_tpu.codecs import opus as popus
+    if not popus.available():
+        pytest.skip("libopus missing")
+    path = str(tmp_path / "dump.opus")
+    p = parse_launch(
+        "audiotestsrc num-buffers=10 ! audio/x-raw,format=S16LE,"
+        "rate=48000,channels=2,layout=interleaved ! "
+        f"opusenc location={path} ! avdec_opus ! appsink name=o")
+    p.run()
+    sink = p.get_by_name("o")
+    tot = 0
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        tot += np.asarray(s.buffer.data).shape[0]
+    assert tot >= 10 * 1024              # ~10 buffers of audio
+    blob = open(path, "rb").read()       # the optional Ogg dump
+    assert blob[:4] == b"OggS" and b"OpusHead" in blob
