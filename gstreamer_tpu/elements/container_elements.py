@@ -805,7 +805,8 @@ class MatroskaMux(AggregatorElement):
                     presence=PadPresence.REQUEST),
         PadTemplate("audio_%u", PadDirection.SINK,
                     "audio/x-raw, format=S16LE, layout=interleaved; "
-                    "audio/mpeg, mpegversion=4, stream-format=raw",
+                    "audio/mpeg, mpegversion=4, stream-format=raw; "
+                    "audio/x-opus",
                     presence=PadPresence.REQUEST),
         PadTemplate("subtitle_%u", PadDirection.SINK,
                     "text/x-raw, format=utf8",
@@ -870,6 +871,12 @@ class MatroskaMux(AggregatorElement):
                     self._ainfo = AudioInfo(format="S16LE",
                                             rate=s["rate"],
                                             channels=s["channels"])
+                elif s.name == "audio/x-opus":
+                    self._acodec = "opus"
+                    self._ainfo = AudioInfo(
+                        format="S16LE",
+                        rate=s.get("rate") or 48000,
+                        channels=s.get("channels") or 2)
                 else:
                     self._ainfo = AudioInfo.from_caps_structure(s)
         if self.props.get("audio-codec") == "vorbis" \
@@ -976,6 +983,12 @@ class MatroskaMux(AggregatorElement):
                 codec = (ebml_str(CODEC_ID, "A_AAC")
                          + ebml_elem(CODEC_PRIVATE,
                                      _make_asc(ai.rate, ai.channels)))
+            elif self._acodec == "opus":
+                from ..codecs.opus import opus_head
+                codec = (ebml_str(CODEC_ID, "A_OPUS")
+                         + ebml_elem(CODEC_PRIVATE,
+                                     opus_head(ai.channels, 0,
+                                               ai.rate)))
             else:
                 audio += ebml_uint(BIT_DEPTH, 16)
                 codec = ebml_str(CODEC_ID, "A_PCM/INT/LIT")
@@ -1122,6 +1135,17 @@ class MatroskaMux(AggregatorElement):
                     self._file.write(ebml_elem(
                         CLUSTER, ebml_uint(CLUSTER_TS, ts_ms)
                         + group))
+            elif self._acodec == "opus":
+                for blob in _video_blobs(buf):
+                    ts_ms = self._apkts * 20       # 20 ms frames
+                    if cluster_ts is None:
+                        cluster_ts = ts_ms
+                    rel = ts_ms - cluster_ts
+                    blocks += ebml_elem(
+                        SIMPLE_BLOCK,
+                        ebml_size(2) + struct.pack(">h", rel)
+                        + b"\x80" + blob)
+                    self._apkts += 1
             elif self._acodec == "aac":
                 ai = self._ainfo
                 for blob in _video_blobs(buf):

@@ -444,3 +444,29 @@ def test_opusenc_stream(tmp_path):
     assert tot >= 10 * 1024              # ~10 buffers of audio
     blob = open(path, "rb").read()       # the optional Ogg dump
     assert blob[:4] == b"OggS" and b"OpusHead" in blob
+
+
+def test_opus_matroska_roundtrip(tmp_path):
+    from gstreamer_tpu.codecs import opus as popus
+    if not popus.available():
+        pytest.skip("libopus missing")
+    path = str(tmp_path / "a.mkv")
+    p = parse_launch(
+        "audiotestsrc num-buffers=20 ! audio/x-raw,format=S16LE,"
+        "rate=48000,channels=2,layout=interleaved ! opusenc ! "
+        f"matroskamux location={path}")
+    p.run()
+    p.set_state("null")
+    data = open(path, "rb").read()
+    assert b"A_OPUS" in data and b"OpusHead" in data
+    q = parse_launch(f"matroskademux location={path} stream=audio ! "
+                     "appsink name=o")
+    q.run()
+    sink = q.get_by_name("o")
+    tot = 0
+    while True:
+        s = sink.pull_sample()
+        if s is None:
+            break
+        tot += np.asarray(s.buffer.data).shape[0]
+    assert tot >= 20 * 1024
