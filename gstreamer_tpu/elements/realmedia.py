@@ -427,3 +427,50 @@ class RaDemux(SourceElement):
                 "block_align": frame}
         return Buffer(data=blobs, batch=max(len(blobs), 1), pts=0,
                       meta=meta)
+
+
+@register_element
+class PnmSrc(SourceElement):
+    """pnmsrc (gst-plugins-ugly/gst/realmedia/pnmsrc.c): the legacy
+    Progressive Networks Media protocol source.  Exactly like the
+    reference, the only thing it does is post a "redirect" element
+    message rewriting pnm:// to rtsp:// and end the stream — modern
+    RealMedia servers speak RTSP."""
+    FACTORY = "pnmsrc"
+    DESCRIPTION = "Receive data over the network via PNM"
+    PAD_TEMPLATES = [PadTemplate(
+        "src", PadDirection.SRC, "application/vnd.rn-realmedia")]
+    PROPERTIES = {"location": (str, "", "pnm:// URL")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._done = False
+        self.redirect_location = None
+
+    def get_caps(self, filter=None):
+        caps = Caps.from_string("application/vnd.rn-realmedia")
+        if filter is not None:
+            caps = caps.intersect(filter)
+        return caps
+
+    def start(self):
+        self._done = False
+
+    def create(self, n_frames: int) -> Optional[Buffer]:
+        if self._done:
+            return None
+        self._done = True
+        loc = self.props["location"]
+        if not loc.startswith("pnm://"):
+            raise ValueError("pnmsrc: location must be a pnm:// URL")
+        url = "rtsp" + loc[3:]
+        self.redirect_location = url
+        pipe = getattr(self, "pipeline", None) or \
+            getattr(self, "parent", None)
+        bus = getattr(pipe, "bus", None)
+        if bus is not None:
+            from ..core.pipeline import Message
+            bus.post(Message("element", self.name,
+                             {"structure": "redirect",
+                              "new-location": url}))
+        return None                     # immediate EOS
