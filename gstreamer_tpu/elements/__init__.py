@@ -121,3 +121,6 @@ from ..net import avtp          # noqa: F401  (IEEE 1722 AVB)
 from .. import mse              # noqa: F401  (msesrc + MediaSource API)
 from ..net import rfb           # noqa: F401  (rfbsrc VNC client)
 from ..net import sctp          # noqa: F401  (sctpenc/sctpdec)
+from ..net import fanout        # noqa: F401  (multiudpsink/dynudpsink/...)
+from . import aliases           # noqa: F401  (alternate factory names)
+from . import moreparsers       # noqa: F401  (h263/h266/vc1/dirac/j2k/ogg/tag parsers)
