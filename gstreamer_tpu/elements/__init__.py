@@ -124,3 +124,4 @@ from ..net import sctp          # noqa: F401  (sctpenc/sctpdec)
 from ..net import fanout        # noqa: F401  (multiudpsink/dynudpsink/...)
 from . import aliases           # noqa: F401  (alternate factory names)
 from . import moreparsers       # noqa: F401  (h263/h266/vc1/dirac/j2k/ogg/tag parsers)
+from ..net import dtls_elements # noqa: F401  (dtlsenc/dtlsdec/dtlssrtp*)

@@ -179,6 +179,26 @@ class DtlsConnection:
         self._crypto.BIO_write(self._rbio, data, len(data))
         self.pump()
 
+    # -- application data (SSL_read/SSL_write over the BIO pair) -----------
+    def write_app(self, data: bytes) -> None:
+        """Encrypt application bytes; records appear in take_outgoing()
+        (gstdtlsconnection.c gst_dtls_connection_send analog)."""
+        if not self.complete:
+            raise RuntimeError("dtls: handshake not complete")
+        self._sslmod.SSL_write(self._conn, data, len(data))
+
+    def read_app(self, maxlen: int = 65536) -> bytes:
+        """Drain decrypted application bytes fed via feed_incoming()."""
+        s = self._sslmod
+        buf = ctypes.create_string_buffer(maxlen)
+        out = b""
+        while True:
+            n = s.SSL_read(self._conn, buf, maxlen)
+            if n <= 0:
+                break
+            out += buf.raw[:n]
+        return out
+
     def peer_fingerprint(self) -> Optional[str]:
         """SHA-256 digest of the certificate the peer actually
         presented, in SDP a=fingerprint form ("sha-256 AB:CD:…"), or
