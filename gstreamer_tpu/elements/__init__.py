@@ -127,3 +127,4 @@ from . import moreparsers       # noqa: F401  (h263/h266/vc1/dirac/j2k/ogg/tag p
 from ..net import dtls_elements # noqa: F401  (dtlsenc/dtlsdec/dtlssrtp*)
 from . import subtitles_extra  # noqa: F401  (subtitleoverlay/ttml/ape/bpm)
 from . import ipcpipeline      # noqa: F401  (cross-process pipeline split)
+from . import gio_dv           # noqa: F401  (giostreamsrc/sink, dvdemux)
