@@ -128,3 +128,4 @@ from ..net import dtls_elements # noqa: F401  (dtlsenc/dtlsdec/dtlssrtp*)
 from . import subtitles_extra  # noqa: F401  (subtitleoverlay/ttml/ape/bpm)
 from . import ipcpipeline      # noqa: F401  (cross-process pipeline split)
 from . import gio_dv           # noqa: F401  (giostreamsrc/sink, dvdemux)
+from ..net import websinks     # noqa: F401  (HTTP/FTP/SMTP client sinks)
