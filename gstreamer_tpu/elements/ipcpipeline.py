@@ -26,8 +26,11 @@ from ..core.buffer import Buffer, FlowReturn
 from ..core.caps import Caps
 from ..core.element import (PadDirection, PadTemplate, SinkElement,
                             SourceElement, register_element)
+from ..utils.log import get_logger
 from .gdp import (PAYLOAD_BUFFER, PAYLOAD_CAPS, _deserialize_payload,
                   _serialize_payload, dp_packet, dp_parse)
+
+_log = get_logger("ipcpipeline")
 
 # GDP event payload class (gst dp-private.h: events are 64 + type);
 # only EOS crosses the boundary in this reduction
@@ -65,8 +68,16 @@ class IpcPipelineSink(SinkElement):
         if caps is None:
             pad = self.sink_pads()[0]
             caps = pad.caps
+        if caps is None:
+            # ANY-caps upstream: without a caps record the slave
+            # cannot deserialize — fail the flow (the pipeline posts
+            # the bus error) instead of raising from
+            # _serialize_payload.
+            _log.error("ipcpipelinesink %s: no caps negotiated on the "
+                       "sink pad; cannot frame buffers", self.name)
+            return FlowReturn.ERROR
         out = bytearray()
-        if not self._caps_sent and caps is not None:
+        if not self._caps_sent:
             out += dp_packet(PAYLOAD_CAPS,
                              str(caps).encode() + b"\0")
             self._caps_sent = True

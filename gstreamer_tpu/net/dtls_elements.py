@@ -34,23 +34,41 @@ from . import dtls
 
 
 # connection-id -> shared DtlsConnection (gst_dtls_dec_fetch_connection
-# keeps the same process-wide table keyed by the id string)
+# keeps the same process-wide table keyed by the id string).  Entries
+# are refcounted: each element acquires once (first _conn() after
+# start) and releases in stop(), so restarting a pipeline with the
+# same connection-id gets a fresh association instead of silently
+# reusing the completed one.
 _CONNECTIONS: Dict[str, "dtls.DtlsConnection"] = {}
 _AGENTS: Dict[str, "dtls.DtlsAgent"] = {}
+_ROLES: Dict[str, bool] = {}
+_REFS: Dict[str, int] = {}
 
 
-def _get_connection(conn_id: str, is_client: bool):
+def _get_connection(conn_id: str, is_client: bool, acquire: bool = False):
     if conn_id not in _CONNECTIONS:
         agent = _AGENTS.setdefault(conn_id, dtls.DtlsAgent())
         _CONNECTIONS[conn_id] = agent.connection(is_client=is_client)
+        _ROLES[conn_id] = is_client
         if is_client:
             _CONNECTIONS[conn_id].pump()         # first flight
+    elif _ROLES.get(conn_id) != is_client:
+        raise ValueError(
+            "dtls connection-id %r already exists with is-client=%s; "
+            "a paired element must request the same role"
+            % (conn_id, _ROLES.get(conn_id)))
+    if acquire:
+        _REFS[conn_id] = _REFS.get(conn_id, 0) + 1
     return _CONNECTIONS[conn_id]
 
 
 def _release_connection(conn_id: str) -> None:
-    _CONNECTIONS.pop(conn_id, None)
-    _AGENTS.pop(conn_id, None)
+    refs = _REFS.get(conn_id, 0) - 1
+    if refs > 0:
+        _REFS[conn_id] = refs
+        return
+    for table in (_CONNECTIONS, _AGENTS, _ROLES, _REFS):
+        table.pop(conn_id, None)
 
 
 def _blobs(buf: Buffer) -> List[bytes]:
@@ -74,7 +92,18 @@ class _DtlsBase(TransformElement):
 
     def _conn(self):
         cid = self.props["connection-id"] or self.name
-        return _get_connection(cid, self.props["is-client"])
+        acquire = getattr(self, "_acquired_cid", None) != cid
+        conn = _get_connection(cid, self.props["is-client"],
+                               acquire=acquire)
+        if acquire:
+            self._acquired_cid = cid
+        return conn
+
+    def stop(self):
+        cid = getattr(self, "_acquired_cid", None)
+        if cid is not None:
+            _release_connection(cid)
+            self._acquired_cid = None
 
     def transform_caps(self, direction, caps, filter=None):
         res = Caps.from_string(self._OUT_CAPS

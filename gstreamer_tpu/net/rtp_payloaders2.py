@@ -550,8 +550,10 @@ class RtpMp2tDepay(_FrameDepayBase):
     ]
 
     def _strip(self, payload: bytes) -> bytes:
-        # drop a trailing partial TS packet (RFC 2250 §2.1)
-        return payload[:188 * (len(payload) // 188)] or payload
+        # drop a trailing partial TS packet (RFC 2250 §2.1); a payload
+        # shorter than one TS packet yields nothing rather than a
+        # truncated packet
+        return payload[:188 * (len(payload) // 188)]
 
 
 @register_element
@@ -809,10 +811,12 @@ class RtpJ2kPay(_FramePayBase):
         while off < len(frame) or first:
             chunk = frame[off:off + room]
             last = off + len(chunk) >= len(frame)
-            # tp=0 MHF=3(whole header in 1st) mh_id=0 T=1 prio=255
+            # RFC 5371 main header: tp(2)|MHF(2)|mh_id(3)|T(1), priority,
+            # 16-bit tile, reserved byte, then the 24-bit fragment offset
+            # at bytes 5-7 (gstrtpj2kpay.c layout). T=1: no tile header.
             mhf = 3 if first else 0
-            hdr8 = struct.pack(">BBBB", mhf << 4, 0xFF, 0, 0) \
-                + struct.pack(">I", off)[1:] + b"\x00"
+            hdr8 = struct.pack(">BBHB", (mhf << 4) | 1, 0xFF, 0, 0) \
+                + off.to_bytes(3, "big")
             hdr = rtp_header(self.props["pt"], self._seq, ts,
                              self.props["ssrc"], marker=last,
                              extension=self._ext_block())
@@ -1387,8 +1391,10 @@ class RtpUlpFecEnc(TransformElement):
         for pkt in pkts:
             h = parse_rtp_header(pkt)
             mask |= 1 << (15 - ((h["seq"] - sn_base) & 0xFFFF))
+        # First byte 0x00: E=0, L=0 (short 16-bit mask), P/X/CC recovery
+        # unused here — matches rtpulpfeccommon.h short-mask framing.
         fec_hdr = struct.pack(
-            ">BBHIH", 0x40, ptrec & 0xFF, sn_base & 0xFFFF,
+            ">BBHIH", 0x00, ptrec & 0xFF, sn_base & 0xFFFF,
             tsrec & 0xFFFFFFFF, lenrec & 0xFFFF)
         level = struct.pack(">HH", paylen, mask)
         body = b""
