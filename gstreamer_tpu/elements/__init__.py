@@ -129,3 +129,4 @@ from . import subtitles_extra  # noqa: F401  (subtitleoverlay/ttml/ape/bpm)
 from . import ipcpipeline      # noqa: F401  (cross-process pipeline split)
 from . import gio_dv           # noqa: F401  (giostreamsrc/sink, dvdemux)
 from ..net import websinks     # noqa: F401  (HTTP/FTP/SMTP client sinks)
+from . import opencv_filters   # noqa: F401  (cv image-DSP family)
