@@ -50,7 +50,7 @@ def bench_audioresample(jax, jnp):
 
     res = AudioResampler("kaiser", 48000, 16000)
     n = 1 << 17                       # ~2.7 s of 48 kHz stereo per chunk
-    bsz = 32                          # chunks batched via vmap
+    bsz = 128                         # chunks batched via vmap
     rng = np.random.default_rng(0)
     x = rng.integers(-32768, 32767, (bsz, n, 2), dtype=np.int16)
     rf = res.resample_fn("f32", n, 2)
@@ -69,11 +69,29 @@ def bench_audioresample(jax, jnp):
             "value": round(msps, 2), "unit": "Msamples/s"}
 
 
+
+
+def _drain(pipe):
+    """Fetch one byte of the sink's last device buffer: the tunnel's
+    block_until_ready is unreliable, and without a fetch these loops
+    time dispatch rate, not throughput."""
+    import numpy as _np
+    for e in pipe.iterate_elements() if hasattr(pipe, "iterate_elements") \
+            else pipe.elements:
+        buf = getattr(e, "last_buffer", None)
+        if buf is not None and buf.data is not None:
+            leaves = buf.data if isinstance(buf.data, (tuple, list)) \
+                else [buf.data]
+            leaf = leaves[0]
+            if hasattr(leaf, "ravel") and not isinstance(leaf, _np.ndarray):
+                _np.asarray(leaf.ravel()[0:1])   # 1-byte device fetch
+            return
+
 def bench_compositor(jax, jnp):
     from gstreamer_tpu.core.buffer import Buffer
     from gstreamer_tpu.core.parse import parse_launch
 
-    batch = 8
+    batch = 32
     desc = ("compositor name=c "
             "sink_1::xpos=1920 sink_2::ypos=1080 "
             "sink_3::xpos=1920 sink_3::ypos=1080 ! "
@@ -101,11 +119,13 @@ def bench_compositor(jax, jnp):
     push_all()
     pipe.set_state(State.PLAYING)
     pipe.tick()
+    _drain(pipe)
     iters = 32
     t0 = time.perf_counter()
     for _ in range(iters):
         push_all()
         pipe.tick()
+    _drain(pipe)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
     return {"metric": "compositor_4x1080p_to_4k_mosaic",
@@ -116,7 +136,7 @@ def bench_deinterlace_chain(jax, jnp):
     from gstreamer_tpu.core.buffer import Buffer
     from gstreamer_tpu.core.parse import parse_launch
 
-    batch = 32
+    batch = 64
     pipe = parse_launch(
         "appsrc name=in caps=video/x-raw,format=I420,width=1920,"
         "height=1080,framerate=30/1 ! deinterlace method=linear ! "
@@ -142,11 +162,13 @@ def bench_deinterlace_chain(jax, jnp):
     pipe.tick()
     push()
     pipe.tick()
+    _drain(pipe)
     iters = 24
     t0 = time.perf_counter()
     for _ in range(iters):
         push()
         pipe.tick()
+    _drain(pipe)
     fps = batch * iters / (time.perf_counter() - t0)
     return {"metric": "deinterlace_videobalance_1080i_chain",
             "value": round(fps, 1), "unit": "frames/s/chip"}
@@ -159,7 +181,7 @@ def bench_effectv(jax, jnp):
     from gstreamer_tpu.core.parse import parse_launch
     from gstreamer_tpu.core.pipeline import State
 
-    batch = 64
+    batch = 128
     pipe = parse_launch(
         "appsrc name=in caps=video/x-raw,format=RGB,width=640,height=480,"
         "framerate=30/1 ! edgetv ! vertigotv ! fakesink")
@@ -175,11 +197,13 @@ def bench_effectv(jax, jnp):
     push()
     pipe.set_state(State.PLAYING)
     pipe.tick()
+    _drain(pipe)
     iters = 24
     t0 = time.perf_counter()
     for _ in range(iters):
         push()
         pipe.tick()
+    _drain(pipe)
     fps = batch * iters / (time.perf_counter() - t0)
     return {"metric": "effectv_edge_vertigo_480p_device_scan",
             "value": round(fps, 1), "unit": "frames/s/chip"}

@@ -76,7 +76,7 @@ def _ts_packet(pid: int, payload: bytes, pusi: bool, cc: int,
     else:
         content = bytearray([0x10 if pcr is not None else 0x00])
         if pcr is not None:
-            base, ext = pcr // 300, pcr % 300
+            base, ext = (pcr // 300) & ((1 << 33) - 1), pcr % 300
             content += bytes([
                 (base >> 25) & 0xFF, (base >> 17) & 0xFF,
                 (base >> 9) & 0xFF, (base >> 1) & 0xFF,
@@ -310,12 +310,19 @@ class TsDemux(SourceElement):
         "stream": (str, "0", "elementary stream index"),
     }
 
+    # PCR discontinuity threshold (ns): jumps beyond this (or flagged
+    # via the adaptation-field discontinuity_indicator) open a new
+    # timestamp group (mpegtspacketizer.c pcr-wrap/discont machinery)
+    PCR_DISCONT_NS = 1_000_000_000
+
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._units = None
         self._pos = 0
         self.sections: List = []          # parsed PSI sections
         self.scte35_sits: List[tuple] = []  # (ScteSit, section)
+        self.cc_gaps: List[tuple] = []    # (pid, pkt_index, exp, got)
+        self.pcr_discontinuities = 0
 
     def _load(self):
         if self._units is not None:
@@ -325,20 +332,88 @@ class TsDemux(SourceElement):
             data = f.read()
         # PID -> raw PES bytes, in PUSI-delimited units
         pmt_pid = None
+        pcr_pid = None
         streams: Dict[int, int] = {}      # pid -> stream_type
         scte_pids: set = set()
-        pes_units: Dict[int, List[bytes]] = {}
+        pes_units: Dict[int, List[tuple]] = {}  # (bytes, pkt_i, disc)
         open_unit: Dict[int, bytearray] = {}
+        open_meta: Dict[int, tuple] = {}  # pid -> (pkt_index, discont)
+        last_cc: Dict[int, int] = {}
+        cc_gaps: List[tuple] = []
+        pending_discont: Dict[int, bool] = {}
+        # PCR timeline: (pkt_index, unwrapped 27 MHz value)
+        pcr_obs: List[tuple] = []
+        pcr_wrap = (1 << 33) * 300
+        pcr_offset = 0
+        last_raw_pcr = None
+        self.pcr_discontinuities = 0
+        pkt_i = -1
         for pos in range(0, len(data) - PKT + 1, PKT):
+            pkt_i += 1
             pkt = data[pos:pos + PKT]
             if pkt[0] != 0x47:
                 raise ValueError("tsdemux: lost packet sync")
             pusi = bool(pkt[1] & 0x40)
             pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
             afc = (pkt[3] >> 4) & 0x3
+            cc = pkt[3] & 0xF
             off = 4
+            af_discont = False
             if afc & 0x2:
-                off += 1 + pkt[4]
+                af_len = pkt[4]
+                off += 1 + af_len
+                if af_len >= 1:
+                    flags = pkt[5]
+                    af_discont = bool(flags & 0x80)
+                    if (flags & 0x10) and af_len >= 7 \
+                            and (pcr_pid is None or pid == pcr_pid):
+                        b = pkt[6:12]
+                        base = ((b[0] << 25) | (b[1] << 17)
+                                | (b[2] << 9) | (b[3] << 1)
+                                | (b[4] >> 7))
+                        ext = ((b[4] & 1) << 8) | b[5]
+                        raw = base * 300 + ext
+                        if last_raw_pcr is None:
+                            pass
+                        elif af_discont or abs(
+                                (raw + pcr_offset)
+                                - pcr_obs[-1][1]) * 1000 // 27 \
+                                > self.PCR_DISCONT_NS:
+                            # wrap first: a backwards jump close to
+                            # the 33-bit range is a wraparound, not a
+                            # discontinuity
+                            if (not af_discont
+                                    and last_raw_pcr - raw
+                                    > pcr_wrap // 2):
+                                pcr_offset += pcr_wrap
+                            else:
+                                # discontinuity: continue running
+                                # time using the previous PCR rate
+                                self.pcr_discontinuities += 1
+                                prev_unwrapped = pcr_obs[-1][1]
+                                if len(pcr_obs) >= 2:
+                                    i0, p0, _ = pcr_obs[-2]
+                                    i1, p1, _ = pcr_obs[-1]
+                                    rate = (p1 - p0) / max(i1 - i0, 1)
+                                else:
+                                    rate = 0.0
+                                est = prev_unwrapped + int(
+                                    rate * (pkt_i - pcr_obs[-1][0]))
+                                pcr_offset = est - raw
+                        pcr_obs.append((pkt_i, raw + pcr_offset, raw))
+                        last_raw_pcr = raw
+            # continuity counter check (mpegtspacketizer.c CC logic):
+            # expected next = prev+1 when the packet carries payload;
+            # a repeat of the same cc is a legal duplicate
+            if afc & 0x1:
+                prev = last_cc.get(pid)
+                if prev is not None and cc != ((prev + 1) & 0xF) \
+                        and cc != prev:
+                    cc_gaps.append((pid, pkt_i, (prev + 1) & 0xF, cc))
+                    pending_discont[pid] = True
+                    if pid in open_meta:      # gap corrupts open unit
+                        open_meta[pid] = (open_meta[pid][0], True)
+                last_cc[pid] = cc
             if not (afc & 0x1):
                 continue
             payload = pkt[off:]
@@ -353,6 +428,7 @@ class TsDemux(SourceElement):
             elif pid == pmt_pid and pusi:            # PMT
                 sec = payload[1 + payload[0]:]
                 slen = ((sec[1] & 0x0F) << 8) | sec[2]
+                pcr_pid = ((sec[8] & 0x1F) << 8) | sec[9]
                 pinfo = ((sec[10] & 0x0F) << 8) | sec[11]
                 body = sec[12 + pinfo:3 + slen - 4]
                 i = 0
@@ -372,13 +448,17 @@ class TsDemux(SourceElement):
             elif pid in streams:
                 if pusi:
                     if pid in open_unit and open_unit[pid]:
-                        pes_units[pid].append(bytes(open_unit[pid]))
+                        pes_units[pid].append(
+                            (bytes(open_unit[pid]),) + open_meta[pid])
                     open_unit[pid] = bytearray(payload)
+                    open_meta[pid] = (pkt_i,
+                                      pending_discont.pop(pid, False))
                 elif pid in open_unit:
                     open_unit[pid] += payload
         for pid, acc in open_unit.items():
             if acc:
-                pes_units[pid].append(bytes(acc))
+                pes_units[pid].append((bytes(acc),) + open_meta[pid])
+        self.cc_gaps = cc_gaps
 
         # second pass: typed PSI sections (PAT/PMT/CAT + DVB SI on
         # their fixed PIDs + SCTE-35 splice PIDs) through the
@@ -404,7 +484,11 @@ class TsDemux(SourceElement):
             _CAPS_FOR_TYPE.get(streams[pid],
                                "application/octet-stream"))
         units = []
-        for pes in pes_units[pid]:
+        import bisect
+
+        pcr_idx = [o[0] for o in pcr_obs]
+        first_pcr = pcr_obs[0][1] if pcr_obs else None
+        for pes, start_pkt, discont in pes_units[pid]:
             if pes[:3] != b"\x00\x00\x01":
                 continue
             hdr_len = pes[8]
@@ -413,7 +497,27 @@ class TsDemux(SourceElement):
                 p = pes[9:14]
                 pts = (((p[0] >> 1) & 0x7) << 30 | p[1] << 22
                        | (p[2] >> 1) << 15 | p[3] << 7 | p[4] >> 1)
-            units.append((pes[9 + hdr_len:], pts))
+            pts_ns = None
+            if pts is not None:
+                if first_pcr is not None:
+                    # timestamp from the PCR clock (tsdemux.c): take
+                    # the PCR observation at-or-before this unit and
+                    # express the 33-bit PTS as a signed wrap-relative
+                    # distance from that group's RAW PCR, then anchor
+                    # on the unwrapped timeline — this handles both
+                    # wraparound and discontinuity groups
+                    k = bisect.bisect_right(pcr_idx, start_pkt) - 1
+                    k = max(k, 0)
+                    _, ref_unwrapped, ref_raw = pcr_obs[k]
+                    wrap = 1 << 33
+                    rel = ((pts - ref_raw // 300 + wrap // 2) % wrap
+                           ) - wrap // 2
+                    ptsu90 = ref_unwrapped // 300 + rel
+                    pts_ns = (ptsu90 - first_pcr // 300) \
+                        * 1_000_000_000 // 90000
+                else:
+                    pts_ns = pts * 1_000_000_000 // 90000
+            units.append((pes[9 + hdr_len:], pts_ns, discont))
         self._units = units
 
     def preview_blob(self) -> Optional[bytes]:
@@ -453,6 +557,11 @@ class TsDemux(SourceElement):
                 root.bus.post(Message("element", self.name, {
                     "section": sec, "pid": pid,
                     "section-type": sec.section_type}))
+            if self.cc_gaps:
+                root.bus.post(Message("warning", self.name, {
+                    "name": "ts-continuity",
+                    "gaps": list(self.cc_gaps),
+                    "count": len(self.cc_gaps)}))
         if self.scte35_sits:
             from ..core.events import Event, EventType
             for sit, sec in self.scte35_sits:
@@ -463,11 +572,13 @@ class TsDemux(SourceElement):
     def create(self, n_frames: int) -> Optional[Buffer]:
         if self._pos >= len(self._units):
             return None
-        payload, pts = self._units[self._pos]
+        payload, pts_ns, discont = self._units[self._pos]
         self._pos += 1
+        from ..core.buffer import BufferFlags
         return Buffer(
             data=np.frombuffer(payload, np.uint8), batch=1,
-            pts=None if pts is None else pts * 1_000_000_000 // 90000)
+            pts=pts_ns,
+            flags=BufferFlags.DISCONT if discont else 0)
 
 
 @register_element
