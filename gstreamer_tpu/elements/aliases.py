@@ -124,3 +124,25 @@ class DashDemux2(DashDemux):
 class MssDemux2(MssDemux):
     FACTORY = "mssdemux2"
     DESCRIPTION = "Smooth Streaming demuxer (adaptivedemux2)"
+
+
+def _register_dvdec():
+    """dvdec (gst-plugins-good/ext/dv/gstdvdec.c): the libdv decoder
+    name; resolves to the libavcodec DV decoder (avdec_dvvideo) the
+    same way gst-libav shadows it — registered only when the system
+    libavcodec ships the codec."""
+    from ..core.element import _REGISTRY
+
+    entry = _REGISTRY.get("avdec_dvvideo")
+    if entry is None:
+        return
+    base = entry[0]
+
+    @register_element
+    class DvDec(base):
+        FACTORY = "dvdec"
+        DESCRIPTION = "Uses libdv to decode DV video (libavcodec " \
+                      "dvvideo backend)"
+
+
+_register_dvdec()

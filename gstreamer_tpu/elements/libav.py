@@ -424,6 +424,8 @@ _DECODERS = [
      "libav RealVideo 3.0 decoder"),
     ("avdec_rv40", "rv40", "video/x-pn-realvideo, rmversion=4",
      "libav RealVideo 4.0 decoder"),
+    ("avdec_dvvideo", "dvvideo", "video/x-dv, systemstream=false",
+     "libav DV (Digital Video) decoder"),
 ]
 
 _AUDIO_DECODERS = [
