@@ -177,6 +177,14 @@ class Compositor(AggregatorElement):
                     for n, c in self._converters.items()}
         use_alpha_blend = ofmt.has_alpha
 
+        if not use_alpha_blend:
+            # per-plane fast path (the reference's actual structure:
+            # blend.c blends each plane at its own resolution — the
+            # canonical 4:4:4 int32 staging below inflates a 4K tick
+            # ~10x in HBM and is only needed for per-pixel-alpha ops)
+            return self._plane_fn(jnp, oi, ofmt, order, conv_fns,
+                                  background)
+
         def fn(inputs):
             # inputs: dict padname -> planes of that pad's caps
             some = next(iter(inputs.values()))
@@ -223,6 +231,76 @@ class Compositor(AggregatorElement):
                         jnp, dst_region, src_canon, b_alpha)
                 out_canon = out_canon.at[..., y0:y1, x0:x1, :].set(blended)
             return pack(jnp, ofmt, out_canon, oi.width, oi.height)
+
+        return fn
+
+
+    def _plane_fn(self, jnp, oi, ofmt, order, conv_fns, background):
+        """Non-alpha aggregate: blend each component plane at its own
+        subsampled resolution (blend.c PLANAR_YUV_BLEND semantics;
+        alpha==1.0 is the reference's memcpy fast case)."""
+        from ..video.format import plane_shapes
+
+        shapes = plane_shapes(ofmt, oi.width, oi.height)
+        ncomp = len(shapes)
+        subs = [(ofmt.w_sub[c], ofmt.h_sub[c]) for c in range(ncomp)]
+
+        def bg_plane(ci):
+            ph, pw = shapes[ci]
+            if background == "checker":
+                yy, xx = np.mgrid[0:ph, 0:pw]
+                tab = np.array([80, 160, 80, 160], np.uint8)
+                val = tab[((yy & 8) >> 3) + ((xx & 8) >> 3)]
+                if ofmt.is_rgb or ci == 0:
+                    return val.astype(np.uint8)
+                return np.full((ph, pw), 128, np.uint8)
+            if background == "white":
+                v = 255 if (ofmt.is_rgb or ci == 0) else 128
+            elif background == "transparent":
+                v = 0 if ofmt.is_rgb else (16 if ci == 0 else 128)
+            else:                                  # black
+                v = 0 if ofmt.is_rgb else (16 if ci == 0 else 128)
+            return np.full((ph, pw), v, np.uint8)
+
+        bgs = [bg_plane(ci) for ci in range(ncomp)]
+
+        def fn(inputs):
+            some = next(iter(inputs.values()))
+            batch = some[0].shape[:-2]
+            outs = []
+            for ci in range(ncomp):
+                ws, hs = subs[ci]
+                acc = jnp.broadcast_to(jnp.asarray(bgs[ci]),
+                                       batch + shapes[ci])
+                for name in order:
+                    if self._geometry.get(name) is None \
+                            or name not in inputs:
+                        continue
+                    planes = inputs[name]
+                    if conv_fns[name] is not None:
+                        planes = conv_fns[name](planes)
+                    pp = self.get_pad_props(name)
+                    if pp["alpha"] == 0.0:
+                        continue
+                    x0, y0, x1, y1 = self._geometry[name]
+                    px0, py0 = x0 >> ws, y0 >> hs
+                    pw, ph = (x1 - x0) >> ws, (y1 - y0) >> hs
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    src = planes[ci][..., :ph, :pw]
+                    if pp["operator"] == "source" or pp["alpha"] == 1.0:
+                        blended = src.astype(acc.dtype)
+                    else:
+                        a256 = max(0, min(255, int(pp["alpha"] * 255)))
+                        region = acc[..., py0:py0 + ph, px0:px0 + pw] \
+                            .astype(jnp.int32)
+                        blended = blend_ops.blend_plane(
+                            jnp, region, src.astype(jnp.int32), a256) \
+                            .astype(acc.dtype)
+                    acc = acc.at[..., py0:py0 + ph,
+                                 px0:px0 + pw].set(blended)
+                outs.append(acc)
+            return tuple(outs)
 
         return fn
 

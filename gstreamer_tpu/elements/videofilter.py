@@ -112,13 +112,57 @@ class VideoBalance(_VideoFilterBase):
         return (tabley.astype(np.int32), tableu.astype(np.int32),
                 tablev.astype(np.int32))
 
+    def _f32_direct_ok(self, ty, tu, tv):
+        """The LUTs are pure affine maps of the pixel value; direct
+        per-pixel float32 evaluation is ~50x faster than TPU gathers.
+        Verify at trace time that f32 arithmetic reproduces every
+        entry of the float64-built tables (rint ties can differ in
+        principle); fall back to the gather path if any differs."""
+        c = np.float32(self.props["contrast"])
+        b255 = np.float32(self.props["brightness"] * 255.0)
+        hue, sat = self.props["hue"], self.props["saturation"]
+        hcs = np.float32(math.cos(math.pi * hue) * sat)
+        hss = np.float32(math.sin(math.pi * hue) * sat)
+        i = np.arange(256, dtype=np.float32)
+        ty2 = np.clip(np.rint(np.float32(16) + (i - np.float32(16))
+                              * c + b255), 0, 255).astype(np.int32)
+        ii, jj = np.mgrid[-128:128, -128:128].astype(np.float32)
+        tu2 = np.clip(np.rint(np.float32(128) + ii * hcs + jj * hss),
+                      0, 255).astype(np.int32)
+        tv2 = np.clip(np.rint(np.float32(128) - ii * hss + jj * hcs),
+                      0, 255).astype(np.int32)
+        ok = (np.array_equal(ty2, ty) and np.array_equal(tu2, tu)
+              and np.array_equal(tv2, tv))
+        return ok, (c, b255, hcs, hss)
+
     def make_fn(self):
         if (self.props["contrast"] == 1.0 and self.props["brightness"] == 0.0
                 and self.props["hue"] == 0.0 and self.props["saturation"] == 1.0):
             return None
         ty, tu, tv = self._tables()
+        direct_ok, consts = self._f32_direct_ok(ty, tu, tv)
         info = self._info
         fmt = info.finfo
+
+        if direct_ok:
+            c, b255, hcs, hss = (float(v) for v in consts)
+
+            def fn(planes):
+                import jax.numpy as jnp
+                yf = planes[0].astype(jnp.float32)
+                uf = planes[1].astype(jnp.float32) - 128.0
+                vf = planes[2].astype(jnp.float32) - 128.0
+                y2 = jnp.clip(jnp.rint(16.0 + (yf - 16.0) * c + b255),
+                              0, 255)
+                u2 = jnp.clip(jnp.rint(128.0 + uf * hcs + vf * hss),
+                              0, 255)
+                v2 = jnp.clip(jnp.rint(128.0 - uf * hss + vf * hcs),
+                              0, 255)
+                out = [y2.astype(jnp.uint8), u2.astype(jnp.uint8),
+                       v2.astype(jnp.uint8)]
+                return tuple(out) + tuple(planes[3:])
+
+            return fn
 
         def fn(planes):
             import jax.numpy as jnp
