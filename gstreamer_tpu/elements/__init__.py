@@ -132,3 +132,4 @@ from ..net import websinks     # noqa: F401  (HTTP/FTP/SMTP client sinks)
 from . import opencv_filters   # noqa: F401  (cv image-DSP family)
 from . import opencv_analysis  # noqa: F401  (cv analysis/detection family)
 from . import opencv_camera   # noqa: F401  (cv camera/cascade family)
+from . import webrtcdsp       # noqa: F401  (voice processing DSP)
