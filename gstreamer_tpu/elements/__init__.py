@@ -133,3 +133,4 @@ from . import opencv_filters   # noqa: F401  (cv image-DSP family)
 from . import opencv_analysis  # noqa: F401  (cv analysis/detection family)
 from . import opencv_camera   # noqa: F401  (cv camera/cascade family)
 from . import webrtcdsp       # noqa: F401  (voice processing DSP)
+from . import assrender       # noqa: F401  (ASS/SSA styled subtitles)

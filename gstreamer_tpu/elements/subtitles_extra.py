@@ -98,16 +98,38 @@ class _TextOverlayAggBase(AggregatorElement):
 
 @register_element
 class SubtitleOverlay(_TextOverlayAggBase):
+    """subtitleoverlay (gstsubtitleoverlay.c): plain text renders via
+    the bitmap overlay; ASS/SSA input autoplugs the assrender path
+    (the reference picks assrender by rank for these caps)."""
     FACTORY = "subtitleoverlay"
     DESCRIPTION = "Overlays a video stream with subtitles"
     PAD_TEMPLATES = [
         PadTemplate("video", PadDirection.SINK,
                     "video/x-raw, format=I420"),
         PadTemplate("text", PadDirection.SINK,
-                    "text/x-raw, format=utf8"),
+                    "text/x-raw, format=utf8; application/x-ass; "
+                    "application/x-ssa"),
         PadTemplate("src", PadDirection.SRC,
                     "video/x-raw, format=I420"),
     ]
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._ass = None
+
+    def negotiate_output(self, in_caps, allowed):
+        text = in_caps.get("text")
+        if text is not None and len(text) and text[0].name in (
+                "application/x-ass", "application/x-ssa"):
+            from .assrender import AssRender
+            self._ass = AssRender(name=self.name + "_assrender")
+            self._ass.negotiate_output(in_caps, allowed)
+        return in_caps.get("video")
+
+    def host_aggregate(self, ins):
+        if self._ass is not None:
+            return self._ass.host_aggregate(ins)
+        return super().host_aggregate(ins)
 
 
 _TTML_TIME = re.compile(
