@@ -134,3 +134,5 @@ from . import opencv_analysis  # noqa: F401  (cv analysis/detection family)
 from . import opencv_camera   # noqa: F401  (cv camera/cascade family)
 from . import webrtcdsp       # noqa: F401  (voice processing DSP)
 from . import assrender       # noqa: F401  (ASS/SSA styled subtitles)
+from . import ogm             # noqa: F401  (OGM parsers, ogg-in-avi)
+from ..net import rtp_tail    # noqa: F401  (remaining RTP pay/depay)

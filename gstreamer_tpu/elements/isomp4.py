@@ -36,7 +36,7 @@ from ..core.buffer import Buffer
 from ..core.caps import Caps
 from ..core.element import (AggregatorElement, MultiStreamSourceElement,
                             PadDirection, PadPresence, PadTemplate,
-                            SourceElement, register_element)
+                            SinkElement, SourceElement, register_element)
 from ..core.value import Fraction
 from ..video.format import from_bytes, to_bytes
 from ..video.info import VideoInfo
@@ -118,14 +118,27 @@ class QtMux(AggregatorElement):
                     presence=PadPresence.REQUEST),
         PadTemplate("src", PadDirection.SRC, "video/quicktime"),
     ]
-    PROPERTIES = {"location": (str, "out.mov", "output path")}
+    PROPERTIES = {
+        "location": (str, "out.mov", "output path"),
+        "moov-recovery-file": (str, "", "write a recovery journal "
+                               "and the mdat incrementally so "
+                               "qtmoovrecover can rebuild the moov "
+                               "after a crash"),
+    }
 
     def __init__(self, name=None, **props):
         super().__init__(name=name, **props)
         self._tracks: Dict[str, _Track] = {}
+        self._journal_caps: Dict[str, str] = {}
+        self._rec_file = None
+        self._rec_journal = None
+        self._rec_offsets: Dict[str, List[int]] = {}
+        self._rec_sizes: Dict[str, List[int]] = {}
 
     def negotiate_output(self, in_caps: Dict[str, Caps], allowed):
         self._tracks = {}
+        self._journal_caps = {
+            pad: str(caps.fixate()) for pad, caps in in_caps.items()}
         for pad_name, caps in in_caps.items():
             s = caps.fixate()[0]
             if pad_name.startswith("video"):
@@ -187,6 +200,44 @@ class QtMux(AggregatorElement):
             t.samples = []
             t.audio_blob = []
             t.audio_frames = 0
+        self._rec_file = self._rec_journal = None
+        self._rec_offsets, self._rec_sizes = {}, {}
+        rec = self.props.get("moov-recovery-file", "")
+        if rec:
+            import json
+
+            ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0x200)
+                        + b"qt  ")
+            self._rec_file = open(self.props["location"], "wb")
+            self._rec_file.write(ftyp)
+            # 16-byte mdat header: size=1 + 64-bit largesize
+            # placeholder (patched in stop; qtmoovrecover ignores it)
+            self._rec_file.write(struct.pack(">I", 1) + b"mdat"
+                                 + struct.pack(">Q", 0))
+            self._rec_file.flush()
+            self._rec_base = len(ftyp) + 16
+            self._rec_journal = open(rec, "w")
+            self._rec_journal.write(json.dumps(
+                {"tracks": self._journal_caps,
+                 "mdat_base": self._rec_base}) + "\n")
+            self._rec_journal.flush()
+
+    def _rec_sample(self, pad_name: str, data: bytes,
+                    frames: int = 0) -> None:
+        """Recovery mode: append the sample to the open mdat and
+        journal its location."""
+        import json
+
+        off = self._rec_file.tell()
+        self._rec_file.write(data)
+        self._rec_file.flush()
+        self._rec_offsets.setdefault(pad_name, []).append(off)
+        self._rec_sizes.setdefault(pad_name, []).append(len(data))
+        rec = {"pad": pad_name, "off": off, "size": len(data)}
+        if frames:
+            rec["frames"] = frames
+        self._rec_journal.write(json.dumps(rec) + "\n")
+        self._rec_journal.flush()
 
     def host_aggregate(self, ins: Dict[str, Buffer]) -> Optional[Buffer]:
         for pad_name, buf in ins.items():
@@ -252,6 +303,17 @@ class QtMux(AggregatorElement):
                     t.audio_blob.append(
                         afmt.to_bytes(t.ainfo.finfo, x).tobytes())
                 t.audio_frames += x.shape[0]
+        if self._rec_file is not None:
+            for pad_name in ins:
+                t = self._tracks[pad_name]
+                done = len(self._rec_offsets.get(pad_name, []))
+                if t.kind == "audio":
+                    for blob in t.audio_blob[done:]:
+                        self._rec_sample(pad_name, blob,
+                                         frames=t.audio_frames)
+                else:
+                    for s in t.samples[done:]:
+                        self._rec_sample(pad_name, s)
         first = next(iter(ins.values()))
         return first.with_(data=np.zeros(1, np.uint8))
 
@@ -469,6 +531,13 @@ class QtMux(AggregatorElement):
         return _box(b"trak", tkhd + mdia)
 
     def stop(self):
+        if self._rec_file is not None:
+            # clean completion: close the incremental copy and write
+            # the standard layout below (the journal + partial file
+            # only matter when the process dies mid-record)
+            self._rec_file.close()
+            self._rec_journal.close()
+            self._rec_file = self._rec_journal = None
         if not self._tracks:
             return
         ftyp = _box(b"ftyp", b"qt  " + struct.pack(">I", 0x200)
@@ -1347,3 +1416,90 @@ class CmafMux(AggregatorElement):
 class Fmp4Mux(CmafMux):
     FACTORY = "fmp4mux"
     DESCRIPTION = "Fragmented MP4 muxer"
+
+
+def recover_qt_file(broken: str, journal: str, fixed: str) -> int:
+    """Rebuild a playable file from a crashed qtmux recording:
+    read the journal (caps + per-sample mdat locations), pull the
+    sample bytes out of the broken file, and write a fresh complete
+    file through the normal muxer. Returns the sample count."""
+    import json
+
+    with open(journal) as jf:
+        lines = jf.read().splitlines()
+    head = json.loads(lines[0])
+    with open(broken, "rb") as bf:
+        data = bf.read()
+
+    mux = QtMux(name="_recover", location=fixed)
+    in_caps = {pad: Caps.from_string(c)
+               for pad, c in head["tracks"].items()}
+    mux.negotiate_output(in_caps, Caps.any())
+    for t in mux._tracks.values():
+        t.samples, t.audio_blob, t.audio_frames = [], [], 0
+    n = 0
+    for line in lines[1:]:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue                    # torn tail write mid-crash
+        off, size = rec["off"], rec["size"]
+        if off + size > len(data):
+            continue                    # sample truncated by the crash
+        t = mux._tracks.get(rec["pad"])
+        if t is None:
+            continue
+        blob = data[off:off + size]
+        if t.kind == "audio":
+            t.audio_blob.append(blob)
+            t.audio_frames = rec.get("frames", t.audio_frames)
+        else:
+            t.samples.append(blob)
+        n += 1
+    mux.stop()
+    return n
+
+
+@register_element
+class QtMoovRecover(SinkElement):
+    """qtmoovrecover (gst-plugins-good/gst/isomp4/gstqtmoovrecover.c):
+    rebuilds a playable file from a crashed qtmux recording using the
+    moov-recovery-file journal.  Like the reference this is not a
+    streaming element — set the three path properties and run it; it
+    performs the recovery at start and posts an element message
+    (qtmoovrecover-done / error on the bus)."""
+    FACTORY = "qtmoovrecover"
+    DESCRIPTION = "Recovers unfinished qtmux files"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK, Caps.any())]
+    PROPERTIES = {
+        "broken-input": (str, "", "path to the broken (crashed) "
+                                  "recording"),
+        "recovery-input": (str, "", "path to the moov recovery "
+                                    "journal"),
+        "fixed-output": (str, "", "path for the recovered file"),
+        "fast-start-mode": (bool, False, "accepted for API parity"),
+    }
+
+    def start(self):
+        root = self
+        while getattr(root, "parent", None) is not None:
+            root = root.parent
+        from ..core.pipeline import Message
+
+        try:
+            n = recover_qt_file(self.props["broken-input"],
+                                self.props["recovery-input"],
+                                self.props["fixed-output"])
+        except (OSError, ValueError, KeyError) as e:
+            if hasattr(root, "bus"):
+                root.bus.post(Message("error", self.name,
+                                      {"reason": str(e)}))
+            return
+        if hasattr(root, "bus"):
+            root.bus.post(Message("element", self.name, {
+                "name": "qtmoovrecover-done", "samples": n,
+                "location": self.props["fixed-output"]}))
