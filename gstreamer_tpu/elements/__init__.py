@@ -136,3 +136,4 @@ from . import webrtcdsp       # noqa: F401  (voice processing DSP)
 from . import assrender       # noqa: F401  (ASS/SSA styled subtitles)
 from . import ogm             # noqa: F401  (OGM parsers, ogg-in-avi)
 from ..net import rtp_tail    # noqa: F401  (remaining RTP pay/depay)
+from . import pixbuf_overlay  # noqa: F401  (image/vector overlay family)
