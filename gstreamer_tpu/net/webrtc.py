@@ -80,7 +80,15 @@ class WebRTCBin(SinkElement):
     """webrtcbin: JSEP endpoint.  Feed application/x-rtp on the sink
     pad (sent over the nominated ICE pair); received packets are
     available via `pull_received()` / the receive queue — the batch
-    model's analog of the dynamic src pads."""
+    model's analog of the dynamic src pads.
+
+    NAT limits (net/ice.py reduction): candidate gathering covers host
+    + one server-reflexive (STUN) candidate only — no TURN relay, no
+    mDNS candidates.  Peers behind symmetric NAT therefore CANNOT
+    connect; when every candidate pair fails the agent enters the
+    "failed" state, connection_state becomes "failed", a bus error is
+    posted, and media send() raises — the failure is loud, not
+    silent."""
     FACTORY = "webrtcbin"
     DESCRIPTION = "A bin for webrtc connections"
     PAD_TEMPLATES = [PadTemplate("sink", PadDirection.SINK,
@@ -301,6 +309,20 @@ class WebRTCBin(SinkElement):
                 break
             time.sleep(0.02)
         self.connection_state = "failed"
+        self._post_ice_failed()
+
+    def _post_ice_failed(self) -> None:
+        """All candidate pairs failed: post a loud bus error (the
+        symmetric-NAT / no-TURN case called out in the class docs)."""
+        root = self
+        while getattr(root, "parent", None) is not None:
+            root = root.parent
+        if hasattr(root, "bus"):
+            from ..core.pipeline import Message
+            root.bus.post(Message("error", self.name, {
+                "reason": "ICE failed: no candidate pair succeeded "
+                          "(no TURN relay support — peers behind "
+                          "symmetric NAT cannot connect)"}))
 
     def _dtls_handshake_loop(self):
         """Wait for ICE nomination, then pump the DTLS handshake over
