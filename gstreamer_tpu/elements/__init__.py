@@ -95,6 +95,7 @@ from . import cc_sei             # noqa: F401
 from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401
+from . import siren_elements     # noqa: F401
 from . import audioparsers       # noqa: F401
 from . import coloreffects       # noqa: F401
 from . import gaudieffects       # noqa: F401
