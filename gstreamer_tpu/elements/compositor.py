@@ -265,41 +265,91 @@ class Compositor(AggregatorElement):
         bgs = [bg_plane(ci) for ci in range(ncomp)]
 
         def fn(inputs):
+            # Banded assembly: the trace-time geometry partitions each
+            # output plane into rectangular cells; every cell's value is
+            # the zorder fold of the pads covering it, and the plane is
+            # assembled with concatenates.  Each output byte is written
+            # exactly once — the sequential .at[region].set chain this
+            # replaces re-materialized the full accumulator per pad
+            # (~1.6 GB extra HBM traffic per 4K tick, BASELINE.md
+            # round-5 roofline).
+            present = []
+            converted = {}
+            for name in order:
+                if self._geometry.get(name) is None or name not in inputs:
+                    continue
+                if self.get_pad_props(name)["alpha"] == 0.0:
+                    continue
+                planes = inputs[name]
+                if conv_fns[name] is not None:
+                    planes = conv_fns[name](planes)
+                converted[name] = planes
+                present.append(name)
             some = next(iter(inputs.values()))
             batch = some[0].shape[:-2]
             outs = []
             for ci in range(ncomp):
                 ws, hs = subs[ci]
-                acc = jnp.broadcast_to(jnp.asarray(bgs[ci]),
-                                       batch + shapes[ci])
-                for name in order:
-                    if self._geometry.get(name) is None \
-                            or name not in inputs:
-                        continue
-                    planes = inputs[name]
-                    if conv_fns[name] is not None:
-                        planes = conv_fns[name](planes)
-                    pp = self.get_pad_props(name)
-                    if pp["alpha"] == 0.0:
-                        continue
+                ph_out, pw_out = shapes[ci]
+                rects = {}
+                for name in present:
                     x0, y0, x1, y1 = self._geometry[name]
                     px0, py0 = x0 >> ws, y0 >> hs
                     pw, ph = (x1 - x0) >> ws, (y1 - y0) >> hs
-                    if pw <= 0 or ph <= 0:
+                    if pw > 0 and ph > 0:
+                        rects[name] = (px0, py0, px0 + pw, py0 + ph)
+                ys = sorted({0, ph_out}
+                            | {r[1] for r in rects.values()}
+                            | {r[3] for r in rects.values()})
+                ys = [y for y in ys if 0 <= y <= ph_out]
+                bands = []
+                for yb0, yb1 in zip(ys, ys[1:]):
+                    if yb1 <= yb0:
                         continue
-                    src = planes[ci][..., :ph, :pw]
-                    if pp["operator"] == "source" or pp["alpha"] == 1.0:
-                        blended = src.astype(acc.dtype)
-                    else:
-                        a256 = max(0, min(255, int(pp["alpha"] * 255)))
-                        region = acc[..., py0:py0 + ph, px0:px0 + pw] \
-                            .astype(jnp.int32)
-                        blended = blend_ops.blend_plane(
-                            jnp, region, src.astype(jnp.int32), a256) \
-                            .astype(acc.dtype)
-                    acc = acc.at[..., py0:py0 + ph,
-                                 px0:px0 + pw].set(blended)
-                outs.append(acc)
+                    xs = sorted({0, pw_out}
+                                | {r[0] for r in rects.values()
+                                   if r[1] <= yb0 and r[3] >= yb1}
+                                | {r[2] for r in rects.values()
+                                   if r[1] <= yb0 and r[3] >= yb1})
+                    xs = [x for x in xs if 0 <= x <= pw_out]
+                    segs = []
+                    for xb0, xb1 in zip(xs, xs[1:]):
+                        if xb1 <= xb0:
+                            continue
+                        val = None  # lazily materialize background
+                        for name in present:
+                            r = rects.get(name)
+                            if (r is None or r[0] > xb0 or r[2] < xb1
+                                    or r[1] > yb0 or r[3] < yb1):
+                                continue
+                            src = converted[name][ci][
+                                ..., yb0 - r[1]:yb1 - r[1],
+                                xb0 - r[0]:xb1 - r[0]]
+                            pp = self.get_pad_props(name)
+                            if (pp["operator"] == "source"
+                                    or pp["alpha"] == 1.0):
+                                val = src.astype(jnp.uint8)
+                            else:
+                                if val is None:
+                                    val = jnp.broadcast_to(
+                                        jnp.asarray(
+                                            bgs[ci][yb0:yb1, xb0:xb1]),
+                                        batch + (yb1 - yb0, xb1 - xb0))
+                                a256 = max(0, min(255,
+                                                  int(pp["alpha"] * 255)))
+                                val = blend_ops.blend_plane(
+                                    jnp, val.astype(jnp.int32),
+                                    src.astype(jnp.int32), a256) \
+                                    .astype(jnp.uint8)
+                        if val is None:
+                            val = jnp.broadcast_to(
+                                jnp.asarray(bgs[ci][yb0:yb1, xb0:xb1]),
+                                batch + (yb1 - yb0, xb1 - xb0))
+                        segs.append(val)
+                    bands.append(segs[0] if len(segs) == 1
+                                 else jnp.concatenate(segs, axis=-1))
+                outs.append(bands[0] if len(bands) == 1
+                            else jnp.concatenate(bands, axis=-2))
             return tuple(outs)
 
         return fn
