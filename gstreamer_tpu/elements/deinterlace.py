@@ -355,6 +355,30 @@ class Deinterlace(TransformElement):
         def cl(i):
             return min(max(i, 0), n_fields - 1)
 
+        if method in ("linear", "scalerbob"):
+            # intra-frame methods: no cross-field dependency, so skip
+            # the batch-axis field gathers entirely — compute both
+            # parities over ALL frames and assemble the field sequence
+            # with a stack+reshape (pure layout, no data movement
+            # beyond one read + one write)
+            src16 = plane.astype(xp.int16)
+            t = _shift_rows(xp, src16, -1)
+            interp = (t if method == "scalerbob" else
+                      ((t + _shift_rows(xp, src16, 1) + 1) >> 1)) \
+                .astype(xp.uint8)
+            src = plane.astype(xp.uint8)
+            rows_even = np.arange(plane.shape[-2]) % 2 == 0
+            m_even = xp.asarray(rows_even[:, None])
+            out_p0 = xp.where(m_even, src, interp)
+            out_p1 = xp.where(~m_even, src, interp)
+            first, second = ((out_p0, out_p1) if parity0 == 0
+                             else (out_p1, out_p0))
+            seq = xp.stack([first, second], axis=1).reshape(
+                (n_fields,) + plane.shape[-2:])
+            if J == list(range(J[0], J[0] + len(J))):
+                return seq[J[0]:J[0] + len(J)]
+            return seq[np.asarray(J)]
+
         groups = {}          # (method, par) -> list of j
         for j in J:
             par = (parity0 + j) % 2
@@ -452,26 +476,29 @@ class Deinterlace(TransformElement):
 
         # frame-based simple methods: synthesize missing rows over the
         # source frame (edge clamps read the stale opposite field rows,
-        # matching get_line CLAMP), then mask
-        older_frame = self._field_at_missing_rows(xp, older.astype(i32),
-                                                  src, par)
+        # matching get_line CLAMP), then mask.  older_frame is built
+        # lazily — linear/scalerbob never touch it.
+        def older_frame():
+            return self._field_at_missing_rows(xp, older.astype(i32),
+                                               src, par)
+
         t = _shift_rows(xp, src, -1)
         bt = _shift_rows(xp, src, 1)
         if method == "linear":
             interp = (t + bt + 1) >> 1
         elif method == "linearblend":
-            m1 = older_frame
+            m1 = older_frame()
             interp = xp.clip((t + bt + 2 * m1 + 2) >> 2, 0, 255)
         elif method == "vfir":
-            tt = _shift_rows(xp, older_frame, -2)
-            bb = _shift_rows(xp, older_frame, 2)
-            m1 = older_frame
+            m1 = older_frame()
+            tt = _shift_rows(xp, m1, -2)
+            bb = _shift_rows(xp, m1, 2)
             interp = xp.clip((4 * (t + bt) + 2 * m1 - (tt + bb) + 4) >> 3,
                              0, 255)
         elif method == "scalerbob":
             interp = t
         elif method == "greedyl":
-            m1 = older_frame
+            m1 = older_frame()
             mp = self._field_at_missing_rows(xp, newer.astype(i32), src,
                                              par)
             interp = _greedyl_synth(xp, t, bt, m1, mp, max_comb)
@@ -542,8 +569,12 @@ class Deinterlace(TransformElement):
             import jax
 
             def run(ps):
+                # all methods produce u8-ranged lines (the reference's
+                # per-line outputs are u8); store u8 to halve the HBM
+                # write vs the int32 intermediates
                 return tuple(
-                    self._deint_fields(jnp, p, J, parity0, luma=(pi == 0))
+                    self._deint_fields(jnp, p, J, parity0,
+                                       luma=(pi == 0)).astype(jnp.uint8)
                     for pi, p in enumerate(ps))
 
             fn = jax.jit(run)
