@@ -604,3 +604,105 @@ if native_av.available() and native_av.have_codec("mpeg2video",
     _make_enc("mpeg2enc", "mpeg2video",
               "video/mpeg, mpegversion=2, systemstream=false",
               "MPEG-2 video encoder (mpeg2enc analog)", "")
+
+
+# ---------------------------------------------------------------------------
+# aptX / aptX-HD (Bluetooth A2DP): the reference's openaptxenc/
+# openaptxdec (gst-plugins-bad/ext/openaptx/gstopenaptxenc.c:1,
+# gstopenaptxdec.c:1) wrap libopenaptx; mirroring that architecture,
+# these wrap libavcodec's native aptX codec.  Caps match the
+# reference: audio/aptx and audio/aptx-hd, stereo only.  gst-libav's
+# avdec_aptx/avdec_aptx_hd names are registered as aliases.
+
+class _AptxDecBase(_AvAudioDec):
+    HOST_ELEMENT = True
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._rate = 48000
+        self._variant = "aptx"
+
+    def set_info(self, incaps, outcaps):
+        s = incaps[0]
+        self._rate = int(s.get("rate") or 48000)
+        self._variant = ("aptx_hd" if s.name == "audio/aptx-hd"
+                         else "aptx")
+
+    def host_process(self, buf):
+        if buf is not None and self._dec is None:
+            self._dec = native_av.AvAudioDecoder(
+                self._variant, rate=self._rate, channels=2)
+            self._pending_buf = True
+        return super().host_process(buf)
+
+
+class _AptxEncBase(_AvAudioEnc):
+    """hd=true selects aptX-HD (the reference negotiates the variant
+    from downstream caps; here it is a property — documented
+    reduction)."""
+    HOST_ELEMENT = True
+    PROPERTIES = dict(_AvAudioEnc.PROPERTIES,
+                      hd=(bool, False, "encode aptX-HD"))
+
+    def transform_caps(self, direction, caps, filter=None):
+        if direction == PadDirection.SINK:
+            name = "audio/aptx-hd" if self.props["hd"] else "audio/aptx"
+            f = {"channels": 2}
+            if caps is not None and len(caps):
+                v = caps[0].get("rate")
+                if v is not None:
+                    f["rate"] = v
+            from ..core.structure import Structure
+            res = Caps([Structure(name, f)])
+        else:
+            res = Caps.from_string(
+                "audio/x-raw, format={ F32LE, S16LE }, channels=2, "
+                "layout=interleaved")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def _ensure(self):
+        if self._enc is None:
+            self.AV_CODEC = "aptx_hd" if self.props["hd"] else "aptx"
+        super()._ensure()
+
+
+def _make_aptx(factory_dec, factory_enc, desc):
+    dec = type(factory_dec, (_AptxDecBase,), {
+        "FACTORY": factory_dec,
+        "DESCRIPTION": f"{desc} decoder (libavcodec)",
+        "AV_CODEC": "aptx",
+        "SINK_CAPS": "audio/aptx, channels=2; audio/aptx-hd, channels=2",
+        "PAD_TEMPLATES": [
+            PadTemplate("sink", PadDirection.SINK,
+                        "audio/aptx, channels=2; "
+                        "audio/aptx-hd, channels=2"),
+            PadTemplate("src", PadDirection.SRC,
+                        "audio/x-raw, format=F32LE, channels=2, "
+                        "layout=interleaved"),
+        ],
+    })
+    register_element(dec)
+    if factory_enc:
+        enc = type(factory_enc, (_AptxEncBase,), {
+            "FACTORY": factory_enc,
+            "DESCRIPTION": f"{desc} encoder (libavcodec)",
+            "AV_CODEC": "aptx",
+            "SRC_CAPS": "audio/aptx, channels=2",
+            "PAD_TEMPLATES": [
+                PadTemplate("sink", PadDirection.SINK,
+                            "audio/x-raw, format={ F32LE, S16LE }, "
+                            "channels=2, layout=interleaved"),
+                PadTemplate("src", PadDirection.SRC,
+                            "audio/aptx, channels=2; "
+                            "audio/aptx-hd, channels=2"),
+            ],
+        })
+        register_element(enc)
+
+
+if native_av.available() and native_av.have_codec("aptx"):
+    _make_aptx("openaptxdec", "openaptxenc", "aptX/aptX-HD audio")
+    _make_aptx("avdec_aptx", None, "aptX audio")
+    _make_aptx("avdec_aptx_hd", None, "aptX-HD audio")

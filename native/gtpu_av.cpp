@@ -364,6 +364,20 @@ int gtpu_avaenc_send(void *h, const float *pcm) {
                     ? -32768 : (int16_t)v;
             }
         }
+    } else if (e->ctx->sample_fmt == AV_SAMPLE_FMT_S32 ||
+               e->ctx->sample_fmt == AV_SAMPLE_FMT_S32P) {
+        // s32(p) encoders (aptx, aptx_hd): scale to full 32-bit range
+        bool planar = e->ctx->sample_fmt == AV_SAMPLE_FMT_S32P;
+        for (int k = 0; k < (planar ? C : 1); k++) {
+            int32_t *d = (int32_t *)e->frame->data[k];
+            int count = planar ? N : N * C;
+            for (int i = 0; i < count; i++) {
+                double v = (double)(planar ? pcm[i * C + k] : pcm[i])
+                           * 2147483648.0;
+                d[i] = v > 2147483647.0 ? 2147483647
+                     : v < -2147483648.0 ? INT32_MIN : (int32_t)v;
+            }
+        }
     } else {
         return -1;
     }

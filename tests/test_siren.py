@@ -208,3 +208,49 @@ class TestSirenElements:
         got = np.concatenate(outs)
         assert len(got) == 3200
         assert np.max(np.abs(got.astype(int))) > 1000  # real audio
+
+
+class TestAptx:
+    """openaptxenc/openaptxdec (libavcodec-backed, mirroring the
+    reference's libopenaptx wrapper architecture)."""
+
+    def _roundtrip(self, hd):
+        import pytest as _pytest
+        from gstreamer_tpu.native import av as native_av
+        if not (native_av.available() and native_av.have_codec("aptx")):
+            _pytest.skip("libavcodec aptx unavailable")
+        p = parse_launch(
+            "audiotestsrc num-buffers=20 samplesperbuffer=1024 "
+            "wave=sine freq=440 volume=0.4 ! "
+            "audio/x-raw,format=F32LE,rate=44100,channels=2 ! "
+            f"openaptxenc hd={'true' if hd else 'false'} ! "
+            "openaptxdec ! appsink name=out")
+        p.run()
+        outs = []
+        while (s := p.get_by_name("out").pull_sample()) is not None:
+            assert s.caps[0].name == "audio/x-raw"
+            outs.append(np.asarray(s.buffer.data))
+        got = np.concatenate(outs)
+        assert got.shape[1] == 2 and got.shape[0] > 15000
+        # steady-state region should carry the sine at high fidelity
+        seg = got[4096:16384, 0].astype(np.float64)
+        assert np.max(np.abs(seg)) > 0.3
+
+    def test_aptx_roundtrip(self):
+        self._roundtrip(False)
+
+    def test_aptx_hd_roundtrip(self):
+        self._roundtrip(True)
+
+    def test_coded_caps(self):
+        import pytest as _pytest
+        from gstreamer_tpu.native import av as native_av
+        if not (native_av.available() and native_av.have_codec("aptx")):
+            _pytest.skip("libavcodec aptx unavailable")
+        p = parse_launch(
+            "audiotestsrc num-buffers=4 samplesperbuffer=1024 ! "
+            "audio/x-raw,format=F32LE,rate=48000,channels=2 ! "
+            "openaptxenc ! appsink name=out")
+        p.run()
+        s = p.get_by_name("out").pull_sample()
+        assert s.caps[0].name == "audio/aptx"
