@@ -416,6 +416,12 @@ _DECODERS = [
      "libav FFV1 lossless decoder"),
     ("avdec_vp9", "vp9", "video/x-vp9",
      "libav VP9 decoder"),
+    ("avdec_wmv1", "wmv1", "video/x-wmv, wmvversion=1",
+     "libav WMV 7 decoder"),
+    ("avdec_wmv2", "wmv2", "video/x-wmv, wmvversion=2",
+     "libav WMV 8 decoder"),
+    ("avdec_wmv3", "wmv3", "video/x-wmv, wmvversion=3",
+     "libav WMV 9 decoder"),
     ("avdec_rv10", "rv10", "video/x-pn-realvideo, rmversion=1",
      "libav RealVideo 1.0 decoder"),
     ("avdec_rv20", "rv20", "video/x-pn-realvideo, rmversion=2",

@@ -85,6 +85,13 @@ def get_lib():
     lib.gtpu_avaenc_frame_size.argtypes = [ctypes.c_void_p]
     lib.gtpu_avaenc_send.restype = ctypes.c_int
     lib.gtpu_avaenc_send.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.gtpu_av_write_asf.restype = ctypes.c_int
+    lib.gtpu_av_write_asf.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.gtpu_av_probe.restype = ctypes.c_long
+    lib.gtpu_av_probe.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_long]
     lib.gtpu_av_quiet()
     _lib = lib
     return _lib
@@ -92,6 +99,33 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def write_asf(path: str, w: int = 160, h: int = 120,
+              nframes: int = 25, with_video: bool = True) -> bool:
+    """Write a real WMA(+WMV) ASF file via libavformat (test input)."""
+    lib = get_lib()
+    return bool(lib) and lib.gtpu_av_write_asf(
+        path.encode(), w, h, nframes, 1 if with_video else 0) == 0
+
+
+def probe(path: str):
+    """Demux any container with libavformat; returns per-stream dicts
+    (interop oracle for the framework's own muxer outputs)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(1 << 16)
+    r = lib.gtpu_av_probe(path.encode(), buf, len(buf))
+    if r < 0:
+        return None
+    out = []
+    for line in buf.value.decode().splitlines():
+        idx, name, typ, extra, npkt, nbytes = line.split()
+        out.append({"index": int(idx), "codec": name, "type": typ,
+                    "extradata_size": int(extra),
+                    "packets": int(npkt), "bytes": int(nbytes)})
+    return out
 
 
 def have_codec(name: str, encoder: bool = False) -> bool:

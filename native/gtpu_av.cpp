@@ -526,4 +526,159 @@ int gtpu_av_write_rm(const char *path, int w, int h, int nframes) {
     return 0;
 }
 
+// Write a real WMA+WMV ASF file via libavformat (test-input
+// generator for the asfdemux interop tests): wmav2 stereo sine +
+// wmv2 gradient video.
+int gtpu_av_write_asf(const char *path, int w, int h, int nframes,
+                      int with_video) {
+    AVFormatContext *oc = nullptr;
+    if (avformat_alloc_output_context2(&oc, nullptr, "asf", path) < 0)
+        return -1;
+    const AVCodec *ac = avcodec_find_encoder_by_name("wmav2");
+    const AVCodec *vc = with_video
+        ? avcodec_find_encoder_by_name("wmv2") : nullptr;
+    if (!ac || (with_video && !vc)) return -2;
+    AVStream *as = avformat_new_stream(oc, nullptr);
+    AVCodecContext *actx = avcodec_alloc_context3(ac);
+    actx->sample_rate = 44100;
+    av_channel_layout_default(&actx->ch_layout, 2);
+    actx->sample_fmt = ac->sample_fmts ? ac->sample_fmts[0]
+                                       : AV_SAMPLE_FMT_FLTP;
+    actx->time_base = {1, 44100};
+    actx->bit_rate = 128000;
+    if (avcodec_open2(actx, ac, nullptr) < 0) return -3;
+    avcodec_parameters_from_context(as->codecpar, actx);
+    as->time_base = actx->time_base;
+    AVStream *vs = nullptr;
+    AVCodecContext *vctx = nullptr;
+    if (with_video) {
+        vs = avformat_new_stream(oc, nullptr);
+        vctx = avcodec_alloc_context3(vc);
+        vctx->width = w; vctx->height = h;
+        vctx->pix_fmt = AV_PIX_FMT_YUV420P;
+        vctx->time_base = {1, 25};
+        vctx->bit_rate = 400000;
+        if (avcodec_open2(vctx, vc, nullptr) < 0) return -4;
+        avcodec_parameters_from_context(vs->codecpar, vctx);
+        vs->time_base = vctx->time_base;
+    }
+    if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) return -5;
+    if (avformat_write_header(oc, nullptr) < 0) return -6;
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *af = av_frame_alloc();
+    af->format = actx->sample_fmt;
+    af->nb_samples = actx->frame_size > 0 ? actx->frame_size : 1024;
+    av_channel_layout_default(&af->ch_layout, 2);
+    af->sample_rate = 44100;
+    av_frame_get_buffer(af, 0);
+    AVFrame *vf = nullptr;
+    if (with_video) {
+        vf = av_frame_alloc();
+        vf->format = AV_PIX_FMT_YUV420P;
+        vf->width = w; vf->height = h;
+        av_frame_get_buffer(vf, 0);
+    }
+    long asamples = 0;
+    for (int i = 0; i < nframes; i++) {
+        if (with_video) {
+            av_frame_make_writable(vf);
+            for (int y = 0; y < h; y++)
+                memset(vf->data[0] + y * vf->linesize[0],
+                       (16 * i + y) & 0xFF, w);
+            memset(vf->data[1], 128, vf->linesize[1] * h / 2);
+            memset(vf->data[2], 128, vf->linesize[2] * h / 2);
+            vf->pts = i;
+            avcodec_send_frame(vctx, vf);
+            while (avcodec_receive_packet(vctx, pkt) == 0) {
+                av_packet_rescale_ts(pkt, vctx->time_base,
+                                     vs->time_base);
+                pkt->stream_index = vs->index;
+                av_interleaved_write_frame(oc, pkt);
+            }
+        }
+        while (asamples < (long)(i + 1) * 44100 / 25) {
+            av_frame_make_writable(af);
+            for (int c = 0; c < 2; c++) {
+                float *s = (float *)af->data[c];
+                for (int k = 0; k < af->nb_samples; k++)
+                    s[k] = 0.4f * __builtin_sinf(
+                        2 * 3.14159265f * (c ? 660.f : 440.f) *
+                        (asamples + k) / 44100.0f);
+            }
+            af->pts = asamples;
+            asamples += af->nb_samples;
+            avcodec_send_frame(actx, af);
+            while (avcodec_receive_packet(actx, pkt) == 0) {
+                av_packet_rescale_ts(pkt, actx->time_base,
+                                     as->time_base);
+                pkt->stream_index = as->index;
+                av_interleaved_write_frame(oc, pkt);
+            }
+        }
+    }
+    avcodec_send_frame(actx, nullptr);
+    while (avcodec_receive_packet(actx, pkt) == 0) {
+        av_packet_rescale_ts(pkt, actx->time_base, as->time_base);
+        pkt->stream_index = as->index;
+        av_interleaved_write_frame(oc, pkt);
+    }
+    if (with_video) {
+        avcodec_send_frame(vctx, nullptr);
+        while (avcodec_receive_packet(vctx, pkt) == 0) {
+            av_packet_rescale_ts(pkt, vctx->time_base, vs->time_base);
+            pkt->stream_index = vs->index;
+            av_interleaved_write_frame(oc, pkt);
+        }
+    }
+    av_write_trailer(oc);
+    avio_closep(&oc->pb);
+    av_packet_free(&pkt);
+    av_frame_free(&af);
+    if (vf) av_frame_free(&vf);
+    avcodec_free_context(&actx);
+    if (vctx) avcodec_free_context(&vctx);
+    avformat_free_context(oc);
+    return 0;
+}
+
+// Demux any container with libavformat and summarize per stream:
+// "index codec_name media_type extradata_size npackets nbytes\n".
+// Interop oracle: proves files written by the framework's muxers are
+// readable by a third-party parser.
+long gtpu_av_probe(const char *path, char *out, long cap) {
+    AVFormatContext *ic = nullptr;
+    if (avformat_open_input(&ic, path, nullptr, nullptr) < 0)
+        return -1;
+    if (avformat_find_stream_info(ic, nullptr) < 0) {
+        avformat_close_input(&ic);
+        return -2;
+    }
+    long npkt[64] = {0};
+    long nbytes[64] = {0};
+    AVPacket *pkt = av_packet_alloc();
+    while (av_read_frame(ic, pkt) == 0) {
+        if (pkt->stream_index < 64) {
+            npkt[pkt->stream_index]++;
+            nbytes[pkt->stream_index] += pkt->size;
+        }
+        av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    long pos = 0;
+    for (unsigned i = 0; i < ic->nb_streams && i < 64; i++) {
+        AVCodecParameters *p = ic->streams[i]->codecpar;
+        const char *name = avcodec_get_name(p->codec_id);
+        const char *type =
+            p->codec_type == AVMEDIA_TYPE_VIDEO ? "video"
+            : p->codec_type == AVMEDIA_TYPE_AUDIO ? "audio" : "other";
+        int n = snprintf(out + pos, cap - pos,
+                         "%u %s %s %d %ld %ld\n", i, name, type,
+                         p->extradata_size, npkt[i], nbytes[i]);
+        if (n < 0 || pos + n >= cap) break;
+        pos += n;
+    }
+    avformat_close_input(&ic);
+    return pos;
+}
+
 }  // extern "C"
