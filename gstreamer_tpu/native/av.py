@@ -89,6 +89,9 @@ def get_lib():
     lib.gtpu_av_write_asf.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int,
                                       ctypes.c_int]
+    lib.gtpu_av_write_mxf.restype = ctypes.c_int
+    lib.gtpu_av_write_mxf.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int]
     lib.gtpu_av_probe.restype = ctypes.c_long
     lib.gtpu_av_probe.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_long]
@@ -107,6 +110,14 @@ def write_asf(path: str, w: int = 160, h: int = 120,
     lib = get_lib()
     return bool(lib) and lib.gtpu_av_write_asf(
         path.encode(), w, h, nframes, 1 if with_video else 0) == 0
+
+
+def write_mxf(path: str, w: int = 160, h: int = 120,
+              nframes: int = 25) -> bool:
+    """Write a real OP1a MXF (mpeg2video + PCM) via libavformat."""
+    lib = get_lib()
+    return bool(lib) and lib.gtpu_av_write_mxf(
+        path.encode(), w, h, nframes) == 0
 
 
 def probe(path: str):

@@ -641,6 +641,82 @@ int gtpu_av_write_asf(const char *path, int w, int h, int nframes,
     return 0;
 }
 
+// Write a real MXF (OP1a, mpeg2video + pcm_s16le) via libavformat:
+// reverse-direction oracle input for the clean-room mxfdemux.
+int gtpu_av_write_mxf(const char *path, int w, int h, int nframes) {
+    AVFormatContext *oc = nullptr;
+    if (avformat_alloc_output_context2(&oc, nullptr, "mxf", path) < 0)
+        return -1;
+    const AVCodec *vc = avcodec_find_encoder_by_name("mpeg2video");
+    if (!vc) return -2;
+    AVStream *vs = avformat_new_stream(oc, nullptr);
+    AVCodecContext *vctx = avcodec_alloc_context3(vc);
+    vctx->width = w; vctx->height = h;
+    vctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    vctx->time_base = {1, 25};
+    vctx->bit_rate = 500000;
+    vctx->gop_size = 12;
+    vctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(vctx, vc, nullptr) < 0) return -3;
+    avcodec_parameters_from_context(vs->codecpar, vctx);
+    vs->time_base = {1, 25};
+    AVStream *as = avformat_new_stream(oc, nullptr);
+    as->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+    as->codecpar->codec_id = AV_CODEC_ID_PCM_S16LE;
+    as->codecpar->sample_rate = 48000;
+    av_channel_layout_default(&as->codecpar->ch_layout, 1);
+    as->codecpar->format = AV_SAMPLE_FMT_S16;
+    as->codecpar->bits_per_coded_sample = 16;
+    as->time_base = {1, 48000};
+    if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) return -5;
+    if (avformat_write_header(oc, nullptr) < 0) return -6;
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *vf = av_frame_alloc();
+    vf->format = AV_PIX_FMT_YUV420P;
+    vf->width = w; vf->height = h;
+    av_frame_get_buffer(vf, 0);
+    long asamples = 0;
+    for (int i = 0; i < nframes; i++) {
+        av_frame_make_writable(vf);
+        for (int y = 0; y < h; y++)
+            memset(vf->data[0] + y * vf->linesize[0],
+                   (16 * i + y) & 0xFF, w);
+        memset(vf->data[1], 128, vf->linesize[1] * h / 2);
+        memset(vf->data[2], 128, vf->linesize[2] * h / 2);
+        vf->pts = i;
+        avcodec_send_frame(vctx, vf);
+        while (avcodec_receive_packet(vctx, pkt) == 0) {
+            pkt->stream_index = vs->index;
+            av_interleaved_write_frame(oc, pkt);
+        }
+        // 1/25s of sine audio per frame (1920 samples)
+        AVPacket *apkt = av_packet_alloc();
+        av_new_packet(apkt, 1920 * 2);
+        int16_t *s = (int16_t *)apkt->data;
+        for (int k = 0; k < 1920; k++)
+            s[k] = (int16_t)(8000.0 *
+                __builtin_sinf(2 * 3.14159265f * 440.0f *
+                               (asamples + k) / 48000.0f));
+        apkt->pts = asamples; apkt->dts = asamples;
+        apkt->stream_index = as->index;
+        asamples += 1920;
+        av_interleaved_write_frame(oc, apkt);
+        av_packet_free(&apkt);
+    }
+    avcodec_send_frame(vctx, nullptr);
+    while (avcodec_receive_packet(vctx, pkt) == 0) {
+        pkt->stream_index = vs->index;
+        av_interleaved_write_frame(oc, pkt);
+    }
+    av_write_trailer(oc);
+    avio_closep(&oc->pb);
+    av_packet_free(&pkt);
+    av_frame_free(&vf);
+    avcodec_free_context(&vctx);
+    avformat_free_context(oc);
+    return 0;
+}
+
 // Demux any container with libavformat and summarize per stream:
 // "index codec_name media_type extradata_size npackets nbytes\n".
 // Interop oracle: proves files written by the framework's muxers are

@@ -215,3 +215,61 @@ class TestOperationalPattern:
         atom[12], atom[13] = 0x10, 0x00
         assert op_name(bytes(atom)) == "opatom"
         assert op_name(b"") == "unknown"
+
+
+class TestMxfInterop:
+    """Two-way oracle interop with libavformat: our OP1a output probes
+    under avformat, and an avformat-written MXF (mpeg2video + PCM,
+    KAG-aligned partitions + index segments) demuxes here and decodes
+    end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def real_mxf(self, tmp_path_factory):
+        from gstreamer_tpu.native import av
+        if not av.available():
+            pytest.skip("libavformat unavailable")
+        path = str(tmp_path_factory.mktemp("mxf") / "real.mxf")
+        if not av.write_mxf(path, 160, 120, 25):
+            pytest.skip("cannot write reference MXF")
+        return path
+
+    def test_our_mux_readable_by_avformat(self, tmp_path):
+        from gstreamer_tpu.native import av
+        if not av.available():
+            pytest.skip("libavformat unavailable")
+        path = tmp_path / "mine.mxf"
+        p = parse_launch(
+            f"audiotestsrc num-buffers=4 samplesperbuffer=800 ! "
+            f"audio/x-raw,format=S16LE,rate=48000,channels=2 ! "
+            f"mxfmux location={path}")
+        p.run()
+        p.set_state("null")
+        info = av.probe(str(path))
+        assert info and info[0]["codec"] == "pcm_s16le"
+        assert info[0]["bytes"] == 4 * 800 * 2 * 2
+
+    def test_mpeg2_video_decodes(self, real_mxf):
+        p = parse_launch(
+            f"mxfdemux location={real_mxf} stream=video ! "
+            f"avdec_mpeg2video ! appsink name=o")
+        p.run()
+        n = 0
+        while (s := p.get_by_name("o").pull_sample()) is not None:
+            y = np.asarray(s.buffer.data[0])
+            assert y.shape[-2:] == (120, 160)
+            n += y.shape[0]
+        assert n == 25
+
+    def test_pcm_audio_tone(self, real_mxf):
+        p = parse_launch(
+            f"mxfdemux location={real_mxf} stream=audio ! "
+            f"appsink name=o")
+        p.run()
+        outs = []
+        while (s := p.get_by_name("o").pull_sample()) is not None:
+            outs.append(np.asarray(s.buffer.data))
+        a = np.concatenate(outs)
+        assert a.shape == (48000, 1) and a.dtype == np.int16
+        seg = a[8192:24576, 0].astype(np.float64)
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        assert abs(np.argmax(spec) * 48000 / len(seg) - 440) < 10
