@@ -96,6 +96,7 @@ from . import tagmux             # noqa: F401
 from . import flv                # noqa: F401
 from . import adpcm_elements     # noqa: F401
 from . import siren_elements     # noqa: F401
+from . import lc3_elements       # noqa: F401  (LE-Audio LC3 codec)
 from . import audioparsers       # noqa: F401
 from . import coloreffects       # noqa: F401
 from . import gaudieffects       # noqa: F401
