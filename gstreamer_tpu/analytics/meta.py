@@ -60,6 +60,7 @@ class ObjectDetectionMtd(_Mtd):
     h: float = 0.0
     confidence: float = 0.0
     label: str = ""
+    rotation: float = 0.0     # radians, oriented boxes (gst 1.28 OBB)
 
     def get_location(self):
         return self.x, self.y, self.w, self.h, self.confidence
