@@ -25,6 +25,7 @@ from . import subparse          # noqa: F401
 from ..net import rtp            # noqa: F401  (rtp elements)
 from ..net import rtp_payloaders # noqa: F401  (codec pay/depay, dtmf)
 from ..net import rtp_payloaders2 # noqa: F401  (remaining pay/depay family)
+from ..net import rtp_raw_audio  # noqa: F401  (L8/L24 + asteriskh263)
 from ..net import rtp_hdrext     # noqa: F401  (RFC 8285 extensions)
 from ..net import fec            # noqa: F401  (ST 2022-1 FEC)
 from ..net import adaptive       # noqa: F401  (hlsdemux/dashdemux)

@@ -146,3 +146,25 @@ def _register_dvdec():
 
 
 _register_dvdec()
+
+
+def _register_av1dec():
+    """av1dec (gst-plugins-bad/ext/aom/gstav1dec.c): the libaom
+    decoder name; resolves to the libavcodec AV1 (dav1d) decoder the
+    same way gst-libav shadows it — registered only when the system
+    libavcodec ships the codec."""
+    from ..core.element import _REGISTRY
+
+    entry = _REGISTRY.get("avdec_av1")
+    if entry is None:
+        return
+    base = entry[0]
+
+    @register_element
+    class Av1Dec(base):
+        FACTORY = "av1dec"
+        DESCRIPTION = "Decode AV1 video streams (libavcodec dav1d " \
+                      "backend)"
+
+
+_register_av1dec()
