@@ -570,3 +570,232 @@ class AvtpCrfCheck(_AvtpCrfBase):
 
     def _handle(self, pdu: bytes) -> bytes:
         return pdu                   # validation counters only
+
+
+# ---------------------------------------------------------------------------
+# RVF — IEEE 1722-2016 raw video format (subtype 0x07)
+# ---------------------------------------------------------------------------
+# Reference: gst-plugins-bad/ext/avtp/gstavtprvfpay.c (GRAY16_LE only,
+# :71; line-based packing :203-221 — whole lines per PDU when a line
+# fits the MTU, else fixed-size fragments with i_seq_num and the last
+# fragment of a line padded to fragment_size) and gstavtprvfdepay.c.
+# Stream PDU layout: bytes 16-17 active_pixels, 18-19 total_lines,
+# 20-21 stream_data_length, then the 8-byte RVF raw header:
+#   byte 24: ap<<7 | f<<6 | ef<<5 | evt
+#   byte 25: pixel_depth<<4 | pixel_format
+#   byte 26: frame_rate<<4 | colorspace
+#   byte 27: num_lines
+#   bytes 28-29: line_number (first line in this PDU, 1-based)
+#   byte 30: i_seq_num (fragment index within the line)
+#   byte 31: reserved
+
+SUBTYPE_RVF = 0x07
+RVF_PIXEL_DEPTH_8 = 1
+RVF_PIXEL_DEPTH_16 = 3
+RVF_PIXEL_FORMAT_MONO = 0
+RVF_COLORSPACE_GRAY = 6
+_RVF_HDR = 32                         # 24-byte stream pdu + 8 raw hdr
+
+
+def build_rvf_pdu(seq: int, stream_id: int, tstamp: int,
+                  width: int, height: int, depth8: bool,
+                  num_lines: int, line_number: int, i_seq: int,
+                  ef: bool, payload: bytes) -> bytes:
+    hdr = bytearray(_RVF_HDR)
+    hdr[0] = SUBTYPE_RVF
+    hdr[1] = 0x80 | 0x01                        # sv, tv
+    hdr[2] = seq & 0xFF
+    struct.pack_into(">Q", hdr, 4, stream_id & 0xFFFFFFFFFFFFFFFF)
+    struct.pack_into(">I", hdr, 12, tstamp & 0xFFFFFFFF)
+    struct.pack_into(">H", hdr, 16, width & 0xFFFF)
+    struct.pack_into(">H", hdr, 18, height & 0xFFFF)
+    struct.pack_into(">H", hdr, 20, len(payload) + 8)
+    hdr[24] = 0x80 | (0x20 if ef else 0)        # ap=1, ef
+    hdr[25] = ((RVF_PIXEL_DEPTH_8 if depth8 else RVF_PIXEL_DEPTH_16)
+               << 4) | RVF_PIXEL_FORMAT_MONO
+    hdr[26] = RVF_COLORSPACE_GRAY               # frame_rate=0 (unspec)
+    hdr[27] = num_lines & 0xFF
+    struct.pack_into(">H", hdr, 28, line_number & 0xFFFF)
+    hdr[30] = i_seq & 0xFF
+    return bytes(hdr) + payload
+
+
+def parse_rvf_pdu(pdu: bytes) -> dict:
+    if len(pdu) < _RVF_HDR or pdu[0] != SUBTYPE_RVF:
+        raise ValueError("avtp: not an RVF AVTPDU")
+    sdl = struct.unpack(">H", pdu[20:22])[0]
+    return {
+        "seq": pdu[2],
+        "stream_id": struct.unpack(">Q", pdu[4:12])[0],
+        "timestamp": struct.unpack(">I", pdu[12:16])[0],
+        "active_pixels": struct.unpack(">H", pdu[16:18])[0],
+        "total_lines": struct.unpack(">H", pdu[18:20])[0],
+        "ef": bool(pdu[24] & 0x20),
+        "depth8": (pdu[25] >> 4) == RVF_PIXEL_DEPTH_8,
+        "num_lines": pdu[27],
+        "line_number": struct.unpack(">H", pdu[28:30])[0],
+        "i_seq": pdu[30],
+        "payload": pdu[_RVF_HDR:_RVF_HDR + max(0, sdl - 8)],
+    }
+
+
+@register_element
+class AvtpRvfPay(TransformElement):
+    """avtprvfpay: raw GRAY16_LE/GRAY8 frames -> RVF AVTPDUs.  Whole
+    lines per PDU when a line fits mtu-32; otherwise fixed-size line
+    fragments with i_seq_num, the end-of-line fragment zero-padded to
+    fragment_size (gstavtprvfpay.c:209-221)."""
+    FACTORY = "avtprvfpay"
+    DESCRIPTION = "Payload-encode raw video into RVF AVTPDUs " \
+                  "(IEEE 1722)"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK,
+                    "video/x-raw, format={ GRAY16_LE, GRAY8 }"),
+        PadTemplate("src", PadDirection.SRC, "application/x-avtp"),
+    ]
+    PROPERTIES = {
+        "streamid": (int, 0xAABBCCDDEEFF0000, "stream ID"),
+        "mtu": (int, 1470, "max AVTPDU size"),
+        "mtt": (int, 50_000_000, "max transit time (ns)"),
+    }
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._seq = 0
+        self._depth8 = False
+        self._w = self._h = 0
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string(
+            "application/x-avtp" if direction == PadDirection.SINK
+            else "video/x-raw, format={ GRAY16_LE, GRAY8 }")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        s = incaps[0]
+        self._depth8 = (s.get("format") == "GRAY8")
+        self._w = s.get("width") or 0
+        self._h = s.get("height") or 0
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        frames = buf.data if isinstance(buf.data, (list, tuple)) \
+            else [buf.data]
+        arr = np.asarray(frames[0])
+        if arr.ndim == 2:
+            arr = arr[None]
+        h, w = arr.shape[-2], arr.shape[-1]
+        bpp = 1 if self._depth8 else 2
+        line_size = w * bpp
+        room = self.props["mtu"] - _RVF_HDR
+        ts = ((buf.pts or 0) + self.props["mtt"]) & 0xFFFFFFFF
+        pdus = []
+        for fi in range(arr.shape[0]):
+            raw = arr[fi].astype(
+                np.uint8 if self._depth8 else "<u2").tobytes()
+            if line_size <= room:
+                nlines = max(1, room // line_size)
+                for ln in range(0, h, nlines):
+                    cnt = min(nlines, h - ln)
+                    chunk = raw[ln * line_size:(ln + cnt) * line_size]
+                    pdus.append(build_rvf_pdu(
+                        self._seq, self.props["streamid"], ts, w, h,
+                        self._depth8, cnt, ln + 1, 0,
+                        ln + cnt >= h, chunk))
+                    self._seq = (self._seq + 1) & 0xFF
+            else:
+                frag = room
+                nfrag = (line_size + frag - 1) // frag
+                for ln in range(h):
+                    line = raw[ln * line_size:(ln + 1) * line_size]
+                    for i in range(nfrag):
+                        chunk = line[i * frag:(i + 1) * frag]
+                        if len(chunk) < frag:     # eol padding
+                            chunk = chunk + b"\0" * (frag - len(chunk))
+                        pdus.append(build_rvf_pdu(
+                            self._seq, self.props["streamid"], ts,
+                            w, h, self._depth8, 1, ln + 1, i,
+                            ln + 1 >= h and i + 1 >= nfrag, chunk))
+                        self._seq = (self._seq + 1) & 0xFF
+        return buf.with_(data=pdus)
+
+
+@register_element
+class AvtpRvfDepay(TransformElement):
+    """avtprvfdepay: RVF AVTPDUs -> raw GRAY16_LE/GRAY8 frames; one
+    output frame per end-of-frame (ef) marker."""
+    FACTORY = "avtprvfdepay"
+    DESCRIPTION = "Extracts raw video from RVF AVTPDUs"
+    HOST_ELEMENT = True
+    PAD_TEMPLATES = [
+        PadTemplate("sink", PadDirection.SINK, "application/x-avtp"),
+        PadTemplate("src", PadDirection.SRC,
+                    "video/x-raw, format={ GRAY16_LE, GRAY8 }"),
+    ]
+    PROPERTIES = {"streamid": (int, -1, "accept only this stream ID "
+                                        "(-1 = any)")}
+
+    def __init__(self, name=None, **props):
+        super().__init__(name=name, **props)
+        self._acc = bytearray()
+        self._frames_meta = None
+
+    def start(self):
+        self._acc = bytearray()
+        self._frames_meta = None
+
+    def transform_caps(self, direction, caps, filter=None):
+        res = Caps.from_string(
+            "video/x-raw, format={ GRAY16_LE, GRAY8 }"
+            if direction == PadDirection.SINK
+            else "application/x-avtp")
+        if filter is not None:
+            res = res.intersect(filter)
+        return res
+
+    def set_info(self, incaps, outcaps):
+        pass
+
+    def host_process(self, buf):
+        if buf is None:
+            return None
+        frames = []
+        want = self.props["streamid"]
+        for pdu in _blobs(buf):
+            try:
+                h = parse_rvf_pdu(pdu)
+            except ValueError:
+                continue
+            if want != -1 and h["stream_id"] != want:
+                continue
+            w, ht = h["active_pixels"], h["total_lines"]
+            bpp = 1 if h["depth8"] else 2
+            line_size = w * bpp
+            payload = h["payload"]
+            if h["i_seq"] or len(payload) % line_size:
+                # line fragment; eol fragments were padded to
+                # fragment_size -> clamp the write to the line end
+                off = ((h["line_number"] - 1) * line_size
+                       + h["i_seq"] * len(payload))
+                payload = payload[:max(0, h["line_number"] * line_size
+                                       - off)]
+            else:
+                off = (h["line_number"] - 1) * line_size
+            need = off + len(payload)
+            if len(self._acc) < need:
+                self._acc.extend(b"\0" * (need - len(self._acc)))
+            self._acc[off:need] = payload
+            self._frames_meta = (w, ht, h["depth8"])
+            if h["ef"]:
+                size = ht * line_size
+                raw = bytes(self._acc[:size].ljust(size, b"\0"))
+                dt = np.uint8 if h["depth8"] else np.dtype("<u2")
+                frames.append(np.frombuffer(raw, dt).reshape(ht, w))
+                self._acc = bytearray()
+        if not frames:
+            return None
+        return buf.with_(data=np.stack(frames), batch=len(frames))

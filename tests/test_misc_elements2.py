@@ -470,3 +470,49 @@ def test_opus_matroska_roundtrip(tmp_path):
             break
         tot += np.asarray(s.buffer.data).shape[0]
     assert tot >= 20 * 1024
+
+
+def test_avtp_rvf_roundtrip_lines_per_pdu():
+    # 64x48 GRAY16: line = 128 B, fits the default mtu -> several
+    # lines per PDU, ef on the last
+    pay = make_element("avtprvfpay")
+    pay._depth8 = False
+    frame = (np.arange(48 * 64) % 60000).astype("<u2").reshape(48, 64)
+    out = pay.host_process(Buffer(data=frame, batch=1, pts=0))
+    from gstreamer_tpu.net.avtp import parse_rvf_pdu
+    hs = [parse_rvf_pdu(p) for p in out.data]
+    assert hs[0]["active_pixels"] == 64 and hs[0]["total_lines"] == 48
+    assert not hs[0]["ef"] and hs[-1]["ef"]
+    assert sum(h["num_lines"] for h in hs) == 48
+    depay = make_element("avtprvfdepay")
+    back = depay.host_process(Buffer(data=out.data, batch=1))
+    got = np.asarray(back.data).reshape(48, 64)
+    assert np.array_equal(got, frame)
+
+
+def test_avtp_rvf_line_fragmentation():
+    # mtu 96 -> room 64 < line_size 128: two fragments per line with
+    # i_seq_num, eol fragment padded (gstavtprvfpay.c:209-221)
+    pay = make_element("avtprvfpay", mtu=96)
+    pay._depth8 = False
+    frame = (np.arange(8 * 64) % 60000).astype("<u2").reshape(8, 64)
+    out = pay.host_process(Buffer(data=frame, batch=1, pts=0))
+    from gstreamer_tpu.net.avtp import parse_rvf_pdu
+    hs = [parse_rvf_pdu(p) for p in out.data]
+    assert len(hs) == 16                       # 2 fragments x 8 lines
+    assert hs[0]["i_seq"] == 0 and hs[1]["i_seq"] == 1
+    assert hs[1]["line_number"] == 1 and hs[2]["line_number"] == 2
+    depay = make_element("avtprvfdepay")
+    back = depay.host_process(Buffer(data=out.data, batch=1))
+    got = np.asarray(back.data).reshape(8, 64)
+    assert np.array_equal(got, frame)
+
+
+def test_avtp_rvf_gray8():
+    pay = make_element("avtprvfpay")
+    pay._depth8 = True
+    frame = (np.arange(16 * 32) % 251).astype(np.uint8).reshape(16, 32)
+    out = pay.host_process(Buffer(data=frame, batch=1, pts=0))
+    depay = make_element("avtprvfdepay")
+    back = depay.host_process(Buffer(data=out.data, batch=1))
+    assert np.array_equal(np.asarray(back.data).reshape(16, 32), frame)
