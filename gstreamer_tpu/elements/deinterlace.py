@@ -76,6 +76,13 @@ _NEED = {
 }
 
 
+def _pallas_backend() -> bool:
+    """Pallas kernels only lower on TPU (the CPU backend supports
+    interpret mode only — not worth it for a memcpy-bound op)."""
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def _shift_rows(xp, p, n):
     """Row p[y+n] with edge clamping (get_line CLAMP semantics)."""
     if n == 0:
@@ -361,6 +368,20 @@ class Deinterlace(TransformElement):
             # parities over ALL frames and assemble the field sequence
             # with a stack+reshape (pure layout, no data movement
             # beyond one read + one write)
+            if xp is not np and _pallas_backend():
+                # TPU fast path: one fused Pallas kernel, 1 read +
+                # 2 writes per frame (ops/deint_kernel.py); falls
+                # through to XLA on inapplicable shapes
+                try:
+                    from ..ops.deint_kernel import deint_both_parities
+                    both = deint_both_parities(plane, method, parity0)
+                    seq = both.reshape((n_fields,)
+                                       + plane.shape[-2:])
+                    if J == list(range(J[0], J[0] + len(J))):
+                        return seq[J[0]:J[0] + len(J)]
+                    return seq[np.asarray(J)]
+                except Exception:
+                    pass
             src16 = plane.astype(xp.int16)
             t = _shift_rows(xp, src16, -1)
             interp = (t if method == "scalerbob" else
@@ -539,9 +560,17 @@ class Deinterlace(TransformElement):
         method, _ = self._method_params()
         need_old, need_new = _NEED[method]
 
-        # prepend carried frames (true cross-tick history)
+        # prepend carried frames (true cross-tick history).  Intra-frame
+        # methods never read the carried frames (their output range
+        # starts at the first new field and each field only needs its
+        # own frame), so skip the concat — it is a full eager device
+        # copy — and with it the output J-slice becomes full-range
+        # (free).  _pending is always 0 for latency-0 methods.
+        intra_fast = (method in ("linear", "scalerbob")
+                      and self.props["fields"] == "all"
+                      and self._pending == 0)
         carry_n = 0
-        if self._carry_planes is not None:
+        if self._carry_planes is not None and not intra_fast:
             carry_n = self._carry_planes[0].shape[0]
             planes = tuple(jnp.concatenate([c, p], axis=0)
                            for c, p in zip(self._carry_planes, planes))

@@ -266,3 +266,50 @@ def test_fields_top_bottom():
     for i in range(4):
         assert np.array_equal(out[0][i][0::2],
                               planes[0][i][0::2].astype(out[0].dtype))
+
+
+class TestDeintKernel:
+    """ops/deint_kernel.py: the fused TPU fast path, run through the
+    Pallas interpreter so CPU CI checks the exact kernel logic the
+    TPU executes (bit-parity verified on hardware as well)."""
+
+    def _gold(self, plane, method, parity0):
+        h = plane.shape[-2]
+        src16 = plane.astype(np.int16)
+        iu = np.clip(np.arange(h) - 1, 0, h - 1)
+        idn = np.clip(np.arange(h) + 1, 0, h - 1)
+        t, b = src16[:, iu], src16[:, idn]
+        interp = (t if method == "scalerbob"
+                  else ((t + b + 1) >> 1)).astype(np.uint8)
+        m = (np.arange(h) % 2 == 0)[:, None]
+        p0 = np.where(m, plane, interp)
+        p1 = np.where(~m, plane, interp)
+        first, second = (p0, p1) if parity0 == 0 else (p1, p0)
+        return np.stack([first, second], axis=1)
+
+    def test_bit_parity_interpret(self):
+        from gstreamer_tpu.ops.deint_kernel import deint_both_parities
+        rng = np.random.default_rng(7)
+        plane = rng.integers(0, 256, (3, 64, 256), dtype=np.uint8)
+        for method in ("linear", "scalerbob"):
+            for parity0 in (0, 1):
+                out = np.asarray(deint_both_parities(
+                    plane, method, parity0, interpret=True))
+                assert np.array_equal(
+                    out, self._gold(plane, method, parity0)), (
+                        method, parity0)
+
+    def test_unaligned_width(self):
+        from gstreamer_tpu.ops.deint_kernel import deint_both_parities
+        rng = np.random.default_rng(8)
+        plane = rng.integers(0, 256, (2, 30, 96), dtype=np.uint8)
+        out = np.asarray(deint_both_parities(plane, "linear", 0,
+                                             interpret=True))
+        assert np.array_equal(out, self._gold(plane, "linear", 0))
+
+    def test_applicable_bounds(self):
+        from gstreamer_tpu.ops.deint_kernel import applicable
+        assert applicable(1080, 1920)
+        assert applicable(540, 960)
+        assert not applicable(2160, 3840)     # 4K exceeds VMEM cap
+        assert not applicable(3, 128)         # odd height
