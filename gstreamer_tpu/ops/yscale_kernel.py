@@ -99,19 +99,25 @@ def _build(h_in: int, w_in: int, oh: int, ow: int, precision: int,
 
     def run(y):
         b = y.shape[0]
-        th = jnp.asarray(th_np, jnp.bfloat16)
-        tv = jnp.asarray(tv_np, jnp.bfloat16)
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.int16),
-            grid=(b,),
-            in_specs=[
-                pl.BlockSpec((1, h_in, w_in), lambda i: (i, 0, 0)),
-                pl.BlockSpec((w_in, 2 * ow), lambda i: (0, 0)),
-                pl.BlockSpec((h_in, 2 * oh), lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, oh, ow), lambda i: (i, 0, 0)),
-        )(y, th, tv)
+        # the audio stack enables global x64 on import; Mosaic's
+        # convert-element-type lowering recurses forever on the i64
+        # types that bare literals then promote to, so trace the call
+        # with x64 off (same guard as ops/deint_kernel.py)
+        with jax.enable_x64(False):
+            th = jnp.asarray(th_np, jnp.bfloat16)
+            tv = jnp.asarray(tv_np, jnp.bfloat16)
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.int16),
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, h_in, w_in), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((w_in, 2 * ow), lambda i: (0, 0)),
+                    pl.BlockSpec((h_in, 2 * oh), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, oh, ow),
+                                       lambda i: (i, 0, 0)),
+            )(y, th, tv)
 
     return run
 
