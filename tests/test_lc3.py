@@ -258,3 +258,34 @@ class TestLc3Elements:
         s = p.get_by_name("out").pull_sample()
         assert s.caps[0]["frame-duration-us"] == 7500
         assert s.caps[0]["frame-bytes"] == 90
+
+
+class TestLc3Robustness:
+    def test_decoder_fuzz_never_crashes(self):
+        """Arbitrary frame bytes must decode (or conceal) — the
+        decoder guards every parse failure with PLC, like a lossy
+        Bluetooth link demands."""
+        import numpy as np
+        rng = np.random.default_rng(42)
+        dec = Lc3Decoder(48000, 1, 10000, 60)
+        for _ in range(50):
+            frame = rng.integers(0, 256, 60, dtype=np.uint8).tobytes()
+            out = dec.decode_frame(frame)
+            assert out.shape == (480, 1)
+            assert out.dtype == np.int16
+
+    def test_fullscale_square_wave(self):
+        """Full-scale hard-clipping input: exact frame sizes, bounded
+        output, no overflow through the rate loop."""
+        import numpy as np
+        enc = Lc3Encoder(48000, 1, 10000, 160)
+        dec = Lc3Decoder(48000, 1, 10000, 160)
+        nf = enc.nf
+        t = np.arange(nf * 5)
+        sig = np.where((t // 48) % 2 == 0, 32767, -32768).astype(
+            np.int16)
+        for i in range(5):
+            b = enc.encode_frame(sig[i * nf:(i + 1) * nf])
+            assert len(b) == 160
+            out = dec.decode_frame(b)
+            assert np.abs(out.astype(np.int64)).max() <= 32768
