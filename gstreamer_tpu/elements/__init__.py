@@ -100,6 +100,7 @@ from . import siren_elements     # noqa: F401
 from . import lc3_elements       # noqa: F401  (LE-Audio LC3 codec)
 from . import tensor_decoders2   # noqa: F401  (seg/obb/yolo26/face)
 from . import faceoverlay        # noqa: F401
+from . import chromaprint        # noqa: F401  (system-lib wrapper)
 from . import audioparsers       # noqa: F401
 from . import coloreffects       # noqa: F401
 from . import gaudieffects       # noqa: F401
