@@ -166,5 +166,12 @@ def _register_av1dec():
         DESCRIPTION = "Decode AV1 video streams (libavcodec dav1d " \
                       "backend)"
 
+    @register_element
+    class Dav1dDec(base):
+        FACTORY = "dav1ddec"
+        DESCRIPTION = "Decode AV1 video streams with dav1d " \
+                      "(gst-plugins-bad/ext/dav1d/gstdav1ddec.c; " \
+                      "same dav1d engine via libavcodec here)"
+
 
 _register_av1dec()
